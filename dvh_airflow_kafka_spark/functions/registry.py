@@ -1,0 +1,123 @@
+"""Scalar-function registry for the transform DSL.
+
+The reference exposes a closed, config-addressable map of unary scalar
+Python functions (reference src/transform.py:112-119). Here each ``fun``
+name maps to a **Column-expression factory** — pure Catalyst expressions,
+no Python UDFs — so the whole transform stays inside whole-stage codegen
+and runs JVM-side at 100 TB scale.
+
+Timestamp semantics: the engine's canonical timestamp is the *naive
+Europe/Oslo wall clock* (reference src/transform.py:8-21). With
+``spark.sql.session.timeZone=UTC``, ``from_utc_timestamp(x, 'Europe/Oslo')``
+yields exactly that. (The reference resolves the DST offset at the UTC
+wall-clock instant with ``is_dst=True`` — reference src/transform.py:20;
+for the ambiguous fall-back hour this differs by at most one hour from the
+IANA rules Spark applies. We follow IANA.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+OSLO = "Europe/Oslo"
+
+# DVH-utviklingsstandard 2.3 alphabet for code values
+_CODE_ALPHABET = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ_"
+
+
+def identity(c: Column) -> Column:
+    """Default when ``fun`` is omitted (reference src/transform.py:24-30)."""
+    return c
+
+
+def str_to_code(c: Column) -> Column:
+    """``str -> str-code`` (reference src/transform.py:33-46).
+
+    NULL -> 'UKJENT'; whitespace runs -> '_'; uppercase; Æ->A, Ø->O,
+    Å->AA; drop anything outside [0-9A-Z_]; empty -> 'UKJENT'.
+    """
+    y = F.upper(c.cast("string"))
+    y = F.regexp_replace(y, r"^\s+|\s+$", "")  # str.split() strips ends
+    y = F.regexp_replace(y, r"\s+", "_")
+    y = F.translate(y, "ÆØ", "AO")
+    y = F.regexp_replace(y, "Å", "AA")
+    y = F.regexp_replace(y, "[^0-9A-Z_]", "")
+    # NULL input or empty result both collapse to the UKJENT sentinel
+    return F.coalesce(F.when(y != "", y), F.lit("UKJENT"))
+
+
+def str_to_oslo_datetime(c: Column) -> Column:
+    """``str -> datetime-no`` (reference src/transform.py:49-60).
+
+    The reference uses ``dateparser`` (free-form English). We cover the
+    common fixed formats with a ``try_to_timestamp`` cascade — unparseable
+    strings yield NULL, matching the reference's None. The parsed naive
+    datetime is treated as UTC and shifted to Oslo wall clock (the
+    reference's ``_adjust_timezone`` does the same to naive inputs).
+    """
+    s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
+    parsed = F.coalesce(
+        F.try_to_timestamp(s),  # ISO-ish: yyyy-MM-dd HH:mm:ss[.S]
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
+        F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
+        F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
+    )
+    return F.from_utc_timestamp(parsed, OSLO)
+
+
+def epoch_s_to_oslo(c: Column) -> Column:
+    """``int-unix-s -> datetime-no`` (reference src/transform.py:63-74)."""
+    return F.from_utc_timestamp(F.timestamp_seconds(c), OSLO)
+
+
+def epoch_ms_to_oslo(c: Column) -> Column:
+    """``int-unix-ms -> datetime-no`` — millisecond precision preserved
+    (reference src/transform.py:77-87)."""
+    return F.from_utc_timestamp(F.timestamp_millis(c.cast("long")), OSLO)
+
+
+def bool_to_int(c: Column) -> Column:
+    """``bool -> int`` — NULL-safe (reference src/transform.py:90-98)."""
+    return c.cast("boolean").cast("int")
+
+
+def to_oslo_wall_clock(c: Column) -> Column:
+    """``datetime -> datetime-no`` (reference src/transform.py:101-109):
+    interpret a (session-TZ/UTC) timestamp as an instant and render the
+    Europe/Oslo wall clock as a naive timestamp."""
+    return F.from_utc_timestamp(c.cast("timestamp"), OSLO)
+
+
+def content_hash(c: Column) -> Column:
+    """sha256 hex digest of the raw message bytes -> ``kafka_hash``
+    (reference src/kafka_source.py:114)."""
+    return F.sha2(c.cast("binary"), 256)
+
+
+def canonical_json(c: Column) -> Column:
+    """Struct -> canonical JSON string -> ``kafka_message``
+    (reference src/kafka_source.py:115). JVM ``to_json`` formatting
+    (no space after ':'); exact Python-``json.dumps`` parity is available
+    via operators.payload.python_canonical_json when byte-level parity
+    with the reference is required."""
+    return F.to_json(c)
+
+
+# The config-addressable registry: ``fun`` name -> Column factory.
+# (reference src/transform.py:112-119)
+TRANSFORMS: dict[str, Callable[[Column], Column]] = {
+    "str -> str-code": str_to_code,
+    "str -> datetime-no": str_to_oslo_datetime,
+    "int-unix-s -> datetime-no": epoch_s_to_oslo,
+    "int-unix-ms -> datetime-no": epoch_ms_to_oslo,
+    "bool -> int": bool_to_int,
+    "datetime -> datetime-no": to_oslo_wall_clock,
+}

@@ -1,0 +1,70 @@
+"""Table loading for the driver's testdata layout.
+
+The driver's parquet files carry nanosecond-precision timestamps
+(TIMESTAMP(NANOS)), which Spark's vectorized parquet reader rejects.
+We read nanos as raw longs (``spark.sql.legacy.parquet.nanosAsLong`` —
+runtime-settable) and rebuild microsecond TIMESTAMP_NTZ columns with
+integer arithmetic (``DIV 1000`` — no double round-trip, no precision
+loss). DuckDB performs the identical ns→µs truncation when casting to its
+native TIMESTAMP, so both engines see byte-identical values.
+
+All timestamp columns are normalised to TIMESTAMP_NTZ: the engine pins
+``spark.sql.session.timeZone=UTC`` so NTZ wall clocks equal the UTC
+instants, matching DuckDB's naive TIMESTAMP semantics.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; ns-timestamps come back as TIMESTAMP_NTZ(µs)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nano_ts_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Temp views for SQL-first operator definitions."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,47 @@
+"""J1 — idempotent dedup-on-insert (the reference's
+``skip-duplicates-with``).
+
+Reference behaviour (src/oracle_target.py:97-104; README.md:132-137): each
+inserted row is suppressed when a row with the same values in the
+configured column set already exists in the target — an insert-time
+``NOT EXISTS``. Because the reference's executemany runs row-by-row inside
+one transaction, duplicates *within* the incoming batch are suppressed
+too (only the first survives). This is the engine's exactly-once
+backstop: re-runs re-read the log and write 0 new rows (laws 4/5,
+test_integration.py:214-237, 363-410).
+
+Spark design: ``dropDuplicates`` (map-side partial dedup, then one hash
+shuffle on the key) + LEFT ANTI join against the sink's key set. At
+100 TB: the anti-join shuffles both sides on the dedup key unless the
+existing side fits the broadcast threshold — for incremental loads the
+"existing keys in the affected window" are pruned by the delta watermark
+before the join, keeping the right side broadcastable; for full-history
+dedup, bucketing the sink table by the key makes the anti-join
+shuffle-free on the sink side.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_against_existing(
+    batch: DataFrame,
+    existing: Optional[DataFrame],
+    keys: Sequence[str],
+    broadcast_existing: bool = True,
+) -> DataFrame:
+    """Rows of ``batch`` whose ``keys`` do not already occur in
+    ``existing``, with within-batch duplicates collapsed. ``existing`` may
+    be None (first load)."""
+    keys = list(keys)
+    fresh = batch.dropDuplicates(keys)
+    if existing is None:
+        return fresh
+    existing_keys = existing.select(*keys).dropDuplicates(keys)
+    if broadcast_existing:
+        existing_keys = F.broadcast(existing_keys)
+    return fresh.join(existing_keys, on=keys, how="left_anti")

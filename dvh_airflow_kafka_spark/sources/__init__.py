@@ -1,0 +1,7 @@
+from dvh_airflow_kafka_spark.sources.envelope import (
+    decode_key,
+    events_as_kafka_frame,
+    with_envelope,
+)
+
+__all__ = ["with_envelope", "decode_key", "events_as_kafka_frame"]

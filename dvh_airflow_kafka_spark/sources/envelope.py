@@ -1,0 +1,108 @@
+"""Kafka envelope construction (S3/S5/S6 + F9/F10).
+
+A Kafka DataFrame — from the real ``format("kafka")`` source or any
+simulated log — carries the standard columns ``key value topic partition
+offset timestamp``. This module turns it into the reference's envelope
+(reference src/kafka_source.py:197-218):
+
+    kafka_key, kafka_timestamp (epoch ms), kafka_offset, kafka_partition,
+    kafka_topic, kafka_hash (sha256 of raw value), kafka_message
+    (canonical JSON of the filtered payload).
+
+All of it is a single narrow projection: no UDFs, no shuffle — at 100 TB
+this fuses with the scan into one codegen stage, and the sha256 runs
+vectorized in the JVM.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.config import AllowRule, KeyCodec
+
+
+def decode_key(key: Column, codec: KeyCodec | str = KeyCodec.UTF_8) -> Column:
+    """Key deserializer (S6, reference src/kafka_source.py:74-82):
+    bytes -> utf-8 string, or big-endian int-64 rendered as a decimal
+    string; NULL -> ''. ``conv(hex(...))`` keeps the int-64 path inside
+    codegen (no UDF)."""
+    codec = KeyCodec(codec)
+    if codec == KeyCodec.INT_64:
+        decoded = F.conv(F.hex(key.cast("binary")), 16, 10)
+    else:
+        decoded = key.cast("string")
+    return F.coalesce(decoded, F.lit(""))
+
+
+def allow_filter_condition(
+    payload: Column, rules: Sequence[AllowRule], typed: bool = False
+) -> Column:
+    """P3 message allow-filter (reference src/kafka_source.py:207-218):
+    OR over ``{key, allowed_value}`` equality tests on *top-level* payload
+    fields. Returns the keep-condition; the caller NULLs ``kafka_message``
+    when it is false — rows are never dropped."""
+    conds = []
+    for rule in rules:
+        field = payload[rule.key] if typed else F.get_json_object(payload, f"$.{rule.key}")
+        value = rule.allowed_value if typed else str(rule.allowed_value)
+        conds.append(field.isNotNull() & (field == F.lit(value)))
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def with_envelope(
+    kafka_df: DataFrame,
+    key_codec: KeyCodec | str = KeyCodec.UTF_8,
+    message_filters: Optional[Sequence[AllowRule]] = None,
+    canonical_message: Optional[Column] = None,
+) -> DataFrame:
+    """S3/S5 + F9/F10: standard Kafka columns -> reference envelope.
+
+    - ``kafka_hash`` is sha256 of the **raw** value bytes — computed
+      before any payload filtering (law 2, reference
+      src/kafka_source.py:114; test_integration.py:167).
+    - ``kafka_message`` defaults to the raw value decoded as string; pass
+      ``canonical_message`` (e.g. a filtered-payload ``to_json``) to
+      override — it is stored *post-filter* while the hash stays
+      pre-filter.
+    - ``message_filters`` NULLs the message (never drops the row).
+    """
+    message = (
+        canonical_message if canonical_message is not None else F.col("value").cast("string")
+    )
+    if message_filters:
+        keep = allow_filter_condition(F.col("value").cast("string"), message_filters)
+        message = F.when(keep, message).otherwise(F.lit(None))
+    return kafka_df.select(
+        decode_key(F.col("key"), key_codec).alias("kafka_key"),
+        F.unix_millis(F.col("timestamp").cast("timestamp")).alias("kafka_timestamp"),
+        F.col("offset").alias("kafka_offset"),
+        F.col("partition").alias("kafka_partition"),
+        F.col("topic").alias("kafka_topic"),
+        F.sha2(F.col("value").cast("binary"), 256).alias("kafka_hash"),
+        message.alias("kafka_message"),
+    )
+
+
+def events_as_kafka_frame(
+    events: DataFrame, topic: str = "events", n_partitions: int = 2
+) -> DataFrame:
+    """Map the driver's ``events`` table onto the standard Kafka column
+    set (FIXTURES.md F-1 mapping): ``event_id -> offset``, ``ts ->
+    timestamp``, ``user_id -> key``, ``props -> value``. Partition id is
+    derived deterministically as ``user_id % n_partitions`` (the reference
+    tests produce with ``partition=i % 2``, test_integration.py:110-117).
+    """
+    return events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        F.col("props").cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
