@@ -1,0 +1,1033 @@
+"""Query catalog: every implemented operator as a (Spark query, DuckDB
+oracle) pair — the driver-contract surface behind ``__spark_entry__.py``.
+
+Naming/typing discipline (driver compares row-count + schema +
+order-insensitive value hash):
+
+- every computed column is aliased identically on both sides;
+- money/quantity aggregates are computed in DECIMAL(18,2)-derived exact
+  arithmetic and cast to DOUBLE at the end — bit-identical across engines,
+  immune to float summation order;
+- timestamps are TIMESTAMP_NTZ on the Spark side (session tz pinned UTC),
+  matching DuckDB's naive TIMESTAMP;
+- Europe/Oslo wall clocks: Spark ``from_utc_timestamp(x, 'Europe/Oslo')``
+  ≡ DuckDB ``x AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Oslo'``.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.config import AllowRule
+from dvh_airflow_kafka_spark.ext import dedup as xdedup
+from dvh_airflow_kafka_spark.ext import similarity as xsim
+from dvh_airflow_kafka_spark.ext import text as xtext
+from dvh_airflow_kafka_spark.functions import registry as fns
+from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.operators import (
+    dedup_against_existing,
+    scrub_flagged_persons,
+    summary_frame,
+)
+from dvh_airflow_kafka_spark.plans import Transform
+from dvh_airflow_kafka_spark.sources import events_as_kafka_frame, with_envelope
+
+# One deterministic batch time for every run — the reference freezes
+# batch_time per Transform instance (src/transform.py:152-155); a constant
+# keeps Spark and the oracle bit-identical.
+BATCH_TIME = dt.datetime(2025, 6, 1, 12, 0, 0)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    sql: Optional[str]  # DuckDB oracle; None -> rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, sql: Optional[str] = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryDef(name, fn, sql)
+        return fn
+
+    return deco
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+
+
+# DuckDB fragment: naive-UTC timestamp expression -> naive Oslo wall clock
+def _oslo(expr: str) -> str:
+    return f"(({expr}) AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Oslo')"
+
+
+def _ntz(col):
+    return col.cast("timestamp_ntz")
+
+
+# ==========================================================================
+# Reference surface — SURVEY.md §2
+# ==========================================================================
+
+_FLAGSHIP_RULES = [
+    {"src": "kafka_key", "dst": "kafka_key"},
+    {"src": "kafka_offset", "dst": "kafka_offset"},
+    {"src": "kafka_partition", "dst": "kafka_partition"},
+    {"src": "kafka_timestamp", "dst": "kafka_timestamp", "fun": "int-unix-ms -> datetime-no"},
+    {"src": "kafka_topic", "dst": "kafka_topic"},
+    {"src": "kafka_hash", "dst": "kafka_hash"},
+    {"src": "kafka_message", "dst": "kafka_message"},
+    {"src": "$TESTDATA", "dst": "kildesystem"},
+    {"src": "$$BATCH_TIME", "dst": "lastet_tid"},
+]
+
+_FLAGSHIP_FILTERS = [
+    AllowRule(key="k", allowed_value=87),
+    AllowRule(key="k", allowed_value=12),
+]
+
+
+@register(
+    "flagship_etl_pipeline",
+    sql=f"""
+    SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+           event_id AS kafka_offset,
+           CAST(user_id % 2 AS INT) AS kafka_partition,
+           {_oslo("make_timestamp(epoch_ms(ts) * 1000)")} AS kafka_timestamp,
+           'events' AS kafka_topic,
+           sha256(props) AS kafka_hash,
+           CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
+                THEN props ELSE NULL END AS kafka_message,
+           'TESTDATA' AS kildesystem,
+           TIMESTAMP '2025-06-01 12:00:00' AS lastet_tid
+    FROM events
+    """,
+)
+def flagship_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole spine in one plan: Kafka-shaped scan →
+    envelope (S3/S6/F9/F10) → allow-filter (P3) → transform DSL (P5 +
+    F5). Single narrow projection — fuses into one codegen stage."""
+    events = load_table(spark, sf_dir, "events")
+    env = with_envelope(
+        events_as_kafka_frame(events), message_filters=_FLAGSHIP_FILTERS
+    )
+    out = Transform(_FLAGSHIP_RULES, batch_time=BATCH_TIME).apply(env)
+    return out.withColumn("kafka_timestamp", _ntz(F.col("kafka_timestamp"))).withColumn(
+        "lastet_tid", _ntz(F.col("lastet_tid"))
+    )
+
+
+@register(
+    "envelope_projection",
+    sql="""
+    SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+           epoch_ms(ts) AS kafka_timestamp,
+           event_id AS kafka_offset,
+           CAST(user_id % 2 AS INT) AS kafka_partition,
+           'events' AS kafka_topic,
+           sha256(props) AS kafka_hash,
+           props AS kafka_message
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    """,
+)
+def envelope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 timestamp-interval scan + S3/S6 envelope: the bounded
+    ``[DATA_INTERVAL_START, DATA_INTERVAL_END)`` read (reference
+    src/kafka_source.py:68-72, 220-265) as a pushed-down timestamp filter."""
+    events = load_table(spark, sf_dir, "events")
+    bounded = events.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"))
+    )
+    return with_envelope(events_as_kafka_frame(bounded))
+
+
+@register(
+    "payload_flag_fields",
+    sql="""
+    SELECT event_id,
+           to_json(struct_pack(
+               event_type := event_type,
+               k := CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END)) AS kafka_message
+    FROM events
+    """,
+)
+def payload_flag_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 presence-flag on a typed payload (reference
+    src/kafka_source.py:94-100): listed keypaths become 1/0."""
+    from dvh_airflow_kafka_spark.operators import flag_fields
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("k", T.IntegerType()),
+        ]
+    )
+    payload = F.struct(
+        F.col("event_type"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    flagged = flag_fields(payload, schema, ["k"])
+    return events.select(
+        "event_id", F.to_json(flagged).alias("kafka_message")
+    )
+
+
+@register(
+    "payload_drop_fields",
+    sql="""
+    SELECT event_id,
+           to_json(struct_pack(event_type := event_type)) AS kafka_message
+    FROM events
+    """,
+)
+def payload_drop_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 field-drop on a typed payload (reference
+    src/kafka_source.py:84-92): listed keypaths removed, rest preserved."""
+    from dvh_airflow_kafka_spark.operators import drop_fields
+    from pyspark.sql import types as T
+
+    events = load_table(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("k", T.IntegerType()),
+        ]
+    )
+    payload = F.struct(
+        F.col("event_type"),
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+    )
+    dropped = drop_fields(payload, schema, ["k"])
+    return events.select("event_id", F.to_json(dropped).alias("kafka_message"))
+
+
+@register(
+    "message_allow_filter",
+    sql="""
+    SELECT event_id,
+           CASE WHEN event_type IN ('purchase', 'click')
+                THEN to_json(struct_pack(
+                    event_type := event_type,
+                    k := CAST(json_extract_string(props, '$.k') AS INT)))
+                ELSE NULL END AS kafka_message
+    FROM events
+    """,
+)
+def message_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 message-filters (reference src/kafka_source.py:207-218): OR-list
+    of top-level equality predicates; non-matching rows keep their
+    envelope but the payload is NULLed — a CASE projection, not a filter."""
+    from dvh_airflow_kafka_spark.sources.envelope import allow_filter_condition
+
+    events = load_table(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"),
+        )
+    )
+    rules = [
+        AllowRule(key="event_type", allowed_value="purchase"),
+        AllowRule(key="event_type", allowed_value="click"),
+    ]
+    keep = allow_filter_condition(payload, rules)
+    return events.select(
+        "event_id", F.when(keep, payload).otherwise(F.lit(None)).alias("kafka_message")
+    )
+
+
+@register(
+    "privacy_scrub_k6",
+    sql="""
+    SELECT e.event_id,
+           e.user_id,
+           CASE WHEN l.off_id IS NOT NULL THEN NULL ELSE e.props END AS kafka_message
+    FROM events e
+    LEFT JOIN (
+        SELECT c_custkey AS off_id,
+               DATE '1900-01-01' AS f,
+               CASE WHEN c_custkey <= 75 THEN DATE '2024-06-30'
+                    ELSE DATE '9999-12-31' END AS t
+        FROM customer WHERE c_custkey % 10 = 0
+    ) l ON e.user_id = l.off_id AND CAST(e.ts AS DATE) BETWEEN l.f AND l.t
+    """,
+)
+def privacy_scrub_k6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/J2 kode-6/7 scrub (reference src/oracle_target.py:46-93): flagged
+    person-ids with a valid interval at the event date get a NULL payload.
+    Lookup synthesized from ``customer`` (FIXTURES.md F-5 mapping)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    lookup = customer.filter((F.col("c_custkey") % 10) == 0).select(
+        F.col("c_custkey").alias("off_id"),
+        F.lit("1900-01-01").cast("date").alias("gyldig_fra_dato"),
+        F.when(F.col("c_custkey") <= 75, F.lit("2024-06-30"))
+        .otherwise(F.lit("9999-12-31"))
+        .cast("date")
+        .alias("gyldig_til_dato"),
+        F.when(F.col("c_custkey") <= 50, F.lit(6)).otherwise(F.lit(7)).alias(
+            "skjermet_kode"
+        ),
+    )
+    scrubbed = scrub_flagged_persons(
+        events.withColumn("kafka_message", F.col("props")),
+        lookup,
+        person_id=F.col("user_id"),
+        event_ts=F.col("ts"),
+    )
+    return scrubbed.select("event_id", "user_id", "kafka_message")
+
+
+@register(
+    "dedup_insert_antijoin",
+    sql="""
+    WITH incoming AS (
+        SELECT * FROM events WHERE event_id < 600
+        UNION ALL
+        SELECT * FROM events WHERE event_id < 100
+    ),
+    existing AS (SELECT event_id FROM events WHERE event_id < 300)
+    SELECT DISTINCT i.event_id, i.user_id, i.event_type, i.props
+    FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM existing x WHERE x.event_id = i.event_id)
+    """,
+)
+def dedup_insert_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 skip-duplicates-with (reference src/oracle_target.py:97-104):
+    incoming batch (with in-batch duplicates) anti-joined against the
+    sink's key set; re-runs write nothing new (laws 4/5)."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    incoming = events.filter(F.col("event_id") < 600).unionAll(
+        events.filter(F.col("event_id") < 100)
+    )
+    existing = events.filter(F.col("event_id") < 300)
+    return dedup_against_existing(incoming, existing, ["event_id"])
+
+
+@register(
+    "delta_watermark",
+    sql="""
+    SELECT max(ts) AS watermark_ts,
+           epoch_ms(max(ts)) AS watermark_ms,
+           count(*) AS n_rows
+    FROM events
+    """,
+)
+def delta_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10/A1 delta probe (reference src/oracle_target.py:30-43):
+    MAX(delta_column) of the sink → epoch-ms incremental lower bound."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.max("ts").alias("watermark_ts"),
+        F.unix_millis(F.max("ts").cast("timestamp")).alias("watermark_ms"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "process_summary",
+    sql="""
+    SELECT count(*) AS event_count,
+           count(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
+                      THEN 1 END) AS data_count,
+           sum(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
+                    THEN 0 ELSE 1 END) AS filtered_count
+    FROM events
+    """,
+)
+def process_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ProcessSummary counters (reference src/kafka_source.py:24-45) as
+    a one-row aggregate over the filtered envelope."""
+    events = load_table(spark, sf_dir, "events")
+    env = with_envelope(
+        events_as_kafka_frame(events), message_filters=_FLAGSHIP_FILTERS
+    )
+    return summary_frame(env)
+
+
+# --------------------------------------------------------------------------
+# Scalar functions F2-F7
+# --------------------------------------------------------------------------
+
+_STR_CODE_SQL = """
+    WITH y AS (
+        SELECT doc_id,
+               regexp_replace(
+                   replace(translate(
+                       regexp_replace(
+                           regexp_replace(upper(substr(text, 1, 40)),
+                                          '^\\s+|\\s+$', '', 'g'),
+                           '\\s+', '_', 'g'),
+                       'ÆØ', 'AO'), 'Å', 'AA'),
+                   '[^0-9A-Z_]', '', 'g') AS code0
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN code0 IS NULL OR code0 = '' THEN 'UKJENT' ELSE code0 END AS code
+    FROM y
+"""
+
+
+@register("fn_str_code", sql=_STR_CODE_SQL)
+def fn_str_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 ``str -> str-code`` (reference src/transform.py:33-46) applied to
+    document prefixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fns.str_to_code(F.substring(F.col("text"), 1, 40)).alias("code")
+    )
+
+
+@register(
+    "fn_epoch_to_oslo",
+    sql=f"""
+    SELECT event_id,
+           {_oslo("ts")} AS oslo_wall,
+           {_oslo("make_timestamp((epoch_ms(ts) // 1000) * 1000000)")} AS oslo_from_s,
+           {_oslo("make_timestamp(epoch_ms(ts) * 1000)")} AS oslo_from_ms
+    FROM events
+    """,
+)
+def fn_epoch_to_oslo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5/F7 epoch/datetime → Europe/Oslo wall clock (reference
+    src/transform.py:63-87, 101-109), DST-aware."""
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return events.select(
+        "event_id",
+        _ntz(fns.to_oslo_wall_clock(F.col("ts"))).alias("oslo_wall"),
+        _ntz(fns.epoch_s_to_oslo((ms / 1000).cast("long"))).alias("oslo_from_s"),
+        _ntz(fns.epoch_ms_to_oslo(ms)).alias("oslo_from_ms"),
+    )
+
+
+@register(
+    "fn_str_parse_datetime",
+    sql=f"""
+    SELECT event_id,
+           {_oslo("TRY_CAST(CASE WHEN event_type = 'error' THEN 'not a date' "
+           "ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS TIMESTAMP)")} AS parsed_oslo
+    FROM events
+    """,
+)
+def fn_str_parse_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ``str -> datetime-no`` (reference src/transform.py:49-60):
+    parseable strings → Oslo wall clock; garbage → NULL."""
+    events = load_table(spark, sf_dir, "events")
+    s = F.when(F.col("event_type") == "error", F.lit("not a date")).otherwise(
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
+    )
+    return events.select(
+        "event_id", _ntz(fns.str_to_oslo_datetime(s)).alias("parsed_oslo")
+    )
+
+
+@register(
+    "fn_bool_to_int",
+    sql="""
+    SELECT event_id,
+           CAST(CASE WHEN event_type = 'error' THEN NULL
+                     ELSE "value" > 100 END AS INT) AS flag
+    FROM events
+    """,
+)
+def fn_bool_to_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 ``bool -> int`` — NULL-safe (reference src/transform.py:90-98)."""
+    events = load_table(spark, sf_dir, "events")
+    b = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value") > 100
+    )
+    return events.select("event_id", fns.bool_to_int(b).alias("flag"))
+
+
+# ==========================================================================
+# Relational coverage beyond the reference (TPC-H-shaped + window/set ops)
+# ==========================================================================
+
+
+def _dec(col) -> F.Column:
+    return col.cast("decimal(18,2)")
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: scan → partial agg → final agg.
+    DECIMAL-exact arithmetic, cast to DOUBLE at the edge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, ep, disc, tax = (
+        _dec(F.col("l_quantity")),
+        _dec(F.col("l_extendedprice")),
+        _dec(F.col("l_discount")),
+        _dec(F.col("l_tax")),
+    )
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(ep * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(ep).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_topk_orders",
+    sql="""
+    WITH rev AS (
+        SELECT l.l_orderkey,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM rev
+    QUALIFY row_number() OVER (ORDER BY rev_dec DESC, l_orderkey) <= 10
+    """,
+)
+def tpch_q3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: 3-way join (customer broadcast), grouped revenue,
+    deterministic top-10 (rank on the exact DECIMAL, tie-break orderkey)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount"))))
+            .alias("rev_dec")
+        )
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey").asc())
+    return (
+        rev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select(
+            "l_orderkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "tpch_q5_regional_revenue",
+    sql="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join; dimension chain broadcast, fact side
+    shuffles once on orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(_dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount"))))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    sql="""
+    WITH rev AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_dec
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    )
+    SELECT c_custkey, c_name, CAST(rev_dec AS DOUBLE) AS revenue, c_acctbal, n_name
+    FROM rev
+    QUALIFY row_number() OVER (ORDER BY rev_dec DESC, c_custkey) <= 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: returned-item revenue per customer, top 20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * (F.lit(1) - _dec(F.col("l_discount"))))
+            .alias("rev_dec")
+        )
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "c_acctbal",
+            "n_name",
+        )
+    )
+
+
+@register(
+    "events_topk_per_user",
+    sql="""
+    SELECT user_id, event_id, "value" AS event_value,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY "value" DESC, event_id) AS BIGINT) AS rank
+    FROM events
+    QUALIFY rank <= 3
+    """,
+)
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group — window row_number over a hash-partitioned sort
+    (the 100 TB-safe top-k: no global sort, one shuffle on the group key)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.col("value").alias("event_value"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "events_sessionization",
+    sql="""
+    WITH g AS (
+        SELECT user_id,
+               CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag+gap (30 min), the batch analogue of
+    ``session_window`` — epoch-ms integer arithmetic on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(ms.asc(), F.col("event_id").asc())
+    prev = F.lag(ms).over(w)
+    new_session = F.when(
+        prev.isNull() | ((ms - prev) > 1800000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        events.select("user_id", "event_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "revenue_rollup",
+    sql="""
+    SELECT event_type,
+           CAST(SUM(CAST("value" AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ROLLUP(event_type)
+    """,
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate (subtotals + grand total) — grouping-set coverage
+    the reference lacks entirely (SURVEY.md §2.9)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.rollup("event_type").agg(
+        F.sum(_dec(F.col("value"))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "signup_no_purchase",
+    sql="""
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE event_type = 'purchase'
+    """,
+)
+def signup_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT DISTINCT) — (user, day) pairs with a click but
+    no purchase."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("d")
+    click = events.filter(F.col("event_type") == "click").select("user_id", day)
+    purchase = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    # subtract == EXCEPT DISTINCT (set semantics, matching SQL EXCEPT);
+    # exceptAll would keep pairs whose click count merely exceeds purchases
+    return click.subtract(purchase)
+
+
+# ==========================================================================
+# [EXT] — training-data pipeline operators
+# ==========================================================================
+
+
+@register(
+    "dedup_exact_survivors",
+    sql="""
+    SELECT sha256(text) AS content_hash,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact dedup: hash-groupBy on sha256(text), min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.exact_dedup_survivors(docs, ["text"], "doc_id").select(
+        "content_hash", "survivor_id", "n_copies"
+    )
+
+
+@register(
+    "text_token_counts",
+    sql=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] token counting: whitespace + BPE-ish regex tokenizers."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        xtext.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        xtext.token_count_bpe(F.col("text")).cast("int").alias("n_tokens_bpe"),
+    )
+
+
+_QUALITY_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '\S+')) AS DOUBLE) AS n_words_l,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                    w -> list_contains(['the','a','and','of','to','in','is','that','for','with'], w)))
+                    AS DOUBLE) AS sw,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS INT) AS n_words_out,
+           CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+           (least(1.0, n_words / 50.0) * 0.4
+            + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+            + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
+           ) AS quality
+    FROM t
+"""
+
+
+@register("text_quality", sql=_QUALITY_SQL)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quality scoring: length/punctuation/stopword heuristics
+    (C4/Gopher-style cheap filters), deterministic double arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        xtext.token_count_ws(F.col("text")).alias("n_words_out"),
+        xtext.punct_ratio(F.col("text")).alias("punct_ratio"),
+        xtext.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in xtext.LANG_STOPWORDS[lang])
+    return (
+        rf"CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'), "
+        rf"w -> list_contains([{words}], w))) AS INT)"
+    )
+
+
+_LANG_SQL = f"""
+    WITH h AS (
+        SELECT doc_id,
+               {_lang_hits_sql('de')} AS de_hits,
+               {_lang_hits_sql('en')} AS en_hits,
+               {_lang_hits_sql('es')} AS es_hits,
+               {_lang_hits_sql('fr')} AS fr_hits
+        FROM documents
+    ), s1 AS (
+        SELECT *, CASE WHEN en_hits > de_hits THEN 'en' ELSE 'de' END AS b1,
+               CASE WHEN en_hits > de_hits THEN en_hits ELSE de_hits END AS s1v
+        FROM h
+    ), s2 AS (
+        SELECT *, CASE WHEN es_hits > s1v THEN 'es' ELSE b1 END AS b2,
+               CASE WHEN es_hits > s1v THEN es_hits ELSE s1v END AS s2v
+        FROM s1
+    )
+    SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+           CASE WHEN fr_hits > s2v THEN 'fr' ELSE b2 END AS lang_pred
+    FROM s2
+"""
+
+
+@register("text_lang_id", sql=_LANG_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] language-ID heuristic: per-language stopword hits, argmax with
+    lexicographic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    scores = xtext.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        scores["de"].cast("int").alias("de_hits"),
+        scores["en"].cast("int").alias("en_hits"),
+        scores["es"].cast("int").alias("es_hits"),
+        scores["fr"].cast("int").alias("fr_hits"),
+        xtext.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    sql="""
+    SELECT doc_id,
+           sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] canonical content fingerprint (case/space/punct-insensitive)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", xtext.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+
+
+@register(
+    "embedding_topk_cosine",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    pairs AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_dot_product(qe, e) /
+               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cosine
+        FROM q, v c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM pairs
+    QUALIFY rank <= 5
+    """,
+)
+def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] brute-force exact top-5 cosine neighbours for query vectors
+    (vec_id < 10) — the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return xsim.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    sql="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(a.e, b.e) /
+           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 200
+      AND list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] embedding-cosine near-dup pairs (probe side bounded; the
+    unbounded scale path is LSH candidate generation)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") < 200)
+    return xdedup.embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, probe_ids=probe
+    )
+
+
+# Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
+
+
+@register("minhash_near_dup", sql=None)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MinHash-LSH near-dup (shingle → signature → band → bucket-join
+    → exact-Jaccard verify). Rows-only driver check; precision/recall vs
+    exact Jaccard is pytest-verified on planted duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.minhash_near_duplicates(
+        docs, "doc_id", "text", ngram=3, num_perm=64, bands=8, threshold=0.5
+    )
+
+
+@register("simhash_near_dup", sql=None)
+def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SimHash near-dup (64-bit signatures, pigeonhole banding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("lsh_ann_topk", sql=None)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] SRP-LSH bucketed approximate top-k (the ANN scale path);
+    recall vs brute force is pytest-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return xsim.lsh_bucketed_topk(emb, queries, k=5, n_bits=8, n_tables=4)

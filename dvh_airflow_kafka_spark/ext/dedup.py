@@ -1,0 +1,315 @@
+"""Deduplication operators: exact → MinHash-LSH → SimHash → n-gram
+Jaccard → embedding cosine.
+
+Scale design notes (the point of each choice at 100 TB):
+
+- **Exact**: hash-groupBy on a content hash — one shuffle keyed by
+  sha256(text); map-side partial aggregation collapses most duplicates
+  before the exchange.
+- **MinHash**: signatures are computed *per row* with higher-order
+  functions (``transform`` + ``array_min`` over the shingle array) — zero
+  shuffles, zero Python. Candidate generation is the only shuffle: explode
+  ``b`` bands per doc and self-join on (band, signature-slice). This is the
+  standard shingle→minhash→band→bucket-join pipeline; the cross-doc blowup
+  is bounded by band-bucket collisions, not |docs|².
+- **SimHash**: 64-bit signature from token-hash bit votes; near-pairs via
+  the pigeonhole band trick (hamming ≤ d ⇒ at least one of d+1 chunks
+  equal), so candidate join is equi-join on chunks, never a cross join.
+- **Embedding cosine**: exact threshold join is quadratic — kept for
+  verification scale; the scale path is LSH bucketing in
+  ``ext.similarity``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.ext.text import tokens, word_ngrams
+
+# 32-bit universal-hash family over a prime field; coefficients < 2^30
+# keep a*h + b within signed-64 range (no overflow, no UDF).
+_MERSENNE_P = 4294967311  # smallest prime > 2^32
+_HASH_MASK = 4294967295  # 2^32 - 1
+
+
+def exact_dedup_survivors(
+    df: DataFrame, content_cols: Sequence[str], id_col: str
+) -> DataFrame:
+    """One survivor (min id) per distinct content — hash-groupBy exact
+    dedup. Returns (survivor id, n_copies, content hash)."""
+    content = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols])
+    return (
+        df.groupBy(F.sha2(content.cast("binary"), 256).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 30, size=num_perm).astype(np.int64)
+    b = rng.randint(0, 1 << 30, size=num_perm).astype(np.int64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: Column, num_perm: int = 64, seed: int = 42
+) -> Column:
+    """array<long> MinHash signature of a shingle array — computed row-local
+    with ``transform``/``array_min``: ``min_s (a_i·xxhash32(s) + b_i) mod p``.
+    """
+    a, b = _hash_params(num_perm, seed)
+    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_HASH_MASK)))
+    # One nested-lambda expression (perm index -> min over shingle hashes)
+    # instead of num_perm separate array traversals: far smaller codegen,
+    # same per-row work.
+    lit_a = F.array(*[F.lit(int(x)) for x in a])
+    lit_b = F.array(*[F.lit(int(x)) for x in b])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_perm)),
+        lambda i: F.array_min(
+            F.transform(
+                base,
+                lambda h: (F.element_at(lit_a, i.cast("int")) * h
+                           + F.element_at(lit_b, i.cast("int")))
+                % F.lit(_MERSENNE_P),
+            )
+        ),
+    )
+
+
+def jaccard_sets(a: Column, b: Column) -> Column:
+    """Exact Jaccard over the *sets* of two string arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_perm: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: docs sharing any
+    (band, signature-slice) bucket. Returns (id_a, id_b) with id_a < id_b.
+    Threshold ≈ (1/bands)^(bands/num_perm); 8 bands × 8 rows ≈ 0.77."""
+    rows = num_perm // bands
+    sig = minhash_signature(F.col(shingles_col), num_perm, seed)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.to_json(F.struct(F.slice(sig, i * rows + 1, rows).alias("s")))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    num_perm: int = 64,
+    bands: int = 8,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
+    bucket-join → exact-Jaccard verification of candidates. Returns
+    (id_a, id_b, jaccard) for verified pairs ≥ threshold."""
+    shingled = df.select(
+        F.col(id_col).alias("__id"), word_ngrams(F.col(text_col), ngram).alias("__sh")
+    ).cache()
+    cands = minhash_lsh_candidates(shingled, "__id", "__sh", num_perm, bands, seed)
+    a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_sets(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: tokens vote ±1 on each bit of their
+    xxhash64; the signature's bit b is 1 iff the vote sum is positive.
+    Entirely JVM-side: explode tokens, 64 conditional sums, bit reassembly.
+    One shuffle (groupBy id) with map-side partial aggregation."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__tok")
+    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    one = F.lit(1).cast("long")
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(one) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("__id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"__v{b}") > 0, F.shiftleft(one, b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Pigeonhole
+    banding: split the 64-bit signature into max_hamming+1 chunks — any
+    pair within the radius shares at least one exact chunk, so candidates
+    come from equi-joins on chunks (never a cross join)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sigs = simhash64(df, id_col, text_col)
+    chunks = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("__chunk_idx", "__chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.__chunk_idx") == F.col("r.__chunk_idx"))
+            & (F.col("l.__chunk") == F.col("r.__chunk"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            F.col("l.simhash").alias("__sa"),
+            F.col("r.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+    return cands.select(
+        "id_a", "id_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, via shingle inverted index)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram-set Jaccard for every pair sharing ≥1 shingle —
+    inverted-index join (explode distinct shingles, self-join on shingle,
+    count shared), never a cross join. Output (id_a, id_b, jaccard ≥
+    threshold)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("__sh"),
+    )
+    sizes = sh.select(F.col("__id"), F.size(F.col("__sh")).alias("__n"))
+    inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__shared").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__shared")
+    ).cast("double")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup (exact threshold join)
+# --------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    probe_ids: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold. Exact quadratic join — the
+    verification-scale baseline; at corpus scale use
+    ``similarity.lsh_bucketed_topk`` to generate candidates first."""
+    from dvh_airflow_kafka_spark.ext.similarity import cosine
+
+    base = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    left = base if probe_ids is None else base.join(
+        probe_ids.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+    )
+    l = left.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    r = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators over a document corpus.
+
+All pure Column expressions — tokenization, counting, scoring and
+fingerprinting run inside whole-stage codegen with zero Python hops, so a
+100 TB corpus scan is IO-bound, not CPU-bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword heuristics (public common-word lists). The
+# lang-id is a deterministic n-gram/stopword heuristic, not a model —
+# fasttext-style models would be an external dependency.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+}
+
+# BPE-ish pre-tokenizer: word pieces or single non-space punctuation —
+# the classic GPT-2 style split approximation without the merges table.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (collapsing runs, trimming ends)."""
+    trimmed = F.regexp_replace(text.cast("string"), r"^\s+|\s+$", "")
+    return F.split(trimmed, r"\s+")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: `\\w+` pieces plus standalone punctuation."""
+    return F.regexp_count(text.cast("string"), F.lit(BPE_TOKEN_RE))
+
+
+def stopword_hits(text: Column, stopwords: tuple[str, ...]) -> Column:
+    """Occurrences (not distinct) of any stopword among the tokens."""
+    stoplist = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens(F.lower(text)), lambda w: F.array_contains(stoplist, w)))
+
+
+def lang_scores(text: Column, langs: dict[str, tuple[str, ...]] | None = None) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    langs = langs or LANG_STOPWORDS
+    return {lang: stopword_hits(text, words) for lang, words in langs.items()}
+
+
+def lang_id(text: Column, langs: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """argmax language by stopword hits; ties and zero-hit docs resolve to
+    the lexicographically-first candidate ('und…' would be dishonest —
+    downstream filters can treat ties via the score columns)."""
+    scores = lang_scores(text, langs)
+    ordered = sorted(scores)  # deterministic tie-break: lexicographic
+    best_lang = F.lit(ordered[0])
+    best_score = scores[ordered[0]]
+    for lang in ordered[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    s = text.cast("string")
+    n = F.length(s)
+    punct = F.length(F.regexp_replace(s, r"[\w\s]", ""))
+    return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks).cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic quality score in [0, 1] combining length,
+    punctuation and stopword signals (the C4/Gopher-style cheap filters):
+
+        0.4·min(1, n_words/50) + 0.3·(1 − min(1, 4·punct_ratio))
+        + 0.3·min(1, stopword_ratio·5)
+
+    Pure integer-derived double arithmetic — bit-identical across engines.
+    """
+    n_words = token_count_ws(text).cast("double")
+    sw = stopword_hits(text, LANG_STOPWORDS["en"]).cast("double")
+    sw_ratio = F.when(n_words > 0, sw / n_words).otherwise(F.lit(0.0))
+    len_term = F.least(F.lit(1.0), n_words / F.lit(50.0))
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), punct_ratio(text) * 4.0)
+    sw_term = F.least(F.lit(1.0), sw_ratio * 5.0)
+    return len_term * 0.4 + punct_term * 0.3 + sw_term * 0.3
+
+
+def normalized_text(text: Column) -> Column:
+    """Lowercase, strip everything outside [a-z0-9] — canonical form for
+    content fingerprinting."""
+    return F.regexp_replace(F.lower(text.cast("string")), r"[^a-z0-9]", "")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: sha256 hex of the normalized text. Documents
+    that differ only in spacing/punctuation/case collide — the standard
+    near-canonical dedup key."""
+    return F.sha2(normalized_text(text).cast("binary"), 256)
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Positional word n-gram shingles as an array<string> — built with
+    sequence + transform higher-order functions (no explode, no UDF).
+    Documents shorter than n words yield a single whole-text shingle."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), k - F.lit(n - 1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
