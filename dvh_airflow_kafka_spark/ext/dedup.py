@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from dvh_airflow_kafka_spark.ext.text import tokens, word_ngrams
+from dvh_airflow_kafka_spark.ext.text import tokens, word_ngrams_from_tokens
 
 # 32-bit universal-hash family over a prime field; coefficients < 2^30
 # keep a*h + b within signed-64 range (no overflow, no UDF).
@@ -58,24 +58,29 @@ def _hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def shingle_hashes(shingles: Column) -> Column:
+    """array<long> of 32-bit shingle hashes — materialize this as a column
+    before feeding ``minhash_signature`` (attribute reference keeps the
+    hash pass O(w) instead of re-hashing per permutation)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_HASH_MASK)))
+
+
 def minhash_signature(
-    shingles: Column, num_perm: int = 64, seed: int = 42
+    hashes: Column, num_perm: int = 64, seed: int = 42
 ) -> Column:
-    """array<long> MinHash signature of a shingle array — computed row-local
-    with ``transform``/``array_min``: ``min_s (a_i·xxhash32(s) + b_i) mod p``.
-    """
+    """array<long> MinHash signature from a *materialized* shingle-hash
+    array (see ``shingle_hashes``): ``min_s (a_i·h(s) + b_i) mod p`` per
+    permutation — one nested-lambda expression (perm index -> min over
+    hashes) instead of num_perm separate array traversals: far smaller
+    codegen, same per-row work."""
     a, b = _hash_params(num_perm, seed)
-    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_HASH_MASK)))
-    # One nested-lambda expression (perm index -> min over shingle hashes)
-    # instead of num_perm separate array traversals: far smaller codegen,
-    # same per-row work.
     lit_a = F.array(*[F.lit(int(x)) for x in a])
     lit_b = F.array(*[F.lit(int(x)) for x in b])
     return F.transform(
         F.sequence(F.lit(1), F.lit(num_perm)),
         lambda i: F.array_min(
             F.transform(
-                base,
+                hashes,
                 lambda h: (F.element_at(lit_a, i.cast("int")) * h
                            + F.element_at(lit_b, i.cast("int")))
                 % F.lit(_MERSENNE_P),
@@ -103,13 +108,23 @@ def minhash_lsh_candidates(
     (band, signature-slice) bucket. Returns (id_a, id_b) with id_a < id_b.
     Threshold ≈ (1/bands)^(bands/num_perm); 8 bands × 8 rows ≈ 0.77."""
     rows = num_perm // bands
-    sig = minhash_signature(F.col(shingles_col), num_perm, seed)
-    banded = df.select(
+    # Materialize hashes then the signature as attributes: each projection
+    # is evaluated once per row; inlining them would re-run the whole
+    # signature computation per band (and the hash pass per permutation).
+    sigs = df.select(
         F.col(id_col).alias("__id"),
+        shingle_hashes(F.col(shingles_col)).alias("__hs"),
+    ).select(
+        "__id", minhash_signature(F.col("__hs"), num_perm, seed).alias("__sig")
+    )
+    banded = sigs.select(
+        "__id",
         F.posexplode(
             F.array(
                 *[
-                    F.to_json(F.struct(F.slice(sig, i * rows + 1, rows).alias("s")))
+                    F.to_json(
+                        F.struct(F.slice(F.col("__sig"), i * rows + 1, rows).alias("s"))
+                    )
                     for i in range(bands)
                 ]
             )
@@ -142,9 +157,11 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     bucket-join → exact-Jaccard verification of candidates. Returns
     (id_a, id_b, jaccard) for verified pairs ≥ threshold."""
-    shingled = df.select(
-        F.col(id_col).alias("__id"), word_ngrams(F.col(text_col), ngram).alias("__sh")
-    ).cache()
+    shingled = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select("__id", word_ngrams_from_tokens(F.col("__toks"), ngram).alias("__sh"))
+        .cache()
+    )
     cands = minhash_lsh_candidates(shingled, "__id", "__sh", num_perm, bands, seed)
     a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
@@ -258,8 +275,10 @@ def ngram_jaccard_pairs(
     count shared), never a cross join. Output (id_a, id_b, jaccard ≥
     threshold)."""
     sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_distinct(word_ngrams(F.col(text_col), ngram)).alias("__sh"),
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col("__id"),
+        F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram)).alias("__sh"),
     )
     sizes = sh.select(F.col("__id"), F.size(F.col("__sh")).alias("__n"))
     inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))

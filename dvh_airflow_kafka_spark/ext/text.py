@@ -113,11 +113,15 @@ def fingerprint(text: Column) -> Column:
     return F.sha2(normalized_text(text).cast("binary"), 256)
 
 
-def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Positional word n-gram shingles as an array<string> — built with
-    sequence + transform higher-order functions (no explode, no UDF).
-    Documents shorter than n words yield a single whole-text shingle."""
-    toks = tokens(text)
+def word_ngrams_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Positional word n-gram shingles from a token array — sequence +
+    transform higher-order functions (no explode, no UDF). Fewer than n
+    tokens yield a single whole-text shingle.
+
+    ``toks`` MUST be a materialized column (a projected attribute), not an
+    expression like ``split(...)``: every use inside the lambda re-evaluates
+    its subtree per array element, turning an O(w) shingle build into
+    O(w²) regex work per row."""
     k = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), k - F.lit(n - 1)))
     return F.transform(
@@ -126,3 +130,10 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
         ),
     )
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Shingles straight from text. Only for ad-hoc use on short strings —
+    pipelines should project ``tokens(text)`` first and call
+    ``word_ngrams_from_tokens`` on the attribute (see that docstring)."""
+    return word_ngrams_from_tokens(tokens(text), n)

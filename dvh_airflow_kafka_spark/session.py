@@ -53,7 +53,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{n}]")
+        # Single-JVM local mode: every task is process-local by definition,
+        # but delay scheduling still waits spark.locality.wait (3s default)
+        # per stage for cached-block locality — a pure stall. On a real
+        # cluster the default stays (rack/node locality is worth 3s there).
+        builder = builder.master(f"local[{n}]").config("spark.locality.wait", "0")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
