@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark the headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Each query is forced end-to-end with a noop datasource write (no result
+materialization on the driver, no count() column pruning). Prints exactly
+ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+from dvh_airflow_kafka_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference ETL surface + relational + [EXT] pipeline ops.
+HEADLINE = [
+    "flagship_etl_pipeline",
+    "envelope_projection",
+    "privacy_scrub_k6",
+    "dedup_insert_antijoin",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_topk_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q10_returned_items",
+    "events_topk_per_user",
+    "events_sessionization",
+    "dedup_exact_survivors",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "lsh_ann_topk",
+]
+
+
+def main() -> int:
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark("bench")
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not first-call classloading.
+    REGISTRY["flagship_etl_pipeline"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    # Best of 2 per query: the host shows multi-second CPU-steal bursts
+    # from neighbor tenants; min-of-runs measures the engine, not the
+    # neighbors.
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline catalog queries, noop-sink end-to-end",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

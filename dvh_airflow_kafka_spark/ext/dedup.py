@@ -58,34 +58,41 @@ def _hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def shingle_hashes(shingles: Column) -> Column:
-    """array<long> of 32-bit shingle hashes — materialize this as a column
-    before feeding ``minhash_signature`` (attribute reference keeps the
-    hash pass O(w) instead of re-hashing per permutation)."""
-    return F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(_HASH_MASK)))
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    shingles_col: str,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, array<long> signature) per document: ``min_s (a_i·h(s) + b_i)
+    mod p`` for each permutation i.
 
-
-def minhash_signature(
-    hashes: Column, num_perm: int = 64, seed: int = 42
-) -> Column:
-    """array<long> MinHash signature from a *materialized* shingle-hash
-    array (see ``shingle_hashes``): ``min_s (a_i·h(s) + b_i) mod p`` per
-    permutation — one nested-lambda expression (perm index -> min over
-    hashes) instead of num_perm separate array traversals: far smaller
-    codegen, same per-row work."""
+    Shape: explode shingles → one codegen'd aggregate with num_perm MIN
+    columns → array reassembly. The explode+groupBy costs one shuffle
+    (map-side partial MINs collapse it to ~|docs| rows per partition
+    before the exchange), but every expression stays in whole-stage
+    codegen. The shuffle-free alternative — nested higher-order lambdas —
+    falls out of codegen into interpreted eval (~10µs per element) and is
+    ~50× slower at corpus scale."""
     a, b = _hash_params(num_perm, seed)
-    lit_a = F.array(*[F.lit(int(x)) for x in a])
-    lit_b = F.array(*[F.lit(int(x)) for x in b])
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_perm)),
-        lambda i: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: (F.element_at(lit_a, i.cast("int")) * h
-                           + F.element_at(lit_b, i.cast("int")))
-                % F.lit(_MERSENNE_P),
-            )
-        ),
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(F.col(shingles_col)).alias("__s")
+    ).select(
+        "__id", F.xxhash64(F.col("__s")).bitwiseAND(F.lit(_HASH_MASK)).alias("__h")
+    )
+    mins = [
+        F.min((F.lit(int(ai)) * F.col("__h") + F.lit(int(bi))) % F.lit(_MERSENNE_P))
+        .alias(f"__m{i}")
+        for i, (ai, bi) in enumerate(zip(a, b))
+    ]
+    return (
+        ex.groupBy("__id")
+        .agg(*mins)
+        .select(
+            "__id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig"),
+        )
     )
 
 
@@ -108,15 +115,7 @@ def minhash_lsh_candidates(
     (band, signature-slice) bucket. Returns (id_a, id_b) with id_a < id_b.
     Threshold ≈ (1/bands)^(bands/num_perm); 8 bands × 8 rows ≈ 0.77."""
     rows = num_perm // bands
-    # Materialize hashes then the signature as attributes: each projection
-    # is evaluated once per row; inlining them would re-run the whole
-    # signature computation per band (and the hash pass per permutation).
-    sigs = df.select(
-        F.col(id_col).alias("__id"),
-        shingle_hashes(F.col(shingles_col)).alias("__hs"),
-    ).select(
-        "__id", minhash_signature(F.col("__hs"), num_perm, seed).alias("__sig")
-    )
+    sigs = minhash_signatures(df, id_col, shingles_col, num_perm, seed)
     banded = sigs.select(
         "__id",
         F.posexplode(
@@ -157,8 +156,11 @@ def minhash_near_duplicates(
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     bucket-join → exact-Jaccard verification of candidates. Returns
     (id_a, id_b, jaccard) for verified pairs ≥ threshold."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
     shingled = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
         .select("__id", word_ngrams_from_tokens(F.col("__toks"), ngram).alias("__sh"))
         .cache()
     )
@@ -187,9 +189,16 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     xxhash64; the signature's bit b is 1 iff the vote sum is positive.
     Entirely JVM-side: explode tokens, 64 conditional sums, bit reassembly.
     One shuffle (groupBy id) with map-side partial aggregation."""
-    toks = df.select(
-        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__tok")
-    ).withColumn("__h", F.xxhash64(F.col("__tok")))
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("__tok")))
+    )
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
@@ -274,14 +283,24 @@ def ngram_jaccard_pairs(
     inverted-index join (explode distinct shingles, self-join on shingle,
     count shared), never a cross join. Output (id_a, id_b, jaccard ≥
     threshold)."""
-    sh = df.select(
-        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
-    ).select(
-        F.col("__id"),
-        F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram)).alias("__sh"),
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col("__id"),
+            F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram)).alias(
+                "__sh"
+            ),
+        )
+        .cache()
     )
-    sizes = sh.select(F.col("__id"), F.size(F.col("__sh")).alias("__n"))
     inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
+    # Set sizes derived from the exploded index (shingles are distinct per
+    # doc), not from a second shingle build; the join's two shuffles over
+    # `inv` are identical subtrees, so ReuseExchange scans/shingles once.
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).cast("int").alias("__n"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id")))

@@ -93,6 +93,16 @@ def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def _probe_masks(n_bits: int, max_hamming: int) -> list[int]:
+    """All XOR masks with popcount <= max_hamming — the multi-probe
+    perturbation set (Lv et al., 'Multi-Probe LSH', VLDB'07). Probing
+    near-miss buckets trades a small candidate-set growth (sum C(n_bits,i))
+    for a large recall gain: a neighbour at angle θ agrees with the query
+    on each bit w.p. 1-θ/π, so requiring ALL n_bits to agree is
+    exponentially lossy while allowing <=m flips is not."""
+    return [m for m in range(1 << n_bits) if bin(m).count("1") <= max_hamming]
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -103,11 +113,15 @@ def lsh_bucketed_topk(
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    probe_hamming: int = 2,
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH candidate generation + exact cosine
-    re-rank. Candidates = vectors sharing a (table, bucket) with the query
-    in ANY of ``n_tables`` tables. Recall rises with n_tables; cost per
-    query drops ~2^n_bits-fold vs brute force."""
+    re-rank. Candidates = vectors whose bucket is within ``probe_hamming``
+    bit-flips of the query's bucket in ANY of ``n_tables`` tables
+    (multi-probe). Only the QUERY side is expanded (x sum C(n_bits, <=m)
+    probes) — the corpus is hashed exactly once per table, so the linear
+    corpus scan that dominates at 100 TB is unchanged; recall rises from
+    p^n_bits to P(Binomial(n_bits, p) >= n_bits-m) per table."""
     planes = _hyperplanes(dim, n_bits, n_tables, seed)
 
     def bucketize(df: DataFrame, role: str) -> DataFrame:
@@ -122,6 +136,20 @@ def lsh_bucketed_topk(
 
     c = bucketize(emb, "neighbor").drop("__neighborv")
     q = bucketize(queries, "query").drop("__queryv")
+    if probe_hamming > 0:
+        masks = F.array(
+            *[F.lit(m) for m in _probe_masks(n_bits, probe_hamming)]
+        )
+        q = q.select(
+            "query_id",
+            "__query_table",
+            F.explode(masks).alias("__mask"),
+            F.col("__query_bucket").alias("__qb"),
+        ).select(
+            "query_id",
+            "__query_table",
+            F.col("__qb").bitwiseXOR(F.col("__mask")).alias("__query_bucket"),
+        )
     # distinct on ids only — vectors re-attached after dedup so the
     # exact-cosine re-rank computes once per (query, candidate)
     cand_ids = (

@@ -64,6 +64,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the cluster's default parallelism when
+    the input arrives in fewer partitions.
+
+    Small parquet files (one row group) scan as ONE partition, serializing
+    any CPU-heavy per-row pipeline on a single core. At real scale inputs
+    arrive in thousands of partitions and this is a no-op — the check
+    keeps it from ever adding a shuffle to an already-parallel input."""
+    sc = df.sparkSession.sparkContext
+    n = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Temp views for SQL-first operator definitions."""
     for t in tables:

@@ -1,0 +1,26 @@
+"""Every catalog query vs its DuckDB oracle at sf0.001 — the same gate the
+driver runs at sf0.01 (order-insensitive row/schema/value comparison)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+from tests.compare import compare_query
+
+ORACLED = [n for n, q in REGISTRY.items() if q.sql is not None]
+ROWS_ONLY = [n for n, q in REGISTRY.items() if q.sql is None]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(spark, sf_dir, name):
+    qd = REGISTRY[name]
+    res = compare_query(spark, name, qd.fn, qd.sql, sf_dir)
+    assert res["cols_match"], f"{res['spark_cols']} != {res['duck_cols']}"
+    assert res["spark_rows"] == res["duck_rows"]
+    assert res["match"], res.get("first_diffs")
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, sf_dir, name):
+    assert REGISTRY[name].fn(spark, sf_dir).count() >= 0

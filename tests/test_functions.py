@@ -1,0 +1,89 @@
+"""Scalar-function registry edge cases (reference src/transform.py:24-119)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.functions import registry as fns
+
+
+def _eval1(spark, col, **data):
+    df = spark.createDataFrame([data]) if data else spark.range(1)
+    return df.select(col.alias("x")).collect()[0].x
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("hello world", "HELLO_WORLD"),
+        ("  spaced   out  ", "SPACED_OUT"),
+        ("Blåbærsyltetøy", "BLAABARSYLTETOY"),
+        ("æøå ÆØÅ", "AOAA_AOAA"),
+        ("!!!", "UKJENT"),
+        ("", "UKJENT"),
+        (None, "UKJENT"),
+        ("a-b.c/d", "ABCD"),
+        ("tall 123", "TALL_123"),
+    ],
+)
+def test_str_to_code(spark, raw, expected):
+    # reference src/transform.py:33-46 (DVH-standard 2.3 normalization)
+    got = _eval1(spark, fns.str_to_code(F.lit(raw).cast("string")), v=0)
+    assert got == expected
+
+
+def test_epoch_conversions_dst(spark):
+    # CET (winter, +1): 2024-01-15 00:00:00 UTC -> 01:00 Oslo
+    assert _eval1(
+        spark, fns.epoch_s_to_oslo(F.lit(1705276800).cast("long")), v=0
+    ) == dt.datetime(2024, 1, 15, 1, 0, 0)
+    # CEST (summer, +2): 2024-07-15 00:00:00 UTC -> 02:00 Oslo
+    assert _eval1(
+        spark, fns.epoch_s_to_oslo(F.lit(1721001600).cast("long")), v=0
+    ) == dt.datetime(2024, 7, 15, 2, 0, 0)
+    # ms precision preserved (reference src/transform.py:77-87)
+    got = _eval1(spark, fns.epoch_ms_to_oslo(F.lit(1705276800123).cast("long")), v=0)
+    assert got == dt.datetime(2024, 1, 15, 1, 0, 0, 123000)
+
+
+def test_epoch_null_safe(spark):
+    assert _eval1(spark, fns.epoch_s_to_oslo(F.lit(None).cast("long")), v=0) is None
+    assert _eval1(spark, fns.bool_to_int(F.lit(None).cast("boolean")), v=0) is None
+
+
+def test_bool_to_int(spark):
+    assert _eval1(spark, fns.bool_to_int(F.lit(True)), v=0) == 1
+    assert _eval1(spark, fns.bool_to_int(F.lit(False)), v=0) == 0
+
+
+def test_str_to_oslo_datetime(spark):
+    got = _eval1(
+        spark, fns.str_to_oslo_datetime(F.lit("2024-01-15 10:30:00")), v=0
+    )
+    assert got == dt.datetime(2024, 1, 15, 11, 30, 0)  # +1 CET
+    assert _eval1(spark, fns.str_to_oslo_datetime(F.lit("not a date")), v=0) is None
+    # dd.MM.yyyy (Norwegian convention)
+    got = _eval1(spark, fns.str_to_oslo_datetime(F.lit("15.01.2024")), v=0)
+    assert got == dt.datetime(2024, 1, 15, 1, 0, 0)
+
+
+def test_content_hash_matches_python(spark):
+    import hashlib
+
+    raw = '{"k": 1}'
+    got = _eval1(spark, fns.content_hash(F.lit(raw)), v=0)
+    assert got == hashlib.sha256(raw.encode()).hexdigest()
+
+
+def test_registry_is_closed_and_config_addressable():
+    assert set(fns.TRANSFORMS) == {
+        "str -> str-code",
+        "str -> datetime-no",
+        "int-unix-s -> datetime-no",
+        "int-unix-ms -> datetime-no",
+        "bool -> int",
+        "datetime -> datetime-no",
+    }
