@@ -352,8 +352,8 @@ def delta_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS event_count,
            count(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
                       THEN 1 END) AS data_count,
-           sum(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
-                    THEN 0 ELSE 1 END) AS filtered_count
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS filtered_count
     FROM events
     """,
 )
@@ -716,7 +716,8 @@ def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM g GROUP BY user_id
     """,
 )

@@ -69,9 +69,13 @@ def compare_query(spark, name: str, fn, sql: str, sf_dir: str) -> dict:
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     con = duck_connection(sf_dir)
-    res = con.execute(sql)
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    # Fetch through Arrow so DuckDB's wider integer types surface as
+    # distinct Python types (HUGEINT -> decimal128 -> Decimal) — the
+    # driver's value hash is type-sensitive and plain fetchall() hides
+    # exactly the BIGINT-vs-HUGEINT mismatches it catches.
+    tbl = con.execute(sql).fetch_arrow_table()
+    d_cols = tbl.column_names
+    d_rows = [tuple(d[c] for c in d_cols) for d in tbl.to_pylist()]
     con.close()
 
     out = {
