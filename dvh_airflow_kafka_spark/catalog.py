@@ -960,8 +960,9 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
     pairs AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_dot_product(qe, e) /
-               (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cosine
+               round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+                     6) AS cosine
         FROM q, v c WHERE c.vec_id <> q.query_id
     )
     SELECT query_id, neighbor_id, cosine,
@@ -986,12 +987,14 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql="""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_dot_product(a.e, b.e) /
-           (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 6) AS cosine
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE a.vec_id < 200
-      AND list_dot_product(a.e, b.e) /
-          (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.35
+      AND round(list_dot_product(a.e, b.e) /
+                (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                6) >= 0.35
     """,
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

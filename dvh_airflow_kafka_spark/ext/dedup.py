@@ -321,7 +321,7 @@ def ngram_jaccard_pairs(
 
 
 # --------------------------------------------------------------------------
-# Embedding cosine near-dup (exact threshold join)
+# Embedding cosine near-dup (exact, broadcast-probe matmul scan)
 # --------------------------------------------------------------------------
 
 
@@ -332,22 +332,57 @@ def embedding_near_duplicates(
     threshold: float = 0.9,
     probe_ids: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold. Exact quadratic join — the
-    verification-scale baseline; at corpus scale use
-    ``similarity.lsh_bucketed_topk`` to generate candidates first."""
-    from dvh_airflow_kafka_spark.ext.similarity import cosine
+    """Exact pairs with round(cosine, 6) ≥ threshold and id_a < id_b,
+    id_a drawn from the probe side.
 
-    base = emb.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
+    Plan shape: the (small) probe side is collected to a normalized numpy
+    matrix broadcast in the UDF closure; the corpus is scanned ONCE by an
+    Arrow-batched ``mapInPandas`` doing a single matmul per batch. Linear
+    in |corpus|, no join of any kind — replaces the former
+    ``l.join(r, id_a < id_b)`` BroadcastNestedLoopJoin that was quadratic
+    and paid an interpreted per-element cosine per pair.
+
+    Scale contract: |probe| must fit in executor memory (chunk the probe
+    side and union the scans for larger probes). For UNBOUNDED all-pairs
+    near-dup at corpus scale, generate candidates with SRP-LSH
+    (``similarity.lsh_bucketed_topk``'s bucketer) instead — that path is
+    approximate, so this exact scan remains the verification oracle."""
+    from dvh_airflow_kafka_spark.ext.similarity import (
+        ROUND_DIGITS,
+        _collect_matrix,
+        _normalize,
+        _vstack,
     )
-    left = base if probe_ids is None else base.join(
-        probe_ids.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    probe = emb if probe_ids is None else emb.join(
+        probe_ids.select(F.col(id_col)), id_col, "left_semi"
     )
-    l = left.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    r = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
-    sim = cosine(F.col("__va"), F.col("__vb"))
-    return (
-        l.join(r, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    p_ids, p_mat = _collect_matrix(probe, id_col, vec_col)
+    pn = _normalize(p_mat).T  # (dim, np)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            sims = np.round(_normalize(_vstack(pdf[vec_col])) @ pn, ROUND_DIGITS)
+            mask = (sims >= threshold) & (p_ids[None, :] < ids[:, None])
+            bi, pj = np.nonzero(mask)
+            if bi.size:
+                yield pd.DataFrame(
+                    {"id_a": p_ids[pj], "id_b": ids[bi], "cosine": sims[bi, pj]}
+                )
+
+    return ensure_parallelism(emb).mapInPandas(scan, schema=out_schema)
