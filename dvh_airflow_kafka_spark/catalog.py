@@ -25,14 +25,15 @@ from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.config import AllowRule
 from dvh_airflow_kafka_spark.ext import dedup as xdedup
+from dvh_airflow_kafka_spark.ext import multimodal as xmm
 from dvh_airflow_kafka_spark.ext import similarity as xsim
 from dvh_airflow_kafka_spark.ext import text as xtext
 from dvh_airflow_kafka_spark.functions import registry as fns
 from dvh_airflow_kafka_spark.io import load_table
 from dvh_airflow_kafka_spark.operators import (
     dedup_against_existing,
+    full_summary_frame,
     scrub_flagged_persons,
-    summary_frame,
 )
 from dvh_airflow_kafka_spark.plans import Transform
 from dvh_airflow_kafka_spark.sources import events_as_kafka_frame, with_envelope
@@ -102,9 +103,7 @@ _FLAGSHIP_FILTERS = [
 ]
 
 
-@register(
-    "flagship_etl_pipeline",
-    sql=f"""
+_FLAGSHIP_SQL = f"""
     SELECT CAST(user_id AS VARCHAR) AS kafka_key,
            event_id AS kafka_offset,
            CAST(user_id % 2 AS INT) AS kafka_partition,
@@ -116,8 +115,10 @@ _FLAGSHIP_FILTERS = [
            'TESTDATA' AS kildesystem,
            TIMESTAMP '2025-06-01 12:00:00' AS lastet_tid
     FROM events
-    """,
-)
+    """
+
+
+@register("flagship_etl_pipeline", sql=_FLAGSHIP_SQL)
 def flagship_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole spine in one plan: Kafka-shaped scan →
     envelope (S3/S6/F9/F10) → allow-filter (P3) → transform DSL (P5 +
@@ -350,21 +351,88 @@ def delta_watermark_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "process_summary",
     sql="""
     SELECT count(*) AS event_count,
-           count(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
-                      THEN 1 END) AS data_count,
+           count(*) AS data_count,
+           CAST(0 AS BIGINT) AS error_count,
+           count(*) AS written_to_db_count,
+           CAST(-1 AS BIGINT) AS committed_to_producer_count,
+           CAST(0 AS BIGINT) AS empty_count,
+           count(*) AS non_empty_count,
            CAST(sum(CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
                          THEN 0 ELSE 1 END) AS BIGINT) AS filtered_count
     FROM events
     """,
 )
 def process_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 ProcessSummary counters (reference src/kafka_source.py:24-45) as
-    a one-row aggregate over the filtered envelope."""
+    """A2 ProcessSummary — the reference's FULL counter contract
+    (src/kafka_source.py:24-45, xcom src/main.py:40-53): in a bounded
+    assign-mode run every scanned message is a proper data message, the
+    allow-filter NULLs payloads without dropping rows (filtered_count is
+    the engine-extension count of those), and committed stays -1."""
     events = load_table(spark, sf_dir, "events")
     env = with_envelope(
         events_as_kafka_frame(events), message_filters=_FLAGSHIP_FILTERS
     )
-    return summary_frame(env)
+    return full_summary_frame(env)
+
+
+_PIPELINE_YAML = """
+source:
+  type: parquet
+  topic: events
+  schema: json
+  key-decoder: utf-8
+  batch-size: 5000
+  message-filters:
+    - key: k
+      allowed_value: 87
+    - key: k
+      allowed_value: 12
+  path: "{path}"
+target:
+  type: memory
+  table: pipeline_out
+transform:
+  - src: kafka_key
+    dst: kafka_key
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_partition
+    dst: kafka_partition
+  - src: kafka_timestamp
+    dst: kafka_timestamp
+    fun: "int-unix-ms -> datetime-no"
+  - src: kafka_topic
+    dst: kafka_topic
+  - src: kafka_hash
+    dst: kafka_hash
+  - src: kafka_message
+    dst: kafka_message
+  - src: $TESTDATA
+    dst: kildesystem
+  - src: $$BATCH_TIME
+    dst: lastet_tid
+"""
+
+
+@register("pipeline_from_yaml_config", sql=_FLAGSHIP_SQL)
+def pipeline_from_yaml_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ONLY entry point, end-to-end: a YAML
+    ``CONSUMER_CONFIG`` string (reference src/main.py:33-38) drives
+    ``run_pipeline`` (reference ``Mapping.run()``, src/mapping.py:49-57)
+    through source → envelope → allow-filter → transform → sink. Must
+    hash-match the hand-built flagship plan exactly."""
+    import os
+
+    from dvh_airflow_kafka_spark.runner import run_pipeline
+
+    yaml_text = _PIPELINE_YAML.format(
+        path=os.path.join(sf_dir, "events.parquet")
+    )
+    result = run_pipeline(spark, yaml_text, batch_time=BATCH_TIME)
+    out = result.dataframe
+    return out.withColumn("kafka_timestamp", _ntz(F.col("kafka_timestamp"))).withColumn(
+        "lastet_tid", _ntz(F.col("lastet_tid"))
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1007,7 +1075,133 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# [EXT] Multimodal binary columns
+# --------------------------------------------------------------------------
+
+# Hex renderings of the magic prefixes + oracle-side blob construction:
+# the oracle builds the identical synthetic blob (magic prefix by
+# doc_id % 4 + utf-8 text bytes) and SNIFFS the mime from the bytes, just
+# like the Spark side — both engines run real magic-byte detection.
+_BLOB_CTE = r"""
+    WITH b AS (
+        SELECT doc_id,
+               hex(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN '\xFF\xD8\xFF'::BLOB
+                     WHEN 1 THEN '\x89PNG\x0D\x0A\x1A\x0A'::BLOB
+                     WHEN 2 THEN 'RIFF'::BLOB
+                     ELSE ''::BLOB END || encode(text)) AS h
+        FROM documents
+    ), sniffed AS (
+        SELECT doc_id, h,
+               CASE WHEN left(h, 16) = '89504E470D0A1A0A' THEN 'image/png'
+                    WHEN left(h, 8)  = '52494646'         THEN 'audio/wav'
+                    WHEN left(h, 6)  = 'FFD8FF'           THEN 'image/jpeg'
+                    ELSE 'application/octet-stream' END AS mime
+        FROM b
+    )
+"""
+
+
+@register(
+    "blob_fingerprint",
+    sql=_BLOB_CTE
+    + """
+    SELECT doc_id,
+           sha256(h) AS fingerprint,
+           CAST(length(h) / 2 AS BIGINT) AS size_bytes,
+           mime
+    FROM sniffed
+    """,
+)
+def blob_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: per-blob sha-256 fingerprint + size + magic-byte
+    MIME sniff over a synthetic binary column — one scan-fused projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xmm.blob_fingerprint(xmm.synth_blob_frame(docs))
+
+
+@register(
+    "blob_mime_stats",
+    sql=_BLOB_CTE
+    + """
+    SELECT mime,
+           count(*) AS n_blobs,
+           CAST(sum(length(h) / 2) AS BIGINT) AS total_bytes,
+           CAST(sum(length(h) / 2) AS DOUBLE) / count(*) AS avg_bytes
+    FROM sniffed
+    GROUP BY mime
+    """,
+)
+def blob_mime_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: corpus shape by modality (count/total/mean bytes
+    per sniffed MIME). avg is double division of exact integers — IEEE
+    division is correctly rounded, so both engines emit identical bits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xmm.blob_mime_stats(xmm.synth_blob_frame(docs))
+
+
+@register(
+    "blob_exact_dedup",
+    sql=_BLOB_CTE
+    + """
+    SELECT sha256(h) AS fingerprint,
+           min(doc_id) AS survivor_id,
+           count(*) AS n_copies
+    FROM sniffed
+    GROUP BY sha256(h)
+    """,
+)
+def blob_exact_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: exact blob dedup — hash-groupBy on the content
+    fingerprint, min-id survivor."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xmm.blob_exact_dedup(xmm.synth_blob_frame(docs))
+
+
+@register(
+    "avro_confluent_framing",
+    sql="""
+    SELECT event_id,
+           CAST(event_id % 100 AS BIGINT) AS schema_id,
+           props AS payload
+    FROM events
+    """,
+)
+def avro_confluent_framing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 Confluent wire format round-trip (reference
+    src/kafka_source.py:129-135): frame each payload as magic 0x00 +
+    4-byte big-endian schema id + bytes, then decode the id and strip the
+    header back off — all JVM-side binary expressions. The oracle asserts
+    decode(frame(x)) == x."""
+    from dvh_airflow_kafka_spark.sources.kafka import (
+        confluent_frame,
+        confluent_schema_id,
+        strip_confluent_header,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    framed = events.select(
+        "event_id",
+        confluent_frame(F.col("event_id") % 100, F.col("props")).alias("value"),
+    )
+    return framed.select(
+        "event_id",
+        confluent_schema_id(F.col("value")).alias("schema_id"),
+        strip_confluent_header(F.col("value")).cast("string").alias("payload"),
+    )
+
+
 # Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
+
+
+@register("blob_simhash_near_dup", sql=None)
+def blob_simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: perceptual-hash-style near-dup over byte 4-grams
+    (SimHash + pigeonhole banding). Rows-only driver check; planted-dup
+    recall is pytest-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xmm.blob_simhash_near_duplicates(xmm.synth_blob_frame(docs))
 
 
 @register("minhash_near_dup", sql=None)

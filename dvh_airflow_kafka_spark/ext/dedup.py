@@ -58,12 +58,34 @@ def _hash_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def drop_hot_shingles(
+    exploded: DataFrame, shingle_col: str, max_doc_freq: int
+) -> DataFrame:
+    """Remove shingles whose document frequency exceeds ``max_doc_freq``
+    from an exploded (id, shingle) frame — standard stop-shingle pruning
+    in near-dup pipelines. A shingle shared by p% of a 100 TB corpus
+    makes one candidate bucket quadratic in p·|docs|; hot shingles carry
+    ~zero similarity signal, so the cap bounds every bucket at
+    ``max_doc_freq²`` candidate pairs with negligible recall cost.
+
+    The hot set is tiny by construction (Σ DF is fixed, so at most
+    Σ DF / max_doc_freq shingles can exceed the cap) — it broadcasts."""
+    hot = (
+        exploded.groupBy(shingle_col)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select(shingle_col)
+    )
+    return exploded.join(F.broadcast(hot), shingle_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     shingles_col: str,
     num_perm: int = 64,
     seed: int = 42,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """(id, array<long> signature) per document: ``min_s (a_i·h(s) + b_i)
     mod p`` for each permutation i.
@@ -78,7 +100,10 @@ def minhash_signatures(
     a, b = _hash_params(num_perm, seed)
     ex = df.select(
         F.col(id_col).alias("__id"), F.explode(F.col(shingles_col)).alias("__s")
-    ).select(
+    )
+    if max_doc_freq is not None:
+        ex = drop_hot_shingles(ex, "__s", max_doc_freq)
+    ex = ex.select(
         "__id", F.xxhash64(F.col("__s")).bitwiseAND(F.lit(_HASH_MASK)).alias("__h")
     )
     mins = [
@@ -110,12 +135,13 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 8,
     seed: int = 42,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding: docs sharing any
     (band, signature-slice) bucket. Returns (id_a, id_b) with id_a < id_b.
     Threshold ≈ (1/bands)^(bands/num_perm); 8 bands × 8 rows ≈ 0.77."""
     rows = num_perm // bands
-    sigs = minhash_signatures(df, id_col, shingles_col, num_perm, seed)
+    sigs = minhash_signatures(df, id_col, shingles_col, num_perm, seed, max_doc_freq)
     banded = sigs.select(
         "__id",
         F.posexplode(
@@ -152,10 +178,15 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.7,
     seed: int = 42,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band →
     bucket-join → exact-Jaccard verification of candidates. Returns
-    (id_a, id_b, jaccard) for verified pairs ≥ threshold."""
+    (id_a, id_b, jaccard) for verified pairs ≥ threshold.
+
+    ``max_doc_freq`` prunes stop-shingles from the signatures (candidate
+    generation only — the exact-Jaccard verify still uses full shingle
+    sets), bounding bucket sizes at corpus scale."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
     shingled = (
@@ -164,7 +195,9 @@ def minhash_near_duplicates(
         .select("__id", word_ngrams_from_tokens(F.col("__toks"), ngram).alias("__sh"))
         .cache()
     )
-    cands = minhash_lsh_candidates(shingled, "__id", "__sh", num_perm, bands, seed)
+    cands = minhash_lsh_candidates(
+        shingled, "__id", "__sh", num_perm, bands, seed, max_doc_freq
+    )
     a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
     b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
@@ -184,21 +217,11 @@ def minhash_near_duplicates(
 # --------------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: tokens vote ±1 on each bit of their
-    xxhash64; the signature's bit b is 1 iff the vote sum is positive.
-    Entirely JVM-side: explode tokens, 64 conditional sums, bit reassembly.
-    One shuffle (groupBy id) with map-side partial aggregation."""
-    from dvh_airflow_kafka_spark.io import ensure_parallelism
-
-    toks = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(tokens(F.col(text_col))).alias("__tok"),
-        )
-        .withColumn("__h", F.xxhash64(F.col("__tok")))
-    )
+def _simhash_from_tokens(toks: DataFrame) -> DataFrame:
+    """(__id, __h token-hash) rows -> (__id, simhash): 64 conditional bit
+    votes aggregated in codegen, bit reassembly. One shuffle (groupBy id)
+    with map-side partial aggregation. Shared by the text and binary
+    (multimodal) SimHash paths."""
     one = F.lit(1).cast("long")
     votes = [
         F.sum(
@@ -216,7 +239,26 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.lit(0).cast("long")
             )
         )
-    return agg.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+    return agg.select("__id", sig.alias("simhash"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: tokens vote ±1 on each bit of their
+    xxhash64; the signature's bit b is 1 iff the vote sum is positive.
+    Entirely JVM-side: explode tokens, 64 conditional sums, bit reassembly."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    toks = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .withColumn("__h", F.xxhash64(F.col("__tok")))
+    )
+    return _simhash_from_tokens(toks).select(
+        F.col("__id").alias(id_col), "simhash"
+    )
 
 
 def simhash_near_duplicates(
@@ -229,9 +271,18 @@ def simhash_near_duplicates(
     banding: split the 64-bit signature into max_hamming+1 chunks — any
     pair within the radius shares at least one exact chunk, so candidates
     come from equi-joins on chunks (never a cross join)."""
+    return simhash_band_pairs(
+        simhash64(df, id_col, text_col), id_col, max_hamming=max_hamming
+    )
+
+
+def simhash_band_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """(id, simhash) -> verified near-dup pairs via the pigeonhole chunk
+    equi-join. Shared by the text and binary (multimodal) paths."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
-    sigs = simhash64(df, id_col, text_col)
     chunks = sigs.select(
         F.col(id_col).alias("__id"),
         F.col("simhash"),
@@ -278,11 +329,19 @@ def ngram_jaccard_pairs(
     text_col: str,
     ngram: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: Optional[int] = None,
 ) -> DataFrame:
     """Exact n-gram-set Jaccard for every pair sharing ≥1 shingle —
     inverted-index join (explode distinct shingles, self-join on shingle,
     count shared), never a cross join. Output (id_a, id_b, jaccard ≥
-    threshold)."""
+    threshold).
+
+    ``max_doc_freq`` drops shingles above that document frequency from
+    the similarity computation entirely (set sizes AND intersections —
+    self-consistent Jaccard over the informative shingles). A stop-phrase
+    shingle shared by 1% of a 100 TB corpus would otherwise make one
+    inverted-index bucket quadratic; with the cap every bucket is
+    ≤ max_doc_freq² pairs. Default None keeps exact set semantics."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
     sh = (
@@ -297,6 +356,8 @@ def ngram_jaccard_pairs(
         .cache()
     )
     inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
+    if max_doc_freq is not None:
+        inv = drop_hot_shingles(inv, "__s", max_doc_freq)
     # Set sizes derived from the exploded index (shingles are distinct per
     # doc), not from a second shingle build; the join's two shuffles over
     # `inv` are identical subtrees, so ReuseExchange scans/shingles once.

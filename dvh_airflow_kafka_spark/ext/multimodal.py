@@ -1,0 +1,241 @@
+"""[EXT] Multimodal binary-column operators.
+
+Convention for media at scale: image/audio/video payloads are opaque
+``binary`` columns plus typed metadata columns — parquet stores them
+page-compressed, Spark moves them as byte arrays, and every operator
+below treats content as bytes (never decodes media on the JVM).
+
+Three layers:
+
+1. **Byte-level ops (pure Column expressions, scan-fused, the 100 TB
+   path)**: MIME sniffing from magic bytes, size/fingerprint stats,
+   exact blob dedup. These run in whole-stage codegen directly on the
+   parquet scan — no Python, no decode.
+2. **Signature near-dup**: a SimHash over content byte 4-grams (the
+   perceptual-hash *shape*: linear scan → 64-bit signature → pigeonhole
+   banding equi-join; a real pHash would replace the gram-hash with a
+   DCT over decoded pixels — same plan, different kernel).
+3. **Decode plumbing (`decode_media`)**: Arrow-batched ``mapInPandas``
+   with an injectable per-blob decoder. The image/audio libraries are
+   NOT in this container, so the default decoder raises
+   ``NotImplementedError`` — the Spark-side contract (schema, batch
+   iteration, partition inheritance) is real and tested with a
+   deterministic fake decoder.
+
+The test corpus is synthesized deterministically from ``documents.text``
+(``synth_blob_frame``): a real magic-byte prefix per modality + the
+utf-8 text bytes, so MIME sniffing exercises actual byte matching and
+every operator has a DuckDB-expressible oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Real magic-byte signatures (public file-format specs).
+MAGIC_BYTES: dict[str, bytes] = {
+    "image/jpeg": b"\xff\xd8\xff",
+    "image/png": b"\x89PNG\r\n\x1a\n",
+    "audio/wav": b"RIFF",
+    "application/octet-stream": b"",
+}
+_MODALITIES = list(MAGIC_BYTES)
+
+
+def synth_blob_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic synthetic media table: (id, content binary). Modality
+    cycles with ``id % 4``; content = magic prefix + utf-8 text bytes."""
+    mod = F.pmod(F.col(id_col), F.lit(len(_MODALITIES)))
+    prefix = F.when(mod == 0, F.lit(MAGIC_BYTES["image/jpeg"]))
+    for i, m in enumerate(_MODALITIES[1:], start=1):
+        prefix = prefix.when(mod == i, F.lit(MAGIC_BYTES[m]))
+    content = F.concat(prefix, F.col(text_col).cast("binary"))
+    return docs.select(F.col(id_col), content.alias("content"))
+
+
+def detect_mime(content: Column) -> Column:
+    """Magic-byte MIME sniff — longest-prefix match, pure codegen."""
+    out = F.lit("application/octet-stream")
+    for mime, magic in sorted(
+        MAGIC_BYTES.items(), key=lambda kv: len(kv[1])
+    ):
+        if not magic:
+            continue
+        out = F.when(
+            F.substring(content, 1, len(magic)) == F.lit(magic), F.lit(mime)
+        ).otherwise(out)
+    return out
+
+
+def blob_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Per-blob identity row: sha-256 fingerprint (over the hex rendering,
+    so engines without blob hashing can verify), byte size, sniffed MIME.
+    One narrow projection fused into the scan."""
+    c = F.col(content_col)
+    return df.select(
+        F.col(id_col),
+        F.sha2(F.hex(c).cast("binary"), 256).alias("fingerprint"),
+        F.length(c).cast("long").alias("size_bytes"),
+        detect_mime(c).alias("mime"),
+    )
+
+
+def blob_mime_stats(
+    df: DataFrame, content_col: str = "content"
+) -> DataFrame:
+    """Corpus shape by modality: count / total / mean bytes per MIME.
+    One shuffle over ≤ |MIME types| groups, map-side combined."""
+    c = F.col(content_col)
+    return (
+        df.select(detect_mime(c).alias("mime"), F.length(c).alias("sz"))
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("sz").cast("long").alias("total_bytes"),
+        )
+        # exact-integer double division is correctly rounded IEEE — the
+        # same bits on every engine, unlike a rounded avg() of doubles
+        .withColumn(
+            "avg_bytes", F.col("total_bytes").cast("double") / F.col("n_blobs")
+        )
+    )
+
+
+def blob_exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Exact duplicate blobs: hash-groupBy on the content fingerprint
+    (one shuffle keyed by sha-256; map-side partial agg)."""
+    return (
+        blob_fingerprint(df, id_col, content_col)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.col(id_col)).alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def blob_simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    gram_bytes: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash-style near-dup: 64-bit SimHash over sliding byte
+    n-grams → pigeonhole banding equi-join (hamming ≤ d ⇒ some chunk of
+    d+1 equal) → exact hamming verify. Identical plan shape to
+    ``dedup.simhash_near_duplicates`` — linear signature scan, bucketed
+    candidate join, never all-pairs.
+
+    Byte n-grams come from the hex rendering (2 chars/byte) via a
+    ``sequence``+``transform`` higher-order slice — stays JVM-side."""
+    from dvh_airflow_kafka_spark.ext.dedup import (
+        _simhash_from_tokens,
+        simhash_band_pairs,
+    )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    width = 2 * gram_bytes
+    # dynamic-start substring needs expr-style slicing; step 2 hex chars
+    # = slide one byte per gram
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length(hex({content_col})) - {width - 1}, 1), 2), "
+        f"i -> substring(hex({content_col}), i, {width}))"
+    )
+    toks = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("__tok"))
+        .withColumn("__h", F.xxhash64(F.col("__tok")))
+    )
+    sigs = _simhash_from_tokens(toks).select(
+        F.col("__id").alias(id_col), F.col("simhash")
+    )
+    return simhash_band_pairs(sigs, id_col, max_hamming=max_hamming)
+
+
+# --------------------------------------------------------------------------
+# Decode plumbing — the media libraries are not in this container
+# --------------------------------------------------------------------------
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _default_decoder(content: bytes, mime: str):  # pragma: no cover
+    raise NotImplementedError(
+        "media decoding requires an image/audio library (e.g. Pillow, "
+        "librosa) that is not installed in this environment; inject a "
+        "`decoder` callable to decode_media()"
+    )
+
+
+def decode_media(
+    df: DataFrame,
+    decoder: Optional[Callable[[bytes, str], dict]] = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """Decode/feature-extract blobs via Arrow-batched ``mapInPandas``.
+
+    ``decoder(content_bytes, mime) -> {width, height, n_frames, feature}``
+    runs once per blob inside the executor Python worker; batches arrive
+    as Arrow record batches so bytes are never row-pickled. Partitioning
+    is inherited from the scan — at 100 TB this is an embarrassingly
+    parallel map stage whose cost is the decode kernel, not the engine.
+
+    The default decoder raises ``NotImplementedError`` (no media libs
+    here); tests inject a deterministic fake to exercise the plumbing.
+    """
+    fn = decoder or _default_decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(content)
+                mime = _sniff(blob)
+                meta = fn(blob, mime)
+                rows.append(
+                    {
+                        "doc_id": int(rid),
+                        "mime": mime,
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "n_frames": meta.get("n_frames"),
+                        "feature": meta.get("feature"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def _sniff(blob: bytes) -> str:
+    for mime, magic in sorted(
+        MAGIC_BYTES.items(), key=lambda kv: -len(kv[1])
+    ):
+        if magic and blob.startswith(magic):
+            return mime
+    return "application/octet-stream"

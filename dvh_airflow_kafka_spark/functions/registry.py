@@ -17,10 +17,14 @@ IANA rules Spark applies. We follow IANA.)
 
 from __future__ import annotations
 
-from typing import Callable
+import datetime as dt
+import re
+from typing import Callable, Optional
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 OSLO = "Europe/Oslo"
 
@@ -49,14 +53,66 @@ def str_to_code(c: Column) -> Column:
     return F.coalesce(F.when(y != "", y), F.lit("UKJENT"))
 
 
+# Free-form (dateparser-grade) fallback formats, tried after ordinal
+# suffixes ("5th" -> "5") and commas are stripped. %B also matches
+# abbreviated names case-insensitively via the %b twin generated below.
+_FUZZY_BASE = [
+    "%B %d %Y",
+    "%d %B %Y",
+    "%Y %B %d",
+    "%m/%d/%Y",
+    "%d-%m-%Y",
+]
+_FUZZY_FORMATS = [
+    base + suffix
+    for base in _FUZZY_BASE
+    for suffix in ("", " %H:%M", " %H:%M:%S")
+]
+_FUZZY_FORMATS += [f.replace("%B", "%b") for f in _FUZZY_FORMATS if "%B" in f]
+_ORDINAL_RE = re.compile(r"\b(\d{1,2})(st|nd|rd|th)\b", re.IGNORECASE)
+_WS_RE = re.compile(r"[\s,]+")
+
+
+def fuzzy_parse_datetime(raw: Optional[str]) -> Optional[dt.datetime]:
+    """Driver/executor-side free-form parse: 'March 5th 2024',
+    '5 Mar 2024 14:30', '03/05/2024'… -> naive datetime, else None.
+    Deterministic subset of the reference's ``dateparser`` behaviour
+    (relative forms like '5 days ago' are excluded — they depend on call
+    time and would break idempotent re-runs)."""
+    if raw is None:
+        return None
+    s = _WS_RE.sub(" ", _ORDINAL_RE.sub(r"\1", raw.strip()))
+    for fmt in _FUZZY_FORMATS:
+        try:
+            return dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+@F.pandas_udf(T.TimestampType())
+def _fuzzy_fill(fast: pd.Series, raw: pd.Series) -> pd.Series:
+    """(fast-parsed ts, raw str) -> ts with the Python fuzzy parse filling
+    ONLY the rows the codegen cascade missed. The Arrow round trip covers
+    all rows but the per-row Python work is bounded by the residual —
+    clean fixed-format data pays (almost) nothing."""
+    out = fast.copy()
+    miss = fast.isna() & raw.notna()
+    if miss.any():
+        out[miss] = raw[miss].map(fuzzy_parse_datetime)
+    return out
+
+
 def str_to_oslo_datetime(c: Column) -> Column:
     """``str -> datetime-no`` (reference src/transform.py:49-60).
 
-    The reference uses ``dateparser`` (free-form English). We cover the
-    common fixed formats with a ``try_to_timestamp`` cascade — unparseable
-    strings yield NULL, matching the reference's None. The parsed naive
-    datetime is treated as UTC and shifted to Oslo wall clock (the
-    reference's ``_adjust_timezone`` does the same to naive inputs).
+    The reference uses ``dateparser`` (free-form English). Common fixed
+    formats parse in a codegen ``try_to_timestamp`` cascade; whatever that
+    misses falls through to a pandas-UDF free-form parse
+    (:func:`fuzzy_parse_datetime`). Still-unparseable strings yield NULL,
+    matching the reference's None. The parsed naive datetime is treated
+    as UTC and shifted to Oslo wall clock (the reference's
+    ``_adjust_timezone`` does the same to naive inputs).
     """
     s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
     parsed = F.coalesce(
@@ -70,7 +126,7 @@ def str_to_oslo_datetime(c: Column) -> Column:
         F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
         F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
     )
-    return F.from_utc_timestamp(parsed, OSLO)
+    return F.from_utc_timestamp(_fuzzy_fill(parsed, s), OSLO)
 
 
 def epoch_s_to_oslo(c: Column) -> Column:

@@ -40,8 +40,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 @lru_cache(maxsize=256)
 def _nano_ts_columns(path: str) -> tuple[str, ...]:
+    import glob
+
     import pyarrow as pa
 
+    if os.path.isdir(path):
+        # Spark-written dataset: all parts share a schema; probe one.
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return ()
+        path = parts[0]
     schema = pq.read_schema(path)
     return tuple(
         f.name
@@ -52,15 +60,27 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; ns-timestamps come back as TIMESTAMP_NTZ(µs)."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read any parquet path with the same ns→µs timestamp normalisation
+    as ``load_table`` (config-driven sources point at raw paths)."""
     ns_cols = _nano_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Rebuild only columns Spark actually surfaced as raw ns longs —
+    # pyarrow reports Spark's own INT96 timestamps as timestamp[ns] too,
+    # but Spark reads those back as proper TIMESTAMP already.
+    from pyspark.sql import types as T
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
     for c in ns_cols:
-        df = df.withColumn(
-            c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz")
-        )
+        if isinstance(dtypes.get(c), T.LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")).cast("timestamp_ntz")
+            )
     return df
 
 

@@ -6,7 +6,12 @@ from dvh_airflow_kafka_spark.operators.payload import (
     python_canonical_json,
 )
 from dvh_airflow_kafka_spark.operators.privacy import scrub_flagged_persons
-from dvh_airflow_kafka_spark.operators.summary import observe_summary, summary_frame
+from dvh_airflow_kafka_spark.operators.summary import (
+    ProcessSummary,
+    full_summary_frame,
+    observe_summary,
+    summary_frame,
+)
 from dvh_airflow_kafka_spark.operators.watermark import delta_watermark
 
 __all__ = [
@@ -19,4 +24,6 @@ __all__ = [
     "delta_watermark",
     "observe_summary",
     "summary_frame",
+    "full_summary_frame",
+    "ProcessSummary",
 ]

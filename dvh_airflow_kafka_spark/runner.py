@@ -1,0 +1,278 @@
+"""Config-driven pipeline runner — the engine's analogue of the
+reference's only entry point.
+
+Reference flow (src/main.py:55-66 → src/mapping.py:49-57): YAML
+``CONSUMER_CONFIG`` → validated config → source poll loop → deserialize +
+filter → transform → k6 scrub → dedup-on-insert → sink, returning a
+``ProcessSummary``. Here the validated :class:`PipelineSpec` compiles into
+ONE lazy DataFrame plan — source scan → envelope projection → payload ops
+→ transform projection → privacy join → anti-join — and the sink action
+executes it. Catalyst fuses the projections into a single codegen stage,
+so at 100 TB the whole spine is a scan-shaped map job plus at most two
+joins (broadcast k6 lookup, dedup anti-join).
+
+Stage order matches the reference exactly:
+payload drop/flag inside deserialization (src/kafka_source.py:102-119),
+allow-filter in collect_message (:207-218), k6 scrub at the target before
+transform (src/oracle_target.py:88-95), transform (:95), dedup inside the
+INSERT (:97-104).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.config import (
+    PayloadSchema,
+    PipelineSpec,
+    ReadStrategy,
+    SinkKind,
+    SourceKind,
+)
+from dvh_airflow_kafka_spark.io import load_parquet
+from dvh_airflow_kafka_spark.operators import (
+    dedup_against_existing,
+    filter_json_payload,
+    observe_summary,
+    scrub_flagged_persons,
+)
+from dvh_airflow_kafka_spark.operators.summary import ProcessSummary
+from dvh_airflow_kafka_spark.plans import Transform
+from dvh_airflow_kafka_spark.sinks.writers import (
+    write_console,
+    write_jdbc,
+    write_parquet_append,
+)
+from dvh_airflow_kafka_spark.sources.envelope import (
+    events_as_kafka_frame,
+    json_quote,
+    with_envelope,
+)
+
+KAFKA_COLUMNS = {"key", "value", "topic", "partition", "offset", "timestamp"}
+
+
+@dataclass
+class PipelineResult:
+    """What a run produces: the final frame (lazy unless the sink acted)
+    and the reference-parity counter record."""
+
+    dataframe: DataFrame
+    summary: ProcessSummary
+
+
+def build_kafka_frame(
+    spark: SparkSession, spec: PipelineSpec, bootstrap_servers: Optional[str] = None
+) -> DataFrame:
+    """Source stage: any backend → the standard Kafka column contract
+    (key value topic partition offset timestamp).
+
+    - ``kafka``: the real connector (S1 bounded batch read).
+    - ``parquet``/``json-files``: a file-backed log simulation. A file
+      already carrying the Kafka columns is used as-is; the driver's
+      ``events`` shape maps via :func:`events_as_kafka_frame`.
+    """
+    src = spec.source
+    kind = SourceKind(src.type)
+    if kind == SourceKind.KAFKA:
+        from dvh_airflow_kafka_spark.sources.kafka import kafka_batch_read
+
+        if not bootstrap_servers:
+            raise ValueError("kafka source requires bootstrap_servers")
+        return kafka_batch_read(spark, src, bootstrap_servers)
+    if not src.path:
+        raise ValueError(f"{kind.value} source requires `path`")
+    df = (
+        load_parquet(spark, src.path)
+        if kind == SourceKind.PARQUET
+        else spark.read.json(src.path)
+    )
+    if not KAFKA_COLUMNS.issubset(set(df.columns)):
+        df = events_as_kafka_frame(df, topic=src.topic or "events")
+    # S1/ST2: the bounded [DATA_INTERVAL_START, DATA_INTERVAL_END) read —
+    # a pushed-down timestamp filter (reference src/kafka_source.py:68-72).
+    if src.starting_timestamp_ms is not None:
+        df = df.filter(
+            F.unix_millis(F.col("timestamp").cast("timestamp"))
+            >= F.lit(src.starting_timestamp_ms)
+        )
+    if src.ending_timestamp_ms is not None:
+        df = df.filter(
+            F.unix_millis(F.col("timestamp").cast("timestamp"))
+            < F.lit(src.ending_timestamp_ms)
+        )
+    return df
+
+
+def _payload_expr(spec: PipelineSpec):
+    """The ``kafka_message`` expression for the configured schema mode:
+    JSON mode re-serializes the drop/flag-filtered payload (reference
+    src/kafka_source.py:102-119); string mode stores the JSON-quoted text
+    (:121-127); raw JSON with no payload ops stays as the scanned bytes
+    (canonical parity is the oracle's concern, hashing uses raw bytes
+    either way — law 2)."""
+    src = spec.source
+    raw = F.col("value").cast("string")
+    if PayloadSchema(src.schema_type) == PayloadSchema.STRING:
+        return json_quote(raw)
+    if src.message_fields_filter or src.flag_field_config:
+        return filter_json_payload(
+            raw,
+            drop_keypaths=src.message_fields_filter,
+            flag_keypaths=src.flag_field_config,
+            sep=src.keypath_separator or "/",
+        )
+    return raw
+
+
+def _payload_rule_sources(spec: PipelineSpec, envelope_cols: set[str]) -> list[str]:
+    return [
+        r.src
+        for r in spec.transform
+        if not r.src.startswith("$") and r.src.split(".")[0] not in envelope_cols
+    ]
+
+
+def _attach_payload_struct(
+    spark: SparkSession, env: DataFrame, keypaths: list[str]
+) -> DataFrame:
+    """Expose payload keypaths to the transform DSL. The reference merges
+    the deserialized payload dict into the record, so transform ``src``
+    paths address payload fields directly (src/kafka_source.py:110-118 +
+    src/transform.py:176-185). Spark needs a schema: infer one from the
+    payload strings (at 100 TB, declare it instead — inference samples the
+    data with one extra job at plan-build time), then parse each payload
+    once with ``from_json`` and promote the addressed roots to columns."""
+    sample = [
+        r[0]
+        for r in env.select("kafka_message").filter(F.col("kafka_message").isNotNull())
+        .limit(1000)
+        .collect()
+    ]
+    if not sample:
+        raise ValueError("cannot infer payload schema from an all-NULL payload")
+    schema = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    parsed = F.from_json(F.col("kafka_message"), schema)
+    roots = {kp.split(".")[0] for kp in keypaths}
+    missing = roots - set(schema.fieldNames())
+    out = env
+    for root in sorted(roots - missing):
+        out = out.withColumn(root, parsed[root])
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    spec: PipelineSpec | str,
+    *,
+    bootstrap_servers: Optional[str] = None,
+    k6_lookup: Optional[DataFrame] = None,
+    existing: Optional[DataFrame] = None,
+    batch_time: Optional[dt.datetime] = None,
+) -> PipelineResult:
+    """Execute one configured pipeline end-to-end (reference
+    ``Mapping.run()``, src/mapping.py:49-57). Accepts a
+    :class:`PipelineSpec` or a raw YAML string (the reference's
+    ``CONSUMER_CONFIG`` env, src/main.py:33-38).
+
+    ``k6_lookup`` is the privacy lookup table as a DataFrame (the
+    reference probes Oracle per batch; a JDBC read of
+    ``spec.target.k6_filter.filter_table`` plays that role in production).
+    ``existing`` is the sink's current content for the dedup anti-join;
+    when None and the sink is a readable parquet path, it is read from
+    there (first load → no dedup needed).
+    """
+    if isinstance(spec, str):
+        spec = PipelineSpec.from_yaml(spec)
+    src = spec.source
+    sink = spec.target
+
+    kafka_df = build_kafka_frame(spark, spec, bootstrap_servers)
+    env = with_envelope(
+        kafka_df,
+        key_codec=src.key_decoder,
+        message_filters=src.message_filters,
+        canonical_message=_payload_expr(spec),
+    )
+    # Counters ride the existing job as an Observation on the envelope
+    # node — no second pass over the source (A2, operators/summary.py).
+    env, obs = observe_summary(env)
+
+    # P4/J2 privacy scrub happens sink-side BEFORE transform (reference
+    # src/oracle_target.py:88-95) — the transform may rename/drop the id.
+    if sink.k6_filter is not None:
+        if k6_lookup is None:
+            raise ValueError("k6-filter configured but no k6_lookup provided")
+        k6 = sink.k6_filter
+        sep = k6.col_keypath_separator
+        person = (
+            F.get_json_object(
+                F.col("kafka_message"), "$." + ".".join(k6.col.split(sep))
+            )
+            if sep in k6.col or k6.col not in env.columns
+            else F.col(k6.col)
+        )
+        env = scrub_flagged_persons(
+            env,
+            k6_lookup,
+            person_id=person,
+            event_ts=F.timestamp_millis(F.col(k6.timestamp))
+            if k6.timestamp == "kafka_timestamp"
+            else F.col(k6.timestamp),
+            lookup_id_col=k6.filter_col,
+        )
+
+    payload_srcs = _payload_rule_sources(spec, set(env.columns))
+    if payload_srcs:
+        env = _attach_payload_struct(spark, env, payload_srcs)
+
+    out = Transform(spec.transform, batch_time=batch_time).apply(env)
+
+    # J1 dedup-on-insert (reference src/oracle_target.py:97-104).
+    dedup_keys = sink.skip_duplicates_with or []
+    if dedup_keys:
+        if existing is None and SinkKind(sink.type) == SinkKind.PARQUET and sink.path:
+            try:
+                existing = load_parquet(spark, sink.path)
+            except Exception:
+                existing = None  # first load — nothing to dedup against
+        out = dedup_against_existing(out, existing, dedup_keys)
+
+    kind = SinkKind(sink.type)
+    if kind == SinkKind.PARQUET:
+        if not sink.path:
+            raise ValueError("parquet sink requires `path`")
+        write_parquet_append(out, sink.path)
+    elif kind in (SinkKind.ORACLE, SinkKind.JDBC):
+        url = sink.options.get("url", "")
+        if not url:
+            raise ValueError("jdbc sink requires options.url")
+        write_jdbc(out, url, sink.table, options=sink.options)
+    elif kind == SinkKind.CONSOLE:
+        write_console(out)
+    else:  # MEMORY: register the frame; count() below is the action
+        out.createOrReplaceTempView(sink.table or "pipeline_out")
+        out.count()
+
+    # The sink action above executed the plan, so the observation is
+    # populated. Bounded batch counter semantics (operators/summary.py):
+    # every scanned message is a proper data message; written counts the
+    # batch handed to the sink — the dedup anti-join, like the reference's
+    # in-DB NOT EXISTS (src/kafka_source.py:344), does not decrement it.
+    n_events = int(obs.get["event_count"])
+    subscribe = ReadStrategy(src.strategy) == ReadStrategy.SUBSCRIBE
+    summary = ProcessSummary(
+        event_count=n_events,
+        data_count=n_events,
+        error_count=0,
+        written_to_db_count=n_events,
+        committed_to_producer_count=n_events if subscribe else -1,
+        empty_count=0,
+        non_empty_count=n_events,
+    )
+    return PipelineResult(dataframe=out, summary=summary)

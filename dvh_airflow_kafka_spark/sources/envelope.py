@@ -26,15 +26,33 @@ from dvh_airflow_kafka_spark.config import AllowRule, KeyCodec
 
 def decode_key(key: Column, codec: KeyCodec | str = KeyCodec.UTF_8) -> Column:
     """Key deserializer (S6, reference src/kafka_source.py:74-82):
-    bytes -> utf-8 string, or big-endian int-64 rendered as a decimal
-    string; NULL -> ''. ``conv(hex(...))`` keeps the int-64 path inside
-    codegen (no UDF)."""
+    bytes -> utf-8 string, or big-endian **signed** int-64 rendered as a
+    decimal string (the reference unpacks ``">q"``, src/kafka_source.py:78);
+    NULL -> ''.
+
+    Signed reinterpretation without a UDF: split the 16-hex-digit value
+    into two unsigned 32-bit halves; ``shiftleft(hi, 32)`` wraps into the
+    long's sign bit exactly as two's complement requires, so
+    ``hi << 32 | lo`` IS the signed value — pure codegen arithmetic."""
     codec = KeyCodec(codec)
     if codec == KeyCodec.INT_64:
-        decoded = F.conv(F.hex(key.cast("binary")), 16, 10)
+        hexs = F.lpad(F.hex(key.cast("binary")), 16, "0")
+        hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+        decoded = F.shiftleft(hi, 32).bitwiseOR(lo).cast("string")
     else:
         decoded = key.cast("string")
     return F.coalesce(decoded, F.lit(""))
+
+
+def json_quote(text: Column) -> Column:
+    """S5 string schema: the reference stores ``kafka_message =
+    json.dumps(text)`` — a JSON-quoted, escape-correct string (reference
+    src/kafka_source.py:121-127). JVM-side: serialize a 1-element array and
+    strip the brackets, so escaping is ``to_json``'s, not a regex."""
+    arr = F.to_json(F.array(text))
+    quoted = F.substring(arr, 2, F.length(arr) - F.lit(2))
+    return F.when(text.isNull(), F.lit(None)).otherwise(quoted)
 
 
 def allow_filter_condition(

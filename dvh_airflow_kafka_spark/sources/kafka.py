@@ -91,13 +91,23 @@ def strip_confluent_header(value: F.Column) -> F.Column:
     schema id + payload (reference src/kafka_source.py:129-135). Returns
     the bare Avro payload for ``from_avro``; the schema id is
     ``confluent_schema_id`` below."""
-    return F.expr("substring(value, 6, length(value) - 5)")
+    return F.substring(value, 6, F.length(value) - F.lit(5))
 
 
 def confluent_schema_id(value: F.Column) -> F.Column:
     """Big-endian uint32 at bytes 2-5 -> ``kafka_schema_id``
-    (reference src/kafka_source.py:130), decoded JVM-side via hex/conv."""
-    return F.conv(F.hex(F.expr("substring(value, 2, 4)")), 16, 10).cast("long")
+    (reference src/kafka_source.py:130: ``struct.unpack(">L", msg[1:5])``),
+    decoded JVM-side via hex/conv."""
+    return F.conv(F.hex(F.substring(value, 2, 4)), 16, 10).cast("long")
+
+
+def confluent_frame(schema_id: F.Column, payload: F.Column) -> F.Column:
+    """The encoder half of the wire format (what the reference's producer
+    side emits via AvroSerializer, src/kafka_target.py:32-63): magic 0x00
+    + 4-byte big-endian schema id + payload bytes. Used by tests/queries
+    to round-trip the framing without a live registry."""
+    id_bytes = F.unhex(F.lpad(F.hex(schema_id.cast("int")), 8, "0"))
+    return F.concat(F.lit(b"\x00"), id_bytes, payload.cast("binary"))
 
 
 def avro_payload(

@@ -1,0 +1,6 @@
+from dvh_airflow_kafka_spark.streaming.pipeline import (
+    StreamingRun,
+    run_streaming_pipeline,
+)
+
+__all__ = ["run_streaming_pipeline", "StreamingRun"]

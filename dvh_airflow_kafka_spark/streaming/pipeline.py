@@ -1,0 +1,138 @@
+"""Structured-Streaming spine (ST1/ST3/ST4/ST5) — the reference's
+subscribe-mode consumer loop re-expressed as micro-batches.
+
+Reference behaviour (src/kafka_source.py:362-423):
+
+- poll → accumulate ≤ batch_size → ``target.write_batch`` → synchronous
+  ``consumer.commit()`` — **write-then-commit** is the at-least-once
+  invariant (ST4);
+- first empty poll ends the run (ST5);
+- a mid-run failure flushes the partial batch then raises (ST3); the
+  re-run re-reads from the last commit and relies on dedup-on-insert for
+  exactly-once effects (laws 4/5, test_integration.py:363-410).
+
+Spark mapping:
+
+- micro-batches: ``trigger(availableNow=True)`` drains the log then stops
+  (ST1/ST5); ``maxFilesPerTrigger`` / ``maxOffsetsPerTrigger`` plays
+  ``batch-size``;
+- write-then-commit: ``foreachBatch`` runs the sink write, and Spark
+  commits the epoch to the checkpoint only after it returns — identical
+  ordering, so a crash mid-batch replays that batch on restart (ST4);
+- idempotence: the replayed batch anti-joins against the sink's current
+  keys before appending (J1), so at-least-once delivery + idempotent sink
+  = exactly-once effects — the same contract the reference tests;
+- counters: a driver-side ProcessSummary accumulated per batch (the
+  reference threads a mutable dataclass through the loop).
+
+At scale the source is the Kafka connector (sources/kafka.py
+``kafka_stream_read``); tests drive the identical foreachBatch through a
+file-stream simulation of the log (no broker in the test environment).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.config import AllowRule
+from dvh_airflow_kafka_spark.operators import dedup_against_existing
+from dvh_airflow_kafka_spark.operators.summary import ProcessSummary
+from dvh_airflow_kafka_spark.plans import Transform
+from dvh_airflow_kafka_spark.sinks.writers import write_parquet_append
+from dvh_airflow_kafka_spark.sources.envelope import (
+    events_as_kafka_frame,
+    with_envelope,
+)
+
+
+@dataclass
+class StreamingRun:
+    """Outcome of one drain: counters + how many micro-batches ran."""
+
+    summary: ProcessSummary = field(default_factory=ProcessSummary)
+    batches: int = 0
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    source_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    *,
+    transform_rules: Optional[list] = None,
+    batch_time: Optional[dt.datetime] = None,
+    dedup_keys: Sequence[str] = ("kafka_topic", "kafka_partition", "kafka_offset"),
+    message_filters: Optional[Sequence[AllowRule]] = None,
+    key_codec: str = "utf-8",
+    max_files_per_trigger: int = 1,
+    fail_after_batches: Optional[int] = None,
+) -> StreamingRun:
+    """Drain an events-shaped parquet directory through the full spine and
+    stop (``availableNow``). Restartable: the checkpoint remembers which
+    files were committed, and the dedup anti-join absorbs the replay of
+    any batch that wrote but crashed before its epoch committed.
+
+    ``fail_after_batches`` is the fault-injection seam (the reference
+    mocks ``_poll`` for the same purpose, src/kafka_source.py:274-276):
+    the Nth batch writes its rows and THEN raises — the worst-case crash
+    point for duplicate effects.
+
+    ``dedup_keys`` defaults to the log position (topic, partition,
+    offset) — the reference's README example key set — which is unique
+    per message; content hashes collide across messages that share a
+    payload and would collapse them.
+    """
+    # Streaming file sources need an explicit schema; take it from a batch
+    # read of the same directory (driver-side, once).
+    schema = spark.read.parquet(source_dir).schema
+    transform = (
+        Transform(transform_rules, batch_time=batch_time) if transform_rules else None
+    )
+    run = StreamingRun()
+    run.summary.committed_to_producer_count = 0
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            run.summary.empty_count += 1  # ST5: empty poll
+            return
+        env = with_envelope(
+            events_as_kafka_frame(batch_df),
+            key_codec=key_codec,
+            message_filters=message_filters,
+        )
+        out = transform.apply(env) if transform is not None else env
+        try:
+            existing = spark.read.parquet(sink_path)
+        except Exception:
+            existing = None  # first batch — sink does not exist yet
+        fresh = dedup_against_existing(out, existing, list(dedup_keys))
+        write_parquet_append(fresh, sink_path)
+        run.summary.event_count += n
+        run.summary.non_empty_count += n
+        run.summary.data_count += n
+        run.summary.written_to_db_count += n
+        run.batches += 1
+        if fail_after_batches is not None and run.batches >= fail_after_batches:
+            # written but NOT committed: this epoch replays on restart
+            raise RuntimeError("injected failure after sink write")
+        # foreachBatch returning = Spark commits the epoch (ST4); mirror
+        # the reference's post-commit counter (src/kafka_source.py:394).
+        run.summary.committed_to_producer_count += n
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return run

@@ -63,3 +63,37 @@ def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"ANN recall {recall:.2f}"
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """A stop phrase shared by the whole corpus must not blow up the
+    candidate join when max_doc_freq is set; planted real dups survive."""
+    from dvh_airflow_kafka_spark.ext.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+    from dvh_airflow_kafka_spark.ext.text import tokens, word_ngrams_from_tokens
+
+    stop = "this message is confidential please do not distribute"
+    rows = [(i, f"unique document body number {i} alpha beta {stop}") for i in range(60)]
+    rows.append((1000, rows[0][1]))  # planted exact dup of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", ngram=3, threshold=0.2)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", ngram=3, threshold=0.2, max_doc_freq=5
+    )
+    n_uncapped, n_capped = uncapped.count(), capped.count()
+    # the stop-phrase shingles pair everyone with everyone without the cap
+    assert n_capped < n_uncapped
+    assert n_capped < 60  # bounded: no quadratic stop-phrase bucket
+    assert {(0, 1000)} <= {(r.id_a, r.id_b) for r in capped.collect()}
+
+    sh = df.select(
+        F.col("doc_id"),
+        word_ngrams_from_tokens(tokens(F.col("text")), 3).alias("sh"),
+    )
+    cand = minhash_lsh_candidates(sh, "doc_id", "sh", max_doc_freq=5)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (0, 1000) in pairs
+    assert len(pairs) < 200

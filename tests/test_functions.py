@@ -87,3 +87,25 @@ def test_registry_is_closed_and_config_addressable():
         "bool -> int",
         "datetime -> datetime-no",
     }
+
+
+def test_str_to_oslo_datetime_fuzzy_freeform(spark):
+    """dateparser-grade free-form inputs (reference src/transform.py:49-60)
+    resolved by the residual pandas-UDF fallback."""
+    cases = {
+        "March 5th 2024": dt.datetime(2024, 3, 5, 1, 0, 0),  # +1 CET
+        "5 Mar 2024 14:30": dt.datetime(2024, 3, 5, 15, 30, 0),
+        "March 5 2024 14:30:45": dt.datetime(2024, 3, 5, 15, 30, 45),
+        "03/05/2024": dt.datetime(2024, 3, 5, 1, 0, 0),  # US month-first
+        "2024 March 5": dt.datetime(2024, 3, 5, 1, 0, 0),
+        "July 1st 2024": dt.datetime(2024, 7, 1, 2, 0, 0),  # +2 CEST
+        "still not a date": None,
+    }
+    for raw, expect in cases.items():
+        assert _eval1(spark, fns.str_to_oslo_datetime(F.lit(raw)), v=0) == expect, raw
+
+
+def test_fuzzy_parse_is_deterministic_no_relative_forms():
+    assert fns.fuzzy_parse_datetime("5 days ago") is None
+    assert fns.fuzzy_parse_datetime(None) is None
+    assert fns.fuzzy_parse_datetime("March 5th 2024") == dt.datetime(2024, 3, 5)

@@ -1,0 +1,122 @@
+"""[EXT] multimodal binary-column operators + S4 Confluent framing."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.ext import multimodal as mm
+from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.sources.kafka import (
+    confluent_frame,
+    confluent_schema_id,
+    strip_confluent_header,
+)
+
+
+@pytest.fixture(scope="module")
+def blobs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    return mm.synth_blob_frame(docs)
+
+
+def test_synth_blob_magic_prefixes(blobs):
+    rows = blobs.limit(20).collect()
+    for r in rows:
+        blob = bytes(r.content)
+        mime = mm._sniff(blob)
+        assert mime == list(mm.MAGIC_BYTES)[r.doc_id % 4]
+
+
+def test_fingerprint_matches_hashlib(blobs):
+    got = {r.doc_id: (r.fingerprint, r.size_bytes) for r in mm.blob_fingerprint(blobs).collect()}
+    for r in blobs.limit(30).collect():
+        blob = bytes(r.content)
+        expect = hashlib.sha256(blob.hex().upper().encode()).hexdigest()
+        assert got[r.doc_id] == (expect, len(blob))
+
+
+def test_blob_near_dup_finds_planted_duplicate(spark):
+    """A blob differing by one byte from another must pair up; unrelated
+    blobs must not."""
+    base = b"\xff\xd8\xff" + bytes(range(256)) * 8
+    near = base[:100] + b"\x00" + base[101:]
+    far = b"\x89PNG\r\n\x1a\n" + b"totally different content " * 80
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, content binary"
+    )
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in mm.blob_simhash_near_duplicates(df, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_decode_media_plumbing_with_fake_decoder(blobs):
+    """The mapInPandas decode contract: schema, batching, per-blob call —
+    exercised with a deterministic fake (media libs absent here)."""
+
+    def fake(blob: bytes, mime: str) -> dict:
+        return {
+            "width": len(blob) % 640,
+            "height": len(blob) % 480,
+            "n_frames": 1,
+            "feature": [float(blob[0]), float(len(blob))],
+        }
+
+    out = mm.decode_media(blobs, decoder=fake)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "mime", "width", "height", "n_frames", "feature",
+    ]
+    rows = out.collect()
+    assert len(rows) == blobs.count()
+    by_id = {r.doc_id: r for r in rows}
+    for r in blobs.limit(10).collect():
+        blob = bytes(r.content)
+        d = by_id[r.doc_id]
+        assert d.width == len(blob) % 640
+        assert d.feature == [float(blob[0]), float(len(blob))]
+        assert d.mime == mm._sniff(blob)
+
+
+def test_decode_media_default_raises(spark):
+    df = spark.createDataFrame([(1, b"\xff\xd8\xffxx")], "doc_id long, content binary")
+    with pytest.raises(Exception) as ei:
+        mm.decode_media(df).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+# --------------------------------------------------------------------------
+# S4 Confluent wire format
+# --------------------------------------------------------------------------
+
+
+def test_confluent_framing_matches_struct_pack(spark):
+    """Frame bytes must equal struct.pack('>bL', 0, id) + payload and the
+    decode must invert it (reference src/kafka_source.py:129-135)."""
+    payloads = [(7, b'{"a": 1}'), (123456, "blåbær".encode()), (0, b"")]
+    df = spark.createDataFrame(
+        [(sid, p.decode()) for sid, p in payloads], "sid long, payload string"
+    ).select(
+        "sid",
+        "payload",
+        confluent_frame(F.col("sid"), F.col("payload")).alias("value"),
+    )
+    for r in df.collect():
+        expect = struct.pack(">bL", 0, r.sid) + r.payload.encode()
+        assert bytes(r.value) == expect
+    decoded = df.select(
+        "sid",
+        "payload",
+        confluent_schema_id(F.col("value")).alias("got_id"),
+        strip_confluent_header(F.col("value")).cast("string").alias("got_payload"),
+    )
+    for r in decoded.collect():
+        assert r.got_id == r.sid
+        assert r.got_payload == r.payload

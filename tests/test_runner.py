@@ -1,0 +1,216 @@
+"""Config-driven pipeline runner (reference Mapping.run, src/mapping.py:49-57
++ src/main.py:55-66): YAML → source → envelope → payload ops → transform →
+k6 → dedup → sink, with ProcessSummary xcom parity."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.config import PipelineSpec
+from dvh_airflow_kafka_spark.io import load_parquet, load_table
+from dvh_airflow_kafka_spark.runner import run_pipeline
+from dvh_airflow_kafka_spark.sources.envelope import decode_key, json_quote
+
+
+def _events_yaml(sf_dir: str, target: str) -> str:
+    return f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+target:
+{target}
+transform:
+  - src: kafka_key
+    dst: kafka_key
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_hash
+    dst: kafka_hash
+  - src: kafka_message
+    dst: kafka_message
+  - src: $$BATCH_TIME
+    dst: lastet_tid
+"""
+
+
+def test_yaml_roundtrip_validates(sf_dir):
+    spec = PipelineSpec.from_yaml(_events_yaml(sf_dir, "  type: memory"))
+    assert spec.source.topic == "events"
+    assert spec.target.type == "memory"
+    assert len(spec.transform) == 5
+
+
+def test_memory_sink_and_summary(spark, sf_dir):
+    result = run_pipeline(spark, _events_yaml(sf_dir, "  type: memory\n  table: t_mem"))
+    n = load_table(spark, sf_dir, "events").count()
+    s = result.summary
+    # bounded assign-mode run: every message is a proper data message
+    assert s.event_count == s.data_count == s.non_empty_count == n
+    assert s.written_to_db_count == n
+    assert s.committed_to_producer_count == -1
+    assert s.error_count == 0 and s.empty_count == 0
+    assert set(s.as_xcom()) == {
+        "event_count",
+        "data_count",
+        "error_count",
+        "written_to_db_count",
+        "committed_to_producer_count",
+        "empty_count",
+        "non_empty_count",
+    }
+    assert spark.table("t_mem").count() == n
+
+
+def test_parquet_sink_rerun_is_idempotent(spark, sf_dir, tmp_path):
+    """Laws 4/5: re-running the identical interval writes 0 new rows —
+    the dedup anti-join against the sink is the idempotence backstop
+    (reference test_integration.py:214-237)."""
+    sink = str(tmp_path / "sink.parquet")
+    yaml_text = _events_yaml(
+        sf_dir,
+        f"""  type: parquet
+  path: "{sink}"
+  skip-duplicates-with: [kafka_hash]""",
+    )
+    r1 = run_pipeline(spark, yaml_text)
+    n1 = load_parquet(spark, sink).count()
+    r2 = run_pipeline(spark, yaml_text)
+    n2 = load_parquet(spark, sink).count()
+    assert n1 > 0
+    assert n2 == n1  # re-run appended nothing
+    # the reference counts the attempted batch, not post-dedup inserts
+    assert r2.summary.written_to_db_count == r1.summary.written_to_db_count
+
+
+def test_payload_keypath_transform(spark, sf_dir):
+    """Transform src paths address payload fields directly (the reference
+    merges the payload dict into the record, src/kafka_source.py:110-118)."""
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+target:
+  type: memory
+  table: t_payload
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: k
+    dst: k_value
+"""
+    result = run_pipeline(spark, yaml_text)
+    rows = {r.kafka_offset: r.k_value for r in result.dataframe.collect()}
+    events = load_table(spark, sf_dir, "events").collect()
+    for ev in events[:50]:
+        assert rows[ev.event_id] == json.loads(ev.props).get("k")
+
+
+def test_k6_scrub_from_config(spark, sf_dir):
+    """P4 via config: flagged ids get NULL payload, rows never dropped
+    (reference src/oracle_target.py:46-93)."""
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+target:
+  type: memory
+  table: t_k6
+  k6-filter:
+    filter-table: skjerming
+    filter-col: off_id
+    col: kafka_key
+    timestamp: kafka_timestamp
+transform:
+  - src: kafka_key
+    dst: kafka_key
+  - src: kafka_message
+    dst: kafka_message
+"""
+    events = load_table(spark, sf_dir, "events")
+    flagged = [r.user_id for r in events.select("user_id").distinct().limit(3).collect()]
+    lookup = spark.createDataFrame(
+        [(str(u), "1900-01-01", "9999-12-31", 6) for u in flagged],
+        "off_id string, gyldig_fra_dato string, gyldig_til_dato string, skjermet_kode int",
+    )
+    result = run_pipeline(spark, yaml_text, k6_lookup=lookup)
+    out = result.dataframe
+    assert out.count() == events.count()  # rows preserved
+    hit = out.filter(F.col("kafka_key").isin([str(u) for u in flagged]))
+    assert hit.count() > 0
+    assert hit.filter(F.col("kafka_message").isNotNull()).count() == 0
+    miss = out.filter(~F.col("kafka_key").isin([str(u) for u in flagged]))
+    assert miss.filter(F.col("kafka_message").isNull()).count() == 0
+
+
+def test_bounded_interval_read(spark, sf_dir):
+    """S1/ST2: starting/ending timestamps bound the scan like
+    DATA_INTERVAL_START/END (reference src/kafka_source.py:68-72)."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = 1705276800000, 1705708800000  # 2024-01-15 .. 2024-01-20 UTC
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+  starting_timestamp_ms: {lo}
+  ending_timestamp_ms: {hi}
+target:
+  type: memory
+  table: t_interval
+transform:
+  - src: kafka_timestamp
+    dst: kafka_timestamp
+"""
+    result = run_pipeline(spark, yaml_text)
+    got = result.dataframe.agg(
+        F.min("kafka_timestamp"), F.max("kafka_timestamp"), F.count(F.lit(1))
+    ).collect()[0]
+    expect = events.filter(
+        (F.unix_millis(F.col("ts").cast("timestamp")) >= lo)
+        & (F.unix_millis(F.col("ts").cast("timestamp")) < hi)
+    ).count()
+    assert got[2] == expect > 0
+    assert got[0] >= lo and got[1] < hi
+
+
+# --------------------------------------------------------------------------
+# S5/S6 decode parity
+# --------------------------------------------------------------------------
+
+
+def test_int64_key_decoding_is_signed(spark):
+    """Reference unpacks big-endian SIGNED int-64 (struct.unpack('>q'),
+    src/kafka_source.py:77-78) — negative keys must round-trip."""
+    values = [-1, -123456789012345, -(2**63), 0, 1, 2**63 - 1]
+    df = spark.createDataFrame(
+        [(struct.pack(">q", v),) for v in values], "key binary"
+    ).withColumn("decoded", decode_key(F.col("key"), "int-64"))
+    got = [r.decoded for r in df.collect()]
+    assert got == [str(struct.unpack(">q", struct.pack(">q", v))[0]) for v in values]
+
+
+def test_string_schema_json_quotes(spark):
+    """Reference stores kafka_message = json.dumps(text, ensure_ascii=False)
+    for schema: string (src/kafka_source.py:121-127)."""
+    texts = ['plain', 'with "quotes"', 'back\\slash', 'newline\nend', 'blåbær', None]
+    df = spark.createDataFrame([(t,) for t in texts], "v string").select(
+        F.col("v"), json_quote(F.col("v")).alias("q")
+    )
+    for r in df.collect():
+        if r.v is None:
+            assert r.q is None
+        else:
+            assert r.q == json.dumps(r.v, ensure_ascii=False)
+            assert json.loads(r.q) == r.v

@@ -1,0 +1,98 @@
+"""Streaming spine ST1/ST3/ST4/ST5: availableNow drain, write-then-commit,
+mid-run crash + resume with zero loss / zero duplicates (laws 4/5,
+reference test_integration.py:363-410)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.streaming import run_streaming_pipeline
+
+N_FILES = 4
+
+
+@pytest.fixture()
+def source_dir(spark, sf_dir, tmp_path):
+    """The events log split into N_FILES files — each becomes one
+    micro-batch under maxFilesPerTrigger=1 (ST1 batch-size analogue)."""
+    src = str(tmp_path / "log")
+    events = load_table(spark, sf_dir, "events").limit(400)
+    events.withColumn("__f", F.pmod(F.col("event_id"), F.lit(N_FILES))).repartition(
+        N_FILES, "__f"
+    ).drop("__f").write.parquet(src)
+    return src
+
+
+def test_available_now_drains_and_stops(spark, source_dir, tmp_path):
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    run = run_streaming_pipeline(spark, source_dir, sink, ckpt)
+    total = spark.read.parquet(source_dir).count()
+    assert run.summary.event_count == total
+    assert run.summary.written_to_db_count == total
+    assert run.summary.committed_to_producer_count == total
+    assert spark.read.parquet(sink).count() == total
+    # ST5: the drained log terminates the query; a second drain with the
+    # same checkpoint reads nothing and writes nothing
+    run2 = run_streaming_pipeline(spark, source_dir, sink, ckpt)
+    assert run2.summary.event_count == 0
+    assert spark.read.parquet(sink).count() == total
+
+
+def test_crash_after_write_then_resume_no_loss_no_dup(spark, source_dir, tmp_path):
+    """Law 5: kill after a batch WROTE but before its epoch committed —
+    the restart replays that batch and the sink anti-join absorbs it."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected failure"):
+        run_streaming_pipeline(
+            spark, source_dir, sink, ckpt, fail_after_batches=2
+        )
+    partial = spark.read.parquet(sink).count()
+    assert partial > 0  # the crashed run persisted everything it read
+    resumed = run_streaming_pipeline(spark, source_dir, sink, ckpt)
+    total = spark.read.parquet(source_dir).count()
+    final = spark.read.parquet(sink)
+    assert final.count() == total  # zero loss
+    assert final.select("kafka_offset").distinct().count() == total  # zero dup
+    # the resumed run replayed the uncommitted batch (at-least-once) but
+    # appended only the missing rows
+    assert resumed.summary.event_count >= total - partial
+
+
+def test_transform_and_filters_in_stream(spark, source_dir, tmp_path):
+    """The batch spine (envelope + transform DSL) runs unchanged inside
+    foreachBatch — one code path for batch and streaming."""
+    import datetime as dt
+
+    from dvh_airflow_kafka_spark.config import AllowRule
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    rules = [
+        {"src": "kafka_offset", "dst": "kafka_offset"},
+        {"src": "kafka_hash", "dst": "kafka_hash"},
+        {"src": "kafka_message", "dst": "kafka_message"},
+        {"src": "$$BATCH_TIME", "dst": "lastet_tid"},
+    ]
+    run = run_streaming_pipeline(
+        spark,
+        source_dir,
+        sink,
+        ckpt,
+        transform_rules=rules,
+        batch_time=dt.datetime(2025, 6, 1, 12, 0, 0),
+        message_filters=[AllowRule(key="k", allowed_value=87)],
+        dedup_keys=("kafka_offset",),
+    )
+    out = spark.read.parquet(sink)
+    assert set(out.columns) == {"kafka_offset", "kafka_hash", "kafka_message", "lastet_tid"}
+    assert out.count() == run.summary.event_count
+    # law 3: one constant lastet_tid across every micro-batch of the run
+    assert out.select("lastet_tid").distinct().count() == 1
+    kept = out.filter(F.col("kafka_message").isNotNull())
+    assert 0 < kept.count() < out.count()
+    for r in kept.limit(20).collect():
+        assert '"k": 87' in r.kafka_message
