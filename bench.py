@@ -42,7 +42,11 @@ HEADLINE = [
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     "embedding_topk_cosine",
+    "embedding_near_dup_pairs",
     "lsh_ann_topk",
+    "pipeline_from_yaml_config",
+    "blob_fingerprint",
+    "blob_simhash_near_dup",
 ]
 
 

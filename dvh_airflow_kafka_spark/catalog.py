@@ -160,6 +160,31 @@ def envelope_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "string_schema_envelope",
+    sql="""
+    SELECT event_id AS kafka_offset,
+           sha256(props) AS kafka_hash,
+           to_json(props) AS kafka_message
+    FROM events
+    """,
+)
+def string_schema_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ``schema: string`` (reference src/kafka_source.py:121-127):
+    the payload is stored JSON-quoted (``json.dumps(text)``) while the
+    hash stays over the raw bytes. ``json_quote`` escapes JVM-side via
+    ``to_json``; DuckDB's ``to_json(VARCHAR)`` emits byte-identical
+    escaping (verified incl. quotes/backslash/newline/non-ASCII)."""
+    from dvh_airflow_kafka_spark.sources.envelope import json_quote
+
+    events = load_table(spark, sf_dir, "events")
+    env = with_envelope(
+        events_as_kafka_frame(events),
+        canonical_message=json_quote(F.col("value").cast("string")),
+    )
+    return env.select("kafka_offset", "kafka_hash", "kafka_message")
+
+
+@register(
     "payload_flag_fields",
     sql="""
     SELECT event_id,
@@ -631,10 +656,12 @@ def tpch_q3_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_dec")
         )
     )
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey").asc())
+    # global top-10 as orderBy+limit -> TakeOrderedAndProject: each
+    # partition keeps its local top-10, the driver merges 10×partitions
+    # rows — no all-rows-to-one-partition window exchange at 100 TB
     return (
-        rev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 10)
+        rev.orderBy(F.col("rev_dec").desc(), F.col("l_orderkey").asc())
+        .limit(10)
         .select(
             "l_orderkey",
             F.col("rev_dec").cast("double").alias("revenue"),
@@ -731,10 +758,11 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_dec")
         )
     )
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+    # TakeOrderedAndProject (see tpch_q3): distributed partial top-20,
+    # no single-partition window exchange
     return (
-        rev.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 20)
+        rev.orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
         .select(
             "c_custkey",
             "c_name",
@@ -1229,3 +1257,13 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return xsim.lsh_bucketed_topk(emb, queries, k=5, n_bits=8, n_tables=4)
+
+
+@register("ivf_ann_topk", sql=None)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-Flat approximate top-k (coarse-quantizer k-means +
+    multi-list probe) — the second ANN scale path; recall vs brute force
+    is pytest-verified."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)

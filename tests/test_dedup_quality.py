@@ -97,3 +97,14 @@ def test_hot_shingle_cap_bounds_candidates(spark):
     pairs = {(r.id_a, r.id_b) for r in cand.collect()}
     assert (0, 1000) in pairs
     assert len(pairs) < 200
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = xsim.brute_force_topk(emb, queries, k=5)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f}"
