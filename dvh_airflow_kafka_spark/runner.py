@@ -192,6 +192,32 @@ def run_pipeline(
     src = spec.source
     sink = spec.target
 
+    # S10 delta probe (reference src/oracle_target.py:17-20, 30-43): when
+    # no explicit interval start is configured, derive it from the sink's
+    # MAX(delta-column). Inclusive start — the boundary row is re-read and
+    # the dedup anti-join absorbs it, exactly the reference's contract.
+    if (
+        sink.delta
+        and src.starting_timestamp_ms is None
+        and SinkKind(sink.type) == SinkKind.PARQUET
+        and sink.path
+    ):
+        from dvh_airflow_kafka_spark.operators.watermark import (
+            delta_watermark_epoch_ms,
+        )
+
+        try:
+            sink_df = load_parquet(spark, sink.path)
+        except Exception:
+            sink_df = None  # first load — no watermark yet
+        if sink_df is not None:
+            wm = delta_watermark_epoch_ms(
+                sink_df, sink.delta.get("delta-column", "kafka_timestamp")
+            )
+            if wm is not None:
+                src = src.model_copy(update={"starting_timestamp_ms": wm})
+                spec = spec.model_copy(update={"source": src})
+
     kafka_df = build_kafka_frame(spark, spec, bootstrap_servers)
     env = with_envelope(
         kafka_df,
@@ -264,7 +290,14 @@ def run_pipeline(
     # every scanned message is a proper data message; written counts the
     # batch handed to the sink — the dedup anti-join, like the reference's
     # in-DB NOT EXISTS (src/kafka_source.py:344), does not decrement it.
-    n_events = int(obs.get["event_count"])
+    try:
+        n_events = int(obs.get["event_count"])
+    except Exception:
+        # Spark 4.1 can lose the CollectMetrics row when the observed node
+        # sits under dropDuplicates + a broadcast anti-join re-planned by
+        # AQE (toPyRow assertion). Fall back to one extra count over the
+        # envelope — correctness over the saved scan.
+        n_events = env.count()
     subscribe = ReadStrategy(src.strategy) == ReadStrategy.SUBSCRIBE
     summary = ProcessSummary(
         event_count=n_events,

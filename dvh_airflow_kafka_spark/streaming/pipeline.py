@@ -71,6 +71,8 @@ def run_streaming_pipeline(
     key_codec: str = "utf-8",
     max_files_per_trigger: int = 1,
     fail_after_batches: Optional[int] = None,
+    error_where: Optional[str] = None,
+    fail_on_non_critical: bool = False,
 ) -> StreamingRun:
     """Drain an events-shaped parquet directory through the full spine and
     stop (``availableNow``). Restartable: the checkpoint remembers which
@@ -86,6 +88,15 @@ def run_streaming_pipeline(
     offset) — the reference's README example key set — which is unique
     per message; content hashes collide across messages that share a
     payload and would collapse them.
+
+    ST6 error classification (reference src/kafka_source.py:309-323 +
+    src/main.py:65-66): rows matching ``error_where`` (a SQL predicate on
+    the source frame) are the non-critical errors — counted into
+    ``error_count``, excluded from the write, and the run keeps going;
+    with ``fail_on_non_critical`` the drained run raises at the end if
+    any were seen (the reference's FAIL_ON_NON_CRITICAL_ERROR policy).
+    Fatal errors are anything that makes foreachBatch raise — the query
+    stops and the checkpoint replays the batch on restart.
     """
     # Streaming file sources need an explicit schema; take it from a batch
     # read of the same directory (driver-side, once).
@@ -101,6 +112,20 @@ def run_streaming_pipeline(
         if n == 0:
             run.summary.empty_count += 1  # ST5: empty poll
             return
+        n_err = 0
+        if error_where is not None:
+            n_err = batch_df.filter(F.expr(error_where)).count()
+            if n_err:
+                # error rows count as events but never reach the sink
+                # (the reference skips collect_message for them)
+                run.summary.error_count += n_err
+                batch_df = batch_df.filter(~F.expr(error_where))
+                n -= n_err
+        run.summary.event_count += n + n_err
+        run.summary.non_empty_count += n + n_err
+        if n == 0:
+            run.batches += 1
+            return
         env = with_envelope(
             events_as_kafka_frame(batch_df),
             key_codec=key_codec,
@@ -113,8 +138,6 @@ def run_streaming_pipeline(
             existing = None  # first batch — sink does not exist yet
         fresh = dedup_against_existing(out, existing, list(dedup_keys))
         write_parquet_append(fresh, sink_path)
-        run.summary.event_count += n
-        run.summary.non_empty_count += n
         run.summary.data_count += n
         run.summary.written_to_db_count += n
         run.batches += 1
@@ -135,4 +158,9 @@ def run_streaming_pipeline(
         .start()
     )
     query.awaitTermination()
+    if fail_on_non_critical and run.summary.error_count > 0:
+        raise RuntimeError(
+            f"{run.summary.error_count} non-critical errors during run "
+            f"(FAIL_ON_NON_CRITICAL_ERROR policy, reference src/main.py:65-66)"
+        )
     return run

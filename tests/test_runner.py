@@ -214,3 +214,37 @@ def test_string_schema_json_quotes(spark):
         else:
             assert r.q == json.dumps(r.v, ensure_ascii=False)
             assert json.loads(r.q) == r.v
+
+
+def test_delta_watermark_bounds_second_run(spark, sf_dir, tmp_path):
+    """S10: with a delta config, the second run derives its interval start
+    from MAX(delta-column) of the sink — only the boundary row is re-read,
+    and the dedup anti-join keeps the sink unchanged (reference
+    src/oracle_target.py:17-43 + law 4)."""
+    sink = str(tmp_path / "sink.parquet")
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+target:
+  type: parquet
+  path: "{sink}"
+  skip-duplicates-with: [kafka_offset]
+  delta:
+    delta-table: sink
+    delta-column: kafka_timestamp
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_timestamp
+    dst: kafka_timestamp
+"""
+    r1 = run_pipeline(spark, yaml_text)
+    n1 = load_parquet(spark, sink).count()
+    r2 = run_pipeline(spark, yaml_text)
+    n2 = load_parquet(spark, sink).count()
+    assert n2 == n1  # nothing new appended
+    # the delta probe bounded the re-read to the watermark boundary
+    assert 0 < r2.summary.event_count < r1.summary.event_count

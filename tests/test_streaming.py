@@ -96,3 +96,32 @@ def test_transform_and_filters_in_stream(spark, source_dir, tmp_path):
     assert 0 < kept.count() < out.count()
     for r in kept.limit(20).collect():
         assert '"k": 87' in r.kafka_message
+
+
+def test_error_classification_st6(spark, source_dir, tmp_path):
+    """ST6: non-critical (classified) rows are counted, excluded from the
+    sink, and the run continues; FAIL_ON_NON_CRITICAL_ERROR raises at the
+    end (reference src/kafka_source.py:309-323, src/main.py:65-66)."""
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src_df = spark.read.parquet(source_dir)
+    n_err = src_df.filter("event_type = 'error'").count()
+    total = src_df.count()
+    assert n_err > 0, "fixture must contain error-typed events"
+    run = run_streaming_pipeline(
+        spark, source_dir, sink, ckpt, error_where="event_type = 'error'"
+    )
+    assert run.summary.error_count == n_err
+    assert run.summary.event_count == total  # errors still count as events
+    assert run.summary.data_count == total - n_err
+    assert spark.read.parquet(sink).count() == total - n_err
+
+    with pytest.raises(RuntimeError, match="non-critical"):
+        run_streaming_pipeline(
+            spark,
+            source_dir,
+            str(tmp_path / "sink2"),
+            str(tmp_path / "ckpt2"),
+            error_where="event_type = 'error'",
+            fail_on_non_critical=True,
+        )
