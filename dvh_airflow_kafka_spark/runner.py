@@ -174,6 +174,7 @@ def run_pipeline(
     k6_lookup: Optional[DataFrame] = None,
     existing: Optional[DataFrame] = None,
     batch_time: Optional[dt.datetime] = None,
+    checkpoint_dir: Optional[str] = None,
 ) -> PipelineResult:
     """Execute one configured pipeline end-to-end (reference
     ``Mapping.run()``, src/mapping.py:49-57). Accepts a
@@ -191,6 +192,34 @@ def run_pipeline(
         spec = PipelineSpec.from_yaml(spec)
     src = spec.source
     sink = spec.target
+
+    # Strategy dispatch (reference Mapping.run, src/mapping.py:49-57):
+    # subscribe = incremental micro-batch consumption with committed
+    # progress — the streaming spine with a checkpoint; assign = the
+    # bounded batch read below.
+    if (
+        ReadStrategy(src.strategy) == ReadStrategy.SUBSCRIBE
+        and SourceKind(src.type) != SourceKind.KAFKA
+    ):
+        from dvh_airflow_kafka_spark.streaming import run_streaming_pipeline
+
+        if SinkKind(sink.type) != SinkKind.PARQUET or not sink.path:
+            raise ValueError("subscribe strategy needs a parquet sink path")
+        if not src.path:
+            raise ValueError("subscribe strategy needs a source path")
+        run = run_streaming_pipeline(
+            spark,
+            src.path,
+            sink.path,
+            checkpoint_dir or sink.path.rstrip("/") + "_checkpoint",
+            transform_rules=spec.transform or None,
+            batch_time=batch_time,
+            dedup_keys=sink.skip_duplicates_with
+            or ("kafka_topic", "kafka_partition", "kafka_offset"),
+            message_filters=src.message_filters,
+            key_codec=src.key_decoder,
+        )
+        return PipelineResult(load_parquet(spark, sink.path), run.summary)
 
     # S10 delta probe (reference src/oracle_target.py:17-20, 30-43): when
     # no explicit interval start is configured, derive it from the sink's

@@ -49,6 +49,8 @@ from dvh_airflow_kafka_spark.sources.envelope import (
     with_envelope,
 )
 
+KAFKA_COLUMNS = {"key", "value", "topic", "partition", "offset", "timestamp"}
+
 
 @dataclass
 class StreamingRun:
@@ -126,8 +128,13 @@ def run_streaming_pipeline(
         if n == 0:
             run.batches += 1
             return
+        kafka_frame = (
+            batch_df
+            if KAFKA_COLUMNS.issubset(set(batch_df.columns))
+            else events_as_kafka_frame(batch_df)
+        )
         env = with_envelope(
-            events_as_kafka_frame(batch_df),
+            kafka_frame,
             key_codec=key_codec,
             message_filters=message_filters,
         )

@@ -248,3 +248,39 @@ transform:
     assert n2 == n1  # nothing new appended
     # the delta probe bounded the re-read to the watermark boundary
     assert 0 < r2.summary.event_count < r1.summary.event_count
+
+
+def test_subscribe_strategy_dispatches_to_streaming(spark, sf_dir, tmp_path):
+    """Mapping.run strategy dispatch (reference src/mapping.py:49-57):
+    subscribe drives the checkpointed streaming spine; committed equals
+    written (write-then-commit, ST4) and a re-run consumes nothing new."""
+    from dvh_airflow_kafka_spark.io import load_table
+
+    src = str(tmp_path / "log")
+    load_table(spark, sf_dir, "events").limit(300).repartition(3).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  strategy: subscribe
+  path: "{src}"
+target:
+  type: parquet
+  path: "{sink}"
+  skip-duplicates-with: [kafka_offset]
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_message
+    dst: kafka_message
+"""
+    r1 = run_pipeline(spark, yaml_text)
+    assert r1.summary.event_count == 300
+    assert r1.summary.committed_to_producer_count == r1.summary.written_to_db_count == 300
+    assert r1.dataframe.count() == 300
+    # second run: checkpoint says the log is drained — nothing consumed
+    r2 = run_pipeline(spark, yaml_text)
+    assert r2.summary.event_count == 0
+    assert spark.read.parquet(sink).count() == 300
