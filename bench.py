@@ -44,6 +44,7 @@ HEADLINE = [
     "embedding_topk_cosine",
     "embedding_near_dup_pairs",
     "lsh_ann_topk",
+    "ivf_ann_topk",
     "pipeline_from_yaml_config",
     "blob_fingerprint",
     "blob_simhash_near_dup",

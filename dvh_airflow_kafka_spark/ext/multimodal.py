@@ -131,6 +131,7 @@ def blob_simhash_near_duplicates(
     content_col: str = "content",
     gram_bytes: int = 4,
     max_hamming: int = 3,
+    max_bytes: int = 4096,
 ) -> DataFrame:
     """Perceptual-hash-style near-dup: 64-bit SimHash over sliding byte
     n-grams → pigeonhole banding equi-join (hamming ≤ d ⇒ some chunk of
@@ -139,7 +140,12 @@ def blob_simhash_near_duplicates(
     candidate join, never all-pairs.
 
     Byte n-grams come from the hex rendering (2 chars/byte) via a
-    ``sequence``+``transform`` higher-order slice — stays JVM-side."""
+    ``sequence``+``transform`` higher-order slice — stays JVM-side.
+
+    ``max_bytes`` caps the signature window (first N bytes): per-blob
+    cost is O(max_bytes) regardless of blob size, so a corpus of
+    multi-MB media files hashes at a bounded per-row cost — the same
+    move as sampling frames from a video before hashing."""
     from dvh_airflow_kafka_spark.ext.dedup import (
         _simhash_from_tokens,
         simhash_band_pairs,
@@ -148,10 +154,11 @@ def blob_simhash_near_duplicates(
 
     width = 2 * gram_bytes
     # dynamic-start substring needs expr-style slicing; step 2 hex chars
-    # = slide one byte per gram
+    # = slide one byte per gram; hex of the first max_bytes only
+    hx = f"hex(substring({content_col}, 1, {max_bytes}))"
     grams = F.expr(
-        f"transform(sequence(1, greatest(length(hex({content_col})) - {width - 1}, 1), 2), "
-        f"i -> substring(hex({content_col}), i, {width}))"
+        f"transform(sequence(1, greatest(length({hx}) - {width - 1}, 1), 2), "
+        f"i -> substring({hx}, i, {width}))"
     )
     toks = (
         ensure_parallelism(df)

@@ -11,6 +11,12 @@ native TIMESTAMP, so both engines see byte-identical values.
 All timestamp columns are normalised to TIMESTAMP_NTZ: the engine pins
 ``spark.sql.session.timeZone=UTC`` so NTZ wall clocks equal the UTC
 instants, matching DuckDB's naive TIMESTAMP semantics.
+
+Pushdown caveat: because the rebuilt column is derived (``DIV 1000`` over
+the raw ns long), range predicates on it cannot reach the parquet scan —
+only IsNotNull pushes. This is a property of the ns-fixture workaround,
+not the engine: on native µs/INT96 parquet (any production layout, incl.
+everything this engine writes) timestamp filters push down as usual.
 """
 
 from __future__ import annotations
