@@ -44,8 +44,10 @@ def str_to_code(c: Column) -> Column:
     Å->AA; drop anything outside [0-9A-Z_]; empty -> 'UKJENT'.
     """
     y = F.upper(c.cast("string"))
-    y = F.regexp_replace(y, r"^\s+|\s+$", "")  # str.split() strips ends
-    y = F.regexp_replace(y, r"\s+", "_")
+    # (?U): Java \s is ASCII-only by default; the reference's Python
+    # str.split() treats ALL unicode whitespace as separators
+    y = F.regexp_replace(y, r"(?U)^\s+|\s+$", "")  # str.split() strips ends
+    y = F.regexp_replace(y, r"(?U)\s+", "_")
     y = F.translate(y, "ÆØ", "AO")
     y = F.regexp_replace(y, "Å", "AA")
     y = F.regexp_replace(y, "[^0-9A-Z_]", "")
