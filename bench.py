@@ -38,6 +38,7 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "doc_fingerprint",
+    "corpus_curation_pipeline",
     "minhash_near_dup",
     "simhash_near_dup",
     "ngram_jaccard_pairs",

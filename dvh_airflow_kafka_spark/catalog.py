@@ -1103,6 +1103,59 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                    w -> list_contains(['the','a','and','of','to','in','is','that','for','with'], w)))
+                    AS DOUBLE) AS sw,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS n_punct,
+               sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, fp, CAST(n_words AS BIGINT) AS n_words_out,
+               (least(1.0, n_words / 50.0) * 0.4
+                + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+                + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
+               ) AS quality
+        FROM t
+    ), pass AS (
+        SELECT * FROM scored WHERE quality >= 0.5
+    )
+    SELECT p.doc_id, p.n_words_out, p.quality
+    FROM pass p
+    JOIN (SELECT fp, min(doc_id) AS survivor FROM pass GROUP BY fp) s
+      ON p.doc_id = s.survivor
+    """
+
+
+@register("corpus_curation_pipeline", sql=_CURATION_SQL)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] capstone training-data curation: cheap quality filter first
+    (scan-fused Column arithmetic), then exact near-canonical dedup —
+    min-id survivor per content fingerprint as a window-min over the
+    fingerprint partition: ONE hash shuffle on fp, no join (a groupBy +
+    semi-join would shuffle twice, and broadcasting the survivor set is
+    wrong when survivors ~ |docs|). The order matters at 100 TB: the
+    filter runs in the scan stage, so the shuffle only carries surviving
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        xtext.fingerprint(F.col("text")).alias("fp"),
+        xtext.token_count_ws(F.col("text")).cast("long").alias("n_words_out"),
+        xtext.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp")
+    return (
+        scored.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .select("doc_id", "n_words_out", "quality")
+    )
+
+
 # --------------------------------------------------------------------------
 # [EXT] Multimodal binary columns
 # --------------------------------------------------------------------------
