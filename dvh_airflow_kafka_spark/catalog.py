@@ -1273,6 +1273,56 @@ def avro_confluent_framing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AVRO_EVENT_SCHEMA = """
+{"type": "record", "name": "Event", "fields": [
+  {"name": "event_type", "type": "string"},
+  {"name": "user_id", "type": "long"},
+  {"name": "value", "type": ["null", "double"]}
+]}
+"""
+
+
+@register(
+    "avro_binary_roundtrip",
+    sql="""
+    SELECT event_id,
+           event_type,
+           user_id,
+           "value" AS event_value
+    FROM events
+    """,
+)
+def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end without the spark-avro jar: each event row is
+    Avro-binary-encoded (zigzag varints, LE doubles, nullable union),
+    Confluent-framed, then header-stripped and decoded back through the
+    pure-Python codec (sources/avro_codec.py). The oracle asserts
+    decode(frame(encode(x))) == x on real data."""
+    from dvh_airflow_kafka_spark.sources.avro_codec import avro_encode_from_json_udf
+    from dvh_airflow_kafka_spark.sources.kafka import (
+        avro_payload_json,
+        confluent_frame,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    record_json = F.to_json(F.struct("event_type", "user_id", "value"))
+    framed = events.select(
+        "event_id",
+        confluent_frame(
+            F.lit(7), avro_encode_from_json_udf(_AVRO_EVENT_SCHEMA)(record_json)
+        ).alias("value"),
+    )
+    decoded = framed.select(
+        "event_id", avro_payload_json(F.col("value"), _AVRO_EVENT_SCHEMA).alias("j")
+    )
+    return decoded.select(
+        "event_id",
+        F.get_json_object(F.col("j"), "$.event_type").alias("event_type"),
+        F.get_json_object(F.col("j"), "$.user_id").cast("long").alias("user_id"),
+        F.get_json_object(F.col("j"), "$.value").cast("double").alias("event_value"),
+    )
+
+
 # Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
 
 

@@ -1,0 +1,164 @@
+"""Minimal pure-Python Avro *binary* codec — the jar-free S4 fallback.
+
+Implements the public Avro 1.x binary encoding (zigzag-varint ints/longs,
+little-endian IEEE float/double, length-prefixed bytes/utf8 strings,
+union-index-prefixed nullable unions) for FLAT record schemas of
+primitive fields. That is exactly the payload shape the reference's
+consumers carry (registry-validated flat records,
+reference src/kafka_source.py:129-151).
+
+Scale position: with the spark-avro jar present, ``from_avro`` is the
+JVM fast path (`sources/kafka.py` ``avro_payload``); this codec is the
+Arrow-batched Python fallback (and the test harness's encoder — the
+reference likewise decodes Avro in Python via DatumReader, so even the
+fallback matches the reference's per-row cost model while batching I/O
+through Arrow).
+
+Supported field types: "null", "boolean", "int", "long", "float",
+"double", "bytes", "string", and the nullable union ["null", T].
+"""
+
+from __future__ import annotations
+
+import json
+import struct as _struct
+from typing import Any, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63) if n < 0 else (n << 1)
+    z &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _field_types(schema: dict) -> list[tuple[str, Any]]:
+    assert schema.get("type") == "record", "only record schemas supported"
+    return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+def _encode_value(ftype: Any, value: Any) -> bytes:
+    if isinstance(ftype, list):  # nullable union ["null", T]
+        if value is None:
+            return _zigzag_encode(ftype.index("null"))
+        other = next(t for t in ftype if t != "null")
+        return _zigzag_encode(ftype.index(other)) + _encode_value(other, value)
+    if ftype == "null":
+        return b""
+    if ftype == "boolean":
+        return b"\x01" if value else b"\x00"
+    if ftype in ("int", "long"):
+        return _zigzag_encode(int(value))
+    if ftype == "float":
+        return _struct.pack("<f", float(value))
+    if ftype == "double":
+        return _struct.pack("<d", float(value))
+    if ftype in ("bytes", "string"):
+        raw = value.encode("utf-8") if ftype == "string" else bytes(value)
+        return _zigzag_encode(len(raw)) + raw
+    raise ValueError(f"unsupported avro type: {ftype!r}")
+
+
+def _decode_value(ftype: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+    if isinstance(ftype, list):
+        idx, pos = _zigzag_decode(buf, pos)
+        branch = ftype[idx]
+        if branch == "null":
+            return None, pos
+        return _decode_value(branch, buf, pos)
+    if ftype == "null":
+        return None, pos
+    if ftype == "boolean":
+        return buf[pos] == 1, pos + 1
+    if ftype in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if ftype == "float":
+        return _struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if ftype == "double":
+        return _struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if ftype in ("bytes", "string"):
+        n, pos = _zigzag_decode(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if ftype == "string" else raw), pos + n
+    raise ValueError(f"unsupported avro type: {ftype!r}")
+
+
+def encode_record(schema: dict, record: dict) -> bytes:
+    """Record dict -> Avro binary body (no Confluent header — compose
+    with ``sources.kafka.confluent_frame`` for the wire format)."""
+    out = bytearray()
+    for name, ftype in _field_types(schema):
+        out += _encode_value(ftype, record.get(name))
+    return bytes(out)
+
+
+def decode_record(schema: dict, data: bytes) -> dict:
+    """Avro binary body -> record dict."""
+    rec: dict[str, Any] = {}
+    pos = 0
+    for name, ftype in _field_types(schema):
+        rec[name], pos = _decode_value(ftype, data, pos)
+    return rec
+
+
+def avro_decode_to_json_udf(schema_json: str):
+    """Pandas UDF: Avro body bytes -> canonical JSON string of the record
+    (the dynamic-payload contract the JSON mode also uses, so the rest of
+    the envelope/transform spine is format-agnostic). Arrow-batched; the
+    parsed schema lives in the closure."""
+    schema = json.loads(schema_json)
+
+    @F.pandas_udf(T.StringType())
+    def decode(vals: pd.Series) -> pd.Series:
+        def one(v) -> Optional[str]:
+            if v is None:
+                return None
+            return json.dumps(decode_record(schema, bytes(v)), ensure_ascii=False)
+
+        return vals.map(one)
+
+    return decode
+
+
+def avro_encode_from_json_udf(schema_json: str):
+    """Pandas UDF: JSON record string -> Avro body bytes (the test-side
+    encoder; the reference's producer path uses a registry-backed
+    serializer, src/kafka_target.py:32-63)."""
+    schema = json.loads(schema_json)
+
+    @F.pandas_udf(T.BinaryType())
+    def encode(vals: pd.Series) -> pd.Series:
+        def one(v) -> Optional[bytes]:
+            if v is None:
+                return None
+            return encode_record(schema, json.loads(v))
+
+        return vals.map(one)
+
+    return encode

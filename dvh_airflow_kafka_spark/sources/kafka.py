@@ -113,11 +113,25 @@ def confluent_frame(schema_id: F.Column, payload: F.Column) -> F.Column:
 def avro_payload(
     value: F.Column, schema_json: str, registry_cache: Optional[dict] = None
 ) -> F.Column:
-    """Decode a registry-framed Avro value. The schema JSON is fetched
-    once in the driver (the reference keeps a per-schema-id cache,
-    src/kafka_source.py:132-133) and distributed as a plan literal."""
+    """Decode a registry-framed Avro value to a typed struct. The schema
+    JSON is fetched once in the driver (the reference keeps a
+    per-schema-id cache, src/kafka_source.py:132-133) and distributed as
+    a plan literal. Requires the spark-avro jar (the JVM fast path);
+    without it use :func:`avro_payload_json`."""
     try:
         from pyspark.sql.avro.functions import from_avro
     except ImportError as e:  # pragma: no cover - needs spark-avro jar
         raise NotImplementedError("spark-avro not on classpath") from e
     return from_avro(strip_confluent_header(value), schema_json)
+
+
+def avro_payload_json(value: F.Column, schema_json: str) -> F.Column:
+    """Jar-free S4 decode: registry-framed Avro value -> canonical JSON
+    string of the record (the same dynamic-payload contract as JSON mode,
+    so the envelope/transform spine downstream is format-agnostic).
+    Arrow-batched pure-Python codec (sources/avro_codec.py) — mirrors the
+    reference's Python DatumReader cost model (src/kafka_source.py:136-151)
+    while batching transfer through Arrow."""
+    from dvh_airflow_kafka_spark.sources.avro_codec import avro_decode_to_json_udf
+
+    return avro_decode_to_json_udf(schema_json)(strip_confluent_header(value))
