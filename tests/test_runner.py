@@ -284,3 +284,51 @@ transform:
     r2 = run_pipeline(spark, yaml_text)
     assert r2.summary.event_count == 0
     assert spark.read.parquet(sink).count() == 300
+
+
+def test_k6_scrub_person_id_from_payload(spark, sf_dir):
+    """P4 with the person-id extracted from a (possibly nested) payload
+    keypath (reference src/oracle_target.py:46-51 walks the message dict)."""
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+target:
+  type: memory
+  table: t_k6_payload
+  k6-filter:
+    filter-table: skjerming
+    filter-col: off_id
+    col: k
+    timestamp: kafka_timestamp
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_message
+    dst: kafka_message
+"""
+    events = load_table(spark, sf_dir, "events")
+    flagged_k = [
+        r.k
+        for r in events.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .limit(2)
+        .collect()
+    ]
+    lookup = spark.createDataFrame(
+        [(str(k), "1900-01-01", "9999-12-31", 7) for k in flagged_k],
+        "off_id string, gyldig_fra_dato string, gyldig_til_dato string, skjermet_kode int",
+    )
+    result = run_pipeline(spark, yaml_text, k6_lookup=lookup)
+    out = result.dataframe
+    assert out.count() == events.count()
+    expect_hit = events.filter(
+        F.get_json_object("props", "$.k").cast("int").isin(flagged_k)
+    ).count()
+    assert expect_hit > 0
+    assert out.filter(F.col("kafka_message").isNull()).count() == expect_hit
