@@ -1370,3 +1370,9 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
+# Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
+# q21/q22 shapes + as-of join) registers itself on import. Bottom of the
+# module: relational.py imports `register` from here mid-initialisation.
+from dvh_airflow_kafka_spark import relational as _relational  # noqa: E402,F401

@@ -1,0 +1,725 @@
+"""Extended relational coverage: the rest of the TPC-H-shaped query
+surface (adapted to the testdata schema — no partsupp / commitdate /
+shipmode columns) plus an as-of join operator.
+
+Every query follows the catalog's parity discipline:
+
+- money/quantity math in DECIMAL(18,2)-derived exact arithmetic, cast to
+  DOUBLE only at the output edge (bit-identical across Spark and DuckDB,
+  immune to float summation order);
+- integer SUMs cast to BIGINT in the DuckDB oracle (DuckDB yields
+  HUGEINT; driver hashing is type-sensitive);
+- threshold comparisons against an average rewritten as exact
+  cross-multiplications (``5*qty*cnt < sum`` instead of
+  ``qty < 0.2*sum/cnt``) so no engine-specific division rounding can
+  flip a row in or out of the result;
+- top-k always ordered with a unique tiebreak key so LIMIT is
+  deterministic on both engines.
+
+Scale notes (100 TB / 1000-executor mental model):
+
+- part/supplier/nation/region/customer are dimension-sized → broadcast
+  joins everywhere they appear; lineitem/orders shuffle at most once on
+  their join key per query;
+- aggregates are expressed as groupBy so Spark plans partial (map-side)
+  aggregation before the exchange;
+- scalar subqueries (q17 per-part avg, q22 global avg) become broadcast
+  frames, never driver collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.catalog import register
+from dvh_airflow_kafka_spark.io import load_table
+
+
+def _dec(col) -> F.Column:
+    return col.cast("decimal(18,2)")
+
+
+def _rev() -> F.Column:
+    """Exact-decimal extendedprice*(1-discount)."""
+    return _dec(F.col("l_extendedprice")) * (
+        F.lit(1) - _dec(F.col("l_discount"))
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ==========================================================================
+# Q4 — order-priority checking (EXISTS semi-join)
+# ==========================================================================
+
+
+@register(
+    "tpch_q4_order_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, then count per priority.
+    (Adapted: no l_commitdate/l_receiptdate in the testdata, so "late"
+    means shipped >30 days after the order date.)
+
+    Plan: orders filtered at the scan (predicate pushdown on o_orderdate),
+    semi-join on l_orderkey carries the non-equi lateness predicate in the
+    join condition; one shuffle, then partial+final count.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    return (
+        orders.join(li, on=late, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ==========================================================================
+# Q6 — forecasting revenue change (pure scan-aggregate)
+# ==========================================================================
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    sql="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the canonical pushdown test — every predicate reaches the
+    parquet scan (`PushedFilters`), only 4 columns read, single partial →
+    final SUM with no shuffle beyond the 1-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice")) * _dec(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ==========================================================================
+# Q7 — volume shipping between two nations
+# ==========================================================================
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    sql=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name, l_year
+    """,
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: lineitem⋈orders is the only big-big join (one shuffle on
+    the orderkey); supplier/customer/nation are broadcast. The disjunctive
+    two-nation filter is applied after the dimension joins, exactly where
+    Catalyst can still prune rows before the aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(F.sum(_rev()).cast("double").alias("revenue"))
+
+
+# ==========================================================================
+# Q8 — national market share within a region
+# ==========================================================================
+
+
+@register(
+    "tpch_q8_market_share",
+    sql=f"""
+    WITH all_nations AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+               {_REV_SQL} AS volume,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1999-01-01')
+    SELECT o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM all_nations
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of PROMO-part revenue sold into ASIA.
+    Share = exact-decimal SUMs cast to DOUBLE, then a single IEEE division
+    — identical on both engines. lineitem⋈orders is the one shuffle; all
+    five dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    vol = _rev().alias("volume")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(region), F.col("c_rkey") == F.col("r_regionkey"))
+        .select(F.year("o_orderdate").cast("bigint").alias("o_year"),
+                vol, F.col("supp_nation"))
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+    ).cast("double")
+    share_den = F.sum(F.col("volume")).cast("double")
+    return joined.groupBy("o_year").agg(
+        (share_num / share_den).cast("double").alias("mkt_share")
+    )
+
+
+# ==========================================================================
+# Q12 — priority lines per linestatus (conditional aggregation)
+# ==========================================================================
+
+
+@register(
+    "tpch_q12_priority_lines",
+    sql="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode in testdata → grouped by
+    l_linestatus): orders⋈lineitem on the orderkey, CASE-counting urgent
+    vs non-urgent order priorities. One shuffle; the CASE sums fold into
+    the partial aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+# ==========================================================================
+# Q13 — customer order-count distribution (outer join + double groupBy)
+# ==========================================================================
+
+
+@register(
+    "tpch_q13_order_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: LEFT OUTER join keeps order-less customers (c_count=0),
+    the join-side filter lives in the join condition (not a WHERE, which
+    would turn the outer join inner). Two aggregations: per-customer count
+    (shuffle on custkey) then the tiny distribution rollup."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, on=cond, how="left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ==========================================================================
+# Q14 — promotion revenue share
+# ==========================================================================
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    sql=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                      THEN {_REV_SQL} END) AS DOUBLE)
+                / CAST(SUM({_REV_SQL}) AS DOUBLE) AS DOUBLE) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: one broadcast join (part is a dimension), date filter
+    pushed to the lineitem scan, exact-decimal sums → one IEEE division at
+    the edge."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", _rev())).cast("double")
+    total = F.sum(_rev()).cast("double")
+    return joined.agg(
+        (F.lit(100.0) * promo / total).cast("double").alias("promo_revenue")
+    )
+
+
+# ==========================================================================
+# Q17 — small-quantity-order revenue (per-part average as broadcast frame)
+# ==========================================================================
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    sql="""
+    WITH brand_parts AS (
+        SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+    per_part AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem l JOIN brand_parts b ON l.l_partkey = b.p_partkey
+        GROUP BY l.l_partkey)
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN per_part a ON l.l_partkey = a.l_partkey
+    WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * a.cnt < a.sum_qty
+    """,
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: the correlated ``l_quantity < 0.2*avg(l_quantity)``
+    subquery becomes a per-part (sum, count) aggregate joined back —
+    broadcast, since only one brand's parts survive. The threshold is the
+    exact cross-multiplication ``5*qty*cnt < sum`` so no division rounding
+    differs between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    brand_li = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part = brand_li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.sum(_dec(F.col("l_quantity"))).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    small = brand_li.join(
+        F.broadcast(per_part), F.col("l_partkey") == F.col("a_partkey")
+    ).filter(_dec(F.col("l_quantity")) * 5 * F.col("cnt") < F.col("sum_qty"))
+    return small.agg(
+        (F.sum(_dec(F.col("l_extendedprice"))).cast("double") / F.lit(7.0))
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+# ==========================================================================
+# Q18 — large-volume customers (HAVING over a fact aggregate)
+# ==========================================================================
+
+
+@register(
+    "tpch_q18_large_volume",
+    sql="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(b.sum_qty AS DOUBLE) AS sum_qty
+    FROM big b
+    JOIN orders o   ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: aggregate lineitem per order (map-side partial sums),
+    HAVING keeps the rare >300-quantity orders, then the small survivor
+    set broadcast-joins to orders and customer — the big fact is touched
+    exactly once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+# ==========================================================================
+# Q19 — disjunctive predicate revenue (OR-of-ANDs join filter)
+# ==========================================================================
+
+
+@register(
+    "tpch_q19_disjunct_revenue",
+    sql=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def tpch_q19_disjunct_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (brand, size, quantity) triples on a
+    broadcast part join. Catalyst extracts the common `p_partkey` equi-key
+    so this stays a hash join with the OR as a post-join filter; the
+    brand/size disjunction also prunes the broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & sz.between(1, 20) & q.between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 30) & q.between(20, 40))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+# ==========================================================================
+# Q21 — suppliers who alone shipped late in multi-supplier orders
+# ==========================================================================
+
+
+@register(
+    "tpch_q21_late_sole_supplier",
+    sql="""
+    WITH fo AS (
+        SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+    flag AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > fo.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l JOIN fo ON l.l_orderkey = fo.o_orderkey
+        GROUP BY l.l_orderkey, l.l_suppkey),
+    per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp,
+               CAST(SUM(is_late) AS BIGINT) AS n_late
+        FROM flag GROUP BY l_orderkey)
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM flag f
+    JOIN per_order p ON f.l_orderkey = p.l_orderkey
+    JOIN supplier s  ON f.l_suppkey = s.s_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE f.is_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+      AND n.n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+    GROUP BY s.s_name
+    """,
+)
+def tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped >60 days after the order
+    date): the EXISTS / NOT EXISTS pair over sibling lineitems becomes two
+    stacked aggregates — per-(order,supplier) lateness flags, then
+    per-order supplier/late counts — followed by broadcast dimension
+    joins. The fact shuffles once on the orderkey and the two aggregates
+    reuse that partitioning (no second exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_5", "NATION_6", "NATION_7")
+    )
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1
+    ).otherwise(0)
+    flag = (
+        li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = flag.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+    )
+    return (
+        flag.filter(F.col("is_late") == 1)
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("p_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ==========================================================================
+# Q22 — idle high-balance customers (scalar subquery + anti-join)
+# ==========================================================================
+
+
+@register(
+    "tpch_q22_idle_customers",
+    sql="""
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)),
+    avg_pos AS (
+        SELECT SUM(bal) AS sum_bal, COUNT(*) AS cnt
+        FROM pool WHERE bal > 0)
+    SELECT p.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(p.bal) AS DOUBLE) AS totacctbal
+    FROM pool p, avg_pos a
+    WHERE p.bal * a.cnt > a.sum_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+    GROUP BY p.c_nationkey
+    """,
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: every testdata customer has at least one
+    order, so "idle" means no orders since 2000-06-01): the scalar AVG
+    subquery becomes a broadcast 1-row (sum, count) frame and the
+    comparison the exact cross-multiplication ``bal*cnt > sum``; lapsed
+    customers survive a left-anti join (NOT EXISTS) against the recent
+    order scan — whose date predicate pushes down to parquet."""
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(1, 3, 5, 7, 9))
+        .select("c_custkey", "c_nationkey", _dec(F.col("c_acctbal")).alias("bal"))
+    )
+    avg_pos = pool.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_bal"), F.count(F.lit(1)).alias("cnt")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("bal") * F.col("cnt") > F.col("sum_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# ==========================================================================
+# As-of join — each purchase matched to the latest strictly-prior view
+# ==========================================================================
+
+
+@register(
+    "events_asof_join",
+    sql="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind_rank,
+               CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+               CASE WHEN event_type = 'view' THEN ts END AS v_ts
+        FROM events WHERE event_type IN ('purchase', 'view')),
+    matched AS (
+        SELECT user_id, ts, event_id, kind_rank,
+               LAST_VALUE(v_id IGNORE NULLS) OVER w AS view_event_id,
+               LAST_VALUE(v_ts IGNORE NULLS) OVER w AS view_ts
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, kind_rank, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts,
+           view_event_id, view_ts
+    FROM matched WHERE kind_rank = 0
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward, strict): every 'purchase' event paired with
+    the same user's latest 'view' whose ts is strictly earlier.
+
+    Spark has no ASOF JOIN operator; the scalable composition is the
+    union-tag trick — one shuffle on user_id, one sort inside each
+    partition, no range-join explosion:
+
+    1. tag both sides into one frame (purchases sort *before* views at
+       equal ts, making the match strictly-prior);
+    2. window `last(view_cols, ignorenulls=True)` over
+       rowsBetween(unboundedPreceding, -1);
+    3. keep the purchase rows.
+
+    At 100 TB this is a single repartition by user_id — contrast with the
+    O(n·m) theta-join a naive `l.ts >= r.ts` range join would plan.
+    event_id breaks ordering ties deterministically on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    is_view = F.col("event_type") == "view"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind_rank"),
+        F.when(is_view, F.col("event_id")).alias("v_id"),
+        F.when(is_view, F.col("ts")).alias("v_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind_rank", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind_rank",
+        F.last("v_id", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+    )
+    return matched.filter(F.col("kind_rank") == 0).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "view_event_id",
+        "view_ts",
+    )
