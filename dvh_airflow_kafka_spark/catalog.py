@@ -1372,6 +1372,75 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
 
 
+@register(
+    "streaming_sessionization",
+    sql="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sid
+        FROM t)
+    SELECT user_id, MIN(us) AS start_us, MAX(us) AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState session operator (ST-custom), driven as
+    a real Structured-Streaming drain and oracled against the batch
+    lag/cumsum sessionization.
+
+    The events table streams through ``availableNow`` micro-batches; a
+    far-future sentinel event appended as the last file pushes the final
+    watermark past every real session's (last_event + gap) timeout, so
+    the emitted append-mode result is the *complete* session set —
+    byte-comparable to the batch answer. Session boundaries surface as
+    epoch-µs longs (both engines floor ns→µs identically).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        read_event_stream,
+        sessionize_with_state,
+    )
+
+    # watermarks require tz-aware TIMESTAMP; session tz is pinned UTC so
+    # the cast is value-preserving
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_sess_")
+    src = os.path.join(tmp, "src")
+    ev.coalesce(1).write.parquet(src)
+    sentinel_ts = (ev.agg(F.max("ts")).collect()[0][0]) + dt.timedelta(days=10)
+    spark.createDataFrame(
+        [(-1, sentinel_ts, 0.0)], "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    sessions = sessionize_with_state(
+        read_event_stream(spark, src), gap="30 minutes"
+    )
+    out = drain_to_memory(spark, sessions, name, os.path.join(tmp, "ckpt"))
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n_events",
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.

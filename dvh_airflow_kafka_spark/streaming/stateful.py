@@ -1,0 +1,227 @@
+"""Stateful Structured-Streaming operators: watermarked windowed
+aggregation and a custom session operator on ``applyInPandasWithState``.
+
+The reference's consumer loop has no windowed state (it is a straight
+poll→write pump), but a 100 TB event pipeline needs both canonical
+stateful shapes:
+
+- **tumbling-window counts** — pure built-ins (``withWatermark`` +
+  ``window()`` groupBy): Spark keeps per-window partial aggregates in the
+  state store, emits a window exactly once when the watermark passes its
+  end (append mode), and drops the state. Scale cost is one shuffle on
+  (window, group) with map-side partial aggregation — the same plan shape
+  as the batch rollup.
+
+- **gap sessionization** — no built-in produces per-session custom
+  payloads incrementally, so this is the documented escape hatch:
+  ``applyInPandasWithState`` (Arrow-batched, grouped by user) holding one
+  open session per user in the state store. Sessions close either when a
+  later event arrives past the gap, or when the event-time timeout fires
+  (watermark passed last_event + gap). Emission is append-only — each
+  closed session exactly once — which keeps the sink contract identical
+  to the batch ``events_sessionization`` query.
+
+State per user is O(1) (start, last, count, sum), so state-store size is
+bounded by |active users|, not event volume — the property that keeps
+this runnable against an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# Open-session state: microsecond epochs (longs round-trip the state store
+# without timezone ambiguity).
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+_US = 1_000_000
+
+
+def windowed_event_counts(
+    stream: DataFrame, *, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window counts per event_type (append-ready).
+
+    Late rows beyond ``watermark`` are dropped by the state store; each
+    window emits exactly once, when the watermark passes its end.
+    """
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _session_frame(user_id: int, start_us: int, last_us: int, n: int, sv: float):
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us, unit="us")],
+            "n_events": [n],
+            "sum_value": [sv],
+        }
+    )
+
+
+def _make_sessionizer(gap_us: int):
+    """Build the applyInPandasWithState function for a given gap."""
+
+    def sessionize(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # Watermark passed last_event + gap with no new data: the open
+            # session is final — emit and drop the state.
+            start_us, last_us, n, sv = state.get
+            state.remove()
+            yield _session_frame(user_id, start_us, last_us, n, sv)
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("ts", kind="mergesort")
+        # Arrow hands timestamps as datetime64[ns] or [us] depending on the
+        # pandas/pyarrow pairing — normalise to ns before slicing to µs.
+        ts_us = (
+            rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).to_numpy()
+        vals = rows["value"].fillna(0.0).to_numpy()
+
+        # Seed with the open session from the state store, if any.
+        if state.exists:
+            start_us, last_us, n, sv = state.get
+        else:
+            start_us, last_us, n, sv = int(ts_us[0]), int(ts_us[0]) - 1, 0, 0.0
+
+        for t, v in zip(ts_us, vals):
+            t = int(t)
+            if n > 0 and t - last_us > gap_us:
+                yield _session_frame(user_id, start_us, last_us, n, sv)
+                start_us, n, sv = t, 0, 0.0
+            elif n == 0:
+                start_us = t
+            last_us, n, sv = max(last_us, t), n + 1, sv + float(v)
+
+        state.update((start_us, last_us, n, sv))
+        # Event-time timeout: fire when the watermark passes last + gap.
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+
+    return sessionize
+
+
+def sessionize_with_state(
+    stream: DataFrame, *, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator.
+
+    ``applyInPandasWithState`` (Arrow-batched, EventTimeTimeout) keeps one
+    open session per user; closed sessions append exactly once. Semantics
+    match the batch ``events_sessionization`` lag/cumsum query — the
+    batch query is the oracle for the streaming operator in tests.
+    """
+    gap_us = int(_parse_minutes(gap) * 60 * _US)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_sessionizer(gap_us),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _parse_minutes(spec: str) -> float:
+    n, unit = spec.split()
+    n = float(n)
+    return {"second": n / 60, "minute": n, "hour": n * 60}[unit.rstrip("s")]
+
+
+def drain_to_memory(
+    spark: SparkSession,
+    stream: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Drain a streaming frame into an in-memory table (availableNow) and
+    return it as a batch frame — the test-side sink."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def drain_to_parquet(
+    stream: DataFrame, path: str, checkpoint_dir: str
+) -> None:
+    """Drain into a parquet sink (availableNow). Unlike the memory sink
+    this one is fault-tolerant: restarting with the same checkpoint
+    resumes from committed offsets + state."""
+    q = (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_event_stream(
+    spark: SparkSession, source_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-stream simulation of the event log (schema from a batch read,
+    one file per micro-batch by default)."""
+    schema = spark.read.parquet(source_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+    )

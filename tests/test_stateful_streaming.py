@@ -1,0 +1,171 @@
+"""Stateful streaming: watermarked tumbling-window aggregation (built-in
+state store) and applyInPandasWithState gap sessionization, both checked
+against their batch equivalents on the same data — the batch plan is the
+oracle for the streaming operator."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.streaming.stateful import (
+    drain_to_memory,
+    drain_to_parquet,
+    read_event_stream,
+    sessionize_with_state,
+    windowed_event_counts,
+)
+
+GAP_MIN = 30
+
+
+def _mk_events(spark, rows):
+    """rows: (event_id, user_id, minute_offset, event_type, value)"""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (eid, uid, base + dt.timedelta(minutes=m), etype, float(v))
+        for (eid, uid, m, etype, v) in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+@pytest.fixture()
+def session_log(spark, tmp_path):
+    """Two micro-batch files; user 1 has two gap-split sessions inside
+    file A plus a continuation in file B; user 2 is a single session."""
+    src = str(tmp_path / "log")
+    # file A: user1 session1 (0,10min), session2 starts at 60min;
+    #         user2 session (5,15min)
+    a = _mk_events(
+        spark,
+        [
+            (1, 1, 0, "view", 1.0),
+            (2, 1, 10, "click", 2.0),
+            (3, 1, 60, "view", 3.0),
+            (4, 2, 5, "view", 4.0),
+            (5, 2, 15, "purchase", 5.0),
+        ],
+    )
+    # file B: user1 continues session2 at 70min, then far-future events
+    # push the watermark beyond every open session's timeout
+    b = _mk_events(
+        spark,
+        [
+            (6, 1, 70, "purchase", 6.0),
+            (7, 3, 600, "view", 0.5),
+            (8, 3, 1200, "view", 0.5),
+        ],
+    )
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+def _batch_sessions(spark, source_dir):
+    """Batch lag/cumsum sessionization — the oracle."""
+    ev = spark.read.parquet(source_dir)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    new_s = F.when(gap.isNull() | (gap > GAP_MIN * 60), 1).otherwise(0)
+    sess = ev.withColumn("s", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "s")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .drop("s")
+    )
+
+
+def test_stateful_sessionization_matches_batch_oracle(spark, session_log, tmp_path):
+    stream = read_event_stream(spark, session_log)
+    sessions = sessionize_with_state(stream, gap=f"{GAP_MIN} minutes")
+    got = drain_to_memory(
+        spark, sessions, "sessions_t1", str(tmp_path / "ckpt")
+    ).collect()
+    # Every session whose timeout the final watermark passed must be out.
+    # The far-future events (user 3 at +600/+1200min) push the watermark
+    # past every user-1/user-2 session end + gap.
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in _batch_sessions(spark, session_log).collect()
+        if r["user_id"] in (1, 2)
+    }
+    got_keys = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in got
+        if r["user_id"] in (1, 2)
+    }
+    assert got_keys == want
+    # user 1 must have exactly two sessions and the second one spans the
+    # micro-batch boundary (events 3, 6: 60min..70min)
+    u1 = sorted((r for r in got if r["user_id"] == 1), key=lambda r: r["session_start"])
+    assert len(u1) == 2
+    assert u1[1]["n_events"] == 2 and u1[1]["sum_value"] == 9.0
+
+
+def test_stateful_sessionization_resumes_from_checkpoint(
+    spark, session_log, tmp_path
+):
+    """The state store survives a stop/restart: draining twice with the
+    same checkpoint emits each session at most once, and a new late file
+    closes the remaining open sessions."""
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sessions")
+    stream = read_event_stream(spark, session_log)
+    sessions = sessionize_with_state(stream, gap=f"{GAP_MIN} minutes")
+    drain_to_parquet(sessions, sink, ckpt)
+    first = spark.read.parquet(sink).collect()
+    assert len(first) >= 3  # u1 two sessions + u2 one
+
+    # a third file far in the future times out user 3's open sessions
+    extra = _mk_events(spark, [(9, 4, 5000, "view", 1.0)])
+    extra.coalesce(1).write.mode("append").parquet(session_log)
+    drain_to_parquet(
+        sessionize_with_state(
+            read_event_stream(spark, session_log), gap=f"{GAP_MIN} minutes"
+        ),
+        sink,
+        ckpt,
+    )
+    combined = spark.read.parquet(sink).collect()
+    # the second drain only processes the new file: no re-emission of the
+    # first run's sessions, but user 3's two sessions now close
+    u3 = [r for r in combined if r["user_id"] == 3]
+    assert len(u3) == 2
+    emitted = [(r["user_id"], r["session_start"]) for r in combined]
+    assert len(emitted) == len(set(emitted))  # exactly-once per session
+
+
+def test_windowed_counts_match_batch_groupby(spark, session_log, tmp_path):
+    stream = read_event_stream(spark, session_log)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="0 seconds")
+    got = drain_to_memory(spark, counts, "win_t1", str(tmp_path / "ckpt"))
+
+    ev = spark.read.parquet(session_log)
+    final_wm = ev.agg(F.max("ts")).collect()[0][0]
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        # append mode only emits windows the final watermark closed
+        .filter(F.col("window_end") <= F.lit(final_wm))
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set
+    assert len(got_set) > 0
