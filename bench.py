@@ -49,6 +49,21 @@ HEADLINE = [
     "pipeline_from_yaml_config",
     "blob_fingerprint",
     "blob_simhash_near_dup",
+    # round-2 relational widening (keep above list stable for
+    # round-over-round comparability; these append)
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunct_revenue",
+    "tpch_q21_late_sole_supplier",
+    "tpch_q22_idle_customers",
+    "events_asof_join",
 ]
 
 

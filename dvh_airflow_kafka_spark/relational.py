@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.catalog import register
+from dvh_airflow_kafka_spark.ext.profile import label_centroids, profile_table
 from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.operators.skew import salted_join
 
 
 def _dec(col) -> F.Column:
@@ -722,4 +724,94 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("purchase_ts"),
         "view_event_id",
         "view_ts",
+    )
+
+
+# ==========================================================================
+# [EXT] corpus profiling, vector centroids, skew-safe join
+# ==========================================================================
+
+
+@register(
+    "table_profile_events",
+    sql="""
+    SELECT 'user_id' AS col_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(user_id) AS n_null,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           CAST(MIN(user_id) AS DOUBLE) AS min_d,
+           CAST(MAX(user_id) AS DOUBLE) AS max_d
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT("value"),
+           COUNT(DISTINCT "value"),
+           CAST(MIN("value") AS DOUBLE), CAST(MAX("value") AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+           COUNT(DISTINCT props),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM events
+    """,
+)
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] One-pass dataset profile of the events table (row/null/
+    distinct counts, numeric min/max) — the pre-curation corpus check.
+    ``profile_table_approx`` is the same operator with HLL distincts for
+    the 100 TB path (pytest-bounded; exact version is the oracle here)."""
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev, numeric_cols=["user_id", "value"], other_cols=["event_type", "props"]
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    sql="""
+    SELECT label, pos, ROUND(AVG(v), 6) AS centroid
+    FROM (
+        SELECT label,
+               CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-label mean embedding via posexplode → groupBy(label,
+    pos): vector reduction entirely in codegen, map-side partial sums,
+    one shuffle of |labels|·dim partials. The building block for IVF
+    coarse centroids and class prototypes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@register(
+    "salted_segment_revenue",
+    sql="""
+    SELECT c.c_mktsegment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Market-segment revenue through the skew-safe salted join:
+    the fact side salted into 8 sub-keys, the dimension exploded ×8, join
+    on (key, salt) — a hot customer's orders spread over 8 tasks instead
+    of one. The plain-join oracle proves result equivalence."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(orders, cust, on=["o_custkey"], n_salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
     )
