@@ -109,3 +109,41 @@ def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Temp views for SQL-first operator definitions."""
     for t in tables:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols,
+    *,
+    n_buckets: int = 32,
+    sort_cols=None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-bucketed (optionally sort-ordered) external
+    parquet table.
+
+    Bucketing is the shuffle-you-pay-once layout: two tables bucketed by
+    the same key into the same bucket count join with NO Exchange on
+    either side (the bucketed scan already satisfies the join's
+    distribution), and aggregations grouped on the bucket key skip their
+    shuffle the same way. At 100 TB this converts every repeated
+    fact⋈fact join on the bucket key from a full network shuffle into a
+    local merge — the single biggest repeated-query win after partition
+    pruning. ``sort_cols`` additionally pre-sorts each bucket file so a
+    sort-merge join reads pre-ordered runs.
+    """
+    if isinstance(bucket_cols, str):
+        bucket_cols = [bucket_cols]
+    w = (
+        df.write.format("parquet")
+        .mode(mode)
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        if isinstance(sort_cols, str):
+            sort_cols = [sort_cols]
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
