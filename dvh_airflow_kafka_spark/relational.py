@@ -815,3 +815,141 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ==========================================================================
+# Ordered-statistics, pivot, session_window, ntile coverage
+# ==========================================================================
+
+
+@register(
+    "events_value_percentiles",
+    sql="""
+    SELECT event_type,
+           quantile_cont("value", 0.5)  AS p50,
+           quantile_cont("value", 0.90) AS p90,
+           quantile_cont("value", 0.99) AS p99,
+           median("value") AS med,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ordered statistics per group: Spark ``percentile``/``median``
+    and DuckDB ``quantile_cont`` share the linear-interpolation definition,
+    so the values are bit-identical (probed, not assumed). At 100 TB the
+    exact sort-based percentile becomes ``approx_percentile`` (KLL/GK
+    sketch) — same call shape, bounded state."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("value"), F.lit(0.90)).alias("p90"),
+        F.percentile(F.col("value"), F.lit(0.99)).alias("p99"),
+        F.median("value").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_session_window",
+    sql="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sid
+        FROM t)
+    SELECT user_id, MIN(us) AS start_us,
+           MAX(us) + 1800000000 AS end_us,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NATIVE gap-session operator — ``F.session_window`` groupBy —
+    oracled against the same lag/cumsum SQL as the stateful streaming
+    variant (a session window's end is last_event + gap by definition).
+    One shuffle on (user, session); Spark merges overlapping candidate
+    windows inside the aggregate. The third sessionization in the repo:
+    batch lag/cumsum == this native operator == applyInPandasWithState
+    stream, all provably equal on the same data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "user_event_pivot",
+    sql="""
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event-type counts. The explicit
+    value list keeps the plan a single-pass conditional aggregate — an
+    unlisted pivot needs an extra distinct-values job first, a full scan
+    a 100 TB pipeline shouldn't pay."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+@register(
+    "customer_acctbal_deciles",
+    sql="""
+    WITH d AS (
+        SELECT c_acctbal,
+               NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer)
+    SELECT decile, COUNT(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM d GROUP BY decile
+    """,
+)
+def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile profile of customer balances (unique tiebreak key
+    makes the tile assignment deterministic on both engines). A global
+    NTILE needs a total order — fine on a dimension; on a 100 TB fact
+    use percentile cutpoints + a broadcast range join instead."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_acctbal", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c_acctbal").cast("double").alias("lo"),
+            F.max("c_acctbal").cast("double").alias("hi"),
+        )
+    )
