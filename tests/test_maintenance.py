@@ -1,0 +1,67 @@
+"""Compaction and merge-upsert: data preserved byte-for-byte, file counts
+shrink, matched keys replaced, unmatched appended."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.operators.maintenance import (
+    compact_parquet,
+    file_stats,
+    merge_upsert,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_shrinks_files_preserves_rows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(20).write.parquet(path)
+    before_rows = _rows(spark.read.parquet(path))
+    assert file_stats(path)["n_files"] == 20
+
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = file_stats(path)
+    assert n == 1 and after["n_files"] == 1
+    assert _rows(spark.read.parquet(path)) == before_rows
+
+
+def test_compact_sort_within_restores_locality(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    ev.repartition(8).write.parquet(path)
+    compact_parquet(
+        spark, path, target_file_bytes=1 << 30, sort_within_by=["event_id"]
+    )
+    got = [r["event_id"] for r in spark.read.parquet(path).collect()]
+    assert got == sorted(got)  # single file, fully ordered
+
+
+def test_merge_upsert_replaces_and_appends(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    merge_upsert(spark, path, updates, keys=["k"])
+    got = {r["k"]: (r["s"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_idempotent_replay(spark, tmp_path):
+    """Replaying the same update batch (at-least-once delivery) leaves the
+    table unchanged — the upsert is the idempotent sink the streaming
+    spine's dedup contract assumes."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double").write.parquet(path)
+    updates = spark.createDataFrame([(2, 5.0), (3, 3.0)], "k long, v double")
+    merge_upsert(spark, path, updates, keys=["k"])
+    once = _rows(spark.read.parquet(path))
+    merge_upsert(spark, path, updates, keys=["k"])
+    assert _rows(spark.read.parquet(path)) == once
