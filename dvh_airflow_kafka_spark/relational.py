@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.catalog import register
 from dvh_airflow_kafka_spark.ext.profile import label_centroids, profile_table
+from dvh_airflow_kafka_spark.ext.sampling import (
+    hash_split,
+    sql_bucket_predicate,
+    stratified_hash_sample,
+)
 from dvh_airflow_kafka_spark.io import load_table
 from dvh_airflow_kafka_spark.operators.skew import salted_join
 
@@ -952,4 +957,120 @@ def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("c_acctbal").cast("double").alias("lo"),
             F.max("c_acctbal").cast("double").alias("hi"),
         )
+    )
+
+
+# ==========================================================================
+# [EXT] training-data splits, stratified sampling, TF-IDF terms
+# ==========================================================================
+
+
+@register(
+    "documents_train_test_split",
+    sql=f"""
+    SELECT CASE WHEN {sql_bucket_predicate('doc_id', 0.8)}
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def documents_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic leakage-free train/test split: sha256-prefix
+    bucketing on doc_id (lexicographic hex compare == 32-bit numeric
+    compare, so Spark and the oracle agree bit-for-bit). No shuffle, no
+    seed/order sensitivity; adding documents never moves old ones."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", train_frac=0.8)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+
+
+@register(
+    "events_stratified_sample",
+    sql=f"""
+    SELECT event_type, COUNT(*) AS n_kept
+    FROM events
+    WHERE {sql_bucket_predicate('event_id', 0.1, salt='sample-v1')}
+    GROUP BY event_type
+    """,
+)
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic ~10% downsample, uniform within every stratum
+    — the reproducible replacement for ``sampleBy`` (whose survivors
+    depend on seed + partitioning). Scan-fused predicate, zero shuffle
+    before the count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        stratified_hash_sample(ev, "event_id", frac=0.1, salt="sample-v1")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "doc_tfidf_top_terms",
+    sql="""
+    WITH toks AS (
+        SELECT doc_id,
+               lower(unnest(regexp_extract_all(text, '[A-Za-z]+'))) AS term
+        FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks GROUP BY doc_id, term),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, df ASC, term) <= 3
+    """,
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Top-3 TF-IDF terms per document.
+
+    Plan: tokenize (regexp, scan-fused) → explode → TF aggregate (one
+    shuffle on (doc, term)) → DF aggregate reusing the same frame →
+    broadcast the term-DF back → per-doc window top-k. Ranking is on
+    integers (tf desc, df asc, term) so cross-engine float `ln` ulps
+    cannot reorder rows; the score itself is rounded to 6 digits at the
+    edge. ASCII-only token regex sidesteps locale-dependent unicode
+    lowercasing differences between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+"), 0)
+        ).alias("tok"),
+    ).select("doc_id", F.lower(F.col("tok")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.cache()  # TF feeds both the DF aggregate and the score join
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # driver-side scalar: one tiny jobs, literal after
+    scored = tf.join(F.broadcast(df_), on="term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
     )
