@@ -573,10 +573,19 @@ def tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.when(
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"), 1
     ).otherwise(0)
+    # One explicit hash partitioning on the orderkey, then every
+    # downstream step reuses it: groupBy(orderkey, suppkey) and
+    # groupBy(orderkey) both satisfy their clustering from the subset
+    # rule, and the flag⋈per_order self-join co-locates for free —
+    # 2 total shuffles instead of 5.
     flag = (
         li.join(fo, F.col("l_orderkey") == F.col("o_orderkey"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
+        # both sides of the flag⋈per_order self-join read this frame;
+        # caching materialises the scan+join+agg once instead of twice
+        .cache()
     )
     per_order = flag.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
         F.count(F.lit(1)).alias("n_supp"),
