@@ -1083,3 +1083,60 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ==========================================================================
+# [EXT] connected components: near-dup pairs -> dedup clusters
+# ==========================================================================
+
+
+@register(
+    "ngram_dedup_clusters",
+    sql=r"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    ), edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def ngram_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The full dedup closure: exact n-gram Jaccard pairs →
+    distributed connected components → (doc_id, cluster_id = min doc of
+    the transitive cluster). The oracle recomputes the same pairs and
+    closes them with a recursive CTE — Spark's iterative min-label
+    propagation must land on the identical fixpoint."""
+    from dvh_airflow_kafka_spark.ext import dedup as xdedup
+    from dvh_airflow_kafka_spark.ext.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = xdedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+    return dedup_clusters(pairs.select("id_a", "id_b"))
