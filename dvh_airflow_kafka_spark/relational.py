@@ -1140,3 +1140,91 @@ def ngram_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = xdedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
     return dedup_clusters(pairs.select("id_a", "id_b"))
+
+
+@register(
+    "revenue_cube",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set levels in
+    one pass — Spark plans a single Expand + aggregate, not four scans.
+    Complements the ROLLUP already covered by revenue_rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_rev()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "split_contamination_pairs",
+    sql=rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    ), split AS (
+        SELECT doc_id,
+               CASE WHEN {sql_bucket_predicate('doc_id', 0.8)}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents)
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN split sa ON sa.doc_id = p.id_a
+    JOIN split sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def split_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Train/test decontamination: near-duplicate pairs that
+    straddle the split boundary — the documents whose test-set membership
+    leaks training signal. Composes the exact n-gram Jaccard detector
+    with the deterministic hash split; at 100 TB the same composition
+    runs with MinHash-LSH candidates in place of the exact detector.
+    The fix is then one anti-join of the test split against ``id_b``."""
+    from dvh_airflow_kafka_spark.ext import dedup as xdedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = xdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.2
+    ).select("id_a", "id_b")
+    split = hash_split(docs.select("doc_id"), "doc_id", train_frac=0.8)
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), on="id_a")
+        .join(F.broadcast(sb), on="id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b")
+    )
