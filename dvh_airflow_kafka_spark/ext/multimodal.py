@@ -246,3 +246,113 @@ def _sniff(blob: bytes) -> str:
         if magic and blob.startswith(magic):
             return mime
     return "application/octet-stream"
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _default_resizer(content: bytes, mime: str, w: int, h: int):  # pragma: no cover
+    raise NotImplementedError(
+        "image resizing requires an imaging library (e.g. Pillow) not "
+        "installed in this environment; inject a `resizer` callable"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Optional[Callable[[bytes, str, int, int], bytes]] = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Resize image blobs to (width, height) via Arrow-batched
+    ``mapInPandas`` — same plumbing contract as :func:`decode_media`:
+    bytes stay in Arrow buffers, partitioning inherits from the scan, the
+    kernel is injectable (stubbed here: no imaging libs in this
+    container). Non-image MIMEs pass through untouched, so the operator
+    composes into a mixed-modality pipeline without a pre-split."""
+    fn = resizer or _default_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(content)
+                mime = _sniff(blob)
+                if mime.startswith("image/"):
+                    out = fn(blob, mime, width, height)
+                    rows.append(
+                        {"doc_id": int(rid), "mime": mime, "width": width,
+                         "height": height, "content": out}
+                    )
+                else:
+                    rows.append(
+                        {"doc_id": int(rid), "mime": mime, "width": None,
+                         "height": None, "content": blob}
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _default_frame_splitter(content: bytes, mime: str):  # pragma: no cover
+    raise NotImplementedError(
+        "video frame extraction requires a codec library (e.g. PyAV) not "
+        "installed in this environment; inject a `splitter` callable"
+    )
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    splitter: Optional[Callable[[bytes, str], list]] = None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sample every ``every_n``-th frame out of video blobs — the 1→many
+    explode of the multimodal layer. ``splitter(bytes, mime) ->
+    [frame_bytes, ...]`` decodes the container (stubbed: no codecs here);
+    the operator keeps frames ``0, n, 2n, …`` with their original index.
+
+    Output rows fan out ×(frames/every_n) — at 100 TB the inherited
+    partitioning keeps each task's fan-out local (no shuffle), and a
+    downstream repartition is the caller's explicit choice when frame
+    counts skew."""
+    fn = splitter or _default_frame_splitter
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(content)
+                frames = fn(blob, _sniff(blob))
+                for i in range(0, len(frames), every_n):
+                    rows.append(
+                        {"doc_id": int(rid), "frame_idx": i, "frame": frames[i]}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

@@ -120,3 +120,31 @@ def test_confluent_framing_matches_struct_pack(spark):
     for r in decoded.collect():
         assert r.got_id == r.sid
         assert r.got_payload == r.payload
+
+
+def test_resize_images_plumbing(blobs):
+    def fake_resize(blob, mime, w, h):
+        return blob[:4] + bytes([w, h])  # deterministic, size-bounded
+
+    out = mm.resize_images(blobs, 8, 6, resizer=fake_resize).collect()
+    by_mime = {}
+    for r in out:
+        by_mime.setdefault(r["mime"].split("/")[0], []).append(r)
+    for r in by_mime.get("image", []):
+        assert r["width"] == 8 and r["height"] == 6
+        assert bytes(r["content"])[-2:] == bytes([8, 6])
+    # non-images pass through untouched with NULL dims
+    for r in by_mime.get("audio", []) + by_mime.get("application", []):
+        assert r["width"] is None and r["height"] is None
+
+
+def test_frame_sample_every_n(blobs):
+    def fake_split(blob, mime):
+        # pretend the blob is a 25-frame container of 4-byte frames
+        return [blob[:2] + bytes([i, 0]) for i in range(25)]
+
+    out = mm.frame_sample(blobs, every_n=10, splitter=fake_split)
+    got = out.groupBy("doc_id").count().collect()
+    assert got and all(r["count"] == 3 for r in got)  # frames 0, 10, 20
+    idx = {r["frame_idx"] for r in out.collect()}
+    assert idx == {0, 10, 20}
