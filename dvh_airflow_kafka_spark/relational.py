@@ -1228,3 +1228,71 @@ def split_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("id_a", "id_b", "split_a", "split_b")
     )
+
+
+@register(
+    "lang_balanced_sample",
+    sql=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(sha256('balance-v1' ||
+                                          CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS rn
+        FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 40
+    """,
+)
+def lang_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Class-balanced downsample: at most 40 documents per
+    language, chosen by deterministic hash order (not arbitrary row
+    order), so over-represented classes shrink while the selection stays
+    reproducible across runs, partitionings, and engines. One shuffle on
+    the class key; per-class state is a row counter."""
+    docs = load_table(spark, sf_dir, "documents")
+    from dvh_airflow_kafka_spark.ext.sampling import split_bucket
+
+    w = Window.partitionBy("lang").orderBy(
+        split_bucket(F.col("doc_id"), "balance-v1"), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "events_value_histogram",
+    sql="""
+    WITH b AS (
+        SELECT MIN("value") AS lo, MAX("value") AS hi FROM events)
+    SELECT LEAST(CAST(FLOOR(("value" - b.lo) / (b.hi - b.lo) * 20)
+                      AS INT), 19) AS bucket,
+           COUNT(*) AS n
+    FROM events, b
+    GROUP BY 1
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram of event values: global min/max as
+    a broadcast 1-row frame (no driver collect), bucket arithmetic in
+    IEEE doubles — identical inputs give identical buckets on both
+    engines. The two-pass shape (bounds, then bucketing) is the standard
+    distributed histogram; a single-pass approx variant would use
+    approx_percentile cutpoints."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bucket = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20
+        ).cast("int"),
+        F.lit(19),
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
