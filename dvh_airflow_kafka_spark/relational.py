@@ -1296,3 +1296,136 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ==========================================================================
+# Q2 / Q15 / Q16 shapes — the remaining expressible TPC-H surface
+# (q9/q11/q20 need the partsupp table, which the testdata does not have)
+# ==========================================================================
+
+
+@register(
+    "tpch_q2_best_supplier",
+    sql="""
+    WITH ps AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey
+        FROM lineitem l),
+    cand AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+               n.n_name
+        FROM ps
+        JOIN part p     ON ps.l_partkey = p.p_partkey
+        JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15 AND r.r_name = 'EUROPE')
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+    FROM cand
+    QUALIFY row_number() OVER (PARTITION BY p_partkey
+                               ORDER BY s_acctbal DESC, s_suppkey) = 1
+    """,
+)
+def tpch_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: no partsupp, so part↔supplier pairs come
+    from distinct lineitem shipments, and "best" is max account balance
+    instead of min supply cost): the correlated min-subquery becomes a
+    per-part window rank — one pass, no re-join against the aggregate.
+    The distinct pair projection shuffles once on (part, supp); all
+    dimension joins broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    sql=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no,
+               SUM({_REV_SQL}) AS total_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_dec AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON r.supplier_no = s.s_suppkey
+    WHERE r.total_dec = (SELECT MAX(total_dec) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the revenue "view" aggregates once (exact decimal), the
+    scalar MAX subquery becomes a broadcast 1-row frame, and equality on
+    the exact decimal keeps ties — the same rows the SQL MAX-subquery
+    form returns. No second pass over the fact."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev()).alias("total_dec")
+    )
+    rev = rev.cache()  # feeds both the max probe and the result join
+    mx = rev.agg(F.max("total_dec").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_dec") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_part_supplier_counts",
+    sql="""
+    WITH ps AS (
+        SELECT DISTINCT l.l_partkey, l.l_suppkey FROM lineitem l)
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON ps.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    with NOT-predicates pruning the broadcast part side (no complaint
+    suppliers to exclude — the testdata has no comment column, so the
+    anti-join leg drops out). COUNT(DISTINCT) over the pre-distincted
+    pair projection keeps the expand bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
