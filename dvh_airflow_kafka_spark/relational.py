@@ -1429,3 +1429,65 @@ def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
+
+
+@register(
+    "purchasers_without_errors",
+    sql="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND "value" > 200
+    """,
+)
+def purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation coverage: (purchasers ∩ viewers) ∖ big-error users.
+    INTERSECT/EXCEPT plan as semi/anti hash joins over pre-distincted
+    keys — one shuffle each, no full-row comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    of = lambda t: ev.filter(F.col("event_type") == t).select("user_id")
+    big_err = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select("user_id")
+        .distinct()
+    )
+    return of("purchase").intersect(of("view")).exceptAll(big_err).distinct()
+
+
+@register(
+    "signup_to_purchase_funnel",
+    sql="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_signed_up,
+           CAST(SUM(CASE WHEN t_view > t_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed_after,
+           CAST(SUM(CASE WHEN t_buy > t_view AND t_view > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM per_user WHERE t_signup IS NOT NULL
+    """,
+)
+def signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → view → purchase): per-user
+    first-occurrence timestamps via conditional MIN in ONE pass over the
+    fact (no per-step self-joins — the naive 3-way join shape shuffles
+    the fact three times; this shuffles once on user_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view") > F.col("t_signup")
+    converted = (F.col("t_buy") > F.col("t_view")) & viewed
+    return per_user.filter(F.col("t_signup").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.sum(viewed.cast("int")).cast("bigint").alias("n_viewed_after"),
+        F.sum(converted.cast("int")).cast("bigint").alias("n_converted"),
+    )
