@@ -225,3 +225,28 @@ def read_event_stream(
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(source_dir)
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys,
+    *,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming deduplication in the state store — the streaming-native
+    form of the reference's insert-time anti-join (J1): the first row per
+    key passes, replays and late duplicates are dropped by keyed state,
+    and ``dropDuplicatesWithinWatermark`` bounds that state by evicting
+    keys once the watermark passes them (plain ``dropDuplicates`` on a
+    stream retains keys forever — unusable on an unbounded log).
+
+    Dedup therefore only spans duplicates arriving within the watermark
+    horizon of each other — exactly the at-least-once replay window the
+    micro-batch spine produces; cross-horizon idempotence stays with the
+    sink anti-join."""
+    if isinstance(keys, str):
+        keys = [keys]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

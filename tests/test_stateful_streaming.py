@@ -169,3 +169,23 @@ def test_windowed_counts_match_batch_groupby(spark, session_log, tmp_path):
     want_set = {tuple(r) for r in want.collect()}
     assert got_set == want_set
     assert len(got_set) > 0
+
+
+def test_dedup_stream_drops_cross_batch_replays(spark, tmp_path):
+    """A duplicate of batch A's row replayed in batch B (the at-least-once
+    case) is dropped by keyed state; distinct keys all pass."""
+    from dvh_airflow_kafka_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "log")
+    a = _mk_events(spark, [(1, 1, 0, "view", 1.0), (2, 1, 5, "click", 2.0)])
+    # batch B replays event 2 and adds event 3 within the watermark window
+    b = _mk_events(spark, [(2, 1, 5, "click", 2.0), (3, 2, 10, "view", 3.0)])
+    a.coalesce(1).write.parquet(src)
+    b.coalesce(1).write.mode("append").parquet(src)
+
+    deduped = dedup_stream(
+        read_event_stream(spark, src), keys=["event_id"], watermark="2 hours"
+    )
+    got = drain_to_memory(spark, deduped, "dedup_t1", str(tmp_path / "ckpt"))
+    ids = sorted(r["event_id"] for r in got.collect())
+    assert ids == [1, 2, 3]  # replayed id=2 emitted exactly once
