@@ -26,20 +26,21 @@ from dvh_airflow_kafka_spark.config import AllowRule, KeyCodec
 
 def decode_key(key: Column, codec: KeyCodec | str = KeyCodec.UTF_8) -> Column:
     """Key deserializer (S6, reference src/kafka_source.py:74-82):
-    bytes -> utf-8 string, or big-endian **signed** int-64 rendered as a
-    decimal string (the reference unpacks ``">q"``, src/kafka_source.py:78);
-    NULL -> ''.
+    bytes -> utf-8 string, or big-endian **unsigned** int-64 rendered as a
+    decimal string — the reference does ``int.from_bytes(x,
+    byteorder="big")`` with no sign (src/kafka_source.py:78), so an
+    MSB-set 8-byte key like 0x80…00 decodes to 9223372036854775808, not a
+    negative long. NULL -> ''.
 
-    Signed reinterpretation without a UDF: split the 16-hex-digit value
-    into two unsigned 32-bit halves; ``shiftleft(hi, 32)`` wraps into the
-    long's sign bit exactly as two's complement requires, so
-    ``hi << 32 | lo`` IS the signed value — pure codegen arithmetic."""
+    Unsigned reinterpretation without a UDF: ``conv(hex(key), 16, 10)``
+    parses the hex rendering as an unsigned 64-bit value and formats the
+    full 0..2^64-1 range as decimal — pure codegen, no Python. Empty
+    (0-byte) keys decode to '0' exactly as ``int.from_bytes(b"", "big")``
+    does."""
     codec = KeyCodec(codec)
     if codec == KeyCodec.INT_64:
-        hexs = F.lpad(F.hex(key.cast("binary")), 16, "0")
-        hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
-        decoded = F.shiftleft(hi, 32).bitwiseOR(lo).cast("string")
+        hexs = F.hex(key.cast("binary"))
+        decoded = F.when(hexs == "", F.lit("0")).otherwise(F.conv(hexs, 16, 10))
     else:
         decoded = key.cast("string")
     return F.coalesce(decoded, F.lit(""))

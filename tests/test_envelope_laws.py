@@ -64,6 +64,9 @@ def test_int64_key_decoding(spark):
     # NULL key -> '' (reference src/kafka_source.py:80-82)
     nulldf = spark.createDataFrame([(None,)], "key binary")
     assert nulldf.select(decode_key(F.col("key")).alias("x")).collect()[0].x == ""
+    # empty (0-byte) key -> '0' like int.from_bytes(b"", "big")
+    emptydf = spark.createDataFrame([(b"",)], "key binary")
+    assert emptydf.select(decode_key(F.col("key"), "int-64").alias("x")).collect()[0].x == "0"
 
 
 def test_rerun_writes_nothing_new(spark, sf_dir):

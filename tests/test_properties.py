@@ -79,12 +79,15 @@ def test_json_quote_round_trips(spark, texts):
         max_size=30,
     )
 )
-def test_int64_key_decode_round_trips(spark, values):
-    df = spark.createDataFrame(
-        [(struct.pack(">q", v),) for v in values], "key binary"
-    ).select(decode_key(F.col("key"), "int-64").alias("d"))
+def test_int64_key_decode_matches_reference_unsigned(spark, values):
+    # parity with the reference's int.from_bytes(x, "big") — unsigned,
+    # including MSB-set keys (reference src/kafka_source.py:78)
+    raw = [struct.pack(">q", v) for v in values]
+    df = spark.createDataFrame([(b,) for b in raw], "key binary").select(
+        decode_key(F.col("key"), "int-64").alias("d")
+    )
     got = [r.d for r in df.collect()]
-    assert got == [str(v) for v in values]
+    assert got == [str(int.from_bytes(b, byteorder="big")) for b in raw]
 
 
 @settings(max_examples=100, deadline=None)

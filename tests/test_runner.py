@@ -190,15 +190,20 @@ transform:
 # --------------------------------------------------------------------------
 
 
-def test_int64_key_decoding_is_signed(spark):
-    """Reference unpacks big-endian SIGNED int-64 (struct.unpack('>q'),
-    src/kafka_source.py:77-78) — negative keys must round-trip."""
-    values = [-1, -123456789012345, -(2**63), 0, 1, 2**63 - 1]
-    df = spark.createDataFrame(
-        [(struct.pack(">q", v),) for v in values], "key binary"
-    ).withColumn("decoded", decode_key(F.col("key"), "int-64"))
+def test_int64_key_decoding_is_unsigned(spark):
+    """Reference decodes big-endian UNSIGNED int-64 — int.from_bytes(x,
+    byteorder="big"), no sign (src/kafka_source.py:78) — so MSB-set keys
+    decode to large positives, never negatives."""
+    raw = [
+        struct.pack(">q", v) for v in [-1, -123456789012345, -(2**63), 0, 1, 2**63 - 1]
+    ]
+    df = spark.createDataFrame([(b,) for b in raw], "key binary").withColumn(
+        "decoded", decode_key(F.col("key"), "int-64")
+    )
     got = [r.decoded for r in df.collect()]
-    assert got == [str(struct.unpack(">q", struct.pack(">q", v))[0]) for v in values]
+    assert got == [str(int.from_bytes(b, byteorder="big")) for b in raw]
+    assert got[0] == str(2**64 - 1)  # 0xFF…FF, not -1
+    assert got[2] == str(2**63)  # 0x80…00, not -2^63
 
 
 def test_string_schema_json_quotes(spark):
