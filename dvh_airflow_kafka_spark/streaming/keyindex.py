@@ -1,0 +1,110 @@
+"""Bounded dedup probe for streaming sinks (ST3/J1 at scale).
+
+The reference's NOT-EXISTS dedup is evaluated by Oracle against an
+indexed table — O(batch · log sink) per batch (reference
+src/oracle_target.py:97-104). A parquet sink has no index, and re-reading
+the whole sink every micro-batch is O(sink) work per batch — unbounded
+growth as the sink accretes, the classic streaming scale-killer. This
+module maintains the missing index: a keys-only parquet sidecar
+hash-partitioned into a fixed number of buckets, so a batch's probe reads
+only the buckets its own keys hash into (static partition pruning) and
+only the key columns (column pruning). Per-batch probe cost is
+O(batch + touched-buckets' share of distinct keys), independent of the
+sink's payload width and of how many batches have run.
+
+Crash-correctness — the sidecar is advisory; the *sink* stays the source
+of truth. Per epoch the order is: attempt-marker → probe → sink append →
+sidecar append → (Spark commits the epoch). The dangerous window is a
+crash after the sink append but before the sidecar append: a pure-sidecar
+probe on replay would miss those keys and duplicate them. The attempt
+marker closes it: a batch whose ``_attempted_<epoch>`` marker already
+exists is a RE-attempt (a prior try may have reached the sink), and
+probes the full sink for that one batch instead. So the rare crash-replay
+batch is O(sink) and every normal batch is O(batch) — the same amortized
+contract as the reference's indexed NOT EXISTS.
+
+The sidecar tolerates duplicate keys (replays may append a key twice);
+the anti-join deduplicates the probe side, so duplicates cost bytes, not
+correctness. ``operators.maintenance.compact_parquet`` applies to the
+sidecar like any other parquet dir when the small files accrete.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "__kidx_bucket"
+
+
+class SinkKeyIndex:
+    """Keys-only, bucket-partitioned sidecar of a parquet sink's dedup
+    keys, living at ``<sink>__keys``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink_path: str,
+        keys: Sequence[str],
+        n_buckets: int = 16,
+    ) -> None:
+        self.spark = spark
+        self.path = sink_path.rstrip("/") + "__keys"
+        self.keys = list(keys)
+        self.n_buckets = n_buckets
+
+    def _bucket(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
+        ).cast("int")
+
+    def _marker(self, epoch_id: int) -> str:
+        return os.path.join(self.path, f"_attempted_{epoch_id}")
+
+    def begin_epoch(self, epoch_id: int) -> bool:
+        """Record that this epoch is being attempted. Returns True when a
+        prior attempt exists — the caller must then probe the sink itself
+        (the prior attempt may have appended to the sink without reaching
+        the sidecar append)."""
+        os.makedirs(self.path, exist_ok=True)
+        marker = self._marker(epoch_id)
+        if os.path.exists(marker):
+            return True
+        with open(marker, "w"):
+            pass
+        return False
+
+    def _has_data(self) -> bool:
+        if not os.path.isdir(self.path):
+            return False
+        return any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(self.path))
+
+    def probe(self, batch: DataFrame) -> Optional[DataFrame]:
+        """Existing-keys frame pruned to the buckets ``batch``'s keys hash
+        into, or None when the index is empty. The bucket list is a
+        bounded driver collect (≤ n_buckets values) so the filter is a
+        static ``IN`` that Spark turns into partition pruning — the scan
+        never touches the other buckets' files."""
+        if not self._has_data():
+            return None
+        buckets = [
+            r.b
+            for r in batch.select(self._bucket().alias("b")).distinct().collect()
+        ]
+        if not buckets:
+            return None
+        idx = self.spark.read.parquet(self.path)
+        return idx.filter(F.col(BUCKET_COL).isin(buckets)).select(*self.keys)
+
+    def append(self, fresh: DataFrame) -> None:
+        """Append the just-written rows' keys, partitioned by bucket."""
+        (
+            fresh.select(*self.keys)
+            .withColumn(BUCKET_COL, self._bucket())
+            .write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(self.path)
+        )

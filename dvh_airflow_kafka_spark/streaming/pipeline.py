@@ -48,6 +48,7 @@ from dvh_airflow_kafka_spark.sources.envelope import (
     events_as_kafka_frame,
     with_envelope,
 )
+from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
 
 KAFKA_COLUMNS = {"key", "value", "topic", "partition", "offset", "timestamp"}
 
@@ -75,6 +76,7 @@ def run_streaming_pipeline(
     fail_after_batches: Optional[int] = None,
     error_where: Optional[str] = None,
     fail_on_non_critical: bool = False,
+    index_buckets: int = 16,
 ) -> StreamingRun:
     """Drain an events-shaped parquet directory through the full spine and
     stop (``availableNow``). Restartable: the checkpoint remembers which
@@ -99,6 +101,12 @@ def run_streaming_pipeline(
     any were seen (the reference's FAIL_ON_NON_CRITICAL_ERROR policy).
     Fatal errors are anything that makes foreachBatch raise — the query
     stops and the checkpoint replays the batch on restart.
+
+    The dedup probe is BOUNDED: a keys-only, bucket-partitioned sidecar
+    (``SinkKeyIndex``, ``index_buckets`` buckets) is probed instead of
+    re-reading the whole sink each batch — O(batch) per normal batch.
+    Only a crash-replayed epoch falls back to the full-sink probe (see
+    keyindex module docstring for the correctness argument).
     """
     # Streaming file sources need an explicit schema; take it from a batch
     # read of the same directory (driver-side, once).
@@ -108,6 +116,7 @@ def run_streaming_pipeline(
     )
     run = StreamingRun()
     run.summary.committed_to_producer_count = 0
+    key_index = SinkKeyIndex(spark, sink_path, dedup_keys, n_buckets=index_buckets)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         n = batch_df.count()
@@ -139,12 +148,23 @@ def run_streaming_pipeline(
             message_filters=message_filters,
         )
         out = transform.apply(env) if transform is not None else env
-        try:
-            existing = spark.read.parquet(sink_path)
-        except Exception:
-            existing = None  # first batch — sink does not exist yet
+        if key_index.begin_epoch(epoch_id):
+            # Re-attempted epoch: a prior try may have appended to the
+            # sink without reaching the sidecar append — probe the sink
+            # itself for this one batch (rare, crash-recovery only).
+            try:
+                existing = spark.read.parquet(sink_path).select(*dedup_keys)
+            except Exception:
+                existing = None  # sink does not exist yet
+        else:
+            existing = key_index.probe(out)  # bucket-pruned, keys-only
         fresh = dedup_against_existing(out, existing, list(dedup_keys))
-        write_parquet_append(fresh, sink_path)
+        fresh.persist()
+        try:
+            write_parquet_append(fresh, sink_path)
+            key_index.append(fresh)
+        finally:
+            fresh.unpersist()
         run.summary.data_count += n
         run.summary.written_to_db_count += n
         run.batches += 1

@@ -98,6 +98,40 @@ def test_transform_and_filters_in_stream(spark, source_dir, tmp_path):
         assert '"k": 87' in r.kafka_message
 
 
+def test_dedup_probe_is_bucket_pruned(spark, tmp_path):
+    """The per-batch dedup read must NOT rescan the whole sink: the
+    SinkKeyIndex probe is partition-pruned to the batch's buckets and
+    column-pruned to the key columns (reference cost model: indexed
+    NOT-EXISTS, src/oracle_target.py:97-104)."""
+    from dvh_airflow_kafka_spark.streaming.keyindex import BUCKET_COL, SinkKeyIndex
+
+    sink = str(tmp_path / "sink")
+    idx = SinkKeyIndex(spark, sink, ["k1"], n_buckets=8)
+    corpus = spark.range(0, 1000).selectExpr("cast(id as string) k1", "id * 2 as payload")
+    idx.append(corpus)  # sidecar stores keys only, never payload
+    batch = spark.range(0, 3).selectExpr("cast(id as string) k1")
+    probe = idx.probe(batch)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scan = next(line for line in plan.splitlines() if "FileScan" in line)
+    # partition-pruned: a real IN filter on the bucket dirs, not a full scan
+    assert f"PartitionFilters: [{BUCKET_COL}" in scan and " IN (" in scan
+    # column-pruned: the payload column never reaches the scan schema
+    assert "ReadSchema: struct<k1:string>" in scan
+    # and the pruned read is a strict subset of the index
+    assert 0 < probe.count() < 1000
+
+
+def test_keyindex_crash_window_falls_back_to_sink(spark, tmp_path):
+    """A re-attempted epoch (marker already present) must not trust the
+    sidecar: begin_epoch returns True so the pipeline probes the sink."""
+    from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
+
+    idx = SinkKeyIndex(spark, str(tmp_path / "sink"), ["k1"])
+    assert idx.begin_epoch(7) is False  # first attempt
+    assert idx.begin_epoch(7) is True  # replay of the same epoch
+    assert idx.begin_epoch(8) is False  # next epoch is fresh
+
+
 def test_error_classification_st6(spark, source_dir, tmp_path):
     """ST6: non-critical (classified) rows are counted, excluded from the
     sink, and the run continues; FAIL_ON_NON_CRITICAL_ERROR raises at the
