@@ -125,6 +125,66 @@ def blob_exact_dedup(
     )
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized SplitMix64 finalizer (public-domain mixing constants) —
+    a well-distributed 64-bit hash of each uint64 lane, wrapping mod 2^64
+    like the reference C implementation."""
+    import numpy as np
+
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def blob_simhash_signature(gram_bytes: int = 4, max_bytes: int = 4096):
+    """Scalar Arrow pandas UDF: binary content → 64-bit SimHash long.
+
+    Per blob, entirely in numpy: ``sliding_window_view`` strides the raw
+    bytes into overlapping ``gram_bytes``-grams (zero-copy views), each
+    gram packs into one uint64, SplitMix64 mixes it, and the 64 bit-votes
+    reduce to the signature — ~3 vectorized passes over a ≤``max_bytes``
+    window, no per-gram Python. Replaces a former ``transform(sequence(…))``
+    higher-order expression that fell out of codegen into ~max_bytes
+    interpreted lambda evaluations per row.
+
+    ``max_bytes`` caps the signature window (first N bytes): per-blob cost
+    is O(max_bytes) regardless of blob size — the same move as sampling
+    frames from a video before hashing."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def sim(content: pd.Series) -> pd.Series:
+        out = np.zeros(len(content), dtype=np.int64)
+        for i, blob in enumerate(content):
+            if blob is None:
+                continue
+            a = np.frombuffer(bytes(blob)[:max_bytes], dtype=np.uint8)
+            if a.size == 0:
+                continue
+            if a.size < gram_bytes:
+                w = a[None, :]  # one short gram — mirrors substring clamp
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(a, gram_bytes)
+            g = w.astype(np.uint64)
+            packed = np.zeros(g.shape[0], dtype=np.uint64)
+            for b in range(g.shape[1]):
+                packed = (packed << np.uint64(8)) | g[:, b]
+            h = _splitmix64(packed)
+            # bit matrix via unpackbits (uint8 lanes — ~6× cheaper than a
+            # uint64 broadcast); little bitorder makes column i == bit i.
+            bits = np.unpackbits(h.view(np.uint8), bitorder="little").reshape(-1, 64)
+            # signed accumulator: a uint64 vote sum would wrap negatives
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - np.int64(h.size)
+            sig = np.bitwise_or.reduce((votes > 0).astype(np.uint64) << shifts)
+            out[i] = sig.astype(np.int64)
+        return pd.Series(out)
+
+    return sim
+
+
 def blob_simhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -135,38 +195,22 @@ def blob_simhash_near_duplicates(
 ) -> DataFrame:
     """Perceptual-hash-style near-dup: 64-bit SimHash over sliding byte
     n-grams → pigeonhole banding equi-join (hamming ≤ d ⇒ some chunk of
-    d+1 equal) → exact hamming verify. Identical plan shape to
-    ``dedup.simhash_near_duplicates`` — linear signature scan, bucketed
-    candidate join, never all-pairs.
+    d+1 equal) → exact hamming verify. Same candidate shape as
+    ``dedup.simhash_near_duplicates`` — bucketed equi-join, never
+    all-pairs.
 
-    Byte n-grams come from the hex rendering (2 chars/byte) via a
-    ``sequence``+``transform`` higher-order slice — stays JVM-side.
-
-    ``max_bytes`` caps the signature window (first N bytes): per-blob
-    cost is O(max_bytes) regardless of blob size, so a corpus of
-    multi-MB media files hashes at a bounded per-row cost — the same
-    move as sampling frames from a video before hashing."""
-    from dvh_airflow_kafka_spark.ext.dedup import (
-        _simhash_from_tokens,
-        simhash_band_pairs,
-    )
+    Signatures come from one Arrow-batched pandas UDF
+    (:func:`blob_simhash_signature`) — a single linear scan emitting
+    (id, simhash) with NO explode and NO groupBy shuffle (the text path
+    shuffles token votes; bytes don't need to: the whole vote aggregation
+    is a numpy reduction inside the scan). The only shuffle left is the
+    band join itself."""
+    from dvh_airflow_kafka_spark.ext.dedup import simhash_band_pairs
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
-    width = 2 * gram_bytes
-    # dynamic-start substring needs expr-style slicing; step 2 hex chars
-    # = slide one byte per gram; hex of the first max_bytes only
-    hx = f"hex(substring({content_col}, 1, {max_bytes}))"
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length({hx}) - {width - 1}, 1), 2), "
-        f"i -> substring({hx}, i, {width}))"
-    )
-    toks = (
-        ensure_parallelism(df)
-        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("__tok"))
-        .withColumn("__h", F.xxhash64(F.col("__tok")))
-    )
-    sigs = _simhash_from_tokens(toks).select(
-        F.col("__id").alias(id_col), F.col("simhash")
+    sim = blob_simhash_signature(gram_bytes, max_bytes)
+    sigs = ensure_parallelism(df).select(
+        F.col(id_col), sim(F.col(content_col)).alias("simhash")
     )
     return simhash_band_pairs(sigs, id_col, max_hamming=max_hamming)
 
