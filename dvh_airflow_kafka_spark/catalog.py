@@ -1044,9 +1044,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] exact 3-gram Jaccard near-dup pairs via inverted-index join."""
+    """[EXT] exact 3-gram Jaccard near-dup pairs via inverted-index join.
+
+    Registered with the scale-safe DF cap ACTIVE: ``max_doc_freq=50`` is
+    above the fixture's max shingle DF (7 at sf0.01, 25 at sf0.1 —
+    measured), so the oracle's exact-Jaccard answer is unchanged while
+    the bench/driver path runs the same stop-shingle pruning plan that
+    bounds bucket sizes at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
-    return xdedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+    return xdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.2, max_doc_freq=50
+    )
 
 
 @register(
@@ -1339,10 +1347,16 @@ def blob_simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] MinHash-LSH near-dup (shingle → signature → band → bucket-join
     → exact-Jaccard verify). Rows-only driver check; precision/recall vs
-    exact Jaccard is pytest-verified on planted duplicates."""
+    exact Jaccard is pytest-verified on planted duplicates.
+
+    Registered with the scale-safe DF cap ACTIVE (``max_doc_freq=50``,
+    above the fixture's max shingle DF of 25 at sf0.1) — same results,
+    but the benched plan includes the stop-shingle pruning that bounds
+    candidate buckets at corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     return xdedup.minhash_near_duplicates(
-        docs, "doc_id", "text", ngram=3, num_perm=64, bands=8, threshold=0.5
+        docs, "doc_id", "text", ngram=3, num_perm=64, bands=8, threshold=0.5,
+        max_doc_freq=50,
     )
 
 

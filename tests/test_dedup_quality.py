@@ -99,6 +99,20 @@ def test_hot_shingle_cap_bounds_candidates(spark):
     assert len(pairs) < 200
 
 
+def test_registered_df_cap_is_transparent_on_fixture(docs):
+    """The catalog registers the near-dup queries with max_doc_freq=50 —
+    the cap must be ABOVE the fixture's max shingle DF (7 at sf0.01, 25
+    at sf0.1), so the capped plan returns byte-identical pairs and the
+    DuckDB oracle (which computes exact uncapped Jaccard) stays green."""
+    uncapped = xdedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
+    capped = xdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.2, max_doc_freq=50
+    )
+    a = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in uncapped.collect()}
+    b = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in capped.collect()}
+    assert a == b
+
+
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").cache()
     queries = emb.filter(F.col("vec_id") < 10)
