@@ -47,7 +47,6 @@ def connected_components(
         sym.select(F.col("s").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .cache()
     )
     # An iterative plan that feeds its own output back in must cut the
     # lineage every round — otherwise each iteration's plan embeds all
@@ -56,6 +55,7 @@ def connected_components(
     # frame and restarts the lineage; on a cluster, checkpoint() to a
     # fault-tolerant dir serves the same role.
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         # each node offers its label to every neighbour; keep the min of
         # (own label, best neighbour offer)
@@ -77,8 +77,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if not converged:
+        # Unconverged labels would silently merge documents into WRONG
+        # clusters downstream — fail loudly instead (a component with
+        # diameter > max_iter exists; raise the cap).
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; a component's diameter exceeds the cap — "
+            f"rerun with a larger max_iter"
+        )
     return labels.select("node", "component")
 
 

@@ -195,7 +195,10 @@ def minhash_near_duplicates(
         ensure_parallelism(df)
         .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
         .select("__id", word_ngrams_from_tokens(F.col("__toks"), ngram).alias("__sh"))
-        .cache()
+        # localCheckpoint (not cache): shingles are read by candidate
+        # generation and verification, and the blocks release when the
+        # frame is collected instead of pinning the CacheManager
+        .localCheckpoint(eager=False)
     )
     cands = minhash_lsh_candidates(
         shingled, "__id", "__sh", num_perm, bands, seed, max_doc_freq
@@ -355,7 +358,8 @@ def ngram_jaccard_pairs(
                 "__sh"
             ),
         )
-        .cache()
+        # localCheckpoint (not cache) — see minhash_near_duplicates
+        .localCheckpoint(eager=False)
     )
     inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
     if max_doc_freq is not None:

@@ -21,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -71,6 +71,7 @@ def merge_upsert(
     target_path: str,
     updates: DataFrame,
     keys: list[str],
+    version_col: str | None = None,
 ) -> None:
     """Keyed upsert into a parquet path: rows whose key matches an update
     are replaced, new keys are appended, untouched rows are preserved —
@@ -81,11 +82,25 @@ def merge_upsert(
     update keys, then a union — the target is scanned once. The anti-join
     broadcasts whenever the update batch is dimension-sized (the common
     CDC case); a bucketed target (io.write_bucketed) makes it
-    shuffle-free on the target side. Updates arriving with duplicate keys
-    keep the last row per key (deterministic: ties broken by every
-    column), matching typical CDC last-write-wins.
+    shuffle-free on the target side.
+
+    Duplicate-key updates pick a DETERMINISTIC survivor: the row with the
+    greatest ``version_col`` (CDC last-write-wins; pass the batch's
+    sequence/timestamp column), ties and the no-version case broken by
+    every remaining column descending — never ``dropDuplicates``, whose
+    survivor depends on partition order and varies run to run.
     """
-    last = updates.dropDuplicates(keys)
+    order_cols = [version_col] if version_col else []
+    order_cols += [c for c in updates.columns if c not in keys and c != version_col]
+    if order_cols:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order_cols])
+        last = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:  # key-only frame: any duplicate is identical
+        last = updates.dropDuplicates(keys)
     target = spark.read.parquet(target_path)
     kept = target.join(last.select(*keys), on=keys, how="left_anti")
     merged = kept.unionByName(last.select(*target.columns))

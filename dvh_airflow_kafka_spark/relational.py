@@ -584,8 +584,10 @@ def tpch_q21_late_sole_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
         # both sides of the flag⋈per_order self-join read this frame;
-        # caching materialises the scan+join+agg once instead of twice
-        .cache()
+        # localCheckpoint materialises the scan+join+agg once instead of
+        # twice and, unlike cache(), frees its blocks when the frame is
+        # collected (no CacheManager pin in long sessions)
+        .localCheckpoint(eager=False)
     )
     per_order = flag.groupBy(F.col("l_orderkey").alias("p_orderkey")).agg(
         F.count(F.lit(1)).alias("n_supp"),
@@ -1063,7 +1065,9 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tok"),
     ).select("doc_id", F.lower(F.col("tok")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.cache()  # TF feeds both the DF aggregate and the score join
+    # TF feeds both the DF aggregate and the score join; localCheckpoint
+    # (not cache) so blocks release when the frame is collected
+    tf = tf.localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()  # driver-side scalar: one tiny jobs, literal after
     scored = tf.join(F.broadcast(df_), on="term").select(
@@ -1382,7 +1386,9 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev()).alias("total_dec")
     )
-    rev = rev.cache()  # feeds both the max probe and the result join
+    # feeds both the max probe and the result join; localCheckpoint (not
+    # cache) so blocks release when the frame is collected
+    rev = rev.localCheckpoint(eager=False)
     mx = rev.agg(F.max("total_dec").alias("mx"))
     return (
         rev.crossJoin(F.broadcast(mx))

@@ -35,6 +35,20 @@ def test_direction_irrelevant(spark):
     assert _cc(spark, [(5, 1), (2, 5)]) == {1: 1, 2: 1, 5: 1}
 
 
+def test_unconverged_raises_instead_of_wrong_labels(spark):
+    """A component whose diameter exceeds max_iter must fail loudly —
+    silently returning partial labels would merge documents into wrong
+    clusters downstream."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    # and the same graph converges fine with an adequate cap
+    assert connected_components(df, max_iter=15).count() == 13
+
+
 def test_dedup_clusters_canonical_is_min(spark):
     pairs = spark.createDataFrame(
         [(7, 3), (3, 9), (20, 21)], "id_a long, id_b long"

@@ -54,6 +54,30 @@ def test_merge_upsert_replaces_and_appends(spark, tmp_path):
     assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
 
 
+def test_merge_upsert_duplicate_keys_deterministic(spark, tmp_path):
+    """Duplicate-key CDC batches must pick a deterministic survivor:
+    greatest version_col when given, else greatest remaining columns —
+    never partition-order-dependent."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 0, "init")], "k long, ver long, s string").write.parquet(path)
+    dup = spark.createDataFrame(
+        [(1, 2, "second"), (1, 3, "third"), (1, 1, "first"), (2, 1, "new")],
+        "k long, ver long, s string",
+    ).repartition(8)  # scatter duplicates across partitions
+    merge_upsert(spark, path, dup, keys=["k"], version_col="ver")
+    got = {r["k"]: (r["ver"], r["s"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (3, "third"), 2: (1, "new")}
+    # without version_col: lexicographically greatest remaining columns
+    path2 = str(tmp_path / "t2")
+    spark.createDataFrame([(9, "x")], "k long, s string").write.parquet(path2)
+    dup2 = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "c")], "k long, s string"
+    ).repartition(8)
+    merge_upsert(spark, path2, dup2, keys=["k"])
+    got2 = {r["k"]: r["s"] for r in spark.read.parquet(path2).collect()}
+    assert got2 == {1: "c", 9: "x"}
+
+
 def test_merge_upsert_idempotent_replay(spark, tmp_path):
     """Replaying the same update batch (at-least-once delivery) leaves the
     table unchanged — the upsert is the idempotent sink the streaming
