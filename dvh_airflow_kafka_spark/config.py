@@ -96,6 +96,12 @@ class SourceSpec(BaseModel):
     path: Optional[str] = None  # for file-backed sources
     starting_timestamp_ms: Optional[int] = None  # DATA_INTERVAL_START analogue
     ending_timestamp_ms: Optional[int] = None  # DATA_INTERVAL_END analogue
+    # Declared payload schema (DDL string, e.g. "k INT, user STRUCT<id:
+    # BIGINT>"). When set, the transform DSL parses payloads with it
+    # directly — no driver-side sampling job, and fields that appear late
+    # in the stream still resolve. At 100 TB this is the required mode;
+    # inference exists for ad-hoc exploration only.
+    payload_schema: Optional[str] = Field(None, alias="payload-schema")
 
 
 class PrivacyFilterSpec(BaseModel):

@@ -26,6 +26,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dvh_airflow_kafka_spark.config import (
     PayloadSchema,
@@ -139,29 +140,51 @@ def _payload_rule_sources(spec: PipelineSpec, envelope_cols: set[str]) -> list[s
 
 
 def _attach_payload_struct(
-    spark: SparkSession, env: DataFrame, keypaths: list[str]
+    spark: SparkSession,
+    env: DataFrame,
+    keypaths: list[str],
+    declared_schema: Optional[str] = None,
 ) -> DataFrame:
     """Expose payload keypaths to the transform DSL. The reference merges
     the deserialized payload dict into the record, so transform ``src``
     paths address payload fields directly (src/kafka_source.py:110-118 +
-    src/transform.py:176-185). Spark needs a schema: infer one from the
-    payload strings (at 100 TB, declare it instead — inference samples the
-    data with one extra job at plan-build time), then parse each payload
-    once with ``from_json`` and promote the addressed roots to columns."""
-    sample = [
-        r[0]
-        for r in env.select("kafka_message").filter(F.col("kafka_message").isNotNull())
-        .limit(1000)
-        .collect()
-    ]
-    if not sample:
-        raise ValueError("cannot infer payload schema from an all-NULL payload")
-    schema = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+    src/transform.py:176-185). Spark needs a schema:
+
+    - ``declared_schema`` (the spec's ``payload-schema`` DDL string) is
+      the production mode — zero extra jobs, and fields that first appear
+      late in the stream still resolve;
+    - otherwise infer from a bounded driver-side sample (one extra job at
+      plan-build time; ad-hoc exploration only).
+
+    A transform ``src`` root absent from the schema is a HARD ERROR in
+    both modes: silently skipping it would surface as an opaque
+    AnalysisException (or a silently-NULL column) far downstream.
+    """
+    if declared_schema is not None:
+        schema = T.StructType.fromDDL(declared_schema)
+    else:
+        sample = [
+            r[0]
+            for r in env.select("kafka_message")
+            .filter(F.col("kafka_message").isNotNull())
+            .limit(1000)
+            .collect()
+        ]
+        if not sample:
+            raise ValueError("cannot infer payload schema from an all-NULL payload")
+        schema = spark.read.json(spark.sparkContext.parallelize(sample)).schema
     parsed = F.from_json(F.col("kafka_message"), schema)
     roots = {kp.split(".")[0] for kp in keypaths}
     missing = roots - set(schema.fieldNames())
+    if missing:
+        mode = "declared payload-schema" if declared_schema else "inferred schema"
+        raise ValueError(
+            f"transform src root(s) {sorted(missing)} not present in the "
+            f"{mode} (fields: {sorted(schema.fieldNames())}); declare them "
+            f"in `payload-schema` or fix the transform src path"
+        )
     out = env
-    for root in sorted(roots - missing):
+    for root in sorted(roots):
         out = out.withColumn(root, parsed[root])
     return out
 
@@ -284,7 +307,9 @@ def run_pipeline(
 
     payload_srcs = _payload_rule_sources(spec, set(env.columns))
     if payload_srcs:
-        env = _attach_payload_struct(spark, env, payload_srcs)
+        env = _attach_payload_struct(
+            spark, env, payload_srcs, declared_schema=src.payload_schema
+        )
 
     out = Transform(spec.transform, batch_time=batch_time).apply(env)
 

@@ -114,6 +114,65 @@ transform:
         assert rows[ev.event_id] == json.loads(ev.props).get("k")
 
 
+def test_declared_payload_schema_skips_sampling(spark, sf_dir):
+    """With `payload-schema` declared, the payload struct comes from the
+    DDL — no driver-side sampling job. Proven by construction: an
+    allow-filter that matches nothing NULLs every kafka_message, so the
+    inference path MUST fail ('all-NULL payload') while the declared-
+    schema path runs the same spec fine."""
+    base = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+  message-filters:
+    - key: k
+      allowed_value: -99999
+{{extra}}target:
+  type: memory
+  table: t_declared
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: k
+    dst: k_value
+"""
+    with pytest.raises(ValueError, match="all-NULL payload"):
+        run_pipeline(spark, base.format(extra=""))
+    result = run_pipeline(
+        spark, base.format(extra='  payload-schema: "k INT"\n')
+    )
+    rows = result.dataframe.collect()
+    assert len(rows) > 0
+    assert all(r.k_value is None for r in rows)  # payloads are scrubbed
+
+
+def test_missing_transform_root_is_hard_error(spark, sf_dir):
+    """A transform src root absent from the payload schema must raise at
+    plan build (not silently NULL or fail downstream) — in both the
+    inferred and the declared-schema modes."""
+    base = f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+{{extra}}target:
+  type: memory
+  table: t_missing_root
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: no_such_field
+    dst: broken
+"""
+    with pytest.raises(ValueError, match="no_such_field"):
+        run_pipeline(spark, base.format(extra=""))
+    with pytest.raises(ValueError, match="no_such_field"):
+        run_pipeline(spark, base.format(extra='  payload-schema: "k INT"\n'))
+
+
 def test_k6_scrub_from_config(spark, sf_dir):
     """P4 via config: flagged ids get NULL payload, rows never dropped
     (reference src/oracle_target.py:46-93)."""
