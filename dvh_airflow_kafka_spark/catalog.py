@@ -1331,6 +1331,49 @@ def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "avro_envelope_schema_id",
+    sql="""
+    SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+           event_id AS kafka_offset,
+           CAST(user_id % 2 AS INT) AS kafka_partition,
+           'events' AS kafka_topic,
+           CAST(event_id % 100 AS BIGINT) AS kafka_schema_id,
+           props AS kafka_message
+    FROM events
+    """,
+)
+def avro_envelope_schema_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 envelope parity: the Avro-mode envelope carries
+    ``kafka_schema_id`` decoded from the Confluent frame (the reference
+    adds it to every Avro row, src/kafka_source.py:149). Each event is
+    framed with id = event_id % 100, then the envelope decodes the id and
+    the payload back — the oracle asserts both invert exactly."""
+    from dvh_airflow_kafka_spark.sources.kafka import (
+        confluent_frame,
+        confluent_schema_id,
+        strip_confluent_header,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    framed = events_as_kafka_frame(events).withColumn(
+        "value", confluent_frame(F.col("offset") % 100, F.col("value"))
+    )
+    env = with_envelope(
+        framed,
+        canonical_message=strip_confluent_header(F.col("value")).cast("string"),
+        schema_id=confluent_schema_id(F.col("value")),
+    )
+    return env.select(
+        "kafka_key",
+        "kafka_offset",
+        "kafka_partition",
+        "kafka_topic",
+        "kafka_schema_id",
+        "kafka_message",
+    )
+
+
 # Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
 
 

@@ -79,6 +79,7 @@ def with_envelope(
     key_codec: KeyCodec | str = KeyCodec.UTF_8,
     message_filters: Optional[Sequence[AllowRule]] = None,
     canonical_message: Optional[Column] = None,
+    schema_id: Optional[Column] = None,
 ) -> DataFrame:
     """S3/S5 + F9/F10: standard Kafka columns -> reference envelope.
 
@@ -90,6 +91,9 @@ def with_envelope(
       override — it is stored *post-filter* while the hash stays
       pre-filter.
     - ``message_filters`` NULLs the message (never drops the row).
+    - ``schema_id`` (Avro mode) appends ``kafka_schema_id`` — the
+      reference adds it to every Avro row (src/kafka_source.py:149);
+      pass ``kafka.confluent_schema_id(F.col("value"))``.
     """
     message = (
         canonical_message if canonical_message is not None else F.col("value").cast("string")
@@ -97,7 +101,7 @@ def with_envelope(
     if message_filters:
         keep = allow_filter_condition(F.col("value").cast("string"), message_filters)
         message = F.when(keep, message).otherwise(F.lit(None))
-    return kafka_df.select(
+    cols = [
         decode_key(F.col("key"), key_codec).alias("kafka_key"),
         F.unix_millis(F.col("timestamp").cast("timestamp")).alias("kafka_timestamp"),
         F.col("offset").alias("kafka_offset"),
@@ -105,7 +109,10 @@ def with_envelope(
         F.col("topic").alias("kafka_topic"),
         F.sha2(F.col("value").cast("binary"), 256).alias("kafka_hash"),
         message.alias("kafka_message"),
-    )
+    ]
+    if schema_id is not None:
+        cols.append(schema_id.cast("long").alias("kafka_schema_id"))
+    return kafka_df.select(*cols)
 
 
 def events_as_kafka_frame(
