@@ -1374,6 +1374,110 @@ def avro_envelope_schema_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _srp_planes_values() -> str:
+    """The SRP hyperplanes (seed 42, 4 tables × 8 bits × dim 64 — the
+    registered ``lsh_ann_topk`` configuration) as a DuckDB VALUES literal,
+    so the ORACLE hashes vectors with the *same* planes as Spark and the
+    whole LSH pipeline becomes SQL-expressible. ``repr`` round-trips every
+    float64 exactly."""
+    planes = xsim._hyperplanes(dim=64, n_bits=8, n_tables=4, seed=42)
+    rows = []
+    for t in range(planes.shape[0]):
+        for b in range(planes.shape[1]):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            rows.append(f"({t}, {b}, [{vec}])")
+    return ",\n    ".join(rows)
+
+
+_ANN_RECALL_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+    {_srp_planes_values()}),
+    b AS (
+        SELECT v.vec_id, planes.tbl,
+               CAST(SUM(CASE WHEN list_dot_product(v.e, planes.p) > 0
+                             THEN (1 << planes.bit) ELSE 0 END) AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes
+        GROUP BY v.vec_id, planes.tbl),
+    masks AS (SELECT m FROM range(256) AS t(m) WHERE bit_count(m) <= 2),
+    qprobe AS (
+        SELECT b.vec_id AS query_id, b.tbl, xor(b.bucket, masks.m) AS bucket
+        FROM b CROSS JOIN masks WHERE b.vec_id < 10),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qprobe q JOIN b c ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+                     6) AS cosine
+        FROM cand
+        JOIN qv USING (query_id)
+        JOIN v ON v.vec_id = cand.neighbor_id),
+    lsh AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= 5),
+    bf_scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(qe, c.e) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.e, c.e))),
+                     6) AS cosine
+        FROM qv q JOIN v c ON c.vec_id <> q.query_id),
+    bf AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM bf_scored) WHERE rn <= 5),
+    hits AS (
+        SELECT l.query_id, COUNT(*) AS n_overlap
+        FROM lsh l JOIN bf USING (query_id, neighbor_id)
+        GROUP BY l.query_id)
+    SELECT q.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(hits.n_overlap, 0) / 5.0 AS recall_at_k
+    FROM qv q LEFT JOIN hits ON hits.query_id = q.query_id
+    """
+
+
+@register("ann_recall_at_k", sql=_ANN_RECALL_SQL)
+def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ANN quality as an ORACLED metric: per query, the overlap of
+    SRP-LSH top-5 (the registered ``lsh_ann_topk`` configuration) with
+    exact brute-force top-5. The DuckDB oracle replays the ENTIRE LSH
+    pipeline — same seeded hyperplanes (embedded as literals), same
+    multi-probe masks (hamming ≤ 2), same rounded-cosine tie-break — so
+    recall is hash-checked, not just eyeballed. IVF recall stays
+    pytest-only (k-means is not SQL-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    lsh = xsim.lsh_bucketed_topk(emb, queries, k=5, n_bits=8, n_tables=4)
+    bf = xsim.brute_force_topk(emb, queries, k=5)
+    hits = (
+        lsh.join(
+            bf.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("__n"), F.lit(0)) / F.lit(5.0)).alias("recall_at_k"),
+        )
+    )
+
+
 # Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
 
 
