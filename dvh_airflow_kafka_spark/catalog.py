@@ -1374,6 +1374,35 @@ def avro_envelope_schema_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wav_decode_metadata",
+    sql="""
+    SELECT doc_id,
+           'audio/wav' AS mime,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(length(text) AS INT) AS n_frames,
+           CAST((CAST(length(text) AS BIGINT) * 1000) //
+                (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 ELSE 44100 END) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def wav_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: a REAL decode kernel — spec-exact WAV containers
+    synthesized from the documents table are parsed back by the stdlib
+    RIFF walk in ``decode_media``'s default decoder (chunk list → fmt →
+    sample rate/channels/frames/duration). The oracle recomputes the
+    expected metadata arithmetically from the synth parameters, so the
+    byte-level parse is hash-verified end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = xmm.decode_media(xmm.synth_wav_frame(docs))
+    return decoded.select(
+        "doc_id", "mime", "sample_rate", "channels", "n_frames", "duration_ms"
+    )
+
+
 def _srp_planes_values() -> str:
     """The SRP hyperplanes (seed 42, 4 tables × 8 bits × dim 64 — the
     registered ``lsh_ann_topk`` configuration) as a DuckDB VALUES literal,

@@ -215,8 +215,59 @@ def blob_simhash_near_duplicates(
     return simhash_band_pairs(sigs, id_col, max_hamming=max_hamming)
 
 
+def synth_wav_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic WAV corpus: (id, content binary) where each blob is a
+    REAL 16-bit PCM WAV container — sample rate cycles 8000/16000/44100
+    with ``id % 3``, channels = 1 + ``id % 2``, and the frame count is the
+    document's character count (so expected metadata is pure arithmetic an
+    oracle can recompute without parsing bytes). Sample data is silence;
+    the header/layout is spec-exact, which is what the decode kernel
+    parses."""
+    import struct as _struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    rates = [8000, 16000, 44100]
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                rid = int(rid)
+                rate = rates[rid % 3]
+                channels = 1 + rid % 2
+                n_frames = len(text or "")
+                block_align = channels * 2  # 16-bit PCM
+                data_size = n_frames * block_align
+                header = (
+                    b"RIFF"
+                    + _struct.pack("<L", 36 + data_size)
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack(
+                        "<LHHLLHH",
+                        16, 1, channels, rate, rate * block_align, block_align, 16,
+                    )
+                    + b"data"
+                    + _struct.pack("<L", data_size)
+                )
+                rows.append({"doc_id": rid, "content": header + b"\x00" * data_size})
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(build, schema=out_schema)
+
+
 # --------------------------------------------------------------------------
-# Decode plumbing — the media libraries are not in this container
+# Decode plumbing — WAV decodes for real (stdlib); image/video kernels are
+# injectable (their libraries are not in this container)
 # --------------------------------------------------------------------------
 
 DECODED_SCHEMA = T.StructType(
@@ -227,14 +278,58 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
     ]
 )
 
 
-def _default_decoder(content: bytes, mime: str):  # pragma: no cover
+def decode_wav_header(content: bytes) -> dict:
+    """Real, stdlib-only WAV (RIFF) metadata decode: walk the chunk list,
+    parse the ``fmt `` chunk (PCM layout: audio format, channels, sample
+    rate, block align — WAVE spec, little-endian), and size the ``data``
+    chunk into a frame count. Returns {sample_rate, channels, n_frames,
+    duration_ms}. Raises ValueError on a malformed container."""
+    import struct as _struct
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        (csize,) = _struct.unpack("<L", content[pos + 4 : pos + 8])
+        body = content[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and csize >= 16:
+            _, channels, sample_rate, _, block_align, _ = _struct.unpack(
+                "<HHLLHH", body[:16]
+            )
+            fmt = (channels, sample_rate, block_align)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    channels, sample_rate, block_align = fmt
+    n_frames = data_size // block_align if block_align else 0
+    return {
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // sample_rate if sample_rate else 0,
+    }
+
+
+def _default_decoder(content: bytes, mime: str):
+    """Default decode kernel: WAV is parsed for real (stdlib RIFF walk);
+    image/video need external libraries absent from this environment and
+    raise — inject a ``decoder`` callable for those modalities."""
+    if mime == "audio/wav":
+        meta = decode_wav_header(content)
+        return {"n_frames": meta["n_frames"], **meta}
     raise NotImplementedError(
-        "media decoding requires an image/audio library (e.g. Pillow, "
-        "librosa) that is not installed in this environment; inject a "
+        "decoding mime=" + mime + " requires an image/video library (e.g. "
+        "Pillow, PyAV) that is not installed in this environment; inject a "
         "`decoder` callable to decode_media()"
     )
 
@@ -276,6 +371,9 @@ def decode_media(
                         "height": meta.get("height"),
                         "n_frames": meta.get("n_frames"),
                         "feature": meta.get("feature"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "channels": meta.get("channels"),
+                        "duration_ms": meta.get("duration_ms"),
                     }
                 )
             yield pd.DataFrame(rows)

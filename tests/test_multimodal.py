@@ -71,6 +71,7 @@ def test_decode_media_plumbing_with_fake_decoder(blobs):
     out = mm.decode_media(blobs, decoder=fake)
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "mime", "width", "height", "n_frames", "feature",
+        "sample_rate", "channels", "duration_ms",
     ]
     rows = out.collect()
     assert len(rows) == blobs.count()
@@ -83,13 +84,58 @@ def test_decode_media_plumbing_with_fake_decoder(blobs):
         assert d.mime == mm._sniff(blob)
 
 
-def test_decode_media_default_raises(spark):
+def test_decode_media_default_raises_for_images(spark):
     df = spark.createDataFrame([(1, b"\xff\xd8\xffxx")], "doc_id long, content binary")
     with pytest.raises(Exception) as ei:
         mm.decode_media(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_wav_header_decode_against_stdlib_wave():
+    """The RIFF walk must agree with the stdlib `wave` reader on a file
+    written by the stdlib `wave` writer (an independent implementation of
+    the same public spec)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(2)
+    w.setsampwidth(2)
+    w.setframerate(22050)
+    w.writeframes(b"\x00\x00" * 2 * 441)  # 441 stereo frames
+    w.close()
+    meta = mm.decode_wav_header(buf.getvalue())
+    assert meta == {
+        "sample_rate": 22050,
+        "channels": 2,
+        "n_frames": 441,
+        "duration_ms": 441 * 1000 // 22050,
+    }
+
+
+def test_wav_decode_malformed_raises():
+    with pytest.raises(ValueError):
+        mm.decode_wav_header(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        mm.decode_wav_header(b"RIFF\x24\x00\x00\x00WAVE")  # no fmt/data
+
+
+def test_synth_wav_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    decoded = {
+        r.doc_id: r
+        for r in mm.decode_media(mm.synth_wav_frame(docs)).collect()
+    }
+    for d in docs.collect():
+        r = decoded[d.doc_id]
+        assert r.mime == "audio/wav"
+        assert r.sample_rate == [8000, 16000, 44100][d.doc_id % 3]
+        assert r.channels == 1 + d.doc_id % 2
+        assert r.n_frames == len(d.text)
+        assert r.duration_ms == len(d.text) * 1000 // r.sample_rate
 
 
 # --------------------------------------------------------------------------
