@@ -64,6 +64,10 @@ HEADLINE = [
     "tpch_q21_late_sole_supplier",
     "tpch_q22_idle_customers",
     "events_asof_join",
+    # round-4 additions (append-only, same comparability rule)
+    "avro_envelope_schema_id",
+    "ann_recall_at_k",
+    "wav_decode_metadata",
 ]
 
 

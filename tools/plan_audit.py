@@ -35,9 +35,10 @@ def main() -> int:
     spark = get_spark("plan_audit")
     lines = [
         "# Physical-plan audit\n",
-        f"Every catalog query's executed plan at `{SF_DIR}` "
-        "(counts from the pre-execution adaptive plan; AQE may further "
-        "coalesce at runtime). `py_stage` > 0 only where a Python kernel "
+        f"Every catalog query's EXECUTED plan at `{SF_DIR}` — each query "
+        "runs to a noop sink first, so the counts reflect the final "
+        "adaptive (AQE) plan including realized WholeStageCodegen spans, "
+        "not the pre-execution sketch. `py_stage` > 0 only where a Python kernel "
         "is the point (pandas UDF vector math, mapInPandas decode, "
         "stateful sessionization). `nested_loop` > 0 only for the "
         "scalar-subquery pattern — a crossJoin against a broadcast "
@@ -50,16 +51,22 @@ def main() -> int:
     totals: dict[str, int] = {k: 0 for k in COUNTERS}
     for name, qd in sorted(REGISTRY.items()):
         try:
-            plan = (
-                qd.fn(spark, SF_DIR)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = qd.fn(spark, SF_DIR)
+            # Execute THIS DataFrame's own QueryExecution (collect, not a
+            # writer, which clones the plan) so AQE finalizes it —
+            # pre-execution adaptive plans print no codegen info at all,
+            # which made the audit report codegen=0 everywhere.
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # pragma: no cover
             lines.append(f"| {name} | (error: {type(exc).__name__}) |" + " |" * 8)
             continue
         counts = {k: len(re.findall(rx, plan)) for k, rx in COUNTERS.items()}
+        # finalized AQE plans mark codegen stages as `*(id)` prefixes, not
+        # WholeStageCodegen nodes — count distinct stage ids
+        counts["codegen"] = max(
+            counts["codegen"], len(set(re.findall(r"\*\((\d+)\)", plan)))
+        )
         for k, v in counts.items():
             totals[k] += v
         oracle = "sql" if qd.sql else "rows-only"
