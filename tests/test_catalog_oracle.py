@@ -24,3 +24,19 @@ def test_query_matches_oracle(spark, sf_dir, name):
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, sf_dir, name):
     assert REGISTRY[name].fn(spark, sf_dir).count() >= 0
+
+
+def test_manifest_in_sync_with_registry():
+    """MANIFEST.md is the externally-diffable list of every registered
+    query — regenerate with tools/gen_manifest.py when it drifts."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "MANIFEST.md")
+    with open(path) as f:
+        listed = set(re.findall(r"^\d+\. `([^`]+)`", f.read(), re.MULTILINE))
+    assert listed == set(REGISTRY), (
+        f"MANIFEST.md drift: missing={sorted(set(REGISTRY) - listed)} "
+        f"stale={sorted(listed - set(REGISTRY))} — run "
+        f"PYTHONPATH=. python tools/gen_manifest.py"
+    )
