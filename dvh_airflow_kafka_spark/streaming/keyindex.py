@@ -25,8 +25,11 @@ contract as the reference's indexed NOT EXISTS.
 
 The sidecar tolerates duplicate keys (replays may append a key twice);
 the anti-join deduplicates the probe side, so duplicates cost bytes, not
-correctness. ``operators.maintenance.compact_parquet`` applies to the
-sidecar like any other parquet dir when the small files accrete.
+correctness. Appends accrete one small file per batch per touched
+bucket — :meth:`SinkKeyIndex.compact` rewrites the sidecar to one
+deduplicated file per bucket while PRESERVING the partition layout and
+the epoch markers (a generic flat compaction would flatten the
+``bucket=`` dirs and silently disable partition pruning).
 """
 
 from __future__ import annotations
@@ -108,3 +111,32 @@ class SinkKeyIndex:
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
         )
+
+    def compact(self) -> None:
+        """Rewrite the sidecar to one DISTINCT-keys file per bucket,
+        keeping the ``bucket=`` partition layout (probe pruning) and the
+        ``_attempted_*`` epoch markers (crash-replay detection). Run
+        between drains, not mid-stream."""
+        import shutil
+        import uuid
+
+        if not self._has_data():
+            return
+        idx = self.spark.read.parquet(self.path).dropDuplicates(
+            self.keys + [BUCKET_COL]
+        )
+        tmp = f"{self.path}.__compact_{uuid.uuid4().hex[:8]}"
+        (
+            idx.repartition(BUCKET_COL)
+            .write.mode("overwrite")
+            .partitionBy(BUCKET_COL)
+            .parquet(tmp)
+        )
+        for entry in os.listdir(self.path):  # carry the epoch markers over
+            if entry.startswith("_attempted_"):
+                with open(os.path.join(tmp, entry), "w"):
+                    pass
+        trash = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, trash)
+        os.rename(tmp, self.path)
+        shutil.rmtree(trash)

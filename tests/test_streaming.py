@@ -121,6 +121,41 @@ def test_dedup_probe_is_bucket_pruned(spark, tmp_path):
     assert 0 < probe.count() < 1000
 
 
+def test_keyindex_compact_preserves_pruning_and_markers(spark, tmp_path):
+    """Compaction must keep the bucket partition dirs (probe pruning),
+    the epoch markers (crash-replay detection), and the key set."""
+    import os
+
+    from dvh_airflow_kafka_spark.streaming.keyindex import BUCKET_COL, SinkKeyIndex
+
+    idx = SinkKeyIndex(spark, str(tmp_path / "sink"), ["k1"], n_buckets=4)
+    idx.begin_epoch(0)
+    for chunk in range(3):  # 3 appends -> several files per bucket
+        idx.append(
+            spark.range(chunk * 100, chunk * 100 + 150).selectExpr(
+                "cast(id as string) k1"
+            )
+        )
+    before = {r.k1 for r in spark.read.parquet(idx.path).select("k1").collect()}
+    idx.compact()
+    dirs = [e for e in os.listdir(idx.path) if e.startswith(f"{BUCKET_COL}=")]
+    assert len(dirs) == 4
+    assert all(
+        sum(f.endswith(".parquet") for f in os.listdir(os.path.join(idx.path, d))) == 1
+        for d in dirs
+    )
+    assert os.path.exists(os.path.join(idx.path, "_attempted_0"))
+    assert idx.begin_epoch(0) is True  # marker survived the rewrite
+    after = {r.k1 for r in spark.read.parquet(idx.path).select("k1").collect()}
+    assert after == before  # dedup dropped only exact duplicate keys
+    probe = idx.probe(spark.range(0, 2).selectExpr("cast(id as string) k1"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # pruning intact: a real bucket predicate inside PartitionFilters
+    # (renders as `IN (...)` for several buckets, `= n` for one)
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert BUCKET_COL in pf and pf.strip()
+
+
 def test_keyindex_crash_window_falls_back_to_sink(spark, tmp_path):
     """A re-attempted epoch (marker already present) must not trust the
     sidecar: begin_epoch returns True so the pipeline probes the sink."""
