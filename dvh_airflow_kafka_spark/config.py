@@ -102,6 +102,11 @@ class SourceSpec(BaseModel):
     # in the stream still resolve. At 100 TB this is the required mode;
     # inference exists for ad-hoc exploration only.
     payload_schema: Optional[str] = Field(None, alias="payload-schema")
+    # Avro writer schema (Avro schema JSON) for `schema: avro` sources.
+    # When omitted, run_pipeline resolves it from the schema registry
+    # (reference fetches per message id, src/kafka_source.py:153-161 — one
+    # writer schema per run here; see runner docstring).
+    avro_schema: Optional[str] = Field(None, alias="avro-schema")
 
 
 class PrivacyFilterSpec(BaseModel):

@@ -110,17 +110,30 @@ def build_kafka_frame(
     return df
 
 
-def _payload_expr(spec: PipelineSpec):
+def _payload_expr(spec: PipelineSpec, avro_schema_json: Optional[str] = None):
     """The ``kafka_message`` expression for the configured schema mode:
     JSON mode re-serializes the drop/flag-filtered payload (reference
     src/kafka_source.py:102-119); string mode stores the JSON-quoted text
-    (:121-127); raw JSON with no payload ops stays as the scanned bytes
-    (canonical parity is the oracle's concern, hashing uses raw bytes
-    either way — law 2)."""
+    (:121-127); Avro mode strips the Confluent header and decodes the
+    binary record to canonical JSON (:129-151), then applies the same
+    drop/flag ops; raw JSON with no payload ops stays as the scanned
+    bytes (canonical parity is the oracle's concern; hashing follows the
+    per-mode reference contract — law 2)."""
     src = spec.source
-    raw = F.col("value").cast("string")
-    if PayloadSchema(src.schema_type) == PayloadSchema.STRING:
-        return json_quote(raw)
+    mode = PayloadSchema(src.schema_type)
+    if mode == PayloadSchema.STRING:
+        return json_quote(F.col("value").cast("string"))
+    if mode == PayloadSchema.AVRO:
+        from dvh_airflow_kafka_spark.sources.kafka import avro_payload_json
+
+        if not avro_schema_json:
+            raise ValueError(
+                "schema: avro needs `avro-schema` in the source config or a "
+                "schema_registry client passed to run_pipeline"
+            )
+        raw = avro_payload_json(F.col("value"), avro_schema_json)
+    else:
+        raw = F.col("value").cast("string")
     if src.message_fields_filter or src.flag_field_config:
         return filter_json_payload(
             raw,
@@ -198,6 +211,7 @@ def run_pipeline(
     existing: Optional[DataFrame] = None,
     batch_time: Optional[dt.datetime] = None,
     checkpoint_dir: Optional[str] = None,
+    schema_registry=None,
 ) -> PipelineResult:
     """Execute one configured pipeline end-to-end (reference
     ``Mapping.run()``, src/mapping.py:49-57). Accepts a
@@ -210,6 +224,15 @@ def run_pipeline(
     ``existing`` is the sink's current content for the dedup anti-join;
     when None and the sink is a readable parquet path, it is read from
     there (first load → no dedup needed).
+
+    ``schema: avro`` sources decode Confluent-framed values through the
+    pure-Python codec; the writer schema comes from ``avro-schema`` in
+    the config, else from ``schema_registry`` (a
+    ``sources.schema_registry.SchemaRegistryClient``) resolved once in
+    the driver from the first frame's id. Deviation from the reference:
+    ONE writer schema per run (the reference re-reads per message id,
+    src/kafka_source.py:129-151) — mixed-schema topics need one run per
+    id or schema-evolution-compatible readers.
     """
     if isinstance(spec, str):
         spec = PipelineSpec.from_yaml(spec)
@@ -271,11 +294,42 @@ def run_pipeline(
                 spec = spec.model_copy(update={"source": src})
 
     kafka_df = build_kafka_frame(spark, spec, bootstrap_servers)
+    mode = PayloadSchema(src.schema_type)
+    avro_schema_json = None
+    schema_id = None
+    hash_bytes = None
+    if mode == PayloadSchema.AVRO:
+        from dvh_airflow_kafka_spark.sources.kafka import (
+            confluent_schema_id,
+            strip_confluent_header,
+        )
+
+        avro_schema_json = src.avro_schema
+        if avro_schema_json is None and schema_registry is not None:
+            sid = kafka_df.select(
+                confluent_schema_id(F.col("value")).alias("sid")
+            ).limit(1).collect()
+            if not sid:
+                raise ValueError(
+                    "cannot resolve the Avro writer schema from an empty "
+                    "source; declare `avro-schema` in the config"
+                )
+            avro_schema_json = schema_registry.schema_for_id(int(sid[0].sid))
+        # reference Avro envelope: hash of header-stripped payload bytes
+        # (src/kafka_source.py:150) + kafka_schema_id per row (:149)
+        schema_id = confluent_schema_id(F.col("value"))
+        hash_bytes = strip_confluent_header(F.col("value"))
+    canonical = _payload_expr(spec, avro_schema_json)
     env = with_envelope(
         kafka_df,
         key_codec=src.key_decoder,
         message_filters=src.message_filters,
-        canonical_message=_payload_expr(spec),
+        canonical_message=canonical,
+        schema_id=schema_id,
+        hash_bytes=hash_bytes,
+        # the reference probes the deserialized-and-filtered payload
+        # (src/kafka_source.py:207-218), not the raw bytes
+        filter_payload=canonical if mode != PayloadSchema.STRING else None,
     )
     # Counters ride the existing job as an Observation on the envelope
     # node — no second pass over the source (A2, operators/summary.py).

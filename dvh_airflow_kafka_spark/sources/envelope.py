@@ -80,17 +80,25 @@ def with_envelope(
     message_filters: Optional[Sequence[AllowRule]] = None,
     canonical_message: Optional[Column] = None,
     schema_id: Optional[Column] = None,
+    hash_bytes: Optional[Column] = None,
+    filter_payload: Optional[Column] = None,
 ) -> DataFrame:
     """S3/S5 + F9/F10: standard Kafka columns -> reference envelope.
 
-    - ``kafka_hash`` is sha256 of the **raw** value bytes — computed
-      before any payload filtering (law 2, reference
-      src/kafka_source.py:114; test_integration.py:167).
+    - ``kafka_hash`` is sha256 of the raw value bytes — computed before
+      any payload filtering (law 2, reference src/kafka_source.py:114;
+      test_integration.py:167). Avro mode hashes the header-STRIPPED
+      payload (``msg[5:]``, reference :150) — pass ``hash_bytes``.
     - ``kafka_message`` defaults to the raw value decoded as string; pass
       ``canonical_message`` (e.g. a filtered-payload ``to_json``) to
       override — it is stored *post-filter* while the hash stays
       pre-filter.
-    - ``message_filters`` NULLs the message (never drops the row).
+    - ``message_filters`` NULLs the message (never drops the row). The
+      filter evaluates against ``filter_payload`` when given (the
+      reference probes the deserialized-and-FILTERED dict,
+      src/kafka_source.py:207-218 — pass the decoded JSON for Avro, the
+      filtered payload when drop/flag ops ran); defaults to the raw
+      value string.
     - ``schema_id`` (Avro mode) appends ``kafka_schema_id`` — the
       reference adds it to every Avro row (src/kafka_source.py:149);
       pass ``kafka.confluent_schema_id(F.col("value"))``.
@@ -99,7 +107,12 @@ def with_envelope(
         canonical_message if canonical_message is not None else F.col("value").cast("string")
     )
     if message_filters:
-        keep = allow_filter_condition(F.col("value").cast("string"), message_filters)
+        probe = (
+            filter_payload
+            if filter_payload is not None
+            else F.col("value").cast("string")
+        )
+        keep = allow_filter_condition(probe, message_filters)
         message = F.when(keep, message).otherwise(F.lit(None))
     cols = [
         decode_key(F.col("key"), key_codec).alias("kafka_key"),
@@ -107,7 +120,10 @@ def with_envelope(
         F.col("offset").alias("kafka_offset"),
         F.col("partition").alias("kafka_partition"),
         F.col("topic").alias("kafka_topic"),
-        F.sha2(F.col("value").cast("binary"), 256).alias("kafka_hash"),
+        F.sha2(
+            (hash_bytes if hash_bytes is not None else F.col("value")).cast("binary"),
+            256,
+        ).alias("kafka_hash"),
         message.alias("kafka_message"),
     ]
     if schema_id is not None:

@@ -173,6 +173,112 @@ transform:
         run_pipeline(spark, base.format(extra='  payload-schema: "k INT"\n'))
 
 
+def _avro_framed_source(spark, sf_dir, tmp_path):
+    """File-sim Kafka log whose values are Confluent-framed Avro records
+    (schema id = 9), built from the events table."""
+    from dvh_airflow_kafka_spark.sources.avro_codec import avro_encode_from_json_udf
+    from dvh_airflow_kafka_spark.sources.kafka import confluent_frame
+
+    schema = (
+        '{"type": "record", "name": "E", "fields": ['
+        '{"name": "event_type", "type": "string"},'
+        '{"name": "user_id", "type": "long"}]}'
+    )
+    events = load_table(spark, sf_dir, "events").limit(200)
+    kafka = events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        confluent_frame(
+            F.lit(9),
+            avro_encode_from_json_udf(schema)(
+                F.to_json(F.struct("event_type", "user_id"))
+            ),
+        ).alias("value"),
+        F.lit("events").alias("topic"),
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    )
+    path = str(tmp_path / "avro_log")
+    kafka.write.parquet(path)
+    return path, schema
+
+
+def test_avro_schema_mode_from_config(spark, sf_dir, tmp_path):
+    """`schema: avro` end-to-end through the YAML runner: Confluent
+    header strip + binary decode, per-row kafka_schema_id, and the hash
+    over header-STRIPPED payload bytes (reference src/kafka_source.py:
+    129-151)."""
+    import hashlib
+
+    path, schema = _avro_framed_source(spark, sf_dir, tmp_path)
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: avro
+  avro-schema: '{schema}'
+  path: "{path}"
+target:
+  type: memory
+  table: t_avro
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_schema_id
+    dst: kafka_schema_id
+  - src: kafka_hash
+    dst: kafka_hash
+  - src: kafka_message
+    dst: kafka_message
+"""
+    result = run_pipeline(spark, yaml_text)
+    rows = {r.kafka_offset: r for r in result.dataframe.collect()}
+    src_rows = {r.offset: r for r in spark.read.parquet(path).collect()}
+    events = {r.event_id: r for r in load_table(spark, sf_dir, "events").collect()}
+    assert len(rows) == 200
+    for off, r in list(rows.items())[:50]:
+        assert r.kafka_schema_id == 9
+        payload = bytes(src_rows[off].value)[5:]  # header-stripped
+        assert r.kafka_hash == hashlib.sha256(payload).hexdigest()
+        decoded = json.loads(r.kafka_message)
+        assert decoded["event_type"] == events[off].event_type
+        assert decoded["user_id"] == events[off].user_id
+
+
+def test_avro_schema_from_registry_client(spark, sf_dir, tmp_path):
+    """Without `avro-schema` in the config, the writer schema resolves
+    through the registry client (fetched once, from the first frame's
+    id)."""
+    from dvh_airflow_kafka_spark.sources.schema_registry import SchemaRegistryClient
+
+    path, schema = _avro_framed_source(spark, sf_dir, tmp_path)
+    calls = []
+
+    def transport(url, auth):
+        calls.append(url)
+        return {"schema": schema}
+
+    client = SchemaRegistryClient("http://registry", transport=transport)
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: avro
+  path: "{path}"
+target:
+  type: memory
+  table: t_avro_reg
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_message
+    dst: kafka_message
+"""
+    result = run_pipeline(spark, yaml_text, schema_registry=client)
+    assert calls == ["http://registry/schemas/ids/9"]  # one driver fetch
+    assert result.dataframe.filter(F.col("kafka_message").isNotNull()).count() == 200
+
+
 def test_k6_scrub_from_config(spark, sf_dir):
     """P4 via config: flagged ids get NULL payload, rows never dropped
     (reference src/oracle_target.py:46-93)."""
