@@ -20,7 +20,7 @@ import datetime as dt
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.config import AllowRule
@@ -999,6 +999,120 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         scores["es"].cast("int").alias("es_hits"),
         scores["fr"].cast("int").alias("fr_hits"),
         xtext.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), base AS (
+        SELECT doc_id, wl,
+               CASE WHEN len(wl) >= 2
+                    THEN list_transform(range(1, len(wl)),
+                                        i -> wl[i] || ' ' || wl[i+1])
+                    ELSE [array_to_string(wl, ' ')] END AS bg
+        FROM w
+    ), cnt AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(bg) AS g FROM base)
+        GROUP BY doc_id, g
+    ), top AS (
+        SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           CAST(len(wl) AS BIGINT) AS n_tokens,
+           CASE WHEN len(wl) > 0
+                THEN 1.0 - CAST(len(list_distinct(wl)) AS DOUBLE) / len(wl)
+                ELSE 0.0 END AS dup_token_fraction,
+           CAST(top.top_c AS BIGINT) AS top_bigram_count,
+           CAST(top.top_c AS DOUBLE) / len(bg) AS top_bigram_fraction
+    FROM base JOIN top ON top.doc_id = base.doc_id
+    """,
+)
+def text_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Gopher-style repetition signals per document: duplicate-token
+    fraction and top-bigram coverage — repetitious documents are low-value
+    training data and these two integers-derived ratios are the standard
+    cheap filters. One explode + per-doc aggregate; everything else is
+    scan-fused Column arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", xtext.tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        "__toks",
+        xtext.word_ngrams_from_tokens(F.col("__toks"), 2).alias("__bg"),
+    )
+    top = (
+        base.select("doc_id", F.explode("__bg").alias("__g"))
+        .groupBy("doc_id", "__g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(F.max("__c").alias("__top"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        xtext.dup_token_fraction(F.col("__toks")).alias("dup_token_fraction"),
+        F.col("__top").cast("long").alias("top_bigram_count"),
+        (F.col("__top").cast("double") / F.size("__bg")).alias("top_bigram_fraction"),
+    )
+
+
+def _pii_salt_spark() -> Column:
+    # Column exprs need a live session — build lazily, not at import.
+    return F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +47 22 33 44 55"),
+        ),
+    ).otherwise(F.lit(""))
+
+
+@register(
+    "text_pii_redaction",
+    sql=r"""
+    WITH salted AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                            THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or +47 22 33 44 55'
+                            ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t,
+               '\+[0-9]{2}( [0-9]{2}){4}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\+[0-9]{2}( [0-9]{2}){4}', '<PHONE>', 'g') AS redacted
+    FROM salted
+    """,
+)
+def text_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PII scrub pass: emails/phones replaced with placeholder
+    tokens, with per-pattern audit counts. The corpus has no PII, so both
+    engines salt every 5th document with a synthetic email + phone — real
+    positives, deterministic, and the patterns use only constructs with
+    identical Java-regex/RE2 semantics. Chained regexp_replace fuses into
+    the scan (the same shape a 100 TB scrub runs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id", F.concat(F.col("text"), _pii_salt_spark()).alias("__t")
+    )
+    counts = xtext.pii_counts(F.col("__t"))
+    return salted.select(
+        "doc_id",
+        counts["<EMAIL>"].cast("int").alias("n_emails"),
+        counts["<PHONE>"].cast("int").alias("n_phones"),
+        xtext.redact_pii(F.col("__t")).alias("redacted"),
     )
 
 

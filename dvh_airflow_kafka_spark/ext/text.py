@@ -137,3 +137,43 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     pipelines should project ``tokens(text)`` first and call
     ``word_ngrams_from_tokens`` on the attribute (see that docstring)."""
     return word_ngrams_from_tokens(tokens(text), n)
+
+
+def dup_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 − |distinct|/|tokens|) — the cheap repetition signal from the
+    Gopher-style quality filters (repetitious docs are low-value training
+    data). Pure integer arithmetic → bit-identical across engines.
+    ``toks`` should be a projected token-array attribute."""
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+# PII patterns kept to regex constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): char classes, bounded repeats, groups —
+# no backreferences or lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{2}( [0-9]{2}){4}"  # +NN NN NN NN NN (intl. spaced)
+
+PII_PATTERNS: dict[str, str] = {"<EMAIL>": EMAIL_RE, "<PHONE>": PHONE_RE}
+
+
+def redact_pii(text: Column, patterns: dict[str, str] | None = None) -> Column:
+    """Replace every PII match with its placeholder token — the standard
+    pre-training scrub pass. Chained ``regexp_replace`` stays in codegen;
+    at 100 TB this fuses into the corpus scan like every other text op."""
+    out = text.cast("string")
+    for placeholder, pattern in (patterns or PII_PATTERNS).items():
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_counts(text: Column, patterns: dict[str, str] | None = None) -> dict[str, Column]:
+    """Per-pattern match counts (audit trail for the scrub pass)."""
+    return {
+        placeholder: F.regexp_count(text.cast("string"), F.lit(pattern))
+        for placeholder, pattern in (patterns or PII_PATTERNS).items()
+    }

@@ -109,3 +109,29 @@ def test_fuzzy_parse_is_deterministic_no_relative_forms():
     assert fns.fuzzy_parse_datetime("5 days ago") is None
     assert fns.fuzzy_parse_datetime(None) is None
     assert fns.fuzzy_parse_datetime("March 5th 2024") == dt.datetime(2024, 3, 5)
+
+
+def test_redact_pii_planted(spark):
+    from dvh_airflow_kafka_spark.ext.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "call +47 22 33 44 55 or write a.b@c.io and x@y.org"),
+        (3, "no pii here, just text with @ sign and 12 34 numbers"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = pii_counts(F.col("t"))
+    got = {
+        r.id: (r.red, r.ne, r.np)
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            counts["<EMAIL>"].alias("ne"),
+            counts["<PHONE>"].alias("np"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> today", 1, 0)
+    assert got[2] == ("call <PHONE> or write <EMAIL> and <EMAIL>", 2, 1)
+    assert got[3] == (rows[2][1], 0, 0)  # untouched
+    assert got[4][0] is None
