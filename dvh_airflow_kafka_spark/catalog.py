@@ -1517,6 +1517,126 @@ def wav_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "documents_pack_shards",
+    sql=r"""
+    WITH sized AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS sz
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, sz,
+               SUM(sz) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) - sz AS before
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(sz AS BIGINT) AS size,
+           CAST(before // 512 AS BIGINT) AS shard_id,
+           CAST(before % 512 AS BIGINT) AS offset_in_shard
+    FROM cum
+    """,
+)
+def documents_pack_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] training-shard packing: documents assigned (in doc_id order)
+    to 512-token-capacity shards by cumulative token count — the standard
+    prefix-sum approximation of bin packing used to build ~uniform
+    pre-training shards. Deterministic layout, oracled via a window
+    cumsum."""
+    from dvh_airflow_kafka_spark.ext.sampling import pack_into_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", xtext.token_count_ws(F.col("text")).alias("__sz"))
+    return pack_into_shards(sized, "doc_id", F.col("__sz"), capacity=512)
+
+
+_INT8_RECALL_SQL = """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    m AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+    q8 AS (
+        SELECT vec_id,
+               CASE WHEN mx > 0 THEN
+                   list_transform(e, x -> floor(abs(x) * 127.0 / mx + 0.5) *
+                                           CASE WHEN x < 0 THEN -1 ELSE 1 END)
+               ELSE list_transform(e, x -> 0.0) END AS qe
+        FROM m),
+    bf_scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.e, c.e) /
+                     (sqrt(list_dot_product(q.e, q.e)) *
+                      sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id WHERE q.vec_id < 10),
+    bf AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM bf_scored) WHERE rn <= 5),
+    i_scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CASE WHEN list_dot_product(a.qe, a.qe) > 0
+                     AND list_dot_product(b.qe, b.qe) > 0
+                    THEN round(list_dot_product(a.qe, b.qe) /
+                               (sqrt(list_dot_product(a.qe, a.qe)) *
+                                sqrt(list_dot_product(b.qe, b.qe))), 6)
+                    ELSE 0.0 END AS cosine
+        FROM q8 a JOIN q8 b ON b.vec_id <> a.vec_id WHERE a.vec_id < 10),
+    i8 AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM i_scored) WHERE rn <= 5),
+    hits AS (
+        SELECT i8.query_id, COUNT(*) AS n_overlap
+        FROM i8 JOIN bf USING (query_id, neighbor_id)
+        GROUP BY i8.query_id)
+    SELECT q.query_id,
+           CAST(5 AS BIGINT) AS k,
+           CAST(COALESCE(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+           COALESCE(hits.n_overlap, 0) / 5.0 AS recall_at_k
+    FROM (SELECT vec_id AS query_id FROM v WHERE vec_id < 10) q
+    LEFT JOIN hits ON hits.query_id = q.query_id
+    """
+
+
+@register("embedding_int8_recall", sql=_INT8_RECALL_SQL)
+def embedding_int8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] quantization quality as an ORACLED metric: per query, the
+    overlap of int8-quantized brute-force top-5 with float brute-force
+    top-5. The quantizer's half-away-from-zero floor form is replayed
+    exactly in SQL, and int8 dot products are exact integers, so both
+    engines rank identically — recall is hash-compared, not sampled."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = xsim.quantize_embeddings_int8(emb)
+    as_vec = quant.select(
+        "vec_id", F.col("q").cast("array<double>").alias("embedding")
+    )
+    q_queries = as_vec.filter(F.col("vec_id") < 10)
+    i8 = xsim.brute_force_topk(as_vec, q_queries, k=5)
+    bf = xsim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    hits = (
+        i8.join(
+            bf.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("__n"), F.lit(0)) / F.lit(5.0)).alias("recall_at_k"),
+        )
+    )
+
+
 def _srp_planes_values() -> str:
     """The SRP hyperplanes (seed 42, 4 tables × 8 bits × dim 64 — the
     registered ``lsh_ann_topk`` configuration) as a DuckDB VALUES literal,

@@ -19,7 +19,7 @@ forever (add data, the old rows never move splits).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,4 +75,36 @@ def sql_bucket_predicate(key_expr: str, frac: float, salt: str = "split-v1") -> 
     return (
         f"substr(sha256('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 8)"
         f" < '{_hex_threshold(frac)}'"
+    )
+
+
+def pack_into_shards(
+    docs: DataFrame,
+    id_col: str,
+    size_col: Column,
+    capacity: int,
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents (in ``id_col``
+    order) to fixed-capacity training shards by cumulative size —
+    ``shard_id = floor(cum_size_before / capacity)`` — the standard
+    prefix-sum approximation of bin packing used to build ~uniform token
+    shards for pre-training. Returns (id, size, shard_id,
+    offset_in_shard).
+
+    Plan shape: ONE global window over the ordering key. At 100 TB a
+    single unbounded ordering is the honest cost of a globally
+    deterministic layout; shard *within* a partition key (date, source)
+    instead when global order is not required — same expression under a
+    partitionBy.
+    """
+    w = Window.orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(size_col).over(w)
+    before = (cum - size_col).cast("long")
+    return docs.select(
+        F.col(id_col),
+        size_col.cast("long").alias("size"),
+        F.floor(before / F.lit(capacity)).cast("long").alias("shard_id"),
+        (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
     )

@@ -402,3 +402,40 @@ def lsh_bucketed_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantize_embeddings_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q = sign(x)·⌊|x|·127/max|x|
+    + 0.5⌋ (half-away-from-zero, pinned explicitly because numpy's default
+    round is half-to-even while SQL engines round half-away — the floor
+    form is bit-identical everywhere). Returns (id, q array<tinyint>,
+    scale double) with scale = max|x|/127 for dequantization.
+
+    Why: int8 vectors are 4× smaller than float32 — at 100 TB the ANN
+    candidate re-rank becomes memory-bound, and integer dot products are
+    EXACT (≤ 127²·dim fits long), so ranking is deterministic across
+    engines and runs. One Arrow-batched linear pass, no shuffle."""
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("q", T.ArrayType(T.ByteType())),
+        T.StructField("scale", T.DoubleType()),
+    ]))
+    def quant(v: pd.Series) -> pd.DataFrame:
+        qs, scales = [], []
+        for vec in v:
+            a = np.asarray(vec, dtype=np.float64)
+            m = float(np.abs(a).max()) if a.size else 0.0
+            if m > 0.0:
+                q = (np.floor(np.abs(a) * 127.0 / m + 0.5) * np.sign(a)).astype(np.int8)
+            else:
+                q = np.zeros(a.size, dtype=np.int8)
+            qs.append(q)
+            scales.append(m / 127.0)
+        return pd.DataFrame({"q": qs, "scale": scales})
+
+    out = emb.select(F.col(id_col), quant(F.col(vec_col)).alias("__qs"))
+    return out.select(
+        id_col, F.col("__qs.q").alias("q"), F.col("__qs.scale").alias("scale")
+    )

@@ -52,3 +52,43 @@ def test_stratified_sample_uniform_per_stratum(spark, sf_dir):
         .collect()
     }
     assert per and all(abs(f - 0.2) < 0.06 for f in per.values())
+
+
+def test_pack_into_shards_invariants(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.sampling import pack_into_shards
+    from dvh_airflow_kafka_spark.ext.text import token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count_ws(F.col("text")).alias("sz"))
+    packed = pack_into_shards(sized, "doc_id", F.col("sz"), capacity=512).collect()
+    rows = sorted(packed, key=lambda r: r.doc_id)
+    assert all(0 <= r.offset_in_shard < 512 for r in rows)
+    # shard ids are non-decreasing in doc order and start at 0
+    ids = [r.shard_id for r in rows]
+    assert ids[0] == 0 and all(a <= b for a, b in zip(ids, ids[1:]))
+    # prefix-sum definition: shard = floor(cum_before / capacity)
+    cum = 0
+    for r in rows:
+        assert r.shard_id == cum // 512 and r.offset_in_shard == cum % 512
+        cum += r.size
+
+
+def test_quantize_embeddings_int8_bounds(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.similarity import quantize_embeddings_int8
+    from dvh_airflow_kafka_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in quantize_embeddings_int8(emb).collect():
+        q = np.asarray(r.q, dtype=np.int64)
+        assert q.min() >= -127 and q.max() <= 127
+        assert np.abs(q).max() == 127  # max magnitude saturates exactly
+        # dequantization error bounded by half a quantization step
+        err = np.abs(orig[r.vec_id] - q * r.scale)
+        assert float(err.max()) <= r.scale / 2 + 1e-12
