@@ -68,6 +68,10 @@ HEADLINE = [
     "avro_envelope_schema_id",
     "ann_recall_at_k",
     "wav_decode_metadata",
+    "text_repetition_stats",
+    "text_pii_redaction",
+    "documents_pack_shards",
+    "embedding_int8_recall",
 ]
 
 

@@ -1027,37 +1027,45 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 1.0 - CAST(len(list_distinct(wl)) AS DOUBLE) / len(wl)
                 ELSE 0.0 END AS dup_token_fraction,
            CAST(top.top_c AS BIGINT) AS top_bigram_count,
-           CAST(top.top_c AS DOUBLE) / len(bg) AS top_bigram_fraction
+           CAST(top.top_c AS DOUBLE) / greatest(1, len(wl) - 1)
+               AS top_bigram_fraction
     FROM base JOIN top ON top.doc_id = base.doc_id
     """,
 )
 def text_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Gopher-style repetition signals per document: duplicate-token
     fraction and top-bigram coverage — repetitious documents are low-value
-    training data and these two integers-derived ratios are the standard
-    cheap filters. One explode + per-doc aggregate; everything else is
-    scan-fused Column arithmetic."""
+    training data and these two integer-derived ratios are the standard
+    cheap filters. The bigram array (interpreted-HOF construction) is
+    built exactly once, on the explode side; the join carries only
+    scalars — |bigrams| is ``greatest(1, n_tokens − 1)`` by construction,
+    so it's recomputed arithmetically, not from a second array build."""
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", xtext.tokens(F.col("text")).alias("__toks")
-    ).select(
+    toksdf = docs.select("doc_id", xtext.tokens(F.col("text")).alias("__toks"))
+    stats = toksdf.select(
         "doc_id",
-        "__toks",
-        xtext.word_ngrams_from_tokens(F.col("__toks"), 2).alias("__bg"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        xtext.dup_token_fraction(F.col("__toks")).alias("dup_token_fraction"),
     )
     top = (
-        base.select("doc_id", F.explode("__bg").alias("__g"))
+        toksdf.select(
+            "doc_id",
+            F.explode(xtext.word_ngrams_from_tokens(F.col("__toks"), 2)).alias("__g"),
+        )
         .groupBy("doc_id", "__g")
         .agg(F.count(F.lit(1)).alias("__c"))
         .groupBy("doc_id")
         .agg(F.max("__c").alias("__top"))
     )
-    return base.join(top, "doc_id").select(
+    return stats.join(top, "doc_id").select(
         "doc_id",
-        F.size("__toks").cast("long").alias("n_tokens"),
-        xtext.dup_token_fraction(F.col("__toks")).alias("dup_token_fraction"),
+        "n_tokens",
+        "dup_token_fraction",
         F.col("__top").cast("long").alias("top_bigram_count"),
-        (F.col("__top").cast("double") / F.size("__bg")).alias("top_bigram_fraction"),
+        (
+            F.col("__top").cast("double")
+            / F.greatest(F.lit(1), F.col("n_tokens") - 1)
+        ).alias("top_bigram_fraction"),
     )
 
 
