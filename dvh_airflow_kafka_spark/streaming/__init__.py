@@ -1,6 +1,7 @@
+from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
 from dvh_airflow_kafka_spark.streaming.pipeline import (
     StreamingRun,
     run_streaming_pipeline,
 )
 
-__all__ = ["run_streaming_pipeline", "StreamingRun"]
+__all__ = ["run_streaming_pipeline", "StreamingRun", "SinkKeyIndex"]
