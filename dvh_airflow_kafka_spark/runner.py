@@ -227,12 +227,12 @@ def run_pipeline(
 
     ``schema: avro`` sources decode Confluent-framed values through the
     pure-Python codec; the writer schema comes from ``avro-schema`` in
-    the config, else from ``schema_registry`` (a
-    ``sources.schema_registry.SchemaRegistryClient``) resolved once in
-    the driver from the first frame's id. Deviation from the reference:
-    ONE writer schema per run (the reference re-reads per message id,
-    src/kafka_source.py:129-151) — mixed-schema topics need one run per
-    id or schema-evolution-compatible readers.
+    the config (single-schema fast path), else from ``schema_registry``
+    (a ``sources.schema_registry.SchemaRegistryClient``): the distinct
+    schema ids in the data (a bounded driver collect) each become one
+    filtered decode branch over the same scan, unioned back together —
+    mixed-schema topics decode in a single run, matching the reference's
+    per-message-id reads (src/kafka_source.py:129-151).
     """
     if isinstance(spec, str):
         spec = PipelineSpec.from_yaml(spec)
@@ -295,42 +295,75 @@ def run_pipeline(
 
     kafka_df = build_kafka_frame(spark, spec, bootstrap_servers)
     mode = PayloadSchema(src.schema_type)
-    avro_schema_json = None
-    schema_id = None
-    hash_bytes = None
-    if mode == PayloadSchema.AVRO:
-        from dvh_airflow_kafka_spark.sources.kafka import (
-            confluent_schema_id,
-            strip_confluent_header,
+
+    def build_env(frame: DataFrame, avro_schema_json: Optional[str]) -> DataFrame:
+        schema_id = None
+        hash_bytes = None
+        if mode == PayloadSchema.AVRO:
+            from dvh_airflow_kafka_spark.sources.kafka import (
+                confluent_schema_id,
+                strip_confluent_header,
+            )
+
+            # reference Avro envelope: hash of header-stripped payload
+            # bytes (src/kafka_source.py:150) + kafka_schema_id (:149)
+            schema_id = confluent_schema_id(F.col("value"))
+            hash_bytes = strip_confluent_header(F.col("value"))
+        canonical = _payload_expr(spec, avro_schema_json)
+        return with_envelope(
+            frame,
+            key_codec=src.key_decoder,
+            message_filters=src.message_filters,
+            canonical_message=canonical,
+            schema_id=schema_id,
+            hash_bytes=hash_bytes,
+            # the reference probes the deserialized-and-filtered payload
+            # (src/kafka_source.py:207-218), not the raw bytes
+            filter_payload=canonical if mode != PayloadSchema.STRING else None,
         )
 
-        avro_schema_json = src.avro_schema
-        if avro_schema_json is None and schema_registry is not None:
-            sid = kafka_df.select(
+    if mode == PayloadSchema.AVRO and src.avro_schema is None:
+        from dvh_airflow_kafka_spark.sources.kafka import confluent_schema_id
+
+        if schema_registry is None:
+            raise ValueError(
+                "schema: avro needs `avro-schema` in the source config or a "
+                "schema_registry client passed to run_pipeline"
+            )
+        # Distinct writer-schema ids: a bounded driver collect (a topic
+        # carries a handful of schema versions, never data-scale many).
+        ids = sorted(
+            int(r.sid)
+            for r in kafka_df.select(
                 confluent_schema_id(F.col("value")).alias("sid")
-            ).limit(1).collect()
-            if not sid:
-                raise ValueError(
-                    "cannot resolve the Avro writer schema from an empty "
-                    "source; declare `avro-schema` in the config"
+            )
+            .distinct()
+            .collect()
+        )
+        if not ids:
+            raise ValueError(
+                "cannot resolve the Avro writer schema from an empty "
+                "source; declare `avro-schema` in the config"
+            )
+        schemas = schema_registry.schemas_for_ids(ids)
+        # Per-id decode branches unioned back together — the reference
+        # reads each message with its own writer schema
+        # (src/kafka_source.py:129-151); here each id becomes one
+        # filtered branch over the same scan, so mixed-schema topics
+        # decode in a single run.
+        env = build_env(
+            kafka_df.filter(confluent_schema_id(F.col("value")) == ids[0]),
+            schemas[ids[0]],
+        )
+        for sid in ids[1:]:
+            env = env.unionByName(
+                build_env(
+                    kafka_df.filter(confluent_schema_id(F.col("value")) == sid),
+                    schemas[sid],
                 )
-            avro_schema_json = schema_registry.schema_for_id(int(sid[0].sid))
-        # reference Avro envelope: hash of header-stripped payload bytes
-        # (src/kafka_source.py:150) + kafka_schema_id per row (:149)
-        schema_id = confluent_schema_id(F.col("value"))
-        hash_bytes = strip_confluent_header(F.col("value"))
-    canonical = _payload_expr(spec, avro_schema_json)
-    env = with_envelope(
-        kafka_df,
-        key_codec=src.key_decoder,
-        message_filters=src.message_filters,
-        canonical_message=canonical,
-        schema_id=schema_id,
-        hash_bytes=hash_bytes,
-        # the reference probes the deserialized-and-filtered payload
-        # (src/kafka_source.py:207-218), not the raw bytes
-        filter_payload=canonical if mode != PayloadSchema.STRING else None,
-    )
+            )
+    else:
+        env = build_env(kafka_df, src.avro_schema)
     # Counters ride the existing job as an Observation on the envelope
     # node — no second pass over the source (A2, operators/summary.py).
     env, obs = observe_summary(env)

@@ -279,6 +279,71 @@ transform:
     assert result.dataframe.filter(F.col("kafka_message").isNotNull()).count() == 200
 
 
+def test_avro_mixed_schema_ids_decode_per_branch(spark, sf_dir, tmp_path):
+    """A topic carrying TWO writer schemas decodes in one run: each id
+    becomes a filtered branch with its own schema (the reference reads
+    every message with its own writer schema)."""
+    from dvh_airflow_kafka_spark.sources.avro_codec import avro_encode_from_json_udf
+    from dvh_airflow_kafka_spark.sources.kafka import confluent_frame
+    from dvh_airflow_kafka_spark.sources.schema_registry import SchemaRegistryClient
+
+    s_a = '{"type": "record", "name": "A", "fields": [{"name": "user_id", "type": "long"}]}'
+    s_b = (
+        '{"type": "record", "name": "B", "fields": ['
+        '{"name": "event_type", "type": "string"},'
+        '{"name": "value", "type": ["null", "double"]}]}'
+    )
+    events = load_table(spark, sf_dir, "events").limit(100)
+    enc_a = avro_encode_from_json_udf(s_a)(F.to_json(F.struct("user_id")))
+    enc_b = avro_encode_from_json_udf(s_b)(F.to_json(F.struct("event_type", "value")))
+    value = F.when(
+        F.col("event_id") % 2 == 0, confluent_frame(F.lit(11), enc_a)
+    ).otherwise(confluent_frame(F.lit(12), enc_b))
+    path = str(tmp_path / "mixed_log")
+    events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        value.alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    ).write.parquet(path)
+
+    schemas = {11: s_a, 12: s_b}
+    client = SchemaRegistryClient(
+        "http://r", transport=lambda url, auth: {"schema": schemas[int(url.rsplit("/", 1)[1])]}
+    )
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: avro
+  path: "{path}"
+target:
+  type: memory
+  table: t_avro_mixed
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_schema_id
+    dst: kafka_schema_id
+  - src: kafka_message
+    dst: kafka_message
+"""
+    result = run_pipeline(spark, yaml_text, schema_registry=client)
+    rows = {r.kafka_offset: r for r in result.dataframe.collect()}
+    expect = {r.event_id: r for r in events.collect()}
+    assert len(rows) == 100
+    for off, r in rows.items():
+        decoded = json.loads(r.kafka_message)
+        if off % 2 == 0:
+            assert r.kafka_schema_id == 11
+            assert decoded == {"user_id": expect[off].user_id}
+        else:
+            assert r.kafka_schema_id == 12
+            assert decoded["event_type"] == expect[off].event_type
+
+
 def test_k6_scrub_from_config(spark, sf_dir):
     """P4 via config: flagged ids get NULL payload, rows never dropped
     (reference src/oracle_target.py:46-93)."""
