@@ -38,11 +38,11 @@ from dvh_airflow_kafka_spark.config import (
 from dvh_airflow_kafka_spark.io import load_parquet
 from dvh_airflow_kafka_spark.operators import (
     dedup_against_existing,
-    filter_json_payload,
     observe_summary,
     scrub_flagged_persons,
 )
 from dvh_airflow_kafka_spark.operators.summary import ProcessSummary
+from dvh_airflow_kafka_spark.payload_modes import payload_exprs
 from dvh_airflow_kafka_spark.plans import Transform
 from dvh_airflow_kafka_spark.sinks.writers import (
     write_console,
@@ -51,7 +51,6 @@ from dvh_airflow_kafka_spark.sinks.writers import (
 )
 from dvh_airflow_kafka_spark.sources.envelope import (
     events_as_kafka_frame,
-    json_quote,
     with_envelope,
 )
 
@@ -110,38 +109,9 @@ def build_kafka_frame(
     return df
 
 
-def _payload_expr(spec: PipelineSpec, avro_schema_json: Optional[str] = None):
-    """The ``kafka_message`` expression for the configured schema mode:
-    JSON mode re-serializes the drop/flag-filtered payload (reference
-    src/kafka_source.py:102-119); string mode stores the JSON-quoted text
-    (:121-127); Avro mode strips the Confluent header and decodes the
-    binary record to canonical JSON (:129-151), then applies the same
-    drop/flag ops; raw JSON with no payload ops stays as the scanned
-    bytes (canonical parity is the oracle's concern; hashing follows the
-    per-mode reference contract — law 2)."""
-    src = spec.source
-    mode = PayloadSchema(src.schema_type)
-    if mode == PayloadSchema.STRING:
-        return json_quote(F.col("value").cast("string"))
-    if mode == PayloadSchema.AVRO:
-        from dvh_airflow_kafka_spark.sources.kafka import avro_payload_json
-
-        if not avro_schema_json:
-            raise ValueError(
-                "schema: avro needs `avro-schema` in the source config or a "
-                "schema_registry client passed to run_pipeline"
-            )
-        raw = avro_payload_json(F.col("value"), avro_schema_json)
-    else:
-        raw = F.col("value").cast("string")
-    if src.message_fields_filter or src.flag_field_config:
-        return filter_json_payload(
-            raw,
-            drop_keypaths=src.message_fields_filter,
-            flag_keypaths=src.flag_field_config,
-            sep=src.keypath_separator or "/",
-        )
-    return raw
+# Payload expressions live in payload_modes.payload_exprs — shared with
+# the streaming spine so batch and subscribe paths deserialize
+# identically.
 
 
 def _payload_rule_sources(spec: PipelineSpec, envelope_cols: set[str]) -> list[str]:
@@ -262,8 +232,7 @@ def run_pipeline(
             batch_time=batch_time,
             dedup_keys=sink.skip_duplicates_with
             or ("kafka_topic", "kafka_partition", "kafka_offset"),
-            message_filters=src.message_filters,
-            key_codec=src.key_decoder,
+            source_spec=src,  # full deserializer semantics (incl. Avro)
         )
         return PipelineResult(load_parquet(spark, sink.path), run.summary)
 
@@ -297,29 +266,15 @@ def run_pipeline(
     mode = PayloadSchema(src.schema_type)
 
     def build_env(frame: DataFrame, avro_schema_json: Optional[str]) -> DataFrame:
-        schema_id = None
-        hash_bytes = None
-        if mode == PayloadSchema.AVRO:
-            from dvh_airflow_kafka_spark.sources.kafka import (
-                confluent_schema_id,
-                strip_confluent_header,
-            )
-
-            # reference Avro envelope: hash of header-stripped payload
-            # bytes (src/kafka_source.py:150) + kafka_schema_id (:149)
-            schema_id = confluent_schema_id(F.col("value"))
-            hash_bytes = strip_confluent_header(F.col("value"))
-        canonical = _payload_expr(spec, avro_schema_json)
+        pe = payload_exprs(src, avro_schema_json)
         return with_envelope(
             frame,
             key_codec=src.key_decoder,
             message_filters=src.message_filters,
-            canonical_message=canonical,
-            schema_id=schema_id,
-            hash_bytes=hash_bytes,
-            # the reference probes the deserialized-and-filtered payload
-            # (src/kafka_source.py:207-218), not the raw bytes
-            filter_payload=canonical if mode != PayloadSchema.STRING else None,
+            canonical_message=pe.canonical,
+            schema_id=pe.schema_id,
+            hash_bytes=pe.hash_bytes,
+            filter_payload=pe.filter_payload,
         )
 
     if mode == PayloadSchema.AVRO and src.avro_schema is None:

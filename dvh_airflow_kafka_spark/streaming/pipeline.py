@@ -77,6 +77,7 @@ def run_streaming_pipeline(
     error_where: Optional[str] = None,
     fail_on_non_critical: bool = False,
     index_buckets: int = 16,
+    source_spec=None,
 ) -> StreamingRun:
     """Drain an events-shaped parquet directory through the full spine and
     stop (``availableNow``). Restartable: the checkpoint remembers which
@@ -107,6 +108,14 @@ def run_streaming_pipeline(
     re-reading the whole sink each batch — O(batch) per normal batch.
     Only a crash-replayed epoch falls back to the full-sink probe (see
     keyindex module docstring for the correctness argument).
+
+    ``source_spec`` (a config ``SourceSpec``) switches the envelope to
+    the spec's full deserializer semantics via the shared
+    ``payload_modes.payload_exprs`` — JSON drop/flag ops, string
+    JSON-quoting, or Avro header-strip + binary decode (declared
+    ``avro-schema`` required here: a streaming run cannot block on a
+    registry fetch mid-batch). It also supplies key codec and allow
+    filters, overriding the standalone parameters.
     """
     # Streaming file sources need an explicit schema; take it from a batch
     # read of the same directory (driver-side, once).
@@ -142,11 +151,25 @@ def run_streaming_pipeline(
             if KAFKA_COLUMNS.issubset(set(batch_df.columns))
             else events_as_kafka_frame(batch_df)
         )
-        env = with_envelope(
-            kafka_frame,
-            key_codec=key_codec,
-            message_filters=message_filters,
-        )
+        if source_spec is not None:
+            from dvh_airflow_kafka_spark.payload_modes import payload_exprs
+
+            pe = payload_exprs(source_spec, source_spec.avro_schema)
+            env = with_envelope(
+                kafka_frame,
+                key_codec=source_spec.key_decoder,
+                message_filters=source_spec.message_filters,
+                canonical_message=pe.canonical,
+                schema_id=pe.schema_id,
+                hash_bytes=pe.hash_bytes,
+                filter_payload=pe.filter_payload,
+            )
+        else:
+            env = with_envelope(
+                kafka_frame,
+                key_codec=key_codec,
+                message_filters=message_filters,
+            )
         out = transform.apply(env) if transform is not None else env
         if key_index.begin_epoch(epoch_id):
             # Re-attempted epoch: a prior try may have appended to the

@@ -344,6 +344,48 @@ transform:
             assert decoded["event_type"] == expect[off].event_type
 
 
+def test_avro_subscribe_strategy_streams_decoded(spark, sf_dir, tmp_path):
+    """schema: avro + strategy: subscribe — the streaming spine shares
+    the batch deserializer (payload_modes), so Avro frames decode inside
+    foreachBatch too: decoded JSON messages, per-row schema id, and
+    header-stripped hashes in the sink."""
+    import hashlib
+
+    path, schema = _avro_framed_source(spark, sf_dir, tmp_path)
+    sink = str(tmp_path / "avro_sink")
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: avro
+  avro-schema: '{schema}'
+  strategy: subscribe
+  path: "{path}"
+target:
+  type: parquet
+  path: "{sink}"
+  skip-duplicates-with: [kafka_offset]
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_schema_id
+    dst: kafka_schema_id
+  - src: kafka_hash
+    dst: kafka_hash
+  - src: kafka_message
+    dst: kafka_message
+"""
+    result = run_pipeline(spark, yaml_text)
+    out = {r.kafka_offset: r for r in result.dataframe.collect()}
+    src_rows = {r.offset: r for r in spark.read.parquet(path).collect()}
+    assert len(out) == 200
+    for off, r in list(out.items())[:25]:
+        assert r.kafka_schema_id == 9
+        payload = bytes(src_rows[off].value)[5:]
+        assert r.kafka_hash == hashlib.sha256(payload).hexdigest()
+        assert json.loads(r.kafka_message)["user_id"] is not None
+
+
 def test_k6_scrub_from_config(spark, sf_dir):
     """P4 via config: flagged ids get NULL payload, rows never dropped
     (reference src/oracle_target.py:46-93)."""
