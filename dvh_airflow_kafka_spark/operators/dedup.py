@@ -36,7 +36,14 @@ def dedup_against_existing(
 ) -> DataFrame:
     """Rows of ``batch`` whose ``keys`` do not already occur in
     ``existing``, with within-batch duplicates collapsed. ``existing`` may
-    be None (first load)."""
+    be None (first load).
+
+    ``broadcast_existing`` FORCES a broadcast hint — only safe when the
+    caller knows the existing side is bounded (a watermark-pruned window,
+    a dimension table). For an unbounded side (a sink's full key set over
+    time) pass False: the hint would override Spark's size checks and OOM
+    the executors eventually, while AQE's dynamic join selection already
+    broadcasts a measured-small side without being forced."""
     keys = list(keys)
     fresh = batch.dropDuplicates(keys)
     if existing is None:

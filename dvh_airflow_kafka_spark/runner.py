@@ -363,7 +363,11 @@ def run_pipeline(
                 existing = load_parquet(spark, sink.path)
             except Exception:
                 existing = None  # first load — nothing to dedup against
-        out = dedup_against_existing(out, existing, dedup_keys)
+        # no forced broadcast — `existing` is the sink's full key set,
+        # unbounded over time; AQE broadcasts it dynamically while small
+        out = dedup_against_existing(
+            out, existing, dedup_keys, broadcast_existing=False
+        )
 
     kind = SinkKind(sink.type)
     if kind == SinkKind.PARQUET:

@@ -181,7 +181,12 @@ def run_streaming_pipeline(
                 existing = None  # sink does not exist yet
         else:
             existing = key_index.probe(out)  # bucket-pruned, keys-only
-        fresh = dedup_against_existing(out, existing, list(dedup_keys))
+        # no forced broadcast: the existing-keys side is unbounded (the
+        # full sink on crash replay); AQE's dynamic join selection still
+        # broadcasts it whenever it measures small at runtime
+        fresh = dedup_against_existing(
+            out, existing, list(dedup_keys), broadcast_existing=False
+        )
         fresh.persist()
         try:
             write_parquet_append(fresh, sink_path)
