@@ -1873,6 +1873,59 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_window_counts",
+    sql="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the built-in stateful
+    shape), driven as a REAL availableNow drain and oracled against the
+    batch GROUP BY. A far-future sentinel event pushes the final
+    watermark past every real window's end, so the append-mode emission
+    is the complete window set. Sums accumulate in DECIMAL(18,6) —
+    order-independent, hash-identical to the oracle's sum."""
+    import os
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        read_event_stream,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_win_")
+    src = os.path.join(tmp, "src")
+    ev.coalesce(1).write.parquet(src)
+    sentinel_ts = (ev.agg(F.max("ts")).collect()[0][0]) + dt.timedelta(days=10)
+    spark.createDataFrame(
+        [(sentinel_ts, "__sentinel", 0.0)],
+        "ts timestamp, event_type string, value double",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"stream_win_{uuid.uuid4().hex[:8]}"
+    counts = windowed_event_counts(
+        read_event_stream(spark, src), window="1 hour", exact_sum=True
+    )
+    out = drain_to_memory(spark, counts, name, os.path.join(tmp, "ckpt"))
+    return out.filter(F.col("event_type") != "__sentinel").select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.

@@ -62,19 +62,34 @@ _US = 1_000_000
 
 
 def windowed_event_counts(
-    stream: DataFrame, *, window: str = "1 hour", watermark: str = "30 minutes"
+    stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    exact_sum: bool = False,
 ) -> DataFrame:
     """Tumbling event-time window counts per event_type (append-ready).
 
     Late rows beyond ``watermark`` are dropped by the state store; each
     window emits exactly once, when the watermark passes its end.
+
+    ``exact_sum`` accumulates in DECIMAL(18,6) instead of double —
+    summation-order-independent, so the result is bit-identical to any
+    other engine's sum over the same values (the cross-engine-oracle
+    mode; double mode keeps the cheaper native accumulator).
     """
+    value = (
+        F.col("value").cast("decimal(18,6)") if exact_sum else F.col("value")
+    )
+    agg = F.sum(value)
+    if exact_sum:
+        agg = agg.cast("double")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            agg.alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
