@@ -1926,6 +1926,59 @@ def streaming_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_replay",
+    sql="""
+    SELECT event_id,
+           epoch_us(ts) AS ts_us,
+           user_id,
+           event_type,
+           "value" AS event_value
+    FROM events
+    """,
+)
+def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup in the state store (dropDuplicatesWithinWatermark)
+    driven as a real drain: the event log is written TWICE (the second
+    copy replays in a later micro-batch — an at-least-once redelivery),
+    and keyed state admits each event_id exactly once. The oracle is the
+    batch distinct — the original log."""
+    import os
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        dedup_stream,
+        drain_to_memory,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(tmp, "src")
+    ev.coalesce(1).write.parquet(src)  # original delivery
+    ev.coalesce(1).write.mode("append").parquet(src)  # full replay
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    deduped = dedup_stream(
+        read_event_stream(spark, src), ["event_id"], watermark="100 hours"
+    )
+    out = drain_to_memory(spark, deduped, name, os.path.join(tmp, "ckpt"))
+    return out.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.col("value").alias("event_value"),
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.
