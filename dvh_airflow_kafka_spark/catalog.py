@@ -1286,6 +1286,91 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FACTORY_SQL = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                    w -> list_contains(['the','a','and','of','to','in','is','that','for','with'], w)))
+                    AS DOUBLE) AS sw,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS n_punct,
+               sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, fp, CAST(n_words AS BIGINT) AS size,
+               (least(1.0, n_words / 50.0) * 0.4
+                + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+                + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
+               ) AS quality
+        FROM t
+    ), pass AS (
+        SELECT * FROM scored WHERE quality >= 0.5
+    ), surv AS (
+        SELECT p.doc_id, p.size FROM pass p
+        JOIN (SELECT fp, min(doc_id) AS survivor FROM pass GROUP BY fp) s
+          ON p.doc_id = s.survivor
+    ), labelled AS (
+        SELECT doc_id, size,
+               CASE WHEN {split_pred} THEN 'train' ELSE 'test' END AS split
+        FROM surv
+    ), packed AS (
+        SELECT doc_id,
+               SUM(size) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - size AS before
+        FROM labelled WHERE split = 'train'
+    )
+    SELECT l.doc_id, l.split, CAST(l.size AS BIGINT) AS size,
+           CAST(p.before // 512 AS BIGINT) AS shard_id,
+           CAST(p.before % 512 AS BIGINT) AS offset_in_shard
+    FROM labelled l LEFT JOIN packed p ON p.doc_id = l.doc_id
+    """
+
+
+def _factory_sql() -> str:
+    from dvh_airflow_kafka_spark.ext.sampling import sql_bucket_predicate
+
+    return _FACTORY_SQL.format(split_pred=sql_bucket_predicate("doc_id", 0.8))
+
+
+@register("training_data_factory", sql=_factory_sql())
+def training_data_factory_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] capstone #2 — the full training-data factory in one plan:
+    quality filter (scan-fused) → exact near-canonical dedup (one
+    fingerprint shuffle, window-min survivor) → deterministic sha-bucket
+    train/test split (no shuffle) → prefix-sum shard packing of the train
+    side. Output: every surviving document with its split and, for train
+    docs, its shard assignment. Deterministic end to end and oracled as
+    one SQL CTE chain."""
+    from dvh_airflow_kafka_spark.ext.sampling import hash_split, pack_into_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        xtext.fingerprint(F.col("text")).alias("fp"),
+        xtext.token_count_ws(F.col("text")).cast("long").alias("size"),
+        xtext.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    w = Window.partitionBy("fp")
+    surv = (
+        scored.withColumn("__min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min_id"))
+        .select("doc_id", "size")
+    )
+    labelled = hash_split(surv, "doc_id", train_frac=0.8)
+    packed = pack_into_shards(
+        labelled.filter(F.col("split") == "train"), "doc_id", F.col("size"), 512
+    ).select("doc_id", "shard_id", "offset_in_shard")
+    return labelled.join(packed, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        "size",
+        F.col("shard_id").cast("long").alias("shard_id"),
+        F.col("offset_in_shard").cast("long").alias("offset_in_shard"),
+    )
+
+
 # --------------------------------------------------------------------------
 # [EXT] Multimodal binary columns
 # --------------------------------------------------------------------------
