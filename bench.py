@@ -72,6 +72,7 @@ HEADLINE = [
     "text_pii_redaction",
     "documents_pack_shards",
     "embedding_int8_recall",
+    "training_data_factory",
 ]
 
 
