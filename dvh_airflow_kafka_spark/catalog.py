@@ -1959,6 +1959,42 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "user_retention_cohorts",
+    sql="""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), first AS (
+        SELECT user_id, MIN(d) AS cohort FROM act GROUP BY user_id
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', f.cohort, a.d) AS day_offset,
+           COUNT(*) AS n_users
+    FROM act a JOIN first f ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def user_retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention rollup: users grouped by first-active day, counted
+    at each day offset they return — the standard growth-analytics shape.
+    Two shuffles (distinct user-days; cohort join is broadcast-sized
+    after the per-user MIN) and pure integer outputs."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.col("d"), F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
     "streaming_window_counts",
     sql="""
     SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
