@@ -64,12 +64,81 @@ def register(name: str, sql: Optional[str] = None):
     return deco
 
 
+# The driver's correctness gate executes the FIRST 50 entries of
+# ``spark_queries()`` in iteration order.  Registration order follows the
+# source layout (reference surface -> [EXT] -> relational), which left the
+# relational/profile/sampling tail outside the certified window for three
+# rounds.  This list pins the window to the queries that most need a fresh
+# driver row: everything never certified, the r2-certified rotated-out TPC-H
+# shapes, the flagship, and queries whose implementation changed this round.
+# Entries not listed keep registration order after these (all were
+# driver-green in rounds 2-4).
+_CERTIFY_FIRST = [
+    # never driver-certified through round 4
+    "tpch_q2_best_supplier",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunct_revenue",
+    "tpch_q21_late_sole_supplier",
+    "tpch_q22_idle_customers",
+    "events_asof_join",
+    "events_value_percentiles",
+    "events_session_window",
+    "user_event_pivot",
+    "customer_acctbal_deciles",
+    "events_value_histogram",
+    "user_retention_cohorts",
+    "purchasers_without_errors",
+    "signup_to_purchase_funnel",
+    "revenue_cube",
+    "salted_segment_revenue",
+    "table_profile_events",
+    "embedding_label_centroids",
+    "documents_train_test_split",
+    "events_stratified_sample",
+    "lang_balanced_sample",
+    "doc_tfidf_top_terms",
+    "ngram_dedup_clusters",
+    "split_contamination_pairs",
+    "streaming_window_counts",
+    "streaming_dedup_replay",
+    # driver-green in round 2 only; re-certify
+    "streaming_sessionization",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    # headline + implementations changed in round 5
+    "flagship_etl_pipeline",
+    "pipeline_from_yaml_config",
+    "dedup_insert_antijoin",
+    "documents_pack_shards",
+    "training_data_factory",
+    "text_repetition_stats",
+]
+
+
+def _ordered() -> list[str]:
+    head = [n for n in _CERTIFY_FIRST if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def spark_queries() -> dict[str, QueryFn]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].fn for name in _ordered()}
 
 
 def oracle_sqls() -> dict[str, str]:
-    return {name: qd.sql for name, qd in REGISTRY.items() if qd.sql is not None}
+    return {
+        name: REGISTRY[name].sql
+        for name in _ordered()
+        if REGISTRY[name].sql is not None
+    }
 
 
 # DuckDB fragment: naive-UTC timestamp expression -> naive Oslo wall clock
