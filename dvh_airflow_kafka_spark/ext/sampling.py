@@ -83,6 +83,7 @@ def pack_into_shards(
     id_col: str,
     size_col: Column,
     capacity: int,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic sequence packing: assign documents (in ``id_col``
     order) to fixed-capacity training shards by cumulative size —
@@ -91,20 +92,51 @@ def pack_into_shards(
     shards for pre-training. Returns (id, size, shard_id,
     offset_in_shard).
 
-    Plan shape: ONE global window over the ordering key. At 100 TB a
-    single unbounded ordering is the honest cost of a globally
-    deterministic layout; shard *within* a partition key (date, source)
-    instead when global order is not required — same expression under a
-    partitionBy.
+    Plan shape: DISTRIBUTED two-pass prefix sum (no global window).
+
+    1. Project to the slim (id, size) pair and range-partition on the id
+       so every task owns one contiguous slice of the global order; the
+       slice id is materialised as a column and the frame persisted so
+       both passes see the identical assignment.
+    2. Pass 1: per-slice size totals — a map-side-combined aggregate
+       producing ``num_partitions`` rows; the driver turns them into
+       cumulative slice offsets (tiny, O(partitions)).
+    3. Pass 2: broadcast-join the offsets back and window only WITHIN a
+       slice (``partitionBy(_slice)``) — every task computes its local
+       cumsum in parallel; offset + local cumsum == the exact global
+       prefix sum, independent of where the range boundaries fell.
+
+    The result is bit-identical to the single-window form (ids are the
+    total order; any contiguous split of a total order preserves its
+    prefix sums) but the largest task holds 1/num_partitions of the data
+    instead of all of it — this is what survives 100 TB. Only the slim
+    two-column pair is persisted (~16 B/row), not the documents.
     """
-    w = Window.orderBy(F.col(id_col)).rowsBetween(
+    spark = docs.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    slim = docs.select(F.col(id_col), size_col.cast("long").alias("size"))
+    sliced = (
+        slim.repartitionByRange(n, F.col(id_col))
+        .withColumn("_slice", F.spark_partition_id())
+        .persist()
+    )
+    totals = sliced.groupBy("_slice").agg(F.sum("size").alias("_total")).collect()
+    acc = 0
+    offsets = []
+    for sl, tot in sorted((r["_slice"], r["_total"]) for r in totals):
+        offsets.append((sl, acc))
+        acc += int(tot)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_slice INT, _offset BIGINT")
+    w = Window.partitionBy("_slice").orderBy(F.col(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = F.sum(size_col).over(w)
-    before = (cum - size_col).cast("long")
-    return docs.select(
-        F.col(id_col),
-        size_col.cast("long").alias("size"),
-        F.floor(before / F.lit(capacity)).cast("long").alias("shard_id"),
-        (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
+    before = (F.col("_offset") + F.sum("size").over(w) - F.col("size")).cast("long")
+    return (
+        sliced.join(F.broadcast(off_df), "_slice")
+        .select(
+            F.col(id_col),
+            F.col("size"),
+            F.floor(before / F.lit(capacity)).cast("long").alias("shard_id"),
+            (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
+        )
     )
