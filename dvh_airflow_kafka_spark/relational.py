@@ -953,14 +953,23 @@ def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE decile profile of customer balances (unique tiebreak key
-    makes the tile assignment deterministic on both engines). A global
-    NTILE needs a total order — fine on a dimension; on a 100 TB fact
-    use percentile cutpoints + a broadcast range join instead."""
+    makes the tile assignment deterministic on both engines). No global
+    window: the exact global rank comes from the distributed two-pass
+    form (range slices + broadcast offsets, ``ext/ranking.py``) and the
+    NTILE bucket is plain arithmetic on (rank, total) — bit-identical to
+    the oracle's NTILE, largest task holds one slice, not the table."""
+    from dvh_airflow_kafka_spark.ext.ranking import ntile_from_rank, with_global_rank
+
     cust = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    ranked, total = with_global_rank(
+        cust.select("c_acctbal", "c_custkey"),
+        ["c_acctbal", "c_custkey"],
+        rank_col="_rank",
+    )
     return (
-        cust.select(
-            "c_acctbal", F.ntile(10).over(w).alias("decile")
+        ranked.select(
+            "c_acctbal",
+            ntile_from_rank(F.col("_rank"), total, 10).alias("decile"),
         )
         .groupBy("decile")
         .agg(
