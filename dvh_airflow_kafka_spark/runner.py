@@ -21,8 +21,7 @@ INSERT (:97-104).
 from __future__ import annotations
 
 import datetime as dt
-from dataclasses import dataclass
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,13 +56,36 @@ from dvh_airflow_kafka_spark.sources.envelope import (
 KAFKA_COLUMNS = {"key", "value", "topic", "partition", "offset", "timestamp"}
 
 
-@dataclass
 class PipelineResult:
     """What a run produces: the final frame (lazy unless the sink acted)
-    and the reference-parity counter record."""
+    and the reference-parity counter record.
 
-    dataframe: DataFrame
-    summary: ProcessSummary
+    ``summary`` is computed on first access. For sinks that execute the
+    plan inside ``run_pipeline`` (parquet/jdbc/console) the counters are
+    already observed and the property just reads them; for the memory
+    sink — where the *caller's* action on ``dataframe`` is the real sink
+    action — accessing ``summary`` is what triggers the one counting
+    execution. Callers that only consume ``dataframe`` (the
+    driver/bench path) never pay a second run of the plan.
+    """
+
+    def __init__(
+        self,
+        dataframe: DataFrame,
+        summary: Optional[ProcessSummary] = None,
+        summary_fn: Optional[Callable[[], ProcessSummary]] = None,
+    ):
+        self.dataframe = dataframe
+        self._summary = summary
+        self._summary_fn = summary_fn
+
+    @property
+    def summary(self) -> ProcessSummary:
+        if self._summary is None:
+            if self._summary_fn is None:
+                raise ValueError("PipelineResult has no summary source")
+            self._summary = self._summary_fn()
+        return self._summary
 
 
 def build_kafka_frame(
@@ -319,9 +341,17 @@ def run_pipeline(
             )
     else:
         env = build_env(kafka_df, src.avro_schema)
-    # Counters ride the existing job as an Observation on the envelope
-    # node — no second pass over the source (A2, operators/summary.py).
-    env, obs = observe_summary(env)
+    # Counters ride the sink's job as an Observation on the envelope node
+    # — no second pass over the source (A2, operators/summary.py). Only
+    # worth attaching when run_pipeline itself executes the plan: for the
+    # memory sink the frame goes back to the caller lazily, and a
+    # CollectMetrics node would split the scan's whole-stage-codegen span
+    # in two on every downstream use; its lazy summary counts the
+    # envelope directly instead.
+    sink_executes = SinkKind(sink.type) != SinkKind.MEMORY
+    obs = None
+    if sink_executes:
+        env, obs = observe_summary(env)
 
     # P4/J2 privacy scrub happens sink-side BEFORE transform (reference
     # src/oracle_target.py:88-95) — the transform may rename/drop the id.
@@ -381,31 +411,41 @@ def run_pipeline(
         write_jdbc(out, url, sink.table, options=sink.options)
     elif kind == SinkKind.CONSOLE:
         write_console(out)
-    else:  # MEMORY: register the frame; count() below is the action
+    else:
+        # MEMORY: register the frame; the caller's action on it is the
+        # sink action — executing here would run the plan twice.
         out.createOrReplaceTempView(sink.table or "pipeline_out")
-        out.count()
 
-    # The sink action above executed the plan, so the observation is
-    # populated. Bounded batch counter semantics (operators/summary.py):
-    # every scanned message is a proper data message; written counts the
-    # batch handed to the sink — the dedup anti-join, like the reference's
+    # Bounded batch counter semantics (operators/summary.py): every
+    # scanned message is a proper data message; written counts the batch
+    # handed to the sink — the dedup anti-join, like the reference's
     # in-DB NOT EXISTS (src/kafka_source.py:344), does not decrement it.
-    try:
-        n_events = int(obs.get["event_count"])
-    except Exception:
-        # Spark 4.1 can lose the CollectMetrics row when the observed node
-        # sits under dropDuplicates + a broadcast anti-join re-planned by
-        # AQE (toPyRow assertion). Fall back to one extra count over the
-        # envelope — correctness over the saved scan.
-        n_events = env.count()
     subscribe = ReadStrategy(src.strategy) == ReadStrategy.SUBSCRIBE
-    summary = ProcessSummary(
-        event_count=n_events,
-        data_count=n_events,
-        error_count=0,
-        written_to_db_count=n_events,
-        committed_to_producer_count=n_events if subscribe else -1,
-        empty_count=0,
-        non_empty_count=n_events,
-    )
-    return PipelineResult(dataframe=out, summary=summary)
+
+    def _make_summary() -> ProcessSummary:
+        if obs is not None:
+            try:
+                n_events = int(obs.get["event_count"])
+            except Exception:
+                # Spark 4.1 can lose the CollectMetrics row when the
+                # observed node sits under dropDuplicates + a broadcast
+                # anti-join re-planned by AQE (toPyRow assertion). Fall
+                # back to one extra count over the envelope —
+                # correctness over the saved scan.
+                n_events = env.count()
+        else:
+            # memory sink: one counting job over the envelope prefix —
+            # cheaper than re-running the whole plan, and the returned
+            # frame stays CollectMetrics-free.
+            n_events = env.count()
+        return ProcessSummary(
+            event_count=n_events,
+            data_count=n_events,
+            error_count=0,
+            written_to_db_count=n_events,
+            committed_to_producer_count=n_events if subscribe else -1,
+            empty_count=0,
+            non_empty_count=n_events,
+        )
+
+    return PipelineResult(dataframe=out, summary_fn=_make_summary)
