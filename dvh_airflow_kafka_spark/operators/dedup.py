@@ -48,7 +48,12 @@ def dedup_against_existing(
     fresh = batch.dropDuplicates(keys)
     if existing is None:
         return fresh
-    existing_keys = existing.select(*keys).dropDuplicates(keys)
+    # No dropDuplicates on the existing side: LEFT ANTI semantics are
+    # insensitive to duplicate keys on the right, and deduplicating there
+    # costs a full hash shuffle of the sink's key set. The broadcast
+    # HashedRelation dedups keys at build time for free; in the
+    # sort-merge case the join itself only probes key existence.
+    existing_keys = existing.select(*keys)
     if broadcast_existing:
         existing_keys = F.broadcast(existing_keys)
     return fresh.join(existing_keys, on=keys, how="left_anti")
