@@ -1992,6 +1992,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch-µs longs (both engines floor ns→µs identically).
     """
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -2019,6 +2020,9 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, src), gap="30 minutes"
     )
     out = drain_to_memory(spark, sessions, name, os.path.join(tmp, "ckpt"))
+    # the drain is complete and the result lives in the memory sink — the
+    # staged source copy + checkpoint are dead weight from here
+    shutil.rmtree(tmp, ignore_errors=True)
     return out.filter(F.col("user_id") >= 0).select(
         "user_id",
         F.unix_micros(F.col("session_start")).alias("start_us"),
@@ -2082,6 +2086,7 @@ def streaming_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the complete window set. Sums accumulate in DECIMAL(18,6) —
     order-independent, hash-identical to the oracle's sum."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -2108,6 +2113,7 @@ def streaming_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, src), window="1 hour", exact_sum=True
     )
     out = drain_to_memory(spark, counts, name, os.path.join(tmp, "ckpt"))
+    shutil.rmtree(tmp, ignore_errors=True)
     return out.filter(F.col("event_type") != "__sentinel").select(
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
         "event_type",
@@ -2134,6 +2140,7 @@ def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keyed state admits each event_id exactly once. The oracle is the
     batch distinct — the original log."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -2160,6 +2167,7 @@ def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, src), ["event_id"], watermark="100 hours"
     )
     out = drain_to_memory(spark, deduped, name, os.path.join(tmp, "ckpt"))
+    shutil.rmtree(tmp, ignore_errors=True)
     return out.select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),

@@ -26,9 +26,12 @@ BPE_TOKEN_RE = r"\w+|[^\w\s]"
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (collapsing runs, trimming ends)."""
+    """Whitespace tokenization (collapsing runs, trimming ends).
+    ``split('')`` yields ``['']`` in Spark; the empty-string removal makes
+    an empty/whitespace-only document tokenize to ``[]`` — the same
+    answer as ``regexp_extract_all(text, '\\S+')`` on the oracle side."""
     trimmed = F.regexp_replace(text.cast("string"), r"^\s+|\s+$", "")
-    return F.split(trimmed, r"\s+")
+    return F.array_remove(F.split(trimmed, r"\s+"), "")
 
 
 def token_count_ws(text: Column) -> Column:

@@ -309,14 +309,29 @@ def run_pipeline(
             )
         # Distinct writer-schema ids: a bounded driver collect (a topic
         # carries a handful of schema versions, never data-scale many).
-        ids = sorted(
-            int(r.sid)
+        sids = [
+            r.sid
             for r in kafka_df.select(
                 confluent_schema_id(F.col("value")).alias("sid")
             )
             .distinct()
             .collect()
-        )
+        ]
+        if any(s is None for s in sids):
+            # A NULL id means a value that is NULL or shorter than the
+            # 5-byte Confluent frame. Without this check those rows match
+            # no per-id branch and vanish from the output; the reference
+            # raises on the first malformed frame (src/kafka_source.py:
+            # 129-137), so surface them.
+            n_bad = kafka_df.filter(
+                confluent_schema_id(F.col("value")).isNull()
+            ).count()
+            raise ValueError(
+                f"{n_bad} message(s) are not Confluent-framed Avro "
+                "(value NULL or < 5 bytes) — cannot resolve a writer "
+                "schema for them"
+            )
+        ids = sorted(int(s) for s in sids)
         if not ids:
             raise ValueError(
                 "cannot resolve the Avro writer schema from an empty "

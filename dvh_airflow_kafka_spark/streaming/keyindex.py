@@ -34,13 +34,52 @@ the epoch markers (a generic flat compaction would flatten the
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BUCKET_COL = "__kidx_bucket"
+
+
+class _Fs:
+    """Thin wrapper over the Hadoop FileSystem API for the sidecar's
+    marker/listing/rename bookkeeping. The sink and index data already go
+    through Spark; driving the metadata ops through
+    ``Path.getFileSystem`` makes the crash-replay machinery work on any
+    store the deployment writes to (HDFS, S3A, local ``file://``) instead
+    of silently no-opping off-box — on a driver-local ``os.*`` view of an
+    object store the markers would never exist and every probe would
+    degrade to "no index"."""
+
+    def __init__(self, spark: SparkSession, base: str) -> None:
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._base = self._jpath(base)
+        self._fs = self._base.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def child(self, name: str):
+        return self._jpath(self._base, name)
+
+    def exists(self, path=None) -> bool:
+        return self._fs.exists(path if path is not None else self._base)
+
+    def mkdirs(self) -> None:
+        self._fs.mkdirs(self._base)
+
+    def touch(self, path) -> bool:
+        return self._fs.createNewFile(path)
+
+    def names(self) -> list[str]:
+        if not self.exists():
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(self._base)]
+
+    def rename_to(self, dst: "_Fs") -> bool:
+        return self._fs.rename(self._base, dst._base)
+
+    def delete(self) -> None:
+        self._fs.delete(self._base, True)
 
 
 class SinkKeyIndex:
@@ -58,32 +97,27 @@ class SinkKeyIndex:
         self.path = sink_path.rstrip("/") + "__keys"
         self.keys = list(keys)
         self.n_buckets = n_buckets
+        self._fs = _Fs(spark, self.path)
 
     def _bucket(self) -> F.Column:
         return F.pmod(
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
         ).cast("int")
 
-    def _marker(self, epoch_id: int) -> str:
-        return os.path.join(self.path, f"_attempted_{epoch_id}")
-
     def begin_epoch(self, epoch_id: int) -> bool:
         """Record that this epoch is being attempted. Returns True when a
         prior attempt exists — the caller must then probe the sink itself
         (the prior attempt may have appended to the sink without reaching
         the sidecar append)."""
-        os.makedirs(self.path, exist_ok=True)
-        marker = self._marker(epoch_id)
-        if os.path.exists(marker):
+        self._fs.mkdirs()
+        marker = self._fs.child(f"_attempted_{epoch_id}")
+        if self._fs.exists(marker):
             return True
-        with open(marker, "w"):
-            pass
+        self._fs.touch(marker)
         return False
 
     def _has_data(self) -> bool:
-        if not os.path.isdir(self.path):
-            return False
-        return any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(self.path))
+        return any(e.startswith(f"{BUCKET_COL}=") for e in self._fs.names())
 
     def probe(self, batch: DataFrame) -> Optional[DataFrame]:
         """Existing-keys frame pruned to the buckets ``batch``'s keys hash
@@ -117,7 +151,6 @@ class SinkKeyIndex:
         keeping the ``bucket=`` partition layout (probe pruning) and the
         ``_attempted_*`` epoch markers (crash-replay detection). Run
         between drains, not mid-stream."""
-        import shutil
         import uuid
 
         if not self._has_data():
@@ -125,18 +158,17 @@ class SinkKeyIndex:
         idx = self.spark.read.parquet(self.path).dropDuplicates(
             self.keys + [BUCKET_COL]
         )
-        tmp = f"{self.path}.__compact_{uuid.uuid4().hex[:8]}"
+        tmp = _Fs(self.spark, f"{self.path}.__compact_{uuid.uuid4().hex[:8]}")
         (
             idx.repartition(BUCKET_COL)
             .write.mode("overwrite")
             .partitionBy(BUCKET_COL)
-            .parquet(tmp)
+            .parquet(tmp._base.toString())
         )
-        for entry in os.listdir(self.path):  # carry the epoch markers over
+        for entry in self._fs.names():  # carry the epoch markers over
             if entry.startswith("_attempted_"):
-                with open(os.path.join(tmp, entry), "w"):
-                    pass
-        trash = f"{self.path}.__old_{uuid.uuid4().hex[:8]}"
-        os.rename(self.path, trash)
-        os.rename(tmp, self.path)
-        shutil.rmtree(trash)
+                tmp.touch(tmp.child(entry))
+        trash = _Fs(self.spark, f"{self.path}.__old_{uuid.uuid4().hex[:8]}")
+        self._fs.rename_to(trash)
+        tmp.rename_to(self._fs)
+        trash.delete()

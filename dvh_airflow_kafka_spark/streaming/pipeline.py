@@ -171,28 +171,39 @@ def run_streaming_pipeline(
                 message_filters=message_filters,
             )
         out = transform.apply(env) if transform is not None else env
-        if key_index.begin_epoch(epoch_id):
-            # Re-attempted epoch: a prior try may have appended to the
-            # sink without reaching the sidecar append — probe the sink
-            # itself for this one batch (rare, crash-recovery only).
-            try:
-                existing = spark.read.parquet(sink_path).select(*dedup_keys)
-            except Exception:
-                existing = None  # sink does not exist yet
-        else:
-            existing = key_index.probe(out)  # bucket-pruned, keys-only
-        # no forced broadcast: the existing-keys side is unbounded (the
-        # full sink on crash replay); AQE's dynamic join selection still
-        # broadcasts it whenever it measures small at runtime
-        fresh = dedup_against_existing(
-            out, existing, list(dedup_keys), broadcast_existing=False
-        )
-        fresh.persist()
+        # persist BEFORE the probe: probe() collects the batch's distinct
+        # buckets from `out`, then the same frame feeds the anti-join and
+        # write — without pinning it the whole envelope+transform would
+        # run twice per batch, and a nondeterministic transform could
+        # make the probed bucket list diverge from the keys written.
+        out.persist()
         try:
-            write_parquet_append(fresh, sink_path)
-            key_index.append(fresh)
+            if key_index.begin_epoch(epoch_id):
+                # Re-attempted epoch: a prior try may have appended to
+                # the sink without reaching the sidecar append — probe
+                # the sink itself for this one batch (rare,
+                # crash-recovery only).
+                try:
+                    existing = spark.read.parquet(sink_path).select(*dedup_keys)
+                except Exception:
+                    existing = None  # sink does not exist yet
+            else:
+                existing = key_index.probe(out)  # bucket-pruned, keys-only
+            # no forced broadcast: the existing-keys side is unbounded
+            # (the full sink on crash replay); AQE's dynamic join
+            # selection still broadcasts it whenever it measures small at
+            # runtime
+            fresh = dedup_against_existing(
+                out, existing, list(dedup_keys), broadcast_existing=False
+            )
+            fresh.persist()
+            try:
+                write_parquet_append(fresh, sink_path)
+                key_index.append(fresh)
+            finally:
+                fresh.unpersist()
         finally:
-            fresh.unpersist()
+            out.unpersist()
         run.summary.data_count += n
         run.summary.written_to_db_count += n
         run.batches += 1
