@@ -107,6 +107,14 @@ class SourceSpec(BaseModel):
     # (reference fetches per message id, src/kafka_source.py:153-161 — one
     # writer schema per run here; see runner docstring).
     avro_schema: Optional[str] = Field(None, alias="avro-schema")
+    # Broker/security passthrough (reference src/kafka_source.py:163-180:
+    # security.protocol, SSL cert/key locations, SASL credentials). Keys
+    # are consumer config names (`security.protocol`,
+    # `ssl.truststore.location`, ...); the readers prefix them with
+    # `kafka.` as the Spark connector requires. Values land verbatim on
+    # the reader — secrets should be injected by the deployment layer,
+    # never inlined in committed YAML.
+    kafka_options: dict[str, str] = Field(default_factory=dict, alias="kafka-options")
 
 
 class PrivacyFilterSpec(BaseModel):

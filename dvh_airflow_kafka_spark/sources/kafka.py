@@ -38,6 +38,17 @@ def _offsets_by_timestamp(topic: str, ts_ms: int) -> str:
     return json.dumps({topic: {"*": ts_ms}})
 
 
+def _apply_kafka_options(reader, spec: SourceSpec):
+    """Thread the spec's broker/security options onto a reader — the
+    reference's SSL/SASL consumer config block (src/kafka_source.py:
+    163-180). Consumer config names get the connector's ``kafka.``
+    prefix; keys already carrying it pass through unchanged."""
+    for key, val in (spec.kafka_options or {}).items():
+        opt = key if key.startswith("kafka.") else f"kafka.{key}"
+        reader = reader.option(opt, val)
+    return reader
+
+
 def kafka_batch_read(
     spark: SparkSession,
     spec: SourceSpec,
@@ -52,6 +63,7 @@ def kafka_batch_read(
         .option("subscribe", spec.topic)
         .option("includeHeaders", "false")
     )
+    reader = _apply_kafka_options(reader, spec)
     if spec.starting_timestamp_ms is not None:
         reader = reader.option(
             "startingTimestamp", str(spec.starting_timestamp_ms)
@@ -75,15 +87,15 @@ def kafka_stream_read(
     each micro-batch, and ``trigger(availableNow=True)`` drains the log
     then stops (the reference's first-None-poll exit,
     src/kafka_source.py:372-374)."""
-    return (
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", spec.topic)
         .option("startingOffsets", "earliest")
         .option("maxOffsetsPerTrigger", str(spec.batch_size))
         .option("failOnDataLoss", "false")
-        .load()
     )
+    return _apply_kafka_options(reader, spec).load()
 
 
 def strip_confluent_header(value: F.Column) -> F.Column:

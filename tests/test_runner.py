@@ -609,3 +609,76 @@ transform:
     ).count()
     assert expect_hit > 0
     assert out.filter(F.col("kafka_message").isNull()).count() == expect_hit
+
+
+# --------------------------------------------------------------------------
+# Kafka security/broker option passthrough (reference src/kafka_source.py:
+# 163-180 configures security.protocol + SSL cert/key locations)
+# --------------------------------------------------------------------------
+
+_SECURE_KAFKA_YAML = """
+source:
+  type: kafka
+  topic: secure-topic
+  schema: json
+  kafka-options:
+    security.protocol: SSL
+    ssl.truststore.location: /etc/certs/truststore.jks
+    sasl.mechanism: PLAIN
+    kafka.ssl.keystore.password: hunter2
+target:
+  type: memory
+transform:
+  - src: kafka_key
+    dst: kafka_key
+"""
+
+
+class _ReaderStub:
+    """Records .option() calls like a DataFrameReader."""
+
+    def __init__(self):
+        self.opts = {}
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+
+def test_kafka_options_yaml_roundtrip():
+    spec = PipelineSpec.from_yaml(_SECURE_KAFKA_YAML)
+    assert spec.source.kafka_options["security.protocol"] == "SSL"
+    assert (
+        spec.source.kafka_options["ssl.truststore.location"]
+        == "/etc/certs/truststore.jks"
+    )
+    # round-trip through the model keeps the dict intact
+    spec2 = PipelineSpec.model_validate(spec.model_dump(by_alias=True))
+    assert spec2.source.kafka_options == spec.source.kafka_options
+
+
+def test_kafka_options_land_on_reader():
+    from dvh_airflow_kafka_spark.sources.kafka import _apply_kafka_options
+
+    spec = PipelineSpec.from_yaml(_SECURE_KAFKA_YAML).source
+    reader = _apply_kafka_options(_ReaderStub(), spec)
+    # consumer config names get the connector's kafka. prefix...
+    assert reader.opts["kafka.security.protocol"] == "SSL"
+    assert reader.opts["kafka.sasl.mechanism"] == "PLAIN"
+    assert (
+        reader.opts["kafka.ssl.truststore.location"] == "/etc/certs/truststore.jks"
+    )
+    # ...and keys already carrying it are not double-prefixed
+    assert reader.opts["kafka.ssl.keystore.password"] == "hunter2"
+    assert "kafka.kafka.ssl.keystore.password" not in reader.opts
+
+
+def test_kafka_options_default_empty():
+    spec = PipelineSpec.from_yaml(
+        _SECURE_KAFKA_YAML.replace("  kafka-options:", "  unused-key:")
+        .replace("    security.protocol: SSL", "")
+        .replace("    ssl.truststore.location: /etc/certs/truststore.jks", "")
+        .replace("    sasl.mechanism: PLAIN", "")
+        .replace("    kafka.ssl.keystore.password: hunter2", "")
+    )
+    assert spec.source.kafka_options == {}
