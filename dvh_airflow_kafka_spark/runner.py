@@ -144,11 +144,20 @@ def _payload_rule_sources(spec: PipelineSpec, envelope_cols: set[str]) -> list[s
     ]
 
 
+# Inferred payload schemas keyed by (source path, schema mode, drop/flag
+# config): the sample-and-infer fallback costs two driver jobs and is
+# nondeterministic under sampling — running it once per distinct source
+# makes repeated ad-hoc runs stable and free. The declared-schema mode
+# never touches this.
+_INFERRED_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
+
+
 def _attach_payload_struct(
     spark: SparkSession,
     env: DataFrame,
     keypaths: list[str],
     declared_schema: Optional[str] = None,
+    cache_key: Optional[tuple] = None,
 ) -> DataFrame:
     """Expose payload keypaths to the transform DSL. The reference merges
     the deserialized payload dict into the record, so transform ``src``
@@ -167,6 +176,8 @@ def _attach_payload_struct(
     """
     if declared_schema is not None:
         schema = T.StructType.fromDDL(declared_schema)
+    elif cache_key is not None and cache_key in _INFERRED_SCHEMA_CACHE:
+        schema = _INFERRED_SCHEMA_CACHE[cache_key]
     else:
         sample = [
             r[0]
@@ -178,6 +189,8 @@ def _attach_payload_struct(
         if not sample:
             raise ValueError("cannot infer payload schema from an all-NULL payload")
         schema = spark.read.json(spark.sparkContext.parallelize(sample)).schema
+        if cache_key is not None:
+            _INFERRED_SCHEMA_CACHE[cache_key] = schema
     parsed = F.from_json(F.col("kafka_message"), schema)
     roots = {kp.split(".")[0] for kp in keypaths}
     missing = roots - set(schema.fieldNames())
@@ -395,7 +408,18 @@ def run_pipeline(
     payload_srcs = _payload_rule_sources(spec, set(env.columns))
     if payload_srcs:
         env = _attach_payload_struct(
-            spark, env, payload_srcs, declared_schema=src.payload_schema
+            spark,
+            env,
+            payload_srcs,
+            declared_schema=src.payload_schema,
+            cache_key=(
+                src.path,
+                str(src.schema_type),
+                tuple(src.message_fields_filter or ()),
+                tuple(src.flag_field_config or ()),
+            )
+            if src.path
+            else None,
         )
 
     out = Transform(spec.transform, batch_time=batch_time).apply(env)
