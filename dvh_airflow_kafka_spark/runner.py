@@ -417,6 +417,9 @@ def run_pipeline(
                 str(src.schema_type),
                 tuple(src.message_fields_filter or ()),
                 tuple(src.flag_field_config or ()),
+                tuple(
+                    (r.key, r.allowed_value) for r in (src.message_filters or ())
+                ),
             )
             if src.path
             else None,
