@@ -113,6 +113,10 @@ _CERTIFY_FIRST = [
     "tpch_q12_priority_lines",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
+    # new in round 5: synthesized-partsupp TPC-H shapes
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promotion",
     # headline + implementations changed in round 5
     "flagship_etl_pipeline",
     "pipeline_from_yaml_config",

@@ -1506,3 +1506,193 @@ def signup_to_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(viewed.cast("int")).cast("bigint").alias("n_viewed_after"),
         F.sum(converted.cast("int")).cast("bigint").alias("n_converted"),
     )
+
+
+# ==========================================================================
+# Synthesized partsupp: the testdata ships no partsupp table, so the three
+# TPC-H shapes that need one (q9/q11/q20) derive it deterministically from
+# lineitem's distinct (l_partkey, l_suppkey) pairs — consistent with the
+# fact by construction — plus pure integer arithmetic on the keys for
+# availqty/supplycost. The same arithmetic runs on both engines, so the
+# derived table is bit-identical to the oracle's CTE. supplycost is
+# integer-valued dollars (1..999) to keep every money product exact in
+# DECIMAL with no cross-engine division.
+# ==========================================================================
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT l_partkey AS ps_partkey,
+               l_suppkey AS ps_suppkey,
+               CAST((l_partkey * 31 + l_suppkey * 7) % 9999 + 1 AS INTEGER)
+                   AS ps_availqty,
+               CAST((l_partkey * 37 + l_suppkey * 11) % 999 + 1
+                    AS DECIMAL(18,2)) AS ps_supplycost
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def synthesized_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark half of the partsupp synthesis (see `_PARTSUPP_SQL`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return pairs.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 7) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        ((F.col("l_partkey") * 37 + F.col("l_suppkey") * 11) % 999 + 1)
+        .cast("decimal(18,2)")
+        .alias("ps_supplycost"),
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    sql="WITH " + _PARTSUPP_SQL + f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM({_REV_SQL}
+                    - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN partsupp ps ON ps.ps_suppkey = l.l_suppkey
+                    AND ps.ps_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year) over the
+    synthesized partsupp. Plan: lineitem shuffles once on the agg key;
+    part/supplier/nation broadcast; partsupp (a distinct projection of
+    lineitem pairs) joins on the composite (partkey, suppkey) — at scale
+    a real partsupp would be a bucketed dimension and this join
+    shuffle-free. Profit math stays in DECIMAL end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = synthesized_partsupp(spark, sf_dir)
+    profit = _rev() - F.col("ps_supplycost") * _dec(F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            ps,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    sql="WITH " + _PARTSUPP_SQL + """
+    , vals AS (
+        SELECT ps.ps_partkey,
+               SUM(CAST(ps.ps_supplycost AS BIGINT) * ps.ps_availqty)
+                   AS part_value
+        FROM partsupp ps
+        JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = (SELECT min(n_name) FROM nation)
+        GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, CAST(part_value AS BIGINT) AS part_value
+    FROM vals
+    WHERE part_value * 1000 > (SELECT SUM(part_value) FROM vals)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): one nation's
+    partsupp value per part, kept when it exceeds 1/1000 of that
+    nation's total. supplycost is integer-valued by construction so
+    part_value is an exact BIGINT; the global total is a 1-row broadcast
+    (never a driver collect) and the threshold is the exact
+    cross-multiplication ``value*1000 > total``."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = synthesized_partsupp(spark, sf_dir)
+    pick = nation.agg(F.min("n_name").alias("__pick"))
+    nat = nation.join(
+        F.broadcast(pick), F.col("n_name") == F.col("__pick")
+    ).select("n_nationkey")
+    vals = (
+        ps.join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost").cast("bigint") * F.col("ps_availqty")
+            ).alias("part_value")
+        )
+    )
+    total = vals.agg(F.sum("part_value").alias("__total"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("__total"))
+        .select("ps_partkey", F.col("part_value").cast("bigint").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    sql="WITH " + _PARTSUPP_SQL + """
+    , shipped AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        FROM lineitem
+        WHERE EXTRACT(year FROM l_shipdate) = 1996
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM partsupp ps
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    WHERE p.p_name LIKE 'sm%'
+      AND 2 * ps.ps_availqty > sh.qty
+    """,
+)
+def tpch_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers whose
+    available stock of 'sm%' parts exceeds half the quantity they
+    shipped in 1996. The half-threshold is the exact cross-multiplied
+    ``2*availqty > qty`` (quantities are integer-valued doubles; the
+    comparison is exact below 2^52). One shuffle for the shipped agg;
+    part/supplier broadcast; DISTINCT collapses per-part hits."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("sm%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = synthesized_partsupp(spark, sf_dir)
+    shipped = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    return (
+        ps.join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("ps_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .filter(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
