@@ -73,6 +73,11 @@ HEADLINE = [
     "documents_pack_shards",
     "embedding_int8_recall",
     "training_data_factory",
+    # round-5 additions (append-only, same comparability rule)
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q20_potential_promotion",
+    "customer_acctbal_deciles",
 ]
 
 

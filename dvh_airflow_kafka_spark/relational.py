@@ -1640,6 +1640,10 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ps_supplycost").cast("bigint") * F.col("ps_availqty")
             ).alias("part_value")
         )
+        # consumed twice (threshold scan + global total); pinning the
+        # per-part aggregate (one row per partkey) avoids re-deriving
+        # the whole partsupp lineage for the 1-row total
+        .persist()
     )
     total = vals.agg(F.sum("part_value").alias("__total"))
     return (
