@@ -113,10 +113,14 @@ _CERTIFY_FIRST = [
     "tpch_q12_priority_lines",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_revenue",
-    # new in round 5: synthesized-partsupp TPC-H shapes
+    # new in round 5: synthesized-partsupp TPC-H shapes + corpus ops
     "tpch_q9_product_profit",
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
+    "corpus_global_shuffle",
+    "domain_mixture_sample",
+    "lang_token_stats",
+    "dedup_survivor_priority",
     # headline + implementations changed in round 5
     "flagship_etl_pipeline",
     "pipeline_from_yaml_config",
@@ -2178,6 +2182,195 @@ def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.col("value").alias("event_value"),
+    )
+
+
+
+# ==========================================================================
+# [EXT] round-5 corpus-curation widening: deterministic global shuffle,
+# mixture-controlled sampling, per-language stats, quality-priority dedup
+# ==========================================================================
+
+
+@register(
+    "corpus_global_shuffle",
+    sql="""
+    SELECT doc_id,
+           CAST((position - 1) % 64 AS INTEGER) AS shard,
+           position
+    FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY substr(sha256('shuffle-v1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                            doc_id) AS position
+        FROM documents)
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic global corpus shuffle — the pre-training rite:
+    order documents by a salted content-hash (reproducible, partition-
+    independent pseudo-randomness), take the exact global position via
+    the distributed two-pass rank (``ext/ranking.py`` — range slices +
+    broadcast offsets, NO single-partition window), and deal positions
+    round-robin into 64 shards. Re-running with the same salt yields the
+    identical order on any cluster; changing the salt re-shuffles."""
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", split_bucket(F.col("doc_id"), "shuffle-v1").alias("__b")
+    )
+    ranked, _ = with_global_rank(keyed, ["__b", "doc_id"], rank_col="position")
+    return ranked.select(
+        "doc_id",
+        ((F.col("position") - 1) % 64).cast("int").alias("shard"),
+        "position",
+    )
+
+
+_MIX_FRACS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_case_sql() -> str:
+    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{_hex_threshold(f)}'" for s, f in _MIX_FRACS.items()
+    )
+    return f"CASE source {cases} ELSE '{_hex_threshold(_MIX_DEFAULT)}' END"
+
+
+@register(
+    "domain_mixture_sample",
+    sql=f"""
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM documents
+    WHERE substr(sha256('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < {_mix_case_sql()}
+    GROUP BY source
+    """,
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mixture-controlled corpus sampling: each source keeps a
+    configured fraction (the data-mixture knob of a pre-training recipe
+    — upsample curated sources, downsample crawl). Same sha-prefix
+    bucketing as the train/test split, so the kept set is deterministic,
+    engine-independent, and stable as the corpus grows. Pure scan-fused
+    predicate: no shuffle before the final per-source rollup."""
+    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold, split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(_hex_threshold(_MIX_DEFAULT))
+    for s, f in _MIX_FRACS.items():
+        thr = F.when(F.col("source") == s, F.lit(_hex_threshold(f))).otherwise(thr)
+    return (
+        docs.filter(split_bucket(F.col("doc_id"), "mix-v1") < thr)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "lang_token_stats",
+    sql=r"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT source) AS n_sources,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS total_tokens,
+           CAST(MIN(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS min_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS max_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-language corpus inventory (docs, sources, token mass,
+    extremes) — the table a mixture plan is written against. One
+    map-side-combined shuffle over |langs| groups; token counts are
+    exact integers so every engine agrees bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(xtext.tokens(F.col("text")))
+    return (
+        docs.select("lang", "source", toks.alias("__t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.sum("__t").cast("bigint").alias("total_tokens"),
+            F.min("__t").cast("bigint").alias("min_tokens"),
+            F.max("__t").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "dedup_survivor_priority",
+    sql="""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || '  ' FROM documents
+    ), fp AS (
+        SELECT doc_id,
+               sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint,
+               length(text) AS n_chars
+        FROM pool
+    ), ranked AS (
+        SELECT doc_id, fingerprint, n_chars,
+               row_number() OVER (PARTITION BY fingerprint
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+        FROM fp
+    )
+    SELECT doc_id AS survivor_id, fingerprint,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_survivor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Quality-priority exact dedup: duplicates collapse on the
+    normalized-content fingerprint and the KEPT copy is chosen by an
+    explicit priority (longest text, then lowest id) — "keep the best
+    copy", not "keep an arbitrary first row". The whitespace-variant
+    self-union makes every document a 2-copy group, exercising the
+    survivor rule end to end. One key-partitioned window (never global);
+    at 100 TB this is a single shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    pool = docs.select("doc_id", "text").unionAll(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    fp = pool.select(
+        "doc_id",
+        xtext.fingerprint(F.col("text")).alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("fingerprint")
+    ranked = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("survivor_id"),
+        "fingerprint",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
     )
 
 
