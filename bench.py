@@ -78,6 +78,9 @@ HEADLINE = [
     "tpch_q11_important_stock",
     "tpch_q20_potential_promotion",
     "customer_acctbal_deciles",
+    "corpus_global_shuffle",
+    "dedup_survivor_priority",
+    "pretraining_shard_recipe",
 ]
 
 

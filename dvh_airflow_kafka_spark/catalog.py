@@ -121,6 +121,7 @@ _CERTIFY_FIRST = [
     "domain_mixture_sample",
     "lang_token_stats",
     "dedup_survivor_priority",
+    "pretraining_shard_recipe",
     # headline + implementations changed in round 5
     "flagship_etl_pipeline",
     "pipeline_from_yaml_config",
@@ -2371,6 +2372,81 @@ def dedup_survivor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("survivor_id"),
         "fingerprint",
         F.col("n_copies").cast("bigint").alias("n_copies"),
+    )
+
+
+@register(
+    "pretraining_shard_recipe",
+    sql=r"""
+    WITH kept AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+')) AS n_tokens,
+               substr(sha256('shuffle-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS b
+        FROM documents
+        WHERE substr(sha256('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
+              < """ + _mix_case_sql() + r"""
+          AND len(regexp_extract_all(text, '\S+')) >= 20
+    ), ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY b, doc_id) AS position
+        FROM kept
+    ), cum AS (
+        SELECT doc_id, position, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY position
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS before
+        FROM ranked
+    )
+    SELECT doc_id, position,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(before // 2048 AS BIGINT) AS shard_id,
+           CAST(before % 2048 AS BIGINT) AS offset_in_shard
+    FROM cum
+    """,
+)
+def pretraining_shard_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone #3 — the pre-training data recipe end to end, every
+    stage the distributed round-5 machinery: (1) mixture-controlled
+    per-source sampling (sha-bucket predicate, scan-fused), (2) quality
+    gate (min token count), (3) deterministic global shuffle (salted-hash
+    order via the two-pass distributed rank), (4) token-budget shard
+    packing (two-pass distributed prefix sum, 2048-token shards). No
+    global window, no driver collect beyond the O(partitions) offsets —
+    the whole recipe survives a 100 TB corpus with two range shuffles as
+    its only data-scale movements."""
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold, split_bucket
+    from dvh_airflow_kafka_spark.ext.sampling import pack_into_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = F.lit(_hex_threshold(_MIX_DEFAULT))
+    for s, f in _MIX_FRACS.items():
+        thr = F.when(F.col("source") == s, F.lit(_hex_threshold(f))).otherwise(thr)
+    toks = F.size(xtext.tokens(F.col("text")))
+    kept = (
+        docs.filter(split_bucket(F.col("doc_id"), "mix-v1") < thr)
+        .select(
+            "doc_id",
+            toks.alias("n_tokens"),
+            split_bucket(F.col("doc_id"), "shuffle-v1").alias("__b"),
+        )
+        .filter(F.col("n_tokens") >= 20)
+    )
+    ranked, _ = with_global_rank(kept, ["__b", "doc_id"], rank_col="position")
+    packed = pack_into_shards(
+        ranked,
+        "position",
+        F.col("n_tokens"),
+        capacity=2048,
+        carry_cols=("doc_id",),
+    )
+    return packed.select(
+        "doc_id",
+        "position",
+        F.col("size").alias("n_tokens"),
+        "shard_id",
+        "offset_in_shard",
     )
 
 

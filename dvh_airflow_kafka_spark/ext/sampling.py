@@ -84,6 +84,7 @@ def pack_into_shards(
     size_col: Column,
     capacity: int,
     num_partitions: int | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic sequence packing: assign documents (in ``id_col``
     order) to fixed-capacity training shards by cumulative size —
@@ -114,7 +115,11 @@ def pack_into_shards(
     """
     spark = docs.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    slim = docs.select(F.col(id_col), size_col.cast("long").alias("size"))
+    slim = docs.select(
+        F.col(id_col),
+        size_col.cast("long").alias("size"),
+        *[F.col(c) for c in carry_cols],
+    )
     sliced = (
         slim.repartitionByRange(n, F.col(id_col))
         .withColumn("_slice", F.spark_partition_id())
@@ -138,5 +143,6 @@ def pack_into_shards(
             F.col("size"),
             F.floor(before / F.lit(capacity)).cast("long").alias("shard_id"),
             (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
+            *[F.col(c) for c in carry_cols],
         )
     )
