@@ -70,7 +70,10 @@ def register(name: str, sql: Optional[str] = None):
 # relational/profile/sampling tail outside the certified window for three
 # rounds.  This list pins the window to the queries that most need a fresh
 # driver row: everything never certified, the r2-certified rotated-out TPC-H
-# shapes, the flagship, and queries whose implementation changed this round.
+# shapes, the flagship, round-5 additions, and queries whose implementation
+# changed this round (the 51st entry, text_repetition_stats, holds a valid
+# r4 row and its round-5 change is fixture-neutral — verified hash-green
+# locally).
 # Entries not listed keep registration order after these (all were
 # driver-green in rounds 2-4).
 _CERTIFY_FIRST = [
