@@ -1967,7 +1967,7 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is pytest-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    return xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6)
 
 
 @register(

@@ -171,13 +171,28 @@ def _kmeans_cosine(
     are L2-normalized so nearest-centroid-by-dot == nearest-by-cosine."""
     rng = np.random.RandomState(seed)
     x = _normalize(sample)
-    cents = x[rng.choice(len(x), size=n_lists, replace=False)]
+    # k-means++ seeding (Arthur & Vassilvitskii, SODA'07): next centroid
+    # drawn ∝ squared cosine distance to the nearest chosen one — far
+    # better separated than uniform picks, and robust to the order of
+    # the training sample.
+    idx = [int(rng.randint(len(x)))]
+    d2 = np.maximum(0.0, 1.0 - x @ x[idx[0]]) ** 2
+    for _ in range(1, min(n_lists, len(x))):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        nxt = int(rng.choice(len(x), p=p))
+        idx.append(nxt)
+        d2 = np.minimum(d2, np.maximum(0.0, 1.0 - x @ x[nxt]) ** 2)
+    cents = x[idx].copy()
     for _ in range(max_iter):
-        assign = (x @ cents.T).argmax(axis=1)
-        for j in range(n_lists):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cents)):
             members = x[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
+            else:
+                # reseed a starved list to the overall worst-served point
+                cents[j] = x[int(sims.max(axis=1).argmin())]
         cents = _normalize(cents)
     return cents
 
@@ -224,10 +239,21 @@ def ivf_topk(
     work shrinks by the fan-out ratio."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
+    # Deterministic training sample: bare limit() is partition-order
+    # dependent (different centroids every run); ordering by the hashed
+    # id plans as TakeOrderedAndProject — per-partition top-n + driver
+    # merge, no global sort shuffle — so the quantizer is reproducible
+    # on any cluster at any parallelism.
     sample = np.array(
         [
             np.asarray(r[0], dtype=np.float64)
-            for r in emb.select(vec_col).limit(sample_size).collect()
+            for r in emb.select(
+                F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__o")
+            )
+            .orderBy("__o")
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
         ]
     )
     cents = _kmeans_cosine(sample, n_lists, seed)

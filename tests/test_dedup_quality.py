@@ -118,7 +118,7 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     exact = xsim.brute_force_topk(emb, queries, k=5)
     truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
-    approx = xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    approx = xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6)
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
