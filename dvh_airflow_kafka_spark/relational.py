@@ -1614,16 +1614,17 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ps_partkey, CAST(part_value AS BIGINT) AS part_value
     FROM vals
-    WHERE part_value * 1000 > (SELECT SUM(part_value) FROM vals)
+    WHERE part_value * (SELECT COUNT(*) FROM vals)
+          > 2 * (SELECT SUM(part_value) FROM vals)
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock identification): one nation's
-    partsupp value per part, kept when it exceeds 1/1000 of that
+    partsupp value per part, kept when it exceeds 1/2000 of that
     nation's total. supplycost is integer-valued by construction so
     part_value is an exact BIGINT; the global total is a 1-row broadcast
     (never a driver collect) and the threshold is the exact
-    cross-multiplication ``value*1000 > total``."""
+    cross-multiplication ``value*2000 > total``."""
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     ps = synthesized_partsupp(spark, sf_dir)
@@ -1645,10 +1646,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the whole partsupp lineage for the 1-row total
         .persist()
     )
-    total = vals.agg(F.sum("part_value").alias("__total"))
+    total = vals.agg(
+        F.sum("part_value").alias("__total"),
+        F.count(F.lit(1)).alias("__nparts"),
+    )
     return (
         vals.join(F.broadcast(total))
-        .filter(F.col("part_value") * 1000 > F.col("__total"))
+        .filter(F.col("part_value") * F.col("__nparts") > 2 * F.col("__total"))
         .select("ps_partkey", F.col("part_value").cast("bigint").alias("part_value"))
     )
 
