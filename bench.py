@@ -81,6 +81,7 @@ HEADLINE = [
     "corpus_global_shuffle",
     "dedup_survivor_priority",
     "pretraining_shard_recipe",
+    "duplicated_ngram_spans",
 ]
 
 
