@@ -82,6 +82,12 @@ HEADLINE = [
     "dedup_survivor_priority",
     "pretraining_shard_recipe",
     "duplicated_ngram_spans",
+    "documents_chunk_windows",
+    "training_sequence_pack",
+    "bloom_dedup_insert",
+    "source_frequency_cap",
+    "corpus_snapshot_diff",
+    "events_anomaly_zscore",
 ]
 
 

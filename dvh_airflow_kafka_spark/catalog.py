@@ -2506,6 +2506,364 @@ def duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# [EXT] round-5b: chunking, sequence packing, Bloom-probed dedup, per-source
+# frequency capping, snapshot CDC, windowed anomaly detection
+# ==========================================================================
+
+_CHUNK_LEN = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # tokens between chunk starts (overlap = 8)
+
+
+@register(
+    "documents_chunk_windows",
+    sql=rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), c AS (
+        SELECT doc_id, wl, len(wl) AS n,
+               CASE WHEN len(wl) <= {_CHUNK_LEN} THEN 1
+                    ELSE CAST(ceil((len(wl) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0)
+                              AS INT) + 1 END AS n_chunks
+        FROM w
+    ), e AS (
+        SELECT doc_id, wl, n,
+               unnest(range(0, n_chunks)) AS i
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+           CAST(least({_CHUNK_LEN}, n - i * {_CHUNK_STRIDE}) AS INT)
+               AS n_chunk_tokens,
+           sha256(array_to_string(
+               wl[i * {_CHUNK_STRIDE} + 1 :
+                  least(i * {_CHUNK_STRIDE} + {_CHUNK_LEN}, n)], ' '))
+               AS chunk_sha
+    FROM e
+    """,
+)
+def documents_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Overlapping token-window chunking — the retrieval/embedding
+    prep step: each document becomes ceil((n-C)/S)+1 chunks of C=32
+    tokens at stride S=24 (8-token overlap), identified by (doc_id,
+    chunk_idx) with the chunk content pinned by its sha256. Pure
+    higher-order-function plan — ``sequence`` → ``explode`` →
+    ``slice``/``array_join`` — no UDF, fuses into the scan, and the only
+    movement at 100 TB is the explode's row growth (~n/S per doc),
+    which is embarrassingly parallel."""
+    C, S = _CHUNK_LEN, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", xtext.tokens(F.col("text")).alias("wl"))
+    n = F.size("wl")
+    n_chunks = (
+        F.when(n <= C, F.lit(1))
+        .otherwise(F.ceil((n - C) / F.lit(float(S))) + 1)
+        .cast("int")
+    )
+    e = toks.select(
+        "doc_id",
+        "wl",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    chunk = F.slice(F.col("wl"), F.col("i") * S + 1, C)
+    return e.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        (F.col("i").cast("bigint") * S).alias("start_token"),
+        F.least(F.lit(C), F.col("n") - F.col("i") * S)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.sha2(F.array_join(chunk, " ").cast("binary"), 256).alias("chunk_sha"),
+    )
+
+
+_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@register(
+    "training_sequence_pack",
+    sql=rf"""
+    WITH t AS (
+        SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n
+        FROM documents
+        WHERE len(regexp_extract_all(text, '\S+')) > 0
+    ), c AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n
+                    AS BIGINT) AS before
+        FROM t
+    ), e AS (
+        SELECT doc_id, n, before,
+               unnest(range(before // {_SEQ_LEN},
+                            (before + n - 1) // {_SEQ_LEN} + 1)) AS seq_id
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(before, seq_id * {_SEQ_LEN}) - before AS BIGINT)
+               AS tok_start,
+           CAST(greatest(before, seq_id * {_SEQ_LEN}) - seq_id * {_SEQ_LEN}
+                AS BIGINT) AS offset_in_seq,
+           CAST(least(before + n, (seq_id + 1) * {_SEQ_LEN})
+                - greatest(before, seq_id * {_SEQ_LEN}) AS BIGINT)
+               AS n_seq_tokens
+    FROM e
+    """,
+)
+def training_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Token-level concat-and-split sequence packing — the GPT-style
+    pre-training layout: documents are concatenated in a deterministic
+    global order and cut into fixed L=512-token sequences, documents
+    SPANNING sequence boundaries (unlike ``pack_into_shards``, which
+    keeps documents whole). Emits one row per (doc, sequence) span with
+    the in-doc start token, in-sequence offset, and span length — enough
+    to materialise every training sequence without re-tokenizing.
+
+    Plan shape: the shared two-pass distributed prefix sum
+    (``ext/sampling.with_prefix_sum`` — range slices + broadcast offsets,
+    NO single-partition window) gives each doc its exact global token
+    offset; the spanned sequence ids come from ``sequence``/``explode``
+    and integer ``div`` arithmetic (exact at any corpus size — no double
+    division). At 100 TB: one range shuffle of the slim (id, n_tokens)
+    pair, everything else scan-fused."""
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+
+    L = _SEQ_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    slim = docs.select(
+        "doc_id", F.size(xtext.tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    pre = with_prefix_sum(slim, "doc_id", F.col("n_tokens"))
+    end = F.col("before") + F.col("size")
+    e = pre.select(
+        "doc_id",
+        "size",
+        "before",
+        F.explode(
+            F.sequence(
+                F.expr(f"before div {L}"), F.expr(f"(before + size - 1) div {L}")
+            )
+        ).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * L
+    span_start = F.greatest(F.col("before"), seq_start)
+    return e.select(
+        "doc_id",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (span_start - F.col("before")).cast("bigint").alias("tok_start"),
+        (span_start - seq_start).cast("bigint").alias("offset_in_seq"),
+        (F.least(end, seq_start + L) - span_start)
+        .cast("bigint")
+        .alias("n_seq_tokens"),
+    )
+
+
+@register(
+    "bloom_dedup_insert",
+    sql="""
+    WITH batch AS (
+        SELECT event_id, user_id, event_type, props
+        FROM events WHERE event_id < 2000
+    ),
+    sink AS (SELECT event_id FROM events WHERE event_id % 2 = 0)
+    SELECT b.event_id, b.user_id, b.event_type, b.props
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM sink s WHERE s.event_id = b.event_id)
+    """,
+)
+def bloom_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] J1 dedup with a Bloom fast path (``ext/bloom.py``): the
+    sink keyset is folded into a broadcastable DataFrame of set bit
+    positions; batch rows failing the filter are DEFINITELY new and
+    skip the sink entirely, only the bloom-positive sliver pays the
+    exact anti-join. Output is bit-identical to the reference's
+    ``NOT EXISTS`` (src/oracle_target.py:97-104) — the filter prunes
+    work, never changes the answer. At 100 TB the bits frame is
+    constant-size (m bits ≫ sink rows decouple), the probe is map-side,
+    and the residual anti-join touches ~fp·|batch| rows instead of
+    |batch|."""
+    from dvh_airflow_kafka_spark.ext.bloom import bloom_dedup
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    batch = events.filter(F.col("event_id") < 2000)
+    sink = events.filter(F.col("event_id") % 2 == 0).select("event_id")
+    return bloom_dedup(batch, sink, ["event_id"])
+
+
+_FREQ_CAP = 15  # max docs kept per source
+
+
+@register(
+    "source_frequency_cap",
+    sql=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rn AS INT) AS source_rank
+    FROM ranked
+    WHERE rn <= {_FREQ_CAP}
+    """,
+)
+def source_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-source frequency capping — the crawl-curation knob that
+    stops one domain from dominating the mixture: keep at most K=15
+    documents per source, chosen by an explicit priority (longest text
+    first, doc_id tiebreak). One window PARTITIONED BY source — the key
+    is the parallelism unit, so at 100 TB this is a single keyed
+    shuffle; a skewed mega-source degrades to one fat task and would be
+    salted via two-level top-K (per-salt top-K then merge) — the same
+    recipe as ``operators/skew.py``."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.row_number().over(w).alias("source_rank"),
+        )
+        .filter(F.col("source_rank") <= _FREQ_CAP)
+        .withColumn("source_rank", F.col("source_rank").cast("int"))
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    sql="""
+    WITH old AS (
+        SELECT doc_id, sha256(text) AS h
+        FROM documents WHERE doc_id % 10 <> 7
+    ), new AS (
+        SELECT doc_id,
+               sha256(CASE WHEN doc_id % 9 = 0 THEN text || ' v2'
+                           ELSE text END) AS h
+        FROM documents WHERE doc_id % 13 <> 5
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'deleted'
+                ELSE 'changed' END AS change_type,
+           o.h AS old_sha,
+           n.h AS new_sha
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Snapshot CDC: classify documents as added / deleted /
+    changed between two corpus snapshots by full-outer-joining on the
+    stable id and comparing content hashes (unchanged rows drop out).
+    The snapshots are deterministic views of the fixture (id-modulus
+    membership, a marker suffix for "edited" docs) so both engines see
+    identical inputs. One sort-merge join on the id — at 100 TB both
+    sides shuffle once on doc_id; with id-bucketed snapshot layouts
+    (``io.py``) even that exchange disappears."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 7).select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("old_sha")
+    )
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.sha2(
+            F.when(
+                F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .cast("binary"),
+            256,
+        ).alias("new_sha"),
+    )
+    j = old.withColumnRenamed("doc_id", "o_id").join(
+        new.withColumnRenamed("doc_id", "n_id"),
+        F.col("o_id") == F.col("n_id"),
+        "full_outer",
+    )
+    return j.filter(
+        F.col("o_id").isNull()
+        | F.col("n_id").isNull()
+        | (F.col("old_sha") != F.col("new_sha"))
+    ).select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+        "old_sha",
+        "new_sha",
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    sql="""
+    WITH cents AS (
+        SELECT event_id, user_id, ts, value,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ), stats AS (
+        SELECT event_id, user_id, value, c,
+               COUNT(c) OVER w AS n,
+               SUM(c) OVER w AS s,
+               SUM(c * c) OVER w AS ss
+        FROM cents
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           CAST(n AS BIGINT) AS n_prior
+    FROM stats
+    WHERE n >= 8
+      AND (n * c - s) * (n * c - s) * (n - 1) > 9 * n * (n * ss - s * s)
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Rolling z-score anomaly detection: an event is anomalous
+    when its value sits more than 3 sample standard deviations from the
+    mean of the user's previous ≤20 events (≥8 required). The test
+    ``(x−s/n)² > 9·(n·ss−s²)/(n(n−1))`` is cleared of divisions into
+    pure integer arithmetic over cent-quantized values
+    (``floor(value·100+0.5)`` — the same IEEE double in every engine),
+    so the flag is bit-exact cross-engine: no float summation order, no
+    stddev ulp drift. One window PARTITIONED BY user_id — a single
+    keyed shuffle at any scale, and the 21-row frame keeps state O(1)
+    per task."""
+    events = load_table(spark, sf_dir, "events")
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = events.select(
+        "event_id",
+        "user_id",
+        "value",
+        c.alias("c"),
+        F.count("value").over(w).alias("n"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return stats.filter(
+        (F.col("n") >= 8)
+        & (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * var_num)
+    ).select(
+        "event_id", "user_id", "value", F.col("n").cast("bigint").alias("n_prior")
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.

@@ -78,6 +78,53 @@ def sql_bucket_predicate(key_expr: str, frac: float, salt: str = "split-v1") -> 
     )
 
 
+def with_prefix_sum(
+    docs: DataFrame,
+    id_col: str,
+    size_col: Column,
+    *,
+    before_col: str = "before",
+    num_partitions: int | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append the exact global running sum of ``size_col`` BEFORE each row
+    under ``ORDER BY id_col`` — the shared two-pass distributed prefix sum
+    (range slices → per-slice totals → broadcast cumulative offsets →
+    within-slice window; no single-partition ``WindowExec``). ``id_col``
+    must be a unique total order. Returns (id, size, ``before_col``,
+    carry_cols); consumers derive shard ids, byte offsets, or token spans
+    from ``before`` with plain arithmetic."""
+    spark = docs.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    slim = docs.select(
+        F.col(id_col),
+        size_col.cast("long").alias("size"),
+        *[F.col(c) for c in carry_cols],
+    )
+    sliced = (
+        slim.repartitionByRange(n, F.col(id_col))
+        .withColumn("_slice", F.spark_partition_id())
+        .persist()
+    )
+    totals = sliced.groupBy("_slice").agg(F.sum("size").alias("_total")).collect()
+    acc = 0
+    offsets = []
+    for sl, tot in sorted((r["_slice"], r["_total"]) for r in totals):
+        offsets.append((sl, acc))
+        acc += int(tot)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_slice INT, _offset BIGINT")
+    w = Window.partitionBy("_slice").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    before = (F.col("_offset") + F.sum("size").over(w) - F.col("size")).cast("long")
+    return sliced.join(F.broadcast(off_df), "_slice").select(
+        F.col(id_col),
+        F.col("size"),
+        before.alias(before_col),
+        *[F.col(c) for c in carry_cols],
+    )
+
+
 def pack_into_shards(
     docs: DataFrame,
     id_col: str,
@@ -113,36 +160,18 @@ def pack_into_shards(
     instead of all of it — this is what survives 100 TB. Only the slim
     two-column pair is persisted (~16 B/row), not the documents.
     """
-    spark = docs.sparkSession
-    n = num_partitions or spark.sparkContext.defaultParallelism
-    slim = docs.select(
+    pre = with_prefix_sum(
+        docs,
+        id_col,
+        size_col,
+        num_partitions=num_partitions,
+        carry_cols=carry_cols,
+    )
+    before = F.col("before")
+    return pre.select(
         F.col(id_col),
-        size_col.cast("long").alias("size"),
+        F.col("size"),
+        F.floor(before / F.lit(capacity)).cast("long").alias("shard_id"),
+        (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
         *[F.col(c) for c in carry_cols],
-    )
-    sliced = (
-        slim.repartitionByRange(n, F.col(id_col))
-        .withColumn("_slice", F.spark_partition_id())
-        .persist()
-    )
-    totals = sliced.groupBy("_slice").agg(F.sum("size").alias("_total")).collect()
-    acc = 0
-    offsets = []
-    for sl, tot in sorted((r["_slice"], r["_total"]) for r in totals):
-        offsets.append((sl, acc))
-        acc += int(tot)
-    off_df = spark.createDataFrame(offsets or [(0, 0)], "_slice INT, _offset BIGINT")
-    w = Window.partitionBy("_slice").orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    before = (F.col("_offset") + F.sum("size").over(w) - F.col("size")).cast("long")
-    return (
-        sliced.join(F.broadcast(off_df), "_slice")
-        .select(
-            F.col(id_col),
-            F.col("size"),
-            F.floor(before / F.lit(capacity)).cast("long").alias("shard_id"),
-            (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
-            *[F.col(c) for c in carry_cols],
-        )
     )

@@ -92,3 +92,62 @@ def test_quantize_embeddings_int8_bounds(spark, sf_dir):
         # dequantization error bounded by half a quantization step
         err = np.abs(orig[r.vec_id] - q * r.scale)
         assert float(err.max()) <= r.scale / 2 + 1e-12
+
+
+def test_with_prefix_sum_matches_serial(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+    from dvh_airflow_kafka_spark.ext.text import token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count_ws(F.col("text")).alias("sz"))
+    got = {
+        r.doc_id: (r.size, r.before)
+        for r in with_prefix_sum(sized, "doc_id", F.col("sz")).collect()
+    }
+    cum = 0
+    for doc_id in sorted(got):
+        size, before = got[doc_id]
+        assert before == cum
+        cum += size
+
+
+def test_sequence_pack_tiles_exactly(spark, sf_dir):
+    # Spans must tile each sequence gaplessly and reconstruct every doc.
+    from dvh_airflow_kafka_spark.catalog import training_sequence_pack, _SEQ_LEN
+
+    rows = training_sequence_pack(spark, sf_dir).collect()
+    by_seq: dict[int, list] = {}
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.offset_in_seq < _SEQ_LEN
+        assert 1 <= r.n_seq_tokens <= _SEQ_LEN
+        by_seq.setdefault(r.seq_id, []).append(r)
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + r.n_seq_tokens
+    seqs = sorted(by_seq)
+    assert seqs == list(range(len(seqs)))  # dense sequence ids from 0
+    for sid in seqs:
+        spans = sorted(by_seq[sid], key=lambda r: r.offset_in_seq)
+        pos = 0
+        for s in spans:
+            assert s.offset_in_seq == pos  # gapless
+            pos += s.n_seq_tokens
+        # every sequence but the last is exactly full
+        assert pos == _SEQ_LEN or sid == seqs[-1]
+    # per-doc span lengths sum to the doc's token count
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.text import token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", token_count_ws(F.col("text")).alias("n")
+        ).collect()
+        if r.n > 0
+    }
+    assert by_doc == want
