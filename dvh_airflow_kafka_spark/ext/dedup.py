@@ -223,24 +223,36 @@ def minhash_near_duplicates(
 
 
 def _simhash_from_tokens(toks: DataFrame) -> DataFrame:
-    """(__id, __h token-hash) rows -> (__id, simhash): 64 conditional bit
-    votes aggregated in codegen, bit reassembly. One shuffle (groupBy id)
-    with map-side partial aggregation. Shared by the text and binary
+    """(__id, __h token-hash) rows -> (__id, simhash): SWAR bit-plane
+    aggregation. Instead of 64 per-bit ``sum(when(...))`` aggregates, mask
+    the hash into 16 bit-planes — ``(h >> j) & 0x0001000100010001`` puts
+    bits j, j+16, j+32, j+48 each in its own 16-bit lane — and SUM the
+    planes: one long accumulates FOUR independent bit counters (exact
+    while a document has < 65536 tokens; callers cap token streams, and
+    the fixture maximum is ~10^2). 16 sums + 1 count replace 64
+    conditional sums — a 4x cut in aggregate expressions on the hot
+    300k-row explode — then the signature reassembles per doc (one row
+    each): bit b set iff ``2*count_b > n`` ≡ the ±1 vote sum being
+    positive (tie → 0, same as before). One shuffle (groupBy id) with
+    map-side partial aggregation. Shared by the text and binary
     (multimodal) SimHash paths."""
-    one = F.lit(1).cast("long")
-    votes = [
+    lane_mask = 0x0001000100010001
+    planes = [
         F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col("__h"), b).bitwiseAND(one) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"__v{b}")
-        for b in range(64)
+            F.shiftrightunsigned(F.col("__h"), j).bitwiseAND(F.lit(lane_mask))
+        ).alias(f"__p{j}")
+        for j in range(16)
     ]
-    agg = toks.groupBy("__id").agg(*votes)
+    agg = toks.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *planes)
+    one = F.lit(1).cast("long")
     sig = F.lit(0).cast("long")
     for b in range(64):
+        j, k = b % 16, b // 16
+        count_b = F.shiftrightunsigned(F.col(f"__p{j}"), 16 * k).bitwiseAND(
+            F.lit(0xFFFF)
+        )
         sig = sig.bitwiseOR(
-            F.when(F.col(f"__v{b}") > 0, F.shiftleft(one, b)).otherwise(
+            F.when(count_b * 2 > F.col("__n"), F.shiftleft(one, b)).otherwise(
                 F.lit(0).cast("long")
             )
         )
