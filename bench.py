@@ -88,6 +88,9 @@ HEADLINE = [
     "source_frequency_cap",
     "corpus_snapshot_diff",
     "events_anomaly_zscore",
+    "incremental_daily_revenue",
+    "table_quality_report",
+    "events_rolling_dau",
 ]
 
 

@@ -2804,9 +2804,7 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_anomaly_zscore",
-    sql="""
+_ANOMALY_SQL = """
     WITH cents AS (
         SELECT event_id, user_id, ts, value,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
@@ -2825,8 +2823,10 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM stats
     WHERE n >= 8
       AND (n * c - s) * (n * c - s) * (n - 1) > 9 * n * (n * ss - s * s)
-    """,
-)
+    """
+
+
+@register("events_anomaly_zscore", sql=_ANOMALY_SQL)
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Rolling z-score anomaly detection: an event is anomalous
     when its value sits more than 3 sample standard deviations from the
@@ -2861,6 +2861,267 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * var_num)
     ).select(
         "event_id", "user_id", "value", F.col("n").cast("bigint").alias("n_prior")
+    )
+
+
+@register("streaming_anomaly_zscore", sql=_ANOMALY_SQL)
+def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rolling z-score anomaly operator (ST-custom #2), driven as a
+    real availableNow drain and oracled by the SAME batch SQL as
+    ``events_anomaly_zscore`` — the strongest parity statement available:
+    a custom ``applyInPandasWithState`` operator whose multi-micro-batch
+    streaming output hash-matches a batch window query.
+
+    The event log is staged into three ts-range files written
+    sequentially, so micro-batches arrive in event-time order and the
+    per-user value ring GENUINELY carries across batch boundaries (a
+    single-file drain would reduce to batch). No sentinel/timeout is
+    needed: an event's verdict depends only on prior events, so each
+    batch emits its anomalies immediately."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        detect_anomalies_with_state,
+        drain_to_memory,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    cuts = ev.approxQuantile("event_id", [0.34, 0.67], 0.001)
+    tmp = tempfile.mkdtemp(prefix="stream_anom_")
+    src = os.path.join(tmp, "src")
+    # Sequential appends -> increasing file mtimes -> the file stream
+    # triggers the slices in ts order (event_id order == ts order in the
+    # fixture; ties on the boundary stay within one slice either way
+    # because the split predicate is deterministic per row).
+    lo, hi = int(cuts[0]), int(cuts[1])
+    ev.filter(F.col("event_id") <= lo).coalesce(1).write.mode("append").parquet(src)
+    ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    ev.filter(F.col("event_id") > hi).coalesce(1).write.mode("append").parquet(src)
+
+    name = f"stream_anom_{uuid.uuid4().hex[:8]}"
+    anomalies = detect_anomalies_with_state(read_event_stream(spark, src))
+    out = drain_to_memory(spark, anomalies, name, os.path.join(tmp, "ckpt"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out.select("event_id", "user_id", "value", "n_prior")
+
+
+@register(
+    "incremental_daily_revenue",
+    sql="""
+    SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Incremental aggregate maintenance: a daily-revenue state
+    table is maintained by MERGING re-aggregatable partials — the
+    pattern that turns a 100 TB daily rollup into an O(new data) job.
+    The fixture splits the log into an "already aggregated" half and a
+    "new batch" half, aggregates each independently, and merges by
+    re-aggregating the unioned partials (COUNT and DECIMAL SUM are both
+    commutative monoids, so merge order is irrelevant and the result is
+    bit-identical to the direct one-pass GROUP BY — which is exactly
+    what the oracle computes). Plan: two scans of disjoint slices + one
+    tiny merge shuffle on |days| rows; at scale the state side is read
+    from the rollup table, not recomputed."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    mid = dt.datetime(2024, 1, 15)
+
+    def partial(df):
+        return df.groupBy(
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"),
+        )
+
+    state = partial(ev.filter(F.col("ts") < F.lit(mid)))
+    batch = partial(ev.filter(F.col("ts") >= F.lit(mid)))
+    merged = (
+        state.unionByName(batch)
+        .groupBy("day")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("rev").alias("rev"))
+    )
+    return merged.select(
+        "day", "n_events", F.col("rev").cast("double").alias("revenue")
+    )
+
+
+@register(
+    "table_quality_report",
+    sql="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+               AS n_violations,
+           (SELECT COUNT(*) FROM orders) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           (SELECT COUNT(*) - COUNT(DISTINCT l_orderkey * 16 + l_linenumber)
+            FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'events_value_valid',
+           (SELECT COUNT(*) FROM events
+            WHERE value IS NULL OR value < 0 OR value > 100000),
+           (SELECT COUNT(*) FROM events)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'events_type_nonnull',
+           (SELECT COUNT(*) FROM events WHERE event_type IS NULL),
+           (SELECT COUNT(*) FROM events)
+    """,
+)
+def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Declarative data-quality audit (the Deequ-style constraint
+    report a pipeline gates on before training): FK integrity via
+    anti-join count, composite-PK uniqueness, value-range, domain and
+    null checks — each a single aggregate over its table, unioned into
+    one (check_name, n_violations, n_checked) report. Violation counts
+    are conditional sums fused into ONE scan per table (no per-check
+    rescans); the FK check's anti-join broadcasts the key side. At
+    100 TB this is a handful of map-side-combined aggregates — the
+    report is O(#checks) rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+
+    fk_viol = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == customer["c_custkey"],
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("fk_v"))
+    ord_stats = orders.agg(
+        F.count(F.lit(1)).alias("ord_n"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("status_v"),
+    )
+    li_stats = lineitem.agg(
+        F.count(F.lit(1)).alias("li_n"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(
+                F.col("l_orderkey") * 16 + F.col("l_linenumber")
+            )
+        ).alias("pk_v"),
+    )
+    ev_stats = events.agg(
+        F.count(F.lit(1)).alias("ev_n"),
+        F.sum(
+            (
+                F.col("value").isNull()
+                | (F.col("value") < 0)
+                | (F.col("value") > 100000)
+            ).cast("long")
+        ).alias("value_v"),
+        F.sum(F.col("event_type").isNull().cast("long")).alias("type_v"),
+    )
+
+    def row(name, viol, checked):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            viol.cast("long").alias("n_violations"),
+            checked.cast("long").alias("n_checked"),
+        )
+
+    report = (
+        fk_viol.crossJoin(F.broadcast(ord_stats))
+        .crossJoin(F.broadcast(li_stats))
+        .crossJoin(F.broadcast(ev_stats))
+        .select(
+            F.explode(
+                F.array(
+                    row("orders_custkey_fk", F.col("fk_v"), F.col("ord_n")),
+                    row("lineitem_pk_unique", F.col("pk_v"), F.col("li_n")),
+                    row("events_value_valid", F.col("value_v"), F.col("ev_n")),
+                    row(
+                        "orders_status_domain",
+                        F.col("status_v"),
+                        F.col("ord_n"),
+                    ),
+                    row("events_type_nonnull", F.col("type_v"), F.col("ev_n")),
+                )
+            ).alias("r")
+        )
+        .select("r.check_name", "r.n_violations", "r.n_checked")
+    )
+    return report
+
+
+@register(
+    "events_rolling_dau",
+    sql="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           (SELECT COUNT(*) FROM ud WHERE ud.d = days.d) AS dau,
+           (SELECT COUNT(DISTINCT user_id) FROM ud
+            WHERE ud.d BETWEEN days.d - 6 AND days.d) AS rolling_7d_users
+    FROM days
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Daily + rolling-7-day distinct active users. Rolling
+    DISTINCT does not decompose into window partials, so the scalable
+    exact form is: dedup to (user, day) pairs once (one shuffle), then
+    a bounded range join — each pair lands in at most 7 day buckets
+    (explode of a 7-element sequence, no theta-join) — and one
+    count-distinct per bucket. Row growth is a fixed 7x on the ALREADY
+    deduplicated pairs, not on the raw log; at 100 TB the raw-event
+    dedup dominates and everything downstream is |users|·|days|-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    # each (user, day) pair contributes to buckets d .. d+6
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("bucket"),
+    )
+    rolling = (
+        contrib.join(
+            F.broadcast(ud.select("d").distinct()),
+            contrib["bucket"] == F.col("d"),
+            "left_semi",
+        )
+        .groupBy("bucket")
+        .agg(F.count_distinct("user_id").alias("rolling_7d_users"))
+    )
+    return (
+        dau.join(rolling, dau["d"] == rolling["bucket"])
+        .select(
+            F.date_format(dau["d"], "yyyy-MM-dd").alias("day"),
+            "dau",
+            "rolling_7d_users",
+        )
     )
 
 

@@ -265,3 +265,107 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling z-score anomaly detection (custom stateful operator #2)
+# --------------------------------------------------------------------------
+
+ANOMALY_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("n_prior", T.LongType()),
+    ]
+)
+
+# Per-user state: the last <=window cent-quantized values, oldest first.
+ANOMALY_STATE = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.LongType()))]
+)
+
+
+def _make_anomaly_detector(window: int = 20, min_prior: int = 8, z: int = 3):
+    """Build the applyInPandasWithState function: flag events more than
+    ``z`` sample standard deviations from the mean of the user's previous
+    ``<=window`` events (at least ``min_prior`` required). The test is the
+    division-free integer form ``(n·c − s)²·(n−1) > z²·n·(n·ss − s²)``
+    over cent-quantized values — Python ints are exact at any magnitude,
+    so this matches the batch ``events_anomaly_zscore`` SQL bit-for-bit."""
+
+    def detect(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        vals = list(state.get[0]) if state.exists else []
+        s = sum(vals)
+        ss = sum(v * v for v in vals)
+        out_ev: list[int] = []
+        out_val: list[float] = []
+        out_n: list[int] = []
+        import numpy as np
+
+        cents = np.floor(rows["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+        for eid, v, c in zip(
+            rows["event_id"].to_numpy(), rows["value"].to_numpy(), cents
+        ):
+            n = len(vals)
+            c = int(c)
+            if n >= min_prior:
+                dev = n * c - s
+                if dev * dev * (n - 1) > z * z * n * (n * ss - s * s):
+                    out_ev.append(int(eid))
+                    out_val.append(float(v))
+                    out_n.append(n)
+            vals.append(c)
+            s += c
+            ss += c * c
+            if len(vals) > window:
+                old = vals.pop(0)
+                s -= old
+                ss -= old * old
+        state.update((vals,))
+        if out_ev:
+            yield pd.DataFrame(
+                {
+                    "event_id": out_ev,
+                    "user_id": [user_id] * len(out_ev),
+                    "value": out_val,
+                    "n_prior": out_n,
+                }
+            )
+
+    return detect
+
+
+def detect_anomalies_with_state(
+    stream: DataFrame, *, window: int = 20, min_prior: int = 8, z: int = 3
+) -> DataFrame:
+    """Rolling 3σ anomaly detection as a custom stateful operator.
+
+    Unlike sessionization there is nothing to time out: the verdict for
+    an event depends only on the user's PRIOR events, so each micro-batch
+    emits its anomalies immediately (append mode, NoTimeout) and the
+    state is the O(window) ring of recent values — state-store size is
+    |active users|·window longs regardless of stream length. Semantics
+    match the batch ``events_anomaly_zscore`` query, which is the oracle."""
+    return (
+        stream.select("event_id", "user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_anomaly_detector(window=window, min_prior=min_prior, z=z),
+            outputStructType=ANOMALY_OUTPUT,
+            stateStructType=ANOMALY_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -189,3 +189,64 @@ def test_dedup_stream_drops_cross_batch_replays(spark, tmp_path):
     got = drain_to_memory(spark, deduped, "dedup_t1", str(tmp_path / "ckpt"))
     ids = sorted(r["event_id"] for r in got.collect())
     assert ids == [1, 2, 3]  # replayed id=2 emitted exactly once
+
+
+def test_anomaly_detector_matches_batch_window(spark, sf_dir, tmp_path):
+    """Multi-batch streaming anomaly detection == the batch window query,
+    and the per-user value ring demonstrably carries across batches."""
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        detect_anomalies_with_state,
+        drain_to_memory,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    src = str(tmp_path / "src")
+    # three ts-ordered slices -> three micro-batches
+    n = ev.count()
+    lo, hi = n // 3, 2 * n // 3
+    for pred in (
+        F.col("event_id") < lo,
+        (F.col("event_id") >= lo) & (F.col("event_id") < hi),
+        F.col("event_id") >= hi,
+    ):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+
+    out = drain_to_memory(
+        spark,
+        detect_anomalies_with_state(read_event_stream(spark, src)),
+        "anom_test",
+        str(tmp_path / "ckpt"),
+    )
+    got = {r.event_id: r.n_prior for r in out.collect()}
+
+    # batch reference: integer-exact rolling window
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        c.alias("c"),
+        F.count("value").over(w).alias("n"),
+        F.sum(c).over(w).alias("s"),
+        F.sum(c * c).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    want = {
+        r.event_id: r.n
+        for r in stats.filter(
+            (F.col("n") >= 8)
+            & (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * (F.col("n") * F.col("ss") - F.col("s") * F.col("s")))
+        ).collect()
+    }
+    assert got == want
+    # cross-batch carry: some anomaly must be flagged in batches 2/3 with
+    # n_prior proving state from an earlier batch (full 20-ring only
+    # forms after 20 events, and slices hold ~1/3 of each user's events)
+    assert any(eid >= lo for eid in got)
