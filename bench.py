@@ -91,6 +91,7 @@ HEADLINE = [
     "incremental_daily_revenue",
     "table_quality_report",
     "events_rolling_dau",
+    "frequent_tokens_bounded_state",
 ]
 
 

@@ -2864,6 +2864,36 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "frequent_tokens_bounded_state",
+    sql=r"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, COUNT(*) AS n_occurrences
+    FROM toks
+    GROUP BY token
+    HAVING COUNT(*) * 64 > (SELECT n FROM tot)
+    """,
+)
+def frequent_tokens_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact heavy hitters with O(k) executor state
+    (``ext/sketch.py``): a per-partition Misra-Gries candidate pass
+    (mapInPandas — the decrement-counter loop is the rare genuinely
+    imperative kernel) whose union provably covers every token with
+    global frequency > N/64, then an exact verify pass counting ONLY the
+    candidates (broadcast semi-join on the explode). Output is identical
+    to the full groupBy the oracle runs — the sketch bounds memory,
+    never changes the answer. This is the shape that survives unbounded
+    key domains (n-grams, URLs) where plain map-side combine state grows
+    with distinct-per-partition and spills."""
+    from dvh_airflow_kafka_spark.ext.sketch import frequent_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frequent_tokens(docs, F.col("text"), k_state=64)
+
+
 @register("streaming_anomaly_zscore", sql=_ANOMALY_SQL)
 def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rolling z-score anomaly operator (ST-custom #2), driven as a
