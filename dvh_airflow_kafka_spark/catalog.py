@@ -2944,6 +2944,82 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(e.ts) AS lag_us
+    FROM events p
+    JOIN events e
+      ON p.user_id = e.user_id
+     AND p.event_type = 'purchase'
+     AND e.event_type = 'error'
+     AND e.ts <= p.ts
+     AND e.ts > p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (the third built-in stateful shape,
+    beside windowed aggregation and dropDuplicatesWithinWatermark):
+    every purchase attributed to the same user's errors in the
+    preceding 30 minutes, both sides REAL file streams drained with
+    availableNow across ts-ordered micro-batches, oracled by the batch
+    interval join. Watermarks one tick past the lag bound let Spark
+    evict join state, so state is the trailing 30-minute window per
+    user — bounded at any stream length. Matches spanning micro-batch
+    boundaries prove the state store is doing the work."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        interval_join_streams,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    cuts = ev.approxQuantile("event_id", [0.34, 0.67], 0.001)
+    lo, hi = int(cuts[0]), int(cuts[1])
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    src = os.path.join(tmp, "src")
+    for pred in (
+        F.col("event_id") <= lo,
+        (F.col("event_id") > lo) & (F.col("event_id") <= hi),
+        F.col("event_id") > hi,
+    ):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    errors = read_event_stream(spark, src).filter(
+        F.col("event_type") == "error"
+    )
+    joined = interval_join_streams(
+        purchases, errors, key="user_id", max_lag="30 minutes"
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))).alias(
+            "lag_us"
+        ),
+    )
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    out = drain_to_memory(spark, joined, name, os.path.join(tmp, "ckpt"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(
     "incremental_daily_revenue",
     sql="""
     SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,

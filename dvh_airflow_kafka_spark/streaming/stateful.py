@@ -369,3 +369,38 @@ def detect_anomalies_with_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream interval join (built-in stateful shape #3)
+# --------------------------------------------------------------------------
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    max_lag: str = "30 minutes",
+    watermark: str = "31 minutes",
+) -> DataFrame:
+    """Inner stream-stream join: each left row matched to the same key's
+    right rows with ``r.ts in (l.ts - max_lag, l.ts]`` — the
+    attribution/funnel shape (purchase joined to the error that preceded
+    it). Both sides carry a watermark one tick past the lag bound, so
+    Spark can evict join state as event time advances: state holds only
+    the trailing ``max_lag`` window per key instead of the whole stream —
+    the property that keeps a 100 TB join runnable. Emission is
+    append-mode and exactly-once per matched pair; an availableNow drain
+    is complete because inner-join results never wait on the watermark.
+    """
+    lag_us = int(_parse_minutes(max_lag) * 60 * _US)
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {lag_us} MICROSECOND")),
+        "inner",
+    )

@@ -250,3 +250,55 @@ def test_anomaly_detector_matches_batch_window(spark, sf_dir, tmp_path):
     # n_prior proving state from an earlier batch (full 20-ring only
     # forms after 20 events, and slices hold ~1/3 of each user's events)
     assert any(eid >= lo for eid in got)
+
+
+def test_interval_join_matches_across_batches(spark, tmp_path):
+    """A purchase in batch 2 must join an error from batch 1 — the match
+    can only come from the stream-stream join state store."""
+    import datetime as pdt
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        interval_join_streams,
+        read_event_stream,
+    )
+
+    t0 = pdt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+
+    src = str(tmp_path / "src")
+    # batch 1: the error (user 7) + noise
+    mk(
+        [
+            (1, 7, "error", t0),
+            (2, 8, "purchase", t0 + pdt.timedelta(minutes=1)),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: the purchase 10 min later (in-window) and one 40 min
+    # later (out-of-window)
+    mk(
+        [
+            (3, 7, "purchase", t0 + pdt.timedelta(minutes=10)),
+            (4, 7, "purchase", t0 + pdt.timedelta(minutes=40)),
+        ]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    errors = read_event_stream(spark, src).filter(F.col("event_type") == "error")
+    joined = interval_join_streams(
+        purchases, errors, key="user_id", max_lag="30 minutes"
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("error_id"),
+    )
+    out = drain_to_memory(
+        spark, joined, "ij_test", str(tmp_path / "ckpt")
+    ).collect()
+    pairs = {(r.purchase_id, r.error_id) for r in out}
+    assert pairs == {(3, 1)}  # in-window cross-batch match only
