@@ -92,6 +92,7 @@ HEADLINE = [
     "table_quality_report",
     "events_rolling_dau",
     "frequent_tokens_bounded_state",
+    "k_anonymity_audit",
 ]
 
 

@@ -2865,6 +2865,44 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "k_anonymity_audit",
+    sql="""
+    SELECT event_type,
+           strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT user_id) < 5
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] k-anonymity audit — the quantitative face of the
+    reference's kode-6/7 screening duty (src/transform.py privacy
+    scrub): every quasi-identifier combination (event_type, day, hour)
+    backed by fewer than k=5 distinct people is a re-identification
+    risk and must be suppressed or generalised before release. One
+    map-side-combined aggregate over the QI tuple; the report is
+    O(|QI combinations|) rows regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.hour(F.col("ts")).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n_users") < 5)
+    )
+
+
+@register(
     "frequent_tokens_bounded_state",
     sql=r"""
     WITH toks AS (

@@ -236,3 +236,30 @@ def column_range_stats(path: str, cols: list[str]) -> dict:
             "relative_coverage": sum((hi - lo) / width for lo, hi in ranges),
         }
     return out
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+) -> tuple[int, int]:
+    """Hard-delete every row matching ``predicate`` from a parquet path —
+    the right-to-be-forgotten primitive the reference's kode-6/7 duty
+    implies but its insert-only sink cannot express. Rewrites the
+    surviving rows to the side and swaps atomically (same protocol as
+    compaction; on Delta/Iceberg this maps to ``DELETE WHERE``).
+    Returns (rows_before, rows_deleted).
+
+    At 100 TB the rewrite cost is one scan + one write of survivors; on
+    a date/bucket-partitioned layout only the partitions that can match
+    need rewriting (partition-prune the predicate first) — pair with
+    ``zorder_layout``/``write_bucketed`` so erasure targets stay
+    clustered in few files."""
+    df = spark.read.parquet(path)
+    total = df.count()
+    keep = df.filter(~predicate | predicate.isNull())
+    kept = keep.count()
+    tmp_out = f"{path}.__delete_{uuid.uuid4().hex[:8]}"
+    keep.write.mode("overwrite").parquet(tmp_out)
+    _swap_into_place(tmp_out, path)
+    return total, total - kept

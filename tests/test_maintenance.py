@@ -89,3 +89,28 @@ def test_merge_upsert_idempotent_replay(spark, tmp_path):
     once = _rows(spark.read.parquet(path))
     merge_upsert(spark, path, updates, keys=["k"])
     assert _rows(spark.read.parquet(path)) == once
+
+
+def test_delete_where_erases_only_targets(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.operators.maintenance import delete_where
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    flagged = {3, 7, 11}
+    before, deleted = delete_where(
+        spark, path, F.col("user_id").isin(*flagged)
+    )
+    assert before == ev.count()
+    assert deleted == ev.filter(F.col("user_id").isin(*flagged)).count()
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("user_id").isin(*flagged)).count() == 0
+    assert after.count() == before - deleted
+    # idempotent: a second erasure deletes nothing
+    _, again = delete_where(spark, path, F.col("user_id").isin(*flagged))
+    assert again == 0
