@@ -3242,30 +3242,36 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
     ).distinct()
-    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
-    # each (user, day) pair contributes to buckets d .. d+6
+    # each (user, day) pair contributes to buckets d .. d+6; the pair's
+    # own day (bucket == d) doubles as the DAU membership, so ONE
+    # aggregate yields both measures — no second scan, no dau⋈rolling
+    # join.
     contrib = ud.select(
         "user_id",
+        "d",
         F.explode(
             F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
         ).alias("bucket"),
     )
-    rolling = (
+    days = ud.select(F.col("d").alias("__day")).distinct()
+    both = (
         contrib.join(
-            F.broadcast(ud.select("d").distinct()),
-            contrib["bucket"] == F.col("d"),
+            F.broadcast(days),
+            contrib["bucket"] == days["__day"],
             "left_semi",
         )
         .groupBy("bucket")
-        .agg(F.count_distinct("user_id").alias("rolling_7d_users"))
-    )
-    return (
-        dau.join(rolling, dau["d"] == rolling["bucket"])
-        .select(
-            F.date_format(dau["d"], "yyyy-MM-dd").alias("day"),
-            "dau",
-            "rolling_7d_users",
+        .agg(
+            F.count_distinct(
+                F.when(F.col("d") == F.col("bucket"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("rolling_7d_users"),
         )
+    )
+    return both.select(
+        F.date_format(F.col("bucket"), "yyyy-MM-dd").alias("day"),
+        "dau",
+        "rolling_7d_users",
     )
 
 

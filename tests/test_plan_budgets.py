@@ -1,0 +1,49 @@
+"""Plan-shape regression guard: hard exchange budgets for headline
+queries. A refactor that silently adds a shuffle (the classic 100 TB
+regression) fails here long before a benchmark would notice."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+# (query, max exchanges in the FINAL adaptive plan). Budgets are the
+# intended plan shape, not generous ceilings — tightening one of these
+# is fine; loosening one needs a reason in the commit message.
+BUDGETS = [
+    ("flagship_etl_pipeline", 0),  # single fused projection
+    ("envelope_projection", 0),  # scan-fused filter+projection
+    ("documents_chunk_windows", 0),  # explode is pipelined, no shuffle
+    ("string_schema_envelope", 0),
+    ("message_allow_filter", 0),
+    ("dedup_exact_survivors", 2),  # one keyed agg (partial+final)
+    ("dedup_insert_antijoin", 3),  # shared repartition + anti join
+    ("tpch_q1_pricing_summary", 2),  # one keyed agg
+    ("events_anomaly_zscore", 1),  # one keyed window
+    ("source_frequency_cap", 1),  # one keyed window
+    ("k_anonymity_audit", 2),  # one keyed agg
+    ("incremental_daily_revenue", 4),  # two partials + merge
+    ("corpus_snapshot_diff", 3),  # full-outer join on doc_id
+    ("events_rolling_dau", 4),  # pair-dedup + one agg
+    ("training_sequence_pack", 3),  # range slice + within-slice window
+    ("privacy_scrub_k6", 1),  # broadcast lookup, one scan
+]
+
+
+def _final_plan(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the adaptive dump appends the pre-execution sketch after the final
+    # plan; budget only the plan that actually ran
+    return plan.split("+- == Initial Plan ==")[0]
+
+
+@pytest.mark.parametrize("name,budget", BUDGETS, ids=[b[0] for b in BUDGETS])
+def test_exchange_budget(spark, sf_dir, name, budget):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = _final_plan(df)
+    n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan[:3000]}"
