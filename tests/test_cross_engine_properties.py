@@ -118,3 +118,89 @@ def test_ntile_arithmetic_matches_duckdb(spark, total, tiles):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=30),
+    st.integers(min_value=4, max_value=64),
+)
+def test_sequence_pack_span_arithmetic(spark, sizes, L):
+    """Property: concat-and-split spans tile [0, total) exactly — every
+    token lands in exactly one (doc, seq) span, spans are gapless within
+    a sequence, and per-doc span lengths reconstruct the doc."""
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").filter("n > 0")
+    pre = with_prefix_sum(df, "doc_id", F.col("n"))
+    got = {r.doc_id: (r.size, r.before) for r in pre.collect()}
+    cum = 0
+    for doc_id, n in rows:
+        if n == 0:
+            assert doc_id not in got
+            continue
+        assert got[doc_id] == (n, cum)
+        cum += n
+    # span arithmetic (pure python mirror of the catalog expression)
+    total = cum
+    seen_tokens = 0
+    for doc_id, n in rows:
+        if n == 0:
+            continue
+        before = got[doc_id][1]
+        end = before + n
+        for seq in range(before // L, (end - 1) // L + 1):
+            lo, hi = max(before, seq * L), min(end, (seq + 1) * L)
+            assert lo < hi
+            seen_tokens += hi - lo
+    assert seen_tokens == total
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_TEXT, min_size=1, max_size=12))
+def test_chunk_windows_reconstruct_tokens(spark, texts):
+    """Property: stride-S chunks cover every token; adjacent chunks
+    overlap by C-S; joining chunk 0's prefix with each chunk's tail
+    reconstructs the document's token stream."""
+    from dvh_airflow_kafka_spark.catalog import (
+        _CHUNK_LEN as C,
+        _CHUNK_STRIDE as S,
+    )
+    from dvh_airflow_kafka_spark.ext.text import tokens as tok_col
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {
+        r.doc_id: r.w
+        for r in df.select("doc_id", tok_col(F.col("text")).alias("w")).collect()
+    }
+    chunked = df.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.when(F.size(tok_col(F.col("text"))) <= C, F.lit(0))
+                    .otherwise(
+                        F.ceil(
+                            (F.size(tok_col(F.col("text"))) - C) / F.lit(float(S))
+                        )
+                    )
+                    .cast("int"),
+                ),
+                lambda i: F.slice(tok_col(F.col("text")), i * S + 1, C),
+            )
+        ).alias("idx", "chunk"),
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunked:
+        by_doc.setdefault(r.doc_id, []).append((r.idx, r.chunk))
+    for doc_id, w in toks.items():
+        chunks = [c for _, c in sorted(by_doc[doc_id])]
+        assert chunks[0] == w[:C]
+        rebuilt = list(chunks[0])
+        for c in chunks[1:]:
+            rebuilt.extend(c[C - S :] if len(c) > C - S else [])
+        # chunk starts step by S; the final chunk reaches the end
+        assert rebuilt == w or (not w and rebuilt == [])
