@@ -93,6 +93,7 @@ HEADLINE = [
     "events_rolling_dau",
     "frequent_tokens_bounded_state",
     "k_anonymity_audit",
+    "png_decode_metadata",
 ]
 
 

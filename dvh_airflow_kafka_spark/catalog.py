@@ -1695,6 +1695,40 @@ def wav_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "png_decode_metadata",
+    sql="""
+    SELECT doc_id,
+           'image/png' AS mime,
+           CAST(8 + doc_id % 16 AS INT) AS width,
+           CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                AS INT) AS channels,
+           CAST((8 + doc_id % 16) * (8 + (doc_id * 7) % 16) AS BIGINT)
+               AS n_pixels
+    FROM documents
+    """,
+)
+def png_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: the SECOND real decode kernel — fully valid
+    PNGs (signature, CRC-checked IHDR, zlib IDAT, IEND) synthesized
+    from the documents ids are parsed back by the stdlib chunk walk in
+    ``decode_media``'s default decoder, CRC verified. The oracle
+    recomputes width/height/channels arithmetically from the synth
+    parameters, hash-verifying the byte-level parse end to end — same
+    contract as ``wav_decode_metadata`` for the image modality."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = xmm.decode_media(xmm.synth_png_frame(docs))
+    return decoded.select(
+        "doc_id",
+        "mime",
+        "width",
+        "height",
+        "channels",
+        (F.col("width").cast("bigint") * F.col("height")).alias("n_pixels"),
+    )
+
+
+@register(
     "documents_pack_shards",
     sql=r"""
     WITH sized AS (

@@ -320,13 +320,108 @@ def decode_wav_header(content: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color type -> sample channels (PNG spec, table 11.1)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def synth_png_frame(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PNG corpus: (id, content binary) where each blob is
+    a REAL, fully valid PNG — signature, CRC-checked IHDR, one zlib IDAT
+    of zero scanlines, IEND. Dimensions and color type are arithmetic in
+    the id (width = 8 + id%16, height = 8 + (id·7)%16, color type cycles
+    gray/RGB/RGBA with id%3) so the expected metadata is oracle-
+    recomputable without parsing bytes."""
+    import struct as _struct
+    import zlib as _zlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    color_types = [0, 2, 6]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">L", len(body))
+            + ctype
+            + body
+            + _struct.pack(">L", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w = 8 + rid % 16
+                h = 8 + (rid * 7) % 16
+                ct = color_types[rid % 3]
+                ihdr = _struct.pack(">LLBBBBB", w, h, 8, ct, 0, 0, 0)
+                raw = (b"\x00" + b"\x00" * (w * _PNG_CHANNELS[ct])) * h
+                rows.append(
+                    {
+                        "doc_id": rid,
+                        "content": _PNG_SIG
+                        + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", _zlib.compress(raw, 6))
+                        + chunk(b"IEND", b""),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(build, schema=out_schema)
+
+
+def decode_png_header(content: bytes) -> dict:
+    """Real, stdlib-only PNG metadata decode: verify the 8-byte
+    signature, walk the chunk list, parse IHDR (big-endian width/height,
+    bit depth, color type — PNG spec §11.2.2) and VERIFY its CRC-32.
+    Raises ValueError on a malformed container or CRC mismatch."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if len(content) < 8 or content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    while pos + 12 <= len(content):
+        (clen,) = _struct.unpack(">L", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + clen]
+        (crc,) = _struct.unpack(
+            ">L", content[pos + 8 + clen : pos + 12 + clen]
+        )
+        if ctype == b"IHDR":
+            if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                raise ValueError("IHDR CRC mismatch")
+            w, h, depth, color_type, _, _, _ = _struct.unpack(">LLBBBBB", body)
+            return {
+                "width": int(w),
+                "height": int(h),
+                "bit_depth": int(depth),
+                "channels": _PNG_CHANNELS.get(int(color_type)),
+            }
+        pos += 12 + clen
+    raise ValueError("missing IHDR chunk")
+
+
 def _default_decoder(content: bytes, mime: str):
-    """Default decode kernel: WAV is parsed for real (stdlib RIFF walk);
-    image/video need external libraries absent from this environment and
-    raise — inject a ``decoder`` callable for those modalities."""
+    """Default decode kernel: WAV (stdlib RIFF walk) and PNG (stdlib
+    chunk walk + CRC check) are parsed for real; JPEG/video need
+    external libraries absent from this environment and raise — inject
+    a ``decoder`` callable for those modalities."""
     if mime == "audio/wav":
         meta = decode_wav_header(content)
         return {"n_frames": meta["n_frames"], **meta}
+    if mime == "image/png":
+        meta = decode_png_header(content)
+        return {"n_frames": 1, **meta}
     raise NotImplementedError(
         "decoding mime=" + mime + " requires an image/video library (e.g. "
         "Pillow, PyAV) that is not installed in this environment; inject a "
