@@ -76,6 +76,7 @@ def run_streaming_pipeline(
     fail_after_batches: Optional[int] = None,
     error_where: Optional[str] = None,
     fail_on_non_critical: bool = False,
+    quarantine_path: Optional[str] = None,
     index_buckets: int = 16,
     source_spec=None,
 ) -> StreamingRun:
@@ -100,6 +101,11 @@ def run_streaming_pipeline(
     ``error_count``, excluded from the write, and the run keeps going;
     with ``fail_on_non_critical`` the drained run raises at the end if
     any were seen (the reference's FAIL_ON_NON_CRITICAL_ERROR policy).
+    With ``quarantine_path`` the classified rows are additionally
+    dead-lettered to an epoch-keyed parquet directory (overwritten on
+    crash replay → exactly-once DLQ) for offline triage instead of
+    vanishing — the option the reference lacks entirely (it can only
+    count-and-skip or raise).
     Fatal errors are anything that makes foreachBatch raise — the query
     stops and the checkpoint replays the batch on restart.
 
@@ -139,6 +145,18 @@ def run_streaming_pipeline(
                 # error rows count as events but never reach the sink
                 # (the reference skips collect_message for them)
                 run.summary.error_count += n_err
+                if quarantine_path is not None:
+                    # dead-letter the classified rows instead of dropping
+                    # them on the floor: one epoch-keyed directory,
+                    # OVERWRITTEN on crash replay so the DLQ stays
+                    # exactly-once alongside the checkpoint
+                    (
+                        batch_df.filter(F.expr(error_where))
+                        .withColumn("__error_where", F.lit(error_where))
+                        .withColumn("__epoch", F.lit(int(epoch_id)))
+                        .write.mode("overwrite")
+                        .parquet(f"{quarantine_path}/epoch={epoch_id}")
+                    )
                 batch_df = batch_df.filter(~F.expr(error_where))
                 n -= n_err
         run.summary.event_count += n + n_err

@@ -194,3 +194,48 @@ def test_error_classification_st6(spark, source_dir, tmp_path):
             error_where="event_type = 'error'",
             fail_on_non_critical=True,
         )
+
+
+def test_quarantine_dead_letters_error_rows(spark, source_dir, tmp_path):
+    """ST6 + DLQ: classified rows land in the epoch-keyed quarantine with
+    the predicate recorded; sink and quarantine partition the input; a
+    fresh-checkpoint replay overwrites rather than duplicates."""
+    sink = str(tmp_path / "sink")
+    dlq = str(tmp_path / "dlq")
+    src_df = spark.read.parquet(source_dir)
+    n_err = src_df.filter("event_type = 'error'").count()
+    total = src_df.count()
+    run = run_streaming_pipeline(
+        spark,
+        source_dir,
+        sink,
+        str(tmp_path / "ckpt"),
+        error_where="event_type = 'error'",
+        quarantine_path=dlq,
+    )
+    assert run.summary.error_count == n_err
+    q = spark.read.parquet(dlq)
+    assert q.count() == n_err
+    assert q.filter("event_type <> 'error'").count() == 0
+    assert q.select("__error_where").distinct().collect()[0][0] == "event_type = 'error'"
+    assert spark.read.parquet(sink).count() == total - n_err
+    # sink ∪ quarantine == input, disjoint by construction (the sink
+    # carries the envelope: kafka_offset == source event_id)
+    sunk = {
+        r.kafka_offset
+        for r in spark.read.parquet(sink).select("kafka_offset").collect()
+    }
+    dead = {r.event_id for r in q.select("event_id").collect()}
+    assert sunk.isdisjoint(dead) and len(sunk | dead) == total
+
+    # replay with a fresh checkpoint: quarantine epochs overwrite, not
+    # accumulate (sink dedup absorbs the sink side)
+    run_streaming_pipeline(
+        spark,
+        source_dir,
+        sink,
+        str(tmp_path / "ckpt2"),
+        error_where="event_type = 'error'",
+        quarantine_path=dlq,
+    )
+    assert spark.read.parquet(dlq).count() == n_err
