@@ -94,6 +94,8 @@ HEADLINE = [
     "frequent_tokens_bounded_state",
     "k_anonymity_audit",
     "png_decode_metadata",
+    "props_variant_rollup",
+    "fuzzy_match_blocked",
 ]
 
 

@@ -76,6 +76,16 @@ def register(name: str, sql: Optional[str] = None):
 # locally).
 # Entries not listed keep registration order after these (all were
 # driver-green in rounds 2-4).
+#
+# ROUND-6 NOTE: the round-5b additions (documents_chunk_windows,
+# training_sequence_pack, bloom_dedup_insert, source_frequency_cap,
+# corpus_snapshot_diff, events_anomaly_zscore, streaming_anomaly_zscore,
+# streaming_interval_join, incremental_daily_revenue,
+# table_quality_report, events_rolling_dau, frequent_tokens_bounded_state,
+# k_anonymity_audit, png_decode_metadata) registered after the round-5
+# window closed and hold no driver row yet (all verified locally vs
+# their DuckDB oracles at sf0.01). Rotate them to the front of this list
+# next round; the queries they displace are multi-round stable.
 _CERTIFY_FIRST = [
     # never driver-certified through round 4
     "tpch_q2_best_supplier",
@@ -2895,6 +2905,108 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dev * dev * (F.col("n") - 1) > 9 * F.col("n") * var_num)
     ).select(
         "event_id", "user_id", "value", F.col("n").cast("bigint").alias("n_prior")
+    )
+
+
+@register(
+    "props_variant_rollup",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def props_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Semi-structured analytics on the Spark 4 VARIANT type:
+    ``parse_json`` shreds the payload once into the binary variant
+    encoding and ``variant_get`` extracts typed paths without
+    re-parsing — the engine-native path for JSON-heavy event streams
+    (vs per-expression ``get_json_object`` string re-parses, which cost
+    O(fields × parse) on wide extractions). One parse, one
+    map-side-combined rollup; the oracle reads the same paths through
+    DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.variant_get(F.parse_json(F.col("props")), "$.k", "int").alias("k"),
+            F.col("value"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "fuzzy_match_blocked",
+    sql="""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000,
+               substr(text, 1, 29) || 'qqq' || substr(text, 33)
+        FROM documents WHERE length(text) >= 40
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
+    FROM pool a JOIN pool b
+      ON substr(a.text, 1, 24) = substr(b.text, 1, 24)
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= 4
+    WHERE levenshtein(a.text, b.text) <= 5
+    """,
+)
+def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Entity-resolution fuzzy join: blocking (shared 24-char
+    prefix + length band) cuts the candidate space from O(n²) to
+    per-block pairs, then the built-in ``levenshtein`` (JVM codegen in
+    Spark, identical classic edit distance in DuckDB) verifies real
+    matches. The fixture plants a 3-char mutation at offset 30 in every
+    long document, so each original↔mutant pair must surface with
+    distance ≤ 3. At 100 TB the block key is the shuffle key — blocking
+    quality, not the engine, bounds the join; a hot block degrades to
+    one fat task and salts like any skewed key."""
+    docs = load_table(spark, sf_dir, "documents")
+    mutant = docs.filter(F.length("text") >= 40).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.substring(F.col("text"), 1, 29),
+            F.lit("qqq"),
+            F.expr("substr(text, 33)"),
+        ).alias("text"),
+    )
+    pool = docs.select("doc_id", "text").unionAll(mutant)
+    a = pool.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("__ta"),
+        F.substring("text", 1, 24).alias("__blk"),
+        F.length("text").alias("__la"),
+    )
+    b = pool.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("__tb"),
+        F.substring("text", 1, 24).alias("__blk"),
+        F.length("text").alias("__lb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= 4)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("__ta"), F.col("__tb")).alias("edit_distance"),
+        )
+        .filter(F.col("edit_distance") <= 5)
+        .withColumn("edit_distance", F.col("edit_distance").cast("int"))
     )
 
 

@@ -79,3 +79,37 @@ def test_zorder_layout_narrows_file_ranges(spark, tmp_path):
         # that is the multi-column skipping property a plain sort lacks.
         assert before[c]["relative_coverage"] > 4.5
         assert after[c]["relative_coverage"] < 0.6 * before[c]["relative_coverage"]
+
+
+def test_ivf_index_build_and_serve(spark, tmp_path):
+    """The persisted IVF index serves the same results as the inline
+    ivf_topk (same seed/params), the probe scan is partition-pruned at
+    the directory level, and recall vs brute force clears the floor."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsim
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.limit(10)
+    path = str(tmp_path / "ivf")
+    xsim.ivf_index_build(emb, path, n_lists=16)
+
+    served = xsim.ivf_index_topk(spark, path, queries, k=5, n_probe=6)
+    inline = xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in served.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in inline.collect()}
+    assert got == want  # same quantizer seed -> identical answers
+
+    # directory-level pruning: the probed scan reads only the needed
+    # list_id= partitions
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    exact = xsim.brute_force_topk(emb, queries, k=5)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1
+        for (qid, _), nid in got.items()
+        if nid in truth.get(qid, set())
+    )
+    assert hits / len(got) >= 0.6  # recall floor at n_probe=6/16
