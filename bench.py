@@ -96,6 +96,7 @@ HEADLINE = [
     "png_decode_metadata",
     "props_variant_rollup",
     "fuzzy_match_blocked",
+    "pseudonymize_users",
 ]
 
 

@@ -2909,6 +2909,106 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_roundtrip_decode",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__corrupt__', 1, NULL
+    """,
+)
+def jsonl_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] JSONL source with malformed-record capture: the events slice
+    round-trips through newline-delimited JSON on disk (the corpus
+    interchange format), is read back under an EXPLICIT schema in
+    PERMISSIVE mode with ``columnNameOfCorruptRecord``, and a planted
+    malformed line must surface in the corrupt bucket instead of
+    failing the scan or silently vanishing — the file-source analogue
+    of the Avro malformed-frame check (``runner.py``). Doubles survive
+    the round-trip exactly (Spark writes shortest-round-trip reprs);
+    the rollup is DECIMAL-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="jsonl_")
+    src = os.path.join(tmp, "events_jsonl")
+    ev.coalesce(4).write.mode("overwrite").json(src)
+    with open(os.path.join(src, "part-corrupt.json"), "w") as f:
+        f.write('{"event_id": 1, "event_type": "purchase", "value": oops}\n')
+    back = spark.read.schema(
+        "event_id long, event_type string, value double, _corrupt string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(src)
+    # Spark refuses a query that touches ONLY the corrupt column of a raw
+    # JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # pinning the parsed frame is the documented workaround.
+    back = back.persist()
+    good = back.filter(F.col("_corrupt").isNull())
+    bad = back.filter(F.col("_corrupt").isNotNull())
+    out = good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    ).unionByName(
+        bad.agg(
+            F.lit("__corrupt__").alias("event_type"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    rows = out.collect()
+    back.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, total_value double"
+    )
+
+
+@register(
+    "pseudonymize_users",
+    sql="""
+    SELECT event_id,
+           substr(sha256('pseud-v1' || CAST(user_id AS VARCHAR)), 1, 16)
+               AS user_token,
+           event_type,
+           value
+    FROM events
+    """,
+)
+def pseudonymize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic pseudonymization — the fourth privacy
+    primitive beside the kode-6/7 scrub, the k-anonymity audit and
+    ``delete_where`` erasure: the direct identifier is replaced by a
+    salted-hash surrogate that is stable across runs and tables (joins
+    on the token still work) but only reversible through a separately
+    held salt. Pure scan-fused Column expression — zero shuffle, and
+    rotating the salt re-keys the whole corpus in one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.substring(
+            F.sha2(
+                F.concat(F.lit("pseud-v1"), F.col("user_id").cast("string")),
+                256,
+            ),
+            1,
+            16,
+        ).alias("user_token"),
+        "event_type",
+        "value",
+    )
+
+
+@register(
     "props_variant_rollup",
     sql="""
     SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
