@@ -77,15 +77,15 @@ def register(name: str, sql: Optional[str] = None):
 # Entries not listed keep registration order after these (all were
 # driver-green in rounds 2-4).
 #
-# ROUND-6 NOTE: the round-5b additions (documents_chunk_windows,
-# training_sequence_pack, bloom_dedup_insert, source_frequency_cap,
-# corpus_snapshot_diff, events_anomaly_zscore, streaming_anomaly_zscore,
-# streaming_interval_join, incremental_daily_revenue,
-# table_quality_report, events_rolling_dau, frequent_tokens_bounded_state,
-# k_anonymity_audit, png_decode_metadata) registered after the round-5
-# window closed and hold no driver row yet (all verified locally vs
-# their DuckDB oracles at sf0.01). Rotate them to the front of this list
-# next round; the queries they displace are multi-round stable.
+# ROUND-6 NOTE: every query registered but NOT in this list holds either
+# a multi-round-stable driver row or (the round-5b additions — chunking,
+# sequence packing, bloom dedup, frequency cap, snapshot CDC, anomaly
+# batch+streaming, interval join, incremental rollup, quality report,
+# rolling DAU, Misra-Gries, k-anonymity, PNG decode, VARIANT rollup,
+# fuzzy match, pseudonymization, JSONL decode) no driver row AT ALL yet —
+# all verified locally vs their DuckDB oracles at sf0.01. Rotate the
+# no-row set to the front of this list next round; the queries they
+# displace are multi-round stable.
 _CERTIFY_FIRST = [
     # never driver-certified through round 4
     "tpch_q2_best_supplier",

@@ -147,3 +147,55 @@ def write_bucketed(
             sort_cols = [sort_cols]
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+class HadoopFs:
+    """Thin wrapper over the Hadoop FileSystem API for driver-side
+    metadata operations (rename/exists/delete/size) that must work on
+    whatever store the warehouse actually lives on — HDFS, S3A, local.
+    Driver-local ``os.*`` calls silently see a DIFFERENT filesystem on a
+    real deployment; every path-mutating maintenance operator goes
+    through this instead (same rationale as the streaming key index's
+    marker files, streaming/keyindex.py)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._jpath = jvm.org.apache.hadoop.fs.Path
+        self._path = self._jpath(path)
+        self._fs = self._path.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self) -> bool:
+        return self._fs.exists(self._path)
+
+    def rename_to(self, dst: "HadoopFs") -> bool:
+        return self._fs.rename(self._path, dst._path)
+
+    def delete(self) -> None:
+        self._fs.delete(self._path, True)
+
+    def total_bytes(self, suffix: str = ".parquet") -> int:
+        """Recursive data-file byte total (footer-exact file sizes)."""
+        total = 0
+        it = self._fs.listFiles(self._path, True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(suffix):
+                total += st.getLen()
+        return total
+
+
+def swap_into_place(spark: SparkSession, tmp_out: str, path: str) -> None:
+    """Replace ``path`` with ``tmp_out`` as atomically as the underlying
+    store allows: rename the old directory aside, rename the new one in,
+    delete the old. Works on HDFS/S3A/local via the Hadoop FS API."""
+    import uuid as _uuid
+
+    old = HadoopFs(spark, path)
+    new = HadoopFs(spark, tmp_out)
+    trash = HadoopFs(spark, f"{path}.__old_{_uuid.uuid4().hex[:8]}")
+    if not old.rename_to(trash):
+        raise IOError(f"rename {path} -> trash failed")
+    if not new.rename_to(old):
+        trash.rename_to(old)  # roll back
+        raise IOError(f"rename {tmp_out} -> {path} failed")
+    trash.delete()

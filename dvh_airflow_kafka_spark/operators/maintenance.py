@@ -25,13 +25,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _swap_into_place(tmp_out: str, path: str) -> None:
-    """Replace ``path`` with ``tmp_out`` as atomically as a local FS
-    allows (rename of the old dir out of the way, new one in)."""
-    trash = f"{path}.__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, trash)
-    os.rename(tmp_out, path)
-    shutil.rmtree(trash)
+def _swap_into_place(spark: SparkSession, tmp_out: str, path: str) -> None:
+    """Replace ``path`` with ``tmp_out`` as atomically as the underlying
+    store allows — Hadoop FS API, so the swap works on HDFS/S3A, not
+    just a driver-local filesystem view (io.swap_into_place)."""
+    from dvh_airflow_kafka_spark.io import swap_into_place
+
+    swap_into_place(spark, tmp_out, path)
 
 
 def compact_parquet(
@@ -49,12 +49,9 @@ def compact_parquet(
     pruning) that interleaved appends destroyed. Returns the number of
     files written.
     """
-    total = sum(
-        os.path.getsize(os.path.join(dirpath, f))
-        for dirpath, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    from dvh_airflow_kafka_spark.io import HadoopFs
+
+    total = HadoopFs(spark, path).total_bytes()
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
     out = df.repartition(n_files)
@@ -62,7 +59,7 @@ def compact_parquet(
         out = out.sortWithinPartitions(*sort_within_by)
     tmp_out = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp_out)
-    _swap_into_place(tmp_out, path)
+    _swap_into_place(spark, tmp_out, path)
     return n_files
 
 
@@ -106,7 +103,7 @@ def merge_upsert(
     merged = kept.unionByName(last.select(*target.columns))
     tmp_out = f"{target_path}.__merge_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp_out)
-    _swap_into_place(tmp_out, target_path)
+    _swap_into_place(spark, tmp_out, target_path)
 
 
 def file_stats(path: str) -> dict:
@@ -195,7 +192,7 @@ def zorder_layout(
     )
     tmp_out = f"{path}.__zorder_{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").parquet(tmp_out)
-    _swap_into_place(tmp_out, path)
+    _swap_into_place(spark, tmp_out, path)
 
 
 def column_range_stats(path: str, cols: list[str]) -> dict:
@@ -261,5 +258,5 @@ def delete_where(
     kept = keep.count()
     tmp_out = f"{path}.__delete_{uuid.uuid4().hex[:8]}"
     keep.write.mode("overwrite").parquet(tmp_out)
-    _swap_into_place(tmp_out, path)
+    _swap_into_place(spark, tmp_out, path)
     return total, total - kept
