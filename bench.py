@@ -97,6 +97,7 @@ HEADLINE = [
     "props_variant_rollup",
     "fuzzy_match_blocked",
     "pseudonymize_users",
+    "corpus_pipeline_from_yaml",
 ]
 
 

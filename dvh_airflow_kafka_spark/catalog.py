@@ -2425,9 +2425,8 @@ def dedup_survivor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pretraining_shard_recipe",
-    sql=r"""
+_SHARD_RECIPE_SQL = (
+    r"""
     WITH kept AS (
         SELECT doc_id,
                len(regexp_extract_all(text, '\S+')) AS n_tokens,
@@ -2435,7 +2434,9 @@ def dedup_survivor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS b
         FROM documents
         WHERE substr(sha256('mix-v1' || CAST(doc_id AS VARCHAR)), 1, 8)
-              < """ + _mix_case_sql() + r"""
+              < """
+    + _mix_case_sql()
+    + r"""
           AND len(regexp_extract_all(text, '\S+')) >= 20
     ), ranked AS (
         SELECT doc_id, n_tokens,
@@ -2453,8 +2454,11 @@ def dedup_survivor_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(before // 2048 AS BIGINT) AS shard_id,
            CAST(before % 2048 AS BIGINT) AS offset_in_shard
     FROM cum
-    """,
+    """
 )
+
+
+@register("pretraining_shard_recipe", sql=_SHARD_RECIPE_SQL)
 def pretraining_shard_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Capstone #3 — the pre-training data recipe end to end, every
     stage the distributed round-5 machinery: (1) mixture-controlled
@@ -2498,6 +2502,37 @@ def pretraining_shard_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         "offset_in_shard",
     )
+
+
+_CORPUS_YAML = """
+table: documents
+stages:
+  - op: mixture_sample
+    fracs: {src0: 1.0, src1: 0.5, src2: 0.25, src3: 0.75}
+    default_frac: 0.1
+    salt: mix-v1
+  - op: quality_gate
+    min_tokens: 20
+  - op: global_shuffle
+    salt: shuffle-v1
+  - op: pack_shards
+    capacity: 2048
+"""
+
+
+@register("corpus_pipeline_from_yaml", sql=_SHARD_RECIPE_SQL)
+def corpus_pipeline_from_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The corpus-curation surface as a CONFIG product — the same
+    'YAML becomes a pipeline' contract the reference ships for its ETL
+    spine (``pipeline_from_yaml_config``), applied to the training-data
+    domain: ``plans/corpus_dsl.py`` validates the stage list (pydantic,
+    unknown keys rejected) and compiles it into ONE lazy plan. This
+    config mirrors ``pretraining_shard_recipe``'s stages, so it must
+    hash-match that query's oracle bit for bit — the DSL adds zero
+    semantic drift over the hand-built chain."""
+    from dvh_airflow_kafka_spark.plans.corpus_dsl import run_corpus_pipeline
+
+    return run_corpus_pipeline(spark, _CORPUS_YAML, sf_dir)
 
 
 @register(

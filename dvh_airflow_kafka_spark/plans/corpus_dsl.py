@@ -1,0 +1,186 @@
+"""[EXT] Declarative corpus-curation pipelines.
+
+The reference's whole product is "a YAML file becomes a pipeline"
+(CONSUMER_CONFIG → Mapping.run, reference src/main.py:33-38 +
+src/mapping.py:49-57); this module gives the training-data surface the
+same shape: an ordered list of stage specs compiles into ONE lazy Spark
+plan over the documents table — no materialisation between stages, so
+Catalyst fuses the scan-level stages (mixture predicate, quality gate)
+into the first pass and the only data-scale movements are the range
+shuffles the distributed rank/prefix-sum machinery needs.
+
+Stages (each validated by a pydantic spec, unknown keys rejected):
+
+- ``mixture_sample``  — per-source keep fractions (sha-bucket predicate)
+- ``quality_gate``    — min/max whitespace-token bounds
+- ``dedup_exact``     — normalized-fingerprint dedup, longest-text
+                        priority survivor
+- ``frequency_cap``   — keep at most K docs per source by length priority
+- ``global_shuffle``  — salted-hash deterministic order (adds
+                        ``position`` via the two-pass distributed rank)
+- ``pack_shards``     — token-budget shard packing over ``position``
+                        (two-pass distributed prefix sum)
+
+A config that mirrors ``pretraining_shard_recipe``'s stages produces the
+bit-identical result — that equality is the catalog oracle for this
+module (``corpus_pipeline_from_yaml``).
+"""
+
+from __future__ import annotations
+
+from typing import Annotated, Literal, Optional, Union
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.ext import text as xtext
+
+
+class MixtureSampleSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["mixture_sample"]
+    fracs: dict[str, float]
+    default_frac: float = 0.1
+    salt: str = "mix-v1"
+
+
+class QualityGateSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["quality_gate"]
+    min_tokens: int = 1
+    max_tokens: Optional[int] = None
+
+
+class DedupExactSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["dedup_exact"]
+
+
+class FrequencyCapSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["frequency_cap"]
+    max_per_source: int
+
+
+class GlobalShuffleSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["global_shuffle"]
+    salt: str = "shuffle-v1"
+
+
+class PackShardsSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["pack_shards"]
+    capacity: int = 2048
+
+
+StageSpec = Annotated[
+    Union[
+        MixtureSampleSpec,
+        QualityGateSpec,
+        DedupExactSpec,
+        FrequencyCapSpec,
+        GlobalShuffleSpec,
+        PackShardsSpec,
+    ],
+    Field(discriminator="op"),
+]
+
+
+class CorpusPipelineSpec(BaseModel):
+    model_config = ConfigDict(extra="forbid")
+    table: str = "documents"
+    stages: list[StageSpec]
+
+
+def parse_corpus_config(yaml_text: str) -> CorpusPipelineSpec:
+    return CorpusPipelineSpec.model_validate(yaml.safe_load(yaml_text))
+
+
+def _hex_thr(frac: float) -> str:
+    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold
+
+    return _hex_threshold(frac)
+
+
+def run_corpus_pipeline(
+    spark: SparkSession, yaml_text: str, sf_dir: str
+) -> DataFrame:
+    """Compile the YAML spec into one lazy plan and return the final
+    frame. Pre-shuffle stages keep the full document row; after
+    ``global_shuffle`` the frame is the slim (doc_id, n_tokens,
+    position) projection; ``pack_shards`` appends shard_id /
+    offset_in_shard."""
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import (
+        pack_into_shards,
+        split_bucket,
+    )
+    from dvh_airflow_kafka_spark.io import load_table
+    from pyspark.sql import Window
+
+    spec = parse_corpus_config(yaml_text)
+    df = load_table(spark, sf_dir, spec.table)
+    toks = F.size(xtext.tokens(F.col("text")))
+    shuffled = False
+
+    for st in spec.stages:
+        if isinstance(st, MixtureSampleSpec):
+            thr = F.lit(_hex_thr(st.default_frac))
+            for s, f in st.fracs.items():
+                thr = F.when(F.col("source") == s, F.lit(_hex_thr(f))).otherwise(
+                    thr
+                )
+            df = df.filter(split_bucket(F.col("doc_id"), st.salt) < thr)
+        elif isinstance(st, QualityGateSpec):
+            df = df.filter(toks >= st.min_tokens)
+            if st.max_tokens is not None:
+                df = df.filter(toks <= st.max_tokens)
+        elif isinstance(st, DedupExactSpec):
+            w = Window.partitionBy(
+                xtext.fingerprint(F.col("text"))
+            ).orderBy(F.length("text").desc(), F.col("doc_id").asc())
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        elif isinstance(st, FrequencyCapSpec):
+            w = Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id").asc()
+            )
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= st.max_per_source)
+                .drop("__rn")
+            )
+        elif isinstance(st, GlobalShuffleSpec):
+            slim = df.select(
+                "doc_id",
+                toks.alias("n_tokens"),
+                split_bucket(F.col("doc_id"), st.salt).alias("__b"),
+            )
+            df, _ = with_global_rank(slim, ["__b", "doc_id"], rank_col="position")
+            df = df.drop("__b")
+            shuffled = True
+        elif isinstance(st, PackShardsSpec):
+            if not shuffled:
+                raise ValueError("pack_shards requires a global_shuffle stage first")
+            packed = pack_into_shards(
+                df,
+                "position",
+                F.col("n_tokens"),
+                capacity=st.capacity,
+                carry_cols=("doc_id",),
+            )
+            df = packed.select(
+                "doc_id",
+                "position",
+                F.col("size").alias("n_tokens"),
+                "shard_id",
+                "offset_in_shard",
+            )
+    return df

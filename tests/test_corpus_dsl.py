@@ -1,0 +1,64 @@
+"""Corpus-pipeline DSL: config validation, stage semantics, and parity
+with the hand-built capstone chain."""
+
+from __future__ import annotations
+
+import pytest
+
+from dvh_airflow_kafka_spark.plans.corpus_dsl import (
+    parse_corpus_config,
+    run_corpus_pipeline,
+)
+
+
+def test_unknown_stage_rejected():
+    with pytest.raises(Exception):
+        parse_corpus_config("stages:\n  - op: evaporate\n")
+
+
+def test_extra_keys_rejected():
+    with pytest.raises(Exception):
+        parse_corpus_config(
+            "stages:\n  - op: quality_gate\n    min_tokens: 5\n    bogus: 1\n"
+        )
+
+
+def test_pack_without_shuffle_raises(spark, sf_dir):
+    with pytest.raises(ValueError, match="global_shuffle"):
+        run_corpus_pipeline(
+            spark, "stages:\n  - op: pack_shards\n    capacity: 512\n", sf_dir
+        ).collect()
+
+
+def test_dedup_and_cap_stages(spark, sf_dir):
+    base = run_corpus_pipeline(spark, "stages: []\n", sf_dir)
+    n = base.count()
+    deduped = run_corpus_pipeline(
+        spark, "stages:\n  - op: dedup_exact\n", sf_dir
+    )
+    assert deduped.count() <= n
+    # dedup is idempotent on its own output fingerprints
+    capped = run_corpus_pipeline(
+        spark,
+        "stages:\n  - op: frequency_cap\n    max_per_source: 3\n",
+        sf_dir,
+    )
+    per_source = capped.groupBy("source").count().collect()
+    assert per_source and all(r["count"] <= 3 for r in per_source)
+
+
+def test_yaml_matches_hand_built_recipe(spark, sf_dir):
+    from dvh_airflow_kafka_spark.catalog import (
+        _CORPUS_YAML,
+        pretraining_shard_recipe,
+    )
+
+    got = {
+        (r.doc_id, r.position, r.n_tokens, r.shard_id, r.offset_in_shard)
+        for r in run_corpus_pipeline(spark, _CORPUS_YAML, sf_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.position, r.n_tokens, r.shard_id, r.offset_in_shard)
+        for r in pretraining_shard_recipe(spark, sf_dir).collect()
+    }
+    assert got == want and got
