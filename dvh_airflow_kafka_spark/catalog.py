@@ -3213,6 +3213,89 @@ def frequent_tokens_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame
     return frequent_tokens(docs, F.col("text"), k_state=64)
 
 
+@register(
+    "streaming_corpus_dedup",
+    sql="""
+    WITH pool AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text || '  ' FROM documents
+    ), fp AS (
+        SELECT doc_id,
+               sha256(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                   AS fingerprint,
+               len(regexp_extract_all(text, '\\S+')) AS n_tokens
+        FROM pool
+        WHERE len(regexp_extract_all(text, '\\S+')) >= 5
+    ), ranked AS (
+        SELECT doc_id, fingerprint, n_tokens,
+               row_number() OVER (PARTITION BY fingerprint
+                                  ORDER BY doc_id) AS rn
+        FROM fp
+    )
+    SELECT doc_id, fingerprint, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Streaming corpus INGESTION: documents (plus whitespace-
+    variant replays, simulating re-crawls) arrive as a file stream in
+    doc_id order, pass a quality gate, and are deduplicated ON INGEST by
+    content fingerprint in the state store
+    (``dropDuplicatesWithinWatermark`` is for event-time keys; content
+    dedup has no event time, so plain streaming ``dropDuplicates`` keyed
+    on the fingerprint holds the keyset — the bounded-state variant at
+    100 TB is the Bloom/key-index probe, ``ext/bloom.py`` /
+    ``streaming/keyindex.py``). Because batches arrive in doc_id order,
+    first-seen == min(doc_id), which is exactly the batch window oracle —
+    the streaming drain must hash-match it."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import drain_to_memory
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pool = docs.unionAll(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_corpus_")
+    src = os.path.join(tmp, "src")
+    n_docs = docs.count()
+    # two ordered slices: originals first, replay variants second — the
+    # dedup state built in batch 1 must absorb batch 2's replays
+    pool.filter(F.col("doc_id") < 100000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    pool.filter(F.col("doc_id") >= 100000).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    gated = stream.filter(F.size(xtext.tokens(F.col("text"))) >= 5).select(
+        "doc_id",
+        xtext.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(xtext.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    deduped = gated.dropDuplicates(["fingerprint"])
+    name = f"stream_corpus_{uuid.uuid4().hex[:8]}"
+    out = drain_to_memory(spark, deduped, name, os.path.join(tmp, "ckpt"))
+    rows = out.select("doc_id", "fingerprint", "n_tokens").collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, fingerprint string, n_tokens long"
+    )
+
+
 @register("streaming_anomaly_zscore", sql=_ANOMALY_SQL)
 def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rolling z-score anomaly operator (ST-custom #2), driven as a

@@ -302,3 +302,63 @@ def test_interval_join_matches_across_batches(spark, tmp_path):
     ).collect()
     pairs = {(r.purchase_id, r.error_id) for r in out}
     assert pairs == {(3, 1)}  # in-window cross-batch match only
+
+
+def test_watermark_drops_late_rows_observably(spark, tmp_path):
+    """Late-data accounting: rows older than the watermark are dropped by
+    the stateful window aggregation and the drop is OBSERVABLE in the
+    query progress (numRowsDroppedByWatermark) — silent data loss is the
+    failure mode; this pins the metric that makes it visible."""
+    import datetime as pdt
+    import json
+
+    t0 = pdt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+
+    src = str(tmp_path / "src")
+    # batch 1: on-time events advancing the watermark far ahead
+    mk(
+        [(i, t0 + pdt.timedelta(hours=i), "a") for i in range(6)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: an on-time spacer — the watermark computed from batch 1
+    # only becomes the FILTER for batches after the next commit
+    mk([(99, t0 + pdt.timedelta(hours=6), "a")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # batch 3: a row 6 hours older than the max seen -> behind the
+    # 1-minute watermark -> must be dropped
+    mk([(100, t0, "late")]).coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = 0
+    for p in q.recentProgress:
+        prog = json.loads(p.json) if hasattr(p, "json") else p
+        for op in prog.get("stateOperators", []):
+            dropped += int(op.get("numRowsDroppedByWatermark", 0))
+    assert dropped >= 1
+    # and the late row's window never appears in the emitted result
+    out = spark.table("wm_drop_test")
+    assert out.filter(F.col("event_type") == "late").count() == 0
