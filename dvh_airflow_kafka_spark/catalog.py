@@ -2943,6 +2943,37 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: the Spark side executes THIS EXACT STRING
+# via spark.sql() over registered views, and the oracle is the same
+# string — the portability statement that the SQL surface is ANSI, not a
+# dialect.
+_SHARED_ANSI_SQL = """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY c.c_mktsegment
+    HAVING COUNT(*) > 10
+    """
+
+
+@register("sql_interface_shared_text", sql=_SHARED_ANSI_SQL)
+def sql_interface_shared_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL front door: users point ``spark.sql`` at the
+    registered views and run ANSI SQL directly — no DataFrame API
+    required. This query's Spark text and its DuckDB oracle are the
+    SAME STRING (``_SHARED_ANSI_SQL``), hash-matched end to end, which
+    pins the SQL surface to the portable subset (exact-decimal
+    aggregation, standard joins/HAVING) rather than a dialect."""
+    from dvh_airflow_kafka_spark.io import register_views
+
+    register_views(spark, sf_dir, tables=("orders", "customer"))
+    return spark.sql(_SHARED_ANSI_SQL)
+
+
 @register(
     "jsonl_roundtrip_decode",
     sql="""
