@@ -62,3 +62,23 @@ def test_yaml_matches_hand_built_recipe(spark, sf_dir):
         for r in pretraining_shard_recipe(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_pack_sequences_stage_tiles(spark, sf_dir):
+    yaml_text = """
+stages:
+  - op: global_shuffle
+    salt: shuffle-v1
+  - op: pack_sequences
+    length: 256
+"""
+    rows = run_corpus_pipeline(spark, yaml_text, sf_dir).collect()
+    assert rows
+    by_seq: dict[int, int] = {}
+    for r in rows:
+        assert 0 <= r.offset_in_seq < 256
+        assert 1 <= r.n_seq_tokens <= 256
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_seq_tokens
+    seqs = sorted(by_seq)
+    assert seqs == list(range(len(seqs)))
+    assert all(by_seq[s] == 256 for s in seqs[:-1])  # all but last full
