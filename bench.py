@@ -98,6 +98,7 @@ HEADLINE = [
     "fuzzy_match_blocked",
     "pseudonymize_users",
     "corpus_pipeline_from_yaml",
+    "user_conversion_paths",
 ]
 
 

@@ -2943,6 +2943,77 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "user_conversion_paths",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER w AS rn,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), steps AS (
+        SELECT user_id, event_type, rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS step
+        FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    ), paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM steps
+        WHERE step <= 8
+        GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths
+    GROUP BY path
+    """,
+)
+def user_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Conversion-path analysis (the product-analytics staple a
+    MATCH_RECOGNIZE engine sells): each user's event stream collapses
+    to its consecutive-deduplicated type sequence, truncated to the
+    first 8 steps, and identical paths are counted across users. Shape:
+    one keyed window (lag + running step number) — consecutive dedup
+    falls out of a single ``lag`` comparison, no self-join — then an
+    ordered in-group concatenation and a path rollup. Two keyed
+    shuffles total (user window, path count), both
+    map-side-combinable; path strings are bounded by the step cap, so
+    the rollup key set cannot explode."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    steps = (
+        ordered.filter(
+            F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+        )
+        .withColumn(
+            "step",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("rn")
+            ),
+        )
+        .filter(F.col("step") <= 8)
+    )
+    paths = steps.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # One SQL text, two engines: the Spark side executes THIS EXACT STRING
 # via spark.sql() over registered views, and the oracle is the same
 # string — the portability statement that the SQL surface is ANSI, not a
