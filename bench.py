@@ -99,6 +99,7 @@ HEADLINE = [
     "pseudonymize_users",
     "corpus_pipeline_from_yaml",
     "user_conversion_paths",
+    "events_to_scd2",
 ]
 
 

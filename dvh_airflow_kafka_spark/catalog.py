@@ -2944,6 +2944,78 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_to_scd2",
+    sql="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+        SELECT user_id, event_type,
+               epoch_us(ts) AS from_us,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS version
+        FROM ordered
+        WHERE prev IS NULL OR event_type <> prev
+    )
+    SELECT user_id, event_type AS state,
+           CAST(version AS BIGINT) AS version,
+           from_us,
+           lead(from_us) OVER (PARTITION BY user_id ORDER BY version)
+               AS to_us,
+           CAST(CASE WHEN lead(from_us) OVER (PARTITION BY user_id
+                                              ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM changes
+    """,
+)
+def events_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Event log → type-2 slowly-changing dimension: each user's
+    state-change events (consecutive-dedup via one lag comparison)
+    become versioned validity intervals — ``[from, to)`` with an open
+    current row — the transformation a datavarehus loader performs when
+    a change stream feeds a historized dimension (the reference loads
+    the raw stream and leaves historization to downstream SQL; here it
+    is one plan). Shape: two passes over ONE keyed window partition —
+    lag to detect changes, lead to close intervals — a single shuffle
+    on the dimension key, map-side combinable, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("from_us"),
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    changes = ordered.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    ).select(
+        "user_id",
+        "event_type",
+        "from_us",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("version"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("version").cast("bigint").alias("version"),
+        "from_us",
+        F.lead("from_us").over(wv).alias("to_us"),
+        F.lead("from_us")
+        .over(wv)
+        .isNull()
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@register(
     "user_conversion_paths",
     sql="""
     WITH ordered AS (
