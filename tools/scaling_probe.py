@@ -82,5 +82,73 @@ def main() -> int:
     return 0
 
 
+
+
+def probe_dedup(max_factor: int = 4) -> None:
+    """Scaling curve for the dedup family: exact fingerprint dedup and
+    banded MinHash-LSH over the documents table replicated N× (each
+    replica textually distinct, so the work scales with rows)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.dedup import (
+        exact_dedup_survivors,
+        minhash_near_duplicates,
+    )
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_dedup")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    tmp = tempfile.mkdtemp(prefix="scale_dedup_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        pool = base.select("doc_id", "text")
+        for i in range(1, factor):
+            pool = pool.unionByName(
+                base.select(
+                    (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+                )
+            )
+        path = f"{tmp}/docs_x{factor}"
+        pool.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+
+        t0 = time.time()
+        exact_dedup_survivors(docs, ["text"], "doc_id").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        exact_s = time.time() - t0
+
+        t0 = time.time()
+        minhash_near_duplicates(docs, "doc_id", "text").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        mh_s = time.time() - t0
+
+        rows = n_base * factor
+        out.append(
+            {
+                "factor": factor,
+                "rows": rows,
+                "exact_sec": round(exact_s, 2),
+                "minhash_sec": round(mh_s, 2),
+            }
+        )
+        print(f"# dedup x{factor}: exact {exact_s:.2f}s minhash {mh_s:.2f}s",
+              file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "dedup_scaling", "runs": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "dedup":
+        probe_dedup(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
     raise SystemExit(main())
