@@ -8,4 +8,15 @@ cosine), similarity search (brute-force + LSH-bucketed ANN), text analysis
 plumbing.
 """
 
-from dvh_airflow_kafka_spark.ext import dedup, similarity, text  # noqa: F401
+from dvh_airflow_kafka_spark.ext import (  # noqa: F401
+    bloom,
+    components,
+    dedup,
+    multimodal,
+    profile,
+    ranking,
+    sampling,
+    similarity,
+    sketch,
+    text,
+)
