@@ -100,6 +100,7 @@ HEADLINE = [
     "corpus_pipeline_from_yaml",
     "user_conversion_paths",
     "events_to_scd2",
+    "doc_rarity_score",
 ]
 
 

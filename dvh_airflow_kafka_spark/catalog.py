@@ -2944,6 +2944,52 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_rarity_score",
+    sql=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents
+    ), freq AS (
+        SELECT token, COUNT(*) AS f FROM toks GROUP BY token
+    ), tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM((SELECT n FROM tot) // f.f) AS BIGINT) AS rarity,
+           CAST(MAX((SELECT n FROM tot) // f.f) AS BIGINT) AS max_token_rarity
+    FROM toks t JOIN freq f ON f.token = t.token
+    GROUP BY t.doc_id
+    """,
+)
+def doc_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Surprisal-proxy document scoring WITHOUT floating logs: a
+    token's rarity is ``N div freq`` (integer inverse frequency — the
+    harmonic analogue of -log p that stays bit-exact across engines,
+    where ``ln`` would drift in the last ulp between libm and the JVM),
+    summed per document. High-rarity docs carry unusual vocabulary —
+    the cheap end of the perplexity-filter family. Shape: one token
+    rollup (map-side combined), one keyed join of tokens to their
+    corpus frequency (at 100 TB the vocabulary is the small-but-
+    unbounded side — it stays a shuffle join keyed on the token, never
+    a driver collect), one per-doc aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(xtext.tokens(F.col("text"))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("f"))
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.expr("n div f")).cast("bigint").alias("rarity"),
+            F.max(F.expr("n div f")).cast("bigint").alias("max_token_rarity"),
+        )
+    )
+
+
+@register(
     "events_to_scd2",
     sql="""
     WITH ordered AS (
