@@ -30,6 +30,11 @@ BUDGETS = [
     ("events_rolling_dau", 4),  # pair-dedup + one agg
     ("training_sequence_pack", 3),  # range slice + within-slice window
     ("privacy_scrub_k6", 1),  # broadcast lookup, one scan
+    ("pseudonymize_users", 0),  # scan-fused surrogate key
+    ("events_to_scd2", 1),  # both windows share the user partition
+    ("user_conversion_paths", 3),  # user window + path rollup
+    ("doc_rarity_score", 4),  # token rollup + freq join + doc agg
+    ("sql_interface_shared_text", 2),  # one join + one agg
 ]
 
 
