@@ -3330,7 +3330,11 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutation at offset 30 in every long document, so each
     original↔mutant pair must surface with distance ≤ 3. At 100 TB the
     block key is the shuffle key — blocking quality, not the engine,
-    bounds the join; a hot block salts like any skewed key."""
+    bounds the join; a hot block salts like any skewed key. Dialect
+    note: Spark's levenshtein is codepoint-level, DuckDB's is UTF-8
+    BYTE-level (divergence pinned in test_cross_engine_properties) —
+    the oracle equivalence holds because the fixture text is ASCII;
+    on unicode corpora Spark's codepoint semantics is the right one."""
     docs = load_table(spark, sf_dir, "documents")
     mutant = docs.filter(F.length("text") >= 40).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
