@@ -3306,7 +3306,7 @@ def props_variant_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT doc_id + 200000,
                substr(text, 1, 29) || 'qqq' || substr(text, 33)
-        FROM documents WHERE length(text) >= 40
+        FROM documents WHERE length(text) >= 40 AND doc_id % 4 = 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS INT) AS edit_distance
@@ -3336,7 +3336,9 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle equivalence holds because the fixture text is ASCII;
     on unicode corpora Spark's codepoint semantics is the right one."""
     docs = load_table(spark, sf_dir, "documents")
-    mutant = docs.filter(F.length("text") >= 40).select(
+    mutant = docs.filter(
+        (F.length("text") >= 40) & (F.col("doc_id") % 4 == 0)
+    ).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(
             F.substring(F.col("text"), 1, 29),
@@ -3344,18 +3346,30 @@ def fuzzy_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(text, 33)"),
         ).alias("text"),
     )
-    pool = docs.select("doc_id", "text").unionAll(mutant)
+    # one keyed pool, pinned: the self-join's two sides would otherwise
+    # each re-derive docs + mutants (4 parquet scans for a 10k-row frame)
+    pool = (
+        docs.select("doc_id", "text")
+        .unionAll(mutant)
+        .select(
+            "doc_id",
+            "text",
+            F.substring("text", 1, 24).alias("__blk"),
+            F.length("text").alias("__len"),
+        )
+        .persist()
+    )
     a = pool.select(
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("__ta"),
-        F.substring("text", 1, 24).alias("__blk"),
-        F.length("text").alias("__len"),
+        "__blk",
+        "__len",
     )
     b = pool.select(
         F.col("doc_id").alias("id_b"),
         F.col("text").alias("__tb"),
-        F.substring("text", 1, 24).alias("__blk"),
-        F.length("text").alias("__len"),
+        "__blk",
+        "__len",
     )
     bounded = F.expr("levenshtein(__ta, __tb, 5)")
     return (
