@@ -101,6 +101,7 @@ HEADLINE = [
     "user_conversion_paths",
     "events_to_scd2",
     "doc_rarity_score",
+    "chunk_shard_factory",
 ]
 
 

@@ -2944,6 +2944,107 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_shard_factory",
+    sql=rf"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+        WHERE len(regexp_extract_all(text, '\S+')) >= 20
+    ), c AS (
+        SELECT doc_id, len(wl) AS n,
+               CASE WHEN len(wl) <= {_CHUNK_LEN} THEN 1
+                    ELSE CAST(ceil((len(wl) - {_CHUNK_LEN}) / {_CHUNK_STRIDE}.0)
+                              AS INT) + 1 END AS n_chunks
+        FROM w
+    ), e AS (
+        SELECT doc_id, n, unnest(range(0, n_chunks)) AS i FROM c
+    ), chunks AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(least({_CHUNK_LEN}, n - i * {_CHUNK_STRIDE}) AS BIGINT)
+                   AS n_chunk_tokens,
+               substr(sha256('cshuf-v1' || CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(i AS VARCHAR)), 1, 8) AS b
+        FROM e
+    ), ranked AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens,
+               row_number() OVER (ORDER BY b, doc_id, chunk_idx) AS position
+        FROM chunks
+    ), cum AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens, position,
+               CAST(SUM(n_chunk_tokens) OVER (ORDER BY position
+                    ROWS UNBOUNDED PRECEDING) - n_chunk_tokens AS BIGINT)
+                   AS before
+        FROM ranked
+    )
+    SELECT doc_id, chunk_idx, position, n_chunk_tokens,
+           CAST(before // 512 AS BIGINT) AS shard_id,
+           CAST(before % 512 AS BIGINT) AS offset_in_shard
+    FROM cum
+    """,
+)
+def chunk_shard_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone #4 — retrieval-corpus ingestion at the CHUNK
+    granularity: quality-gated documents are cut into overlapping
+    32-token windows, the chunks (not the docs) are dealt into a
+    deterministic salted-hash global order, and packed whole into
+    512-token shards — the layout an embedding/RAG pipeline feeds its
+    encoder. Every stage is the distributed machinery: scan-fused
+    chunking (sequence/explode/slice, no shuffle), two-pass global rank,
+    two-pass prefix-sum packing — two range shuffles total over the slim
+    (id, size) chunk frame, regardless of corpus size."""
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import pack_into_shards, split_bucket
+
+    C, S = _CHUNK_LEN, _CHUNK_STRIDE
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", xtext.tokens(F.col("text")).alias("wl")).filter(
+        F.size("wl") >= 20
+    )
+    n = F.size("wl")
+    n_chunks = (
+        F.when(n <= C, F.lit(1))
+        .otherwise(F.ceil((n - C) / F.lit(float(S))) + 1)
+        .cast("int")
+    )
+    chunks = toks.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(C), F.col("n") - F.col("chunk_idx") * S)
+        .cast("bigint")
+        .alias("n_chunk_tokens"),
+        split_bucket(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_idx").cast("string"),
+            ),
+            "cshuf-v1",
+        ).alias("__b"),
+    )
+    ranked, _ = with_global_rank(
+        chunks, ["__b", "doc_id", "chunk_idx"], rank_col="position"
+    )
+    packed = pack_into_shards(
+        ranked.select("position", "n_chunk_tokens", "doc_id", "chunk_idx"),
+        "position",
+        F.col("n_chunk_tokens"),
+        capacity=512,
+        carry_cols=("doc_id", "chunk_idx"),
+    )
+    return packed.select(
+        "doc_id",
+        "chunk_idx",
+        "position",
+        F.col("size").alias("n_chunk_tokens"),
+        "shard_id",
+        "offset_in_shard",
+    )
+
+
+@register(
     "doc_rarity_score",
     sql=r"""
     WITH toks AS (
