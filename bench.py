@@ -102,6 +102,7 @@ HEADLINE = [
     "events_to_scd2",
     "doc_rarity_score",
     "chunk_shard_factory",
+    "customer_order_momentum",
 ]
 
 

@@ -2944,6 +2944,55 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_momentum",
+    sql="""
+    SELECT o_orderkey, o_custkey,
+           CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT) AS order_day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_30d_value,
+           CAST(COUNT(*) OVER (
+                PARTITION BY o_custkey
+                ORDER BY CAST(epoch_ms(o_orderdate) // 86400000 AS BIGINT)
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_30d_orders
+    FROM orders
+    """,
+)
+def customer_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] VALUE-range window frames (``RANGE BETWEEN 30 PRECEDING``)
+    — the window variant nothing else in the catalog exercises: each
+    order carries its customer's trailing-30-DAY order value and count,
+    where the frame is bounded by the ORDER KEY'S VALUE (days since
+    epoch), not a row count — same-day peer rows enter the frame
+    together in both engines by the SQL standard. Sum is DECIMAL-exact;
+    one keyed shuffle on the customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    # integer `div`, not double `/`: exact at any epoch, like the oracle's `//`
+    day = F.expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("order_day"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("__p"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-30, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_day",
+        F.sum("__p").over(w).cast("double").alias("trailing_30d_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("trailing_30d_orders"),
+    )
+
+
+@register(
     "chunk_shard_factory",
     sql=rf"""
     WITH w AS (
