@@ -75,6 +75,18 @@ class _Fs:
             return []
         return [s.getPath().getName() for s in self._fs.listStatus(self._base)]
 
+    def sibling_names(self) -> list[str]:
+        """Entries next to the base dir (used to find orphaned swap
+        halves after a crash mid-compaction)."""
+        parent = self._base.getParent()
+        if parent is None or not self._fs.exists(parent):
+            return []
+        return [s.getPath().getName() for s in self._fs.listStatus(parent)]
+
+    def rename_sibling_to_base(self, name: str) -> bool:
+        parent = self._base.getParent()
+        return self._fs.rename(self._jpath(parent, name), self._base)
+
     def rename_to(self, dst: "_Fs") -> bool:
         return self._fs.rename(self._base, dst._base)
 
@@ -104,11 +116,32 @@ class SinkKeyIndex:
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
         ).cast("int")
 
+    def _recover_interrupted_swap(self) -> None:
+        """Close the compaction crash window: ``compact`` swaps with
+        rename-aside → rename-in, and a crash BETWEEN the renames leaves
+        no base dir while the old index sits in a ``.__old_*`` sibling.
+        Without recovery the next probe would see "no index", skip the
+        sink probe, and silently admit duplicates — so before any epoch
+        work, if the base is missing but a swap half exists, restore it
+        (the conservative choice: the old pre-compaction index is always
+        a correct superset probe)."""
+        if self._fs.exists():
+            return
+        base_name = self.path.rstrip("/").rsplit("/", 1)[-1]
+        orphans = sorted(
+            n
+            for n in self._fs.sibling_names()
+            if n.startswith(f"{base_name}.__old_")
+        )
+        if orphans:
+            self._fs.rename_sibling_to_base(orphans[0])
+
     def begin_epoch(self, epoch_id: int) -> bool:
         """Record that this epoch is being attempted. Returns True when a
         prior attempt exists — the caller must then probe the sink itself
         (the prior attempt may have appended to the sink without reaching
         the sidecar append)."""
+        self._recover_interrupted_swap()
         self._fs.mkdirs()
         marker = self._fs.child(f"_attempted_{epoch_id}")
         if self._fs.exists(marker):
@@ -153,6 +186,14 @@ class SinkKeyIndex:
         between drains, not mid-stream."""
         import uuid
 
+        self._recover_interrupted_swap()
+        # clear stale swap halves from an earlier interrupted compaction
+        base_name = self.path.rstrip("/").rsplit("/", 1)[-1]
+        for n in self._fs.sibling_names():
+            if n.startswith(f"{base_name}.__compact_") or n.startswith(
+                f"{base_name}.__old_"
+            ):
+                _Fs(self.spark, f"{self.path.rsplit('/', 1)[0]}/{n}").delete()
         if not self._has_data():
             return
         idx = self.spark.read.parquet(self.path).dropDuplicates(

@@ -239,3 +239,31 @@ def test_quarantine_dead_letters_error_rows(spark, source_dir, tmp_path):
         quarantine_path=dlq,
     )
     assert spark.read.parquet(dlq).count() == n_err
+
+
+def test_keyindex_recovers_interrupted_compaction_swap(spark, tmp_path):
+    """A crash BETWEEN compact()'s two renames leaves no sidecar; the
+    next epoch must restore the .__old_* half instead of silently
+    probing nothing (which would admit duplicates)."""
+    from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex, _Fs
+
+    sink = str(tmp_path / "sink")
+    idx = SinkKeyIndex(spark, sink, ["event_id"], n_buckets=4)
+    batch = spark.createDataFrame([(i,) for i in range(50)], "event_id long")
+    assert idx.begin_epoch(0) is False
+    idx.append(batch)
+    assert idx.probe(batch) is not None
+
+    # simulate the crash window: base renamed aside, new half never landed
+    trash = _Fs(spark, idx.path + ".__old_deadbeef")
+    assert _Fs(spark, idx.path).rename_to(trash)
+    assert idx.probe(batch) is None  # the dangerous state
+
+    # next epoch recovers the swap half before doing anything else
+    assert idx.begin_epoch(0) is True  # marker survived inside the dir
+    probe = idx.probe(batch)
+    assert probe is not None and probe.count() == 50
+
+    # compact() clears any stale halves and stays probe-able
+    idx.compact()
+    assert idx.probe(batch).count() == 50
