@@ -199,3 +199,31 @@ def swap_into_place(spark: SparkSession, tmp_out: str, path: str) -> None:
         trash.rename_to(old)  # roll back
         raise IOError(f"rename {tmp_out} -> {path} failed")
     trash.delete()
+
+
+def recover_interrupted_swap(spark: SparkSession, path: str) -> bool:
+    """Close :func:`swap_into_place`'s crash window: a failure between
+    the rename-aside and the rename-in leaves ``path`` missing while the
+    previous data sits whole in a ``.__old_*`` sibling. Restores the
+    sibling when the base is missing; returns True if a restore
+    happened. Every maintenance operator calls this before touching the
+    table, so an interrupted rewrite degrades to "the rewrite didn't
+    happen", never to a vanished table."""
+    base = HadoopFs(spark, path)
+    if base.exists():
+        return False
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    parent = jpath(path).getParent()
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if parent is None or not fs.exists(parent):
+        return False
+    name = path.rstrip("/").rsplit("/", 1)[-1]
+    orphans = sorted(
+        s.getPath().getName()
+        for s in fs.listStatus(parent)
+        if s.getPath().getName().startswith(f"{name}.__old_")
+    )
+    if not orphans:
+        return False
+    return bool(fs.rename(jpath(parent, orphans[0]), jpath(path)))

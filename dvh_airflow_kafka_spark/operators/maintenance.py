@@ -49,8 +49,9 @@ def compact_parquet(
     pruning) that interleaved appends destroyed. Returns the number of
     files written.
     """
-    from dvh_airflow_kafka_spark.io import HadoopFs
+    from dvh_airflow_kafka_spark.io import HadoopFs, recover_interrupted_swap
 
+    recover_interrupted_swap(spark, path)
     total = HadoopFs(spark, path).total_bytes()
     n_files = max(1, -(-total // target_file_bytes))  # ceil
     df = spark.read.parquet(path)
@@ -87,6 +88,9 @@ def merge_upsert(
     every remaining column descending — never ``dropDuplicates``, whose
     survivor depends on partition order and varies run to run.
     """
+    from dvh_airflow_kafka_spark.io import recover_interrupted_swap
+
+    recover_interrupted_swap(spark, target_path)
     order_cols = [version_col] if version_col else []
     order_cols += [c for c in updates.columns if c not in keys and c != version_col]
     if order_cols:
@@ -163,6 +167,9 @@ def zorder_layout(
     that is the same cost as any global sort-rewrite — one pass, one
     exchange — and the range partitioner keeps output files evenly
     sized regardless of key skew."""
+    from dvh_airflow_kafka_spark.io import recover_interrupted_swap
+
+    recover_interrupted_swap(spark, path)
     df = spark.read.parquet(path)
     mm = df.agg(
         *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
@@ -252,6 +259,9 @@ def delete_where(
     need rewriting (partition-prune the predicate first) — pair with
     ``zorder_layout``/``write_bucketed`` so erasure targets stay
     clustered in few files."""
+    from dvh_airflow_kafka_spark.io import recover_interrupted_swap
+
+    recover_interrupted_swap(spark, path)
     df = spark.read.parquet(path)
     total = df.count()
     keep = df.filter(~predicate | predicate.isNull())

@@ -114,3 +114,34 @@ def test_delete_where_erases_only_targets(spark, sf_dir, tmp_path):
     # idempotent: a second erasure deletes nothing
     _, again = delete_where(spark, path, F.col("user_id").isin(*flagged))
     assert again == 0
+
+
+def test_maintenance_recovers_interrupted_swap(spark, sf_dir, tmp_path):
+    """A crash between swap renames must degrade to 'rewrite didn't
+    happen', never to a vanished table."""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.io import (
+        HadoopFs,
+        load_table,
+        recover_interrupted_swap,
+    )
+    from dvh_airflow_kafka_spark.operators.maintenance import compact_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "ev")
+    ev.write.parquet(path)
+    n = spark.read.parquet(path).count()
+    # simulate: base renamed aside, replacement never landed
+    assert HadoopFs(spark, path).rename_to(
+        HadoopFs(spark, path + ".__old_cafe01")
+    )
+    assert not HadoopFs(spark, path).exists()
+    assert recover_interrupted_swap(spark, path) is True
+    assert spark.read.parquet(path).count() == n
+    # the maintenance ops self-heal: rename aside again, then compact
+    assert HadoopFs(spark, path).rename_to(
+        HadoopFs(spark, path + ".__old_cafe02")
+    )
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert spark.read.parquet(path).count() == n
