@@ -140,7 +140,12 @@ def run_streaming_pipeline(
             return
         n_err = 0
         if error_where is not None:
-            n_err = batch_df.filter(F.expr(error_where)).count()
+            # three-valued logic guard: a predicate evaluating NULL (e.g.
+            # a comparison on a NULL column) is NOT an error row — without
+            # the coalesce such rows would match neither the error filter
+            # nor its negation and silently vanish from both sink and DLQ
+            is_err = F.coalesce(F.expr(error_where), F.lit(False))
+            n_err = batch_df.filter(is_err).count()
             if n_err:
                 # error rows count as events but never reach the sink
                 # (the reference skips collect_message for them)
@@ -151,13 +156,13 @@ def run_streaming_pipeline(
                     # OVERWRITTEN on crash replay so the DLQ stays
                     # exactly-once alongside the checkpoint
                     (
-                        batch_df.filter(F.expr(error_where))
+                        batch_df.filter(is_err)
                         .withColumn("__error_where", F.lit(error_where))
                         .withColumn("__epoch", F.lit(int(epoch_id)))
                         .write.mode("overwrite")
                         .parquet(f"{quarantine_path}/epoch={epoch_id}")
                     )
-                batch_df = batch_df.filter(~F.expr(error_where))
+                batch_df = batch_df.filter(~is_err)
                 n -= n_err
         run.summary.event_count += n + n_err
         run.summary.non_empty_count += n + n_err

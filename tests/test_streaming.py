@@ -267,3 +267,34 @@ def test_keyindex_recovers_interrupted_compaction_swap(spark, tmp_path):
     # compact() clears any stale halves and stays probe-able
     idx.compact()
     assert idx.probe(batch).count() == 50
+
+
+def test_error_predicate_null_rows_are_not_dropped(spark, tmp_path):
+    """Three-valued logic: a row where the error predicate evaluates
+    NULL is NOT an error — it must reach the sink, not vanish."""
+    src = str(tmp_path / "src")
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "a", 5.0, "x"),
+            (2, t0, 2, "b", None, "x"),
+            (3, t0, 3, "c", 200.0, "x"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    run = run_streaming_pipeline(
+        spark,
+        src,
+        sink,
+        str(tmp_path / "ckpt"),
+        error_where="value > 100",
+    )
+    out = spark.read.parquet(sink)
+    assert run.summary.error_count == 1  # only the 200.0 row
+    # the NULL-value row survived to the sink
+    assert out.count() == 2
+    assert run.summary.event_count == 3
