@@ -2943,6 +2943,41 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hll_mergeable_distinct", sql=None)
+def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Mergeable distinct-count sketches (rows-only: the HLL
+    binary is Apache-DataSketches-specific, so no cross-engine oracle —
+    the semantics are pytest-pinned instead: merge-of-sketches ==
+    sketch-of-union EXACTLY, and estimates sit within the configured
+    error of the exact counts). This is the re-aggregatable-state
+    pattern exact COUNT(DISTINCT) cannot give: per-day user sketches
+    are tiny fixed-size states that roll up to any coarser grain
+    WITHOUT rescanning the log — the shape incremental dashboards run
+    at 100 TB. Output: per-day exact vs estimate plus the merged-week
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = (
+        ev.select(day.alias("d"), "user_id")
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+    )
+    per_day = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("grain"),
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("estimated_users"),
+    )
+    merged = daily.agg(
+        F.lit("__all_days__").alias("grain"),
+        F.lit(None).cast("bigint").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimated_users"),
+    )
+    return per_day.unionByName(merged)
+
+
 @register(
     "customer_order_momentum",
     sql="""

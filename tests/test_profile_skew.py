@@ -77,3 +77,40 @@ def test_salted_join_matches_plain_inner(spark):
 def test_salted_join_matches_plain_left(spark):
     plain, salted = _plain_vs_salted(spark, "left")
     assert salted == plain  # unmatched fact rows survive with NULL attr
+
+
+def test_hll_sketches_merge_exactly_and_estimate_tightly(spark, sf_dir):
+    """Mergeable-state law: union-of-sketches must equal
+    sketch-of-union EXACTLY (same binary state), and estimates must sit
+    within HLL's configured error of the exact distincts."""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    daily = (
+        ev.select(day.alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    merged_est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0].e
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"),
+        F.count_distinct("user_id").alias("x"),
+    ).collect()[0]
+    assert merged_est == direct.e  # merge == direct, bit-for-bit
+    assert abs(direct.e - direct.x) <= max(2, 0.05 * direct.x)
+    # per-day estimates individually tight
+    rows = (
+        ev.select(day.alias("d"), "user_id")
+        .groupBy("d")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"),
+            F.count_distinct("user_id").alias("x"),
+        )
+        .collect()
+    )
+    assert rows and all(abs(r.e - r.x) <= max(2, 0.05 * r.x) for r in rows)
