@@ -2943,6 +2943,39 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pivot_unpivot_roundtrip",
+    sql="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Pivot/unpivot closure: the wide per-user event-type matrix
+    (``pivot``) melted back to long form (``unpivot``) must equal the
+    plain GROUP BY — the algebraic round-trip that proves the two
+    reshape operators are exact inverses over the observed cells. Zero
+    cells materialised by the pivot drop out on the NULL filter; the
+    oracle is the direct rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["user_id"],
+        values=types,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+    return long.filter(F.col("n").isNotNull()).select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
 @register("hll_mergeable_distinct", sql=None)
 def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Mergeable distinct-count sketches (rows-only: the HLL
