@@ -132,3 +132,88 @@ def test_differential_spec(spark, spec):
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     # SUM over zero rows: Spark/Duck both NULL; COUNT 0 — tuples equal
     assert got == want, f"spec={spec}\nsql={sql}"
+
+
+_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+_STATUS = ["O", "F", "P"]
+
+
+@st.composite
+def join_specs(draw):
+    preds = []
+    if draw(st.booleans()):
+        preds.append(
+            ("status", draw(st.lists(st.sampled_from(_STATUS), min_size=1,
+                                     max_size=2, unique=True)))
+        )
+    if draw(st.booleans()):
+        preds.append(
+            ("segment", draw(st.lists(st.sampled_from(_SEGS), min_size=1,
+                                      max_size=3, unique=True)))
+        )
+    if draw(st.booleans()):
+        thr = draw(st.integers(min_value=1000, max_value=300000))
+        preds.append(("price", thr))
+    group = draw(st.sampled_from(["segment", "status", None]))
+    return {"preds": preds, "group": group}
+
+
+@settings(max_examples=15, deadline=None)
+@given(spec=join_specs())
+def test_differential_join_spec(spark, spec):
+    """Random orders⋈customer filter/group specs, DataFrame vs SQL."""
+    wheres, fs = [], []
+    for p in spec["preds"]:
+        if p[0] == "status":
+            vals = ", ".join(f"'{v}'" for v in p[1])
+            wheres.append(f"o.o_orderstatus IN ({vals})")
+            fs.append(F.col("o_orderstatus").isin(*p[1]))
+        elif p[0] == "segment":
+            vals = ", ".join(f"'{v}'" for v in p[1])
+            wheres.append(f"c.c_mktsegment IN ({vals})")
+            fs.append(F.col("c_mktsegment").isin(*p[1]))
+        elif p[0] == "price":
+            wheres.append(f"o.o_totalprice > {p[1]}")
+            fs.append(F.col("o_totalprice") > p[1])
+    where_sql = (" WHERE " + " AND ".join(wheres)) if wheres else ""
+    aggs_sql = (
+        "COUNT(*) AS n, CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5)"
+        " AS BIGINT)) AS BIGINT) AS cents"
+    )
+    gmap = {"segment": "c.c_mktsegment", "status": "o.o_orderstatus"}
+    if spec["group"]:
+        g = gmap[spec["group"]]
+        sql = (
+            f"SELECT {g} AS g, {aggs_sql} FROM orders o "
+            f"JOIN customer c ON c.c_custkey = o.o_custkey{where_sql} "
+            f"GROUP BY {g}"
+        )
+    else:
+        sql = (
+            f"SELECT {aggs_sql} FROM orders o "
+            f"JOIN customer c ON c.c_custkey = o.o_custkey{where_sql}"
+        )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    df = orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+    for c in fs:
+        df = df.filter(c)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("bigint").alias("cents"),
+    ]
+    if spec["group"]:
+        gc = {"segment": "c_mktsegment", "status": "o_orderstatus"}[spec["group"]]
+        out = df.groupBy(F.col(gc).alias("g")).agg(*aggs)
+    else:
+        out = df.agg(*aggs)
+    got = sorted(tuple(r) for r in out.collect())
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"spec={spec}\nsql={sql}"
