@@ -682,3 +682,55 @@ def test_kafka_options_default_empty():
         .replace("    kafka.ssl.keystore.password: hunter2", "")
     )
     assert spec.source.kafka_options == {}
+
+
+def test_airflow_style_backfill_intervals(spark, sf_dir, tmp_path):
+    """The reference runs one bounded interval per Airflow DAG run; a
+    backfill is consecutive interval runs plus, occasionally, a re-run
+    of an already-loaded interval. Two interval runs + a replay of the
+    first must equal ONE full-range run: no gaps at the boundary, no
+    duplicates from the replay (dedup-on-insert), boundary rows loaded
+    exactly once."""
+    sink = str(tmp_path / "sink")
+    lo, mid, hi = 1704067200000, 1705276800000, 1706486400000  # 1/1,1/15,1/29
+
+    def interval_yaml(a, b):
+        return f"""
+source:
+  type: parquet
+  topic: events
+  schema: json
+  path: "{os.path.join(sf_dir, 'events.parquet')}"
+  starting_timestamp_ms: {a}
+  ending_timestamp_ms: {b}
+target:
+  type: parquet
+  path: "{sink}"
+  skip-duplicates-with: [kafka_topic, kafka_partition, kafka_offset]
+transform:
+  - src: kafka_topic
+    dst: kafka_topic
+  - src: kafka_partition
+    dst: kafka_partition
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_timestamp
+    dst: kafka_timestamp
+"""
+
+    run_pipeline(spark, interval_yaml(lo, mid))  # DAG run 1
+    n1 = spark.read.parquet(sink).count()
+    run_pipeline(spark, interval_yaml(mid, hi))  # DAG run 2
+    n2 = spark.read.parquet(sink).count()
+    assert n2 > n1
+    run_pipeline(spark, interval_yaml(lo, mid))  # re-run of interval 1
+    final = spark.read.parquet(sink)
+    assert final.count() == n2  # replay wrote nothing new
+
+    events = load_table(spark, sf_dir, "events")
+    expect = events.filter(
+        (F.unix_millis(F.col("ts").cast("timestamp")) >= lo)
+        & (F.unix_millis(F.col("ts").cast("timestamp")) < hi)
+    ).count()
+    assert final.count() == expect  # gapless across the boundary
+    assert final.select("kafka_offset").distinct().count() == expect
