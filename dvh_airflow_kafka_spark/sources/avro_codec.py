@@ -69,6 +69,44 @@ def _encode_value(ftype: Any, value: Any) -> bytes:
             return _zigzag_encode(ftype.index("null"))
         other = next(t for t in ftype if t != "null")
         return _zigzag_encode(ftype.index(other)) + _encode_value(other, value)
+    if isinstance(ftype, dict):
+        t = ftype["type"]
+        if t == "record":  # nested record: fields in declaration order
+            out = bytearray()
+            for f in ftype["fields"]:
+                out += _encode_value(f["type"], (value or {}).get(f["name"]))
+            return bytes(out)
+        if t == "array":  # one block + end marker (spec block encoding)
+            items = list(value or [])
+            out = bytearray()
+            if items:
+                out += _zigzag_encode(len(items))
+                for it in items:
+                    out += _encode_value(ftype["items"], it)
+            out += _zigzag_encode(0)
+            return bytes(out)
+        if t == "map":
+            entries = dict(value or {})
+            out = bytearray()
+            if entries:
+                out += _zigzag_encode(len(entries))
+                for k, v in entries.items():
+                    out += _encode_value("string", k)
+                    out += _encode_value(ftype["values"], v)
+            out += _zigzag_encode(0)
+            return bytes(out)
+        if t == "enum":
+            return _zigzag_encode(ftype["symbols"].index(value))
+        if t == "fixed":
+            raw = bytes(value)
+            if len(raw) != ftype["size"]:
+                raise ValueError(
+                    f"fixed({ftype['size']}) got {len(raw)} bytes"
+                )
+            return raw
+        # {"type": "long", "logicalType": "timestamp-millis"} etc.:
+        # logical types are annotations — encode the underlying primitive
+        return _encode_value(t, value)
     if ftype == "null":
         return b""
     if ftype == "boolean":
@@ -92,6 +130,46 @@ def _decode_value(ftype: Any, buf: bytes, pos: int) -> tuple[Any, int]:
         if branch == "null":
             return None, pos
         return _decode_value(branch, buf, pos)
+    if isinstance(ftype, dict):
+        t = ftype["type"]
+        if t == "record":
+            rec: dict[str, Any] = {}
+            for f in ftype["fields"]:
+                rec[f["name"]], pos = _decode_value(f["type"], buf, pos)
+            return rec, pos
+        if t == "array":
+            items = []
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:  # size-prefixed block form (spec-legal)
+                    _, pos = _zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    it, pos = _decode_value(ftype["items"], buf, pos)
+                    items.append(it)
+            return items, pos
+        if t == "map":
+            entries: dict[str, Any] = {}
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    break
+                if n < 0:
+                    _, pos = _zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    k, pos = _decode_value("string", buf, pos)
+                    entries[k], pos = _decode_value(ftype["values"], buf, pos)
+            return entries, pos
+        if t == "enum":
+            idx, pos = _zigzag_decode(buf, pos)
+            return ftype["symbols"][idx], pos
+        if t == "fixed":
+            size = ftype["size"]
+            return buf[pos : pos + size], pos + size
+        return _decode_value(t, buf, pos)  # logical-type annotation
     if ftype == "null":
         return None, pos
     if ftype == "boolean":
