@@ -103,6 +103,10 @@ HEADLINE = [
     "doc_rarity_score",
     "chunk_shard_factory",
     "customer_order_momentum",
+    "semantic_dedup_survivors",
+    "quality_token_budget",
+    "token_inverted_index",
+    "curriculum_schedule",
 ]
 
 

@@ -82,7 +82,9 @@ def register(name: str, sql: Optional[str] = None):
 # sequence packing, bloom dedup, frequency cap, snapshot CDC, anomaly
 # batch+streaming, interval join, incremental rollup, quality report,
 # rolling DAU, Misra-Gries, k-anonymity, PNG decode, VARIANT rollup,
-# fuzzy match, pseudonymization, JSONL decode) no driver row AT ALL yet —
+# fuzzy match, pseudonymization, JSONL decode, and the round-5c set:
+# semantic dedup, token-budget selection, inverted index, curriculum
+# schedule) no driver row AT ALL yet —
 # all verified locally vs their DuckDB oracles at sf0.01. Rotate the
 # no-row set to the front of this list next round; the queries they
 # displace are multi-round stable.
@@ -1858,13 +1860,15 @@ def embedding_int8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _srp_planes_values() -> str:
-    """The SRP hyperplanes (seed 42, 4 tables × 8 bits × dim 64 — the
-    registered ``lsh_ann_topk`` configuration) as a DuckDB VALUES literal,
-    so the ORACLE hashes vectors with the *same* planes as Spark and the
-    whole LSH pipeline becomes SQL-expressible. ``repr`` round-trips every
-    float64 exactly."""
-    planes = xsim._hyperplanes(dim=64, n_bits=8, n_tables=4, seed=42)
+def _srp_planes_values(
+    dim: int = 64, n_bits: int = 8, n_tables: int = 4, seed: int = 42
+) -> str:
+    """Seeded SRP hyperplanes as a DuckDB VALUES literal, so an ORACLE
+    hashes vectors with the *same* planes as Spark and the whole LSH
+    pipeline becomes SQL-expressible (defaults = the registered
+    ``lsh_ann_topk`` configuration). ``repr`` round-trips every float64
+    exactly."""
+    planes = xsim._hyperplanes(dim=dim, n_bits=n_bits, n_tables=n_tables, seed=seed)
     rows = []
     for t in range(planes.shape[0]):
         for b in range(planes.shape[1]):
@@ -4091,6 +4095,236 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dau",
         "rolling_7d_users",
     )
+
+
+# ==========================================================================
+# [EXT] round-5c: semantic dedup, token-budget selection, inverted index,
+# curriculum scheduling
+# ==========================================================================
+
+_SEMDEDUP_THRESHOLD = 0.3
+
+_SEMDEDUP_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+    {{planes}}),
+    b AS (
+        SELECT v.vec_id, v.e,
+               CAST(SUM(CASE WHEN list_dot_product(v.e, planes.p) > 0
+                             THEN (1 << planes.bit) ELSE 0 END) AS BIGINT)
+                   AS semantic_bucket
+        FROM v CROSS JOIN planes
+        GROUP BY v.vec_id, v.e),
+    dups AS (
+        SELECT DISTINCT hi.vec_id
+        FROM b lo JOIN b hi
+          ON lo.semantic_bucket = hi.semantic_bucket
+         AND lo.vec_id < hi.vec_id
+        WHERE round(list_dot_product(lo.e, hi.e) /
+                    (sqrt(list_dot_product(lo.e, lo.e)) *
+                     sqrt(list_dot_product(hi.e, hi.e))), 6)
+               >= {_SEMDEDUP_THRESHOLD})
+    SELECT b.vec_id, b.semantic_bucket
+    FROM b WHERE b.vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+@register(
+    "semantic_dedup_survivors",
+    sql=_SEMDEDUP_SQL.format(planes=_srp_planes_values(n_tables=1, seed=1337)),
+)
+def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Semantic deduplication (SemDeDup, Abbas et al. 2023): drop
+    every vector within cosine ``0.3`` of a lower-id member of its
+    semantic cluster; keep-lowest-id survivors + cluster id. Clusters are
+    a seeded SRP sign-bit partition instead of the paper's k-means so the
+    ENTIRE decision — bucketing included — replays in the DuckDB oracle
+    (hyperplanes embedded as literals), and clustering costs one linear
+    Arrow-batched matmul pass instead of iterative k-means over the
+    corpus. Candidates are a bucket equi-join (expected bucket size
+    |corpus|/2⁸ — never all-pairs); the duplicate set is id-distinct and
+    anti-joined back. See ``ext/dedup.semantic_dedup_survivors``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return xdedup.semantic_dedup_survivors(
+        emb, "vec_id", "embedding", threshold=_SEMDEDUP_THRESHOLD, seed=1337
+    )
+
+
+_TOKEN_BUDGET = 16384
+
+# Shared CTE: the deterministic quality score + whitespace token count per
+# document (same arithmetic as _QUALITY_SQL — bit-identical across engines).
+_QSCORE_CTE = r"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                    w -> list_contains(['the','a','and','of','to','in','is','that','for','with'], w)))
+                    AS DOUBLE) AS sw,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS n_punct
+        FROM documents
+    ), q AS (
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_tokens,
+               (least(1.0, n_words / 50.0) * 0.4
+                + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+                + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
+               ) AS quality
+        FROM t
+    )
+"""
+
+
+@register(
+    "quality_token_budget",
+    sql=_QSCORE_CTE
+    + f"""
+    , c AS (
+        SELECT doc_id, quality, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tokens_before
+        FROM q
+    )
+    SELECT doc_id, quality, n_tokens, tokens_before
+    FROM c WHERE tokens_before + n_tokens <= {_TOKEN_BUDGET}
+    """,
+)
+def quality_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Token-budget corpus selection: greedily keep the
+    highest-quality documents (quality desc, id tiebreak) until a fixed
+    token budget is exhausted — the data-selection step that turns "rank
+    by quality" into "here are the N tokens we can afford to train on".
+    A document is kept iff it fits ENTIRELY within the budget at its
+    position in the quality order.
+
+    Plan shape: the cumulative token count is the DISTRIBUTED two-pass
+    prefix sum (``ext/sampling.with_prefix_sum``) under the
+    (-quality, id) total order — range slices, per-slice totals,
+    broadcast offsets, within-slice window. No single-partition
+    WindowExec; the oracle's global ``SUM() OVER (ORDER BY ...)`` is the
+    semantic it reproduces at scale."""
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        xtext.quality_score(F.col("text")).alias("quality"),
+        xtext.token_count_ws(F.col("text")).cast("long").alias("__n"),
+    )
+    pre = with_prefix_sum(
+        scored,
+        "doc_id",
+        F.col("__n"),
+        before_col="tokens_before",
+        order_by=[-F.col("quality"), F.col("doc_id")],
+        carry_cols=("quality",),
+    )
+    return pre.filter(
+        F.col("tokens_before") + F.col("size") <= _TOKEN_BUDGET
+    ).select(
+        "doc_id", "quality", F.col("size").alias("n_tokens"), "tokens_before"
+    )
+
+
+_INVIDX_MIN_DF = 4
+
+
+@register(
+    "token_inverted_index",
+    sql=rf"""
+    WITH e AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        FROM documents
+    ), d AS (SELECT DISTINCT doc_id, token FROM e)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM d GROUP BY token HAVING COUNT(*) >= {_INVIDX_MIN_DF}
+    """,
+)
+def token_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Inverted-index construction: token → (document frequency,
+    sorted posting list), the search/retrieval building block. Per-doc
+    token dedup happens INSIDE the row (``array_distinct`` before the
+    explode — no extra shuffle), so the single keyed exchange carries one
+    row per (doc, distinct token). Posting lists are ``sort_array``-ed for
+    a deterministic, merge-friendly layout. At 100 TB hot tokens ("the")
+    produce posting lists proportional to |docs| — production layouts cap
+    or tier them exactly like ``ext/dedup.drop_hot_shingles`` caps hot
+    shingles; the ``doc_freq >= {_INVIDX_MIN_DF}`` floor here bounds the
+    opposite tail (hapax tokens that bloat the index without aiding
+    recall)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(xtext.tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    return (
+        pairs.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .filter(F.col("doc_freq") >= _INVIDX_MIN_DF)
+    )
+
+
+_CURRICULUM_SALT = "curriculum-v1"
+
+
+@register(
+    "curriculum_schedule",
+    sql=_QSCORE_CTE
+    + f"""
+    , r AS (
+        SELECT doc_id, ntile(10) OVER (ORDER BY -quality, doc_id) AS decile
+        FROM q
+    ), h AS (
+        SELECT doc_id, decile,
+               substr(sha256('{_CURRICULUM_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8) AS hh
+        FROM r
+    )
+    SELECT doc_id, CAST(decile AS INT) AS decile,
+           CAST(row_number() OVER (ORDER BY decile, hh, doc_id) AS BIGINT)
+               AS curriculum_pos
+    FROM h
+    """,
+)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Curriculum ordering: documents binned into quality deciles
+    (decile 1 = highest quality first), deterministically shuffled WITHIN
+    each decile (salted sha-hash — reproducible across runs/engines,
+    unlike ``rand(seed)`` which is partition-order sensitive), and
+    assigned a global 1-based curriculum position. The training loader
+    reads rows in ``curriculum_pos`` order to get easy→hard (or
+    clean→noisy) progression with no intra-bin ordering bias.
+
+    Plan shape: BOTH global total orders (the quality rank feeding the
+    decile, and the final (decile, hash) position) run as the distributed
+    two-pass rank (``ext/ranking.with_global_rank`` — range slices +
+    broadcast offsets); the oracle's single-partition ``ntile``/
+    ``row_number`` windows are what that decomposition reproduces
+    exactly. No single-partition WindowExec at any step."""
+    from dvh_airflow_kafka_spark.ext.ranking import ntile_from_rank, with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", (-xtext.quality_score(F.col("text"))).alias("__negq")
+    )
+    ranked, total = with_global_rank(scored, ["__negq", "doc_id"], rank_col="__qr")
+    staged = ranked.select(
+        "doc_id",
+        ntile_from_rank(F.col("__qr"), total, 10).alias("decile"),
+    ).withColumn("__h", split_bucket(F.col("doc_id"), _CURRICULUM_SALT))
+    out, _ = with_global_rank(
+        staged, ["decile", "__h", "doc_id"], rank_col="curriculum_pos"
+    )
+    return out.select("doc_id", "decile", "curriculum_pos")
 
 
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/

@@ -465,3 +465,76 @@ def embedding_near_duplicates(
                 )
 
     return ensure_parallelism(emb).mapInPandas(scan, schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style): cluster by embedding, keep one per
+# near-duplicate neighborhood
+# --------------------------------------------------------------------------
+
+
+def semantic_dedup_survivors(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.3,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 1337,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al., 'SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication', 2023): drop
+    every document whose embedding is within ``threshold`` cosine of a
+    LOWER-id member of the same semantic cluster; emit the survivors with
+    their cluster id.
+
+    The paper clusters with k-means; this operator uses a seeded
+    random-hyperplane (SRP) partition instead — one sign-bit bucket per
+    vector — because the hyperplanes are DATA-INDEPENDENT: the whole
+    pipeline (bucketing included) replays exactly in ANSI SQL, so the
+    dedup decision itself is oracle-checkable, and clustering costs one
+    linear corpus pass (a single Arrow-batched matmul — no iterative
+    assignment passes over 100 TB). A k-means partition can be swapped in
+    via ``similarity.ivf_assign_udf`` when a trained quantizer is worth
+    the extra passes; the survivor logic below is partition-agnostic.
+
+    Plan shape: bucket (one pandas-UDF matmul pass, no shuffle) →
+    self-equi-join ON the bucket (never all-pairs; expected bucket size
+    is |corpus| / 2^n_bits, and a hot-bucket cap can bolt on exactly like
+    ``drop_hot_shingles``) → exact rounded cosine on candidates only →
+    ``id_b``-distinct duplicate set → broadcast-able anti-join back onto
+    the corpus. Keep-lowest-id is deterministic and engine-independent.
+    """
+    from dvh_airflow_kafka_spark.ext.similarity import (
+        _hyperplanes,
+        pair_cosine,
+        srp_buckets_udf,
+    )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    planes = _hyperplanes(dim=dim, n_bits=n_bits, n_tables=1, seed=seed)
+    buckets = srp_buckets_udf(planes)
+    base = ensure_parallelism(emb).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        buckets(F.col(vec_col))[0].alias("semantic_bucket"),
+    )
+    l = base.select(
+        F.col(id_col).alias("__id_a"),
+        F.col("__v").alias("__va"),
+        "semantic_bucket",
+    )
+    r = base.select(
+        F.col(id_col).alias("__id_b"),
+        F.col("__v").alias("__vb"),
+        "semantic_bucket",
+    )
+    dups = (
+        l.join(r, "semantic_bucket")
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(pair_cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    return base.join(dups, id_col, "left_anti").select(id_col, "semantic_bucket")

@@ -86,23 +86,36 @@ def with_prefix_sum(
     before_col: str = "before",
     num_partitions: int | None = None,
     carry_cols: tuple[str, ...] = (),
+    order_by: list[Column] | None = None,
 ) -> DataFrame:
     """Append the exact global running sum of ``size_col`` BEFORE each row
-    under ``ORDER BY id_col`` — the shared two-pass distributed prefix sum
-    (range slices → per-slice totals → broadcast cumulative offsets →
-    within-slice window; no single-partition ``WindowExec``). ``id_col``
-    must be a unique total order. Returns (id, size, ``before_col``,
-    carry_cols); consumers derive shard ids, byte offsets, or token spans
-    from ``before`` with plain arithmetic."""
+    under the total order ``order_by`` (default: ``ORDER BY id_col``) —
+    the shared two-pass distributed prefix sum (range slices → per-slice
+    totals → broadcast cumulative offsets → within-slice window; no
+    single-partition ``WindowExec``). The order must be unique (append the
+    id as the final tiebreaker); entries are ASCENDING expressions —
+    express "descending" by negating/inverting the expression, so the
+    range partitioner and the in-slice window agree on one sort direction.
+    Returns (id, size, ``before_col``, carry_cols); consumers derive shard
+    ids, byte offsets, or token spans from ``before`` with plain
+    arithmetic."""
     spark = docs.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    if order_by is None:
+        # default total order = the id itself; no extra sort-key columns
+        onames = [id_col]
+        extra = []
+    else:
+        onames = [f"_o{i}" for i in range(len(order_by))]
+        extra = [c.alias(nm) for c, nm in zip(order_by, onames)]
     slim = docs.select(
         F.col(id_col),
         size_col.cast("long").alias("size"),
+        *extra,
         *[F.col(c) for c in carry_cols],
     )
     sliced = (
-        slim.repartitionByRange(n, F.col(id_col))
+        slim.repartitionByRange(n, *[F.col(nm) for nm in onames])
         .withColumn("_slice", F.spark_partition_id())
         .persist()
     )
@@ -113,9 +126,9 @@ def with_prefix_sum(
         offsets.append((sl, acc))
         acc += int(tot)
     off_df = spark.createDataFrame(offsets or [(0, 0)], "_slice INT, _offset BIGINT")
-    w = Window.partitionBy("_slice").orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    w = Window.partitionBy("_slice").orderBy(
+        *[F.col(nm) for nm in onames]
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     before = (F.col("_offset") + F.sum("size").over(w) - F.col("size")).cast("long")
     return sliced.join(F.broadcast(off_df), "_slice").select(
         F.col(id_col),

@@ -151,3 +151,65 @@ def test_sequence_pack_tiles_exactly(spark, sf_dir):
         if r.n > 0
     }
     assert by_doc == want
+
+
+def test_with_prefix_sum_custom_order_matches_serial(spark, sf_dir):
+    """order_by=(-quality, id) must produce the exact serial running sum
+    under that order — the quality_token_budget total order."""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+    from dvh_airflow_kafka_spark.ext.text import quality_score, token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count_ws(F.col("text")).alias("sz"),
+    )
+    rows = with_prefix_sum(
+        sized,
+        "doc_id",
+        F.col("sz"),
+        order_by=[-F.col("q"), F.col("doc_id")],
+        carry_cols=("q",),
+    ).collect()
+    # replay serially under (quality desc, id asc)
+    ordered = sorted(rows, key=lambda r: (-r.q, r.doc_id))
+    cum = 0
+    for r in ordered:
+        assert r.before == cum, r
+        cum += r.size
+
+
+def test_semantic_dedup_survivor_invariants(spark, sf_dir):
+    """Survivors: no surviving pair in the same bucket is >= threshold
+    cosine; every dropped vector has a LOWER-id same-bucket survivor or
+    dropped antecedent within threshold (keep-lowest-id rule)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.dedup import semantic_dedup_survivors
+    from dvh_airflow_kafka_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup_survivors(emb, "vec_id", "embedding", threshold=0.3)
+    kept = {r.vec_id: r.semantic_bucket for r in out.collect()}
+    vecs = {r.vec_id: np.asarray(r.embedding, float) for r in emb.collect()}
+    assert set(kept) <= set(vecs) and kept
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / ((na or 1.0) * (nb or 1.0))), 6)
+
+    by_bucket: dict[int, list[int]] = {}
+    for vid, b in kept.items():
+        by_bucket.setdefault(b, []).append(vid)
+    for b, ids in by_bucket.items():
+        ids.sort()
+        for i, lo in enumerate(ids):
+            for hi in ids[i + 1 :]:
+                assert cos(vecs[lo], vecs[hi]) < 0.3, (lo, hi)
+    # lowest id overall always survives
+    assert min(vecs) in kept
