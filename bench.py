@@ -119,18 +119,22 @@ def main() -> int:
         "overwrite"
     ).save()
 
-    # Best of 2 per query: the host shows multi-second CPU-steal bursts
-    # from neighbor tenants; min-of-runs measures the engine, not the
-    # neighbors.
+    # Best of 2 per query (3 when the first two disagree by >30% — a
+    # disagreement that large is a CPU-steal burst from a neighbor
+    # tenant, not the engine; the extra run stops phantom regressions).
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = REGISTRY[name].fn
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        if max(runs) > 1.3 * min(runs):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        times[name] = round(min(runs), 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)

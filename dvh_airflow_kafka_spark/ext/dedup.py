@@ -515,26 +515,32 @@ def semantic_dedup_survivors(
 
     planes = _hyperplanes(dim=dim, n_bits=n_bits, n_tables=1, seed=seed)
     buckets = srp_buckets_udf(planes)
-    base = ensure_parallelism(emb).select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        buckets(F.col(vec_col))[0].alias("semantic_bucket"),
+    # Materialise the cluster assignment ONCE (persist): without it the
+    # optimizer's join-key isnotnull pushdown re-evaluates the bucketing
+    # UDF up to twice per join side plus once for the anti-join branch —
+    # five corpus passes for one logical assignment. This is the
+    # SemDeDup "store the cluster assignments" step; a production run at
+    # corpus scale writes them to parquet instead (the
+    # ``similarity.ivf_index_build`` pattern) and every downstream stage
+    # reads the materialised table.
+    base = (
+        ensure_parallelism(emb)
+        .select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            buckets(F.col(vec_col))[0].alias("semantic_bucket"),
+        )
+        .persist()
     )
-    l = base.select(
-        F.col(id_col).alias("__id_a"),
-        F.col("__v").alias("__va"),
-        "semantic_bucket",
-    )
-    r = base.select(
-        F.col(id_col).alias("__id_b"),
-        F.col("__v").alias("__vb"),
-        "semantic_bucket",
-    )
+    l, r = base.alias("l"), base.alias("r")
     dups = (
-        l.join(r, "semantic_bucket")
-        .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(pair_cosine(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
-        .select(F.col("__id_b").alias(id_col))
+        l.join(
+            r,
+            (F.col("l.semantic_bucket") == F.col("r.semantic_bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .filter(pair_cosine(F.col("l.__v"), F.col("r.__v")) >= F.lit(threshold))
+        .select(F.col(f"r.{id_col}").alias(id_col))
         .distinct()
     )
     return base.join(dups, id_col, "left_anti").select(id_col, "semantic_bucket")

@@ -35,6 +35,10 @@ BUDGETS = [
     ("user_conversion_paths", 3),  # user window + path rollup
     ("doc_rarity_score", 4),  # token rollup + freq join + doc agg
     ("sql_interface_shared_text", 2),  # one join + one agg
+    ("token_inverted_index", 2),  # one keyed agg (partial list + final)
+    ("quality_token_budget", 3),  # range slice + in-slice window + join
+    ("curriculum_schedule", 8),  # two distributed ranks (range+window each)
+    ("semantic_dedup_survivors", 4),  # bucket join + dedup + anti-join
 ]
 
 
