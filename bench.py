@@ -107,6 +107,8 @@ HEADLINE = [
     "quality_token_budget",
     "token_inverted_index",
     "curriculum_schedule",
+    "temperature_mixture_sample",
+    "bpe_encode_stats",
 ]
 
 

@@ -4327,6 +4327,98 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "decile", "curriculum_pos")
 
 
+_TEMP_MIX_SALT = "mix-temp-v1"
+_TEMP_MIX_K = 2.0  # per-source budget coefficient: keep ≈ K·√count docs
+
+
+@register(
+    "temperature_mixture_sample",
+    sql=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM documents GROUP BY source
+    ), thr AS (
+        SELECT source,
+               lower(lpad(to_hex(CAST(least(
+                   floor(least({_TEMP_MIX_K} / sqrt(c), 1.0) * 4294967296.0),
+                   4294967295.0) AS BIGINT)), 8, '0')) AS t
+        FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE substr(sha256('{_TEMP_MIX_SALT}' || d.source || '|'
+                        || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+    """,
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Temperature-scaled domain mixture (the exponent-sampling
+    knob of multilingual LM training — XLM-R/mBERT style α-sampling at
+    α = 0.5): each source keeps a deterministic ~K·√count of its
+    documents, so over-represented domains are down-weighted toward the
+    √-proportional target distribution, and sources too small to meet
+    their budget keep everything (fraction capped at 1). Unlike
+    ``domain_mixture_sample``'s FIXED per-source fractions, the keep
+    fractions here are DATA-DEPENDENT — computed from the actual counts
+    at run time.
+
+    α is pinned to 0.5 so the fraction arithmetic is
+    division + ``sqrt`` — both correctly rounded under IEEE-754 in every
+    engine (a general ``pow`` is only faithfully rounded and may differ
+    in the last ulp across libms, which the hex-threshold comparison
+    would amplify into a row diff).
+
+    Plan shape: one tiny per-source count aggregate (collect bounded by
+    |sources|) → fractions become 8-hex sha-prefix thresholds in a
+    broadcast literal map → the keep predicate fuses into the corpus
+    scan. Two passes total, the second embarrassingly parallel; the
+    same salted-hash determinism as every split/sample op (survivors
+    never change across runs, partitionings, or engines)."""
+    import math
+
+    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold, split_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    thr = {
+        s: _hex_threshold(min(_TEMP_MIX_K / math.sqrt(c), 1.0))
+        for s, c in counts.items()
+    }
+    mapping = F.create_map(
+        *[x for s in sorted(thr) for x in (F.lit(s), F.lit(thr[s]))]
+    )
+    key = F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
+    return docs.filter(
+        split_bucket(key, _TEMP_MIX_SALT) < mapping[F.col("source")]
+    ).select("doc_id", "source")
+
+
+@register("bpe_encode_stats", sql=None)
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Real BPE merge application (Sennrich et al. ACL'16) over the
+    corpus: per document, the subword piece count and how many pieces are
+    multi-character merges — the tokenizer-side numbers a pre-training
+    data pipeline reports. Rows-only driver check (an iterative
+    data-dependent merge loop has no SQL form); the ALGORITHM is
+    pytest-pinned against hand-computed merge sequences and the
+    pieces-concatenate-back-to-the-word invariant
+    (``tests/test_text_bpe.py``). One linear Arrow-batched pass; the
+    merge table broadcasts in the UDF closure and per-batch cost is
+    amortized over DISTINCT words via the word→pieces memo."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = xtext.bpe_encode_udf()
+    pieces = docs.select("doc_id", enc(F.lower(F.col("text"))).alias("__p"))
+    return pieces.select(
+        "doc_id",
+        F.size("__p").alias("n_pieces"),
+        F.size(F.filter(F.col("__p"), lambda p: F.length(p) > 1)).alias(
+            "n_merged_pieces"
+        ),
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.

@@ -7,8 +7,10 @@ fingerprinting run inside whole-stage codegen with zero Python hops, so a
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language stopword heuristics (public common-word lists). The
 # lang-id is a deterministic n-gram/stopword heuristic, not a model —
@@ -180,3 +182,75 @@ def pii_counts(text: Column, patterns: dict[str, str] | None = None) -> dict[str
         placeholder: F.regexp_count(text.cast("string"), F.lit(pattern))
         for placeholder, pattern in (patterns or PII_PATTERNS).items()
     }
+
+
+# --------------------------------------------------------------------------
+# BPE merge application (real tokenizer kernel, vocabulary in the closure)
+# --------------------------------------------------------------------------
+
+# A tiny English-frequency merge table (rank = priority). Real pipelines
+# load the learned merges file of their tokenizer; the ALGORITHM below is
+# the standard one (Sennrich et al., 'Neural Machine Translation of Rare
+# Words with Subword Units', ACL'16): repeatedly merge the lowest-rank
+# adjacent pair, leftmost first on rank ties.
+DEFAULT_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("an", "d"), ("in", "g"), ("t", "o"), ("e", "s"), ("o", "u"),
+    ("i", "s"), ("e", "d"), ("a", "l"), ("a", "r"), ("s", "t"),
+)
+
+
+def bpe_encode_udf(merges: tuple[tuple[str, str], ...] | None = None):
+    """Arrow-batched pandas UDF applying a BPE merge table: text →
+    array<string> of subword pieces (whitespace pre-tokenized; every
+    piece sequence concatenates back to its word exactly).
+
+    The merge-rank dict ships in the UDF closure — the numpy-matrix
+    analogue of a broadcast vocabulary. Per-batch cost is dominated by
+    DISTINCT words, not tokens: a word→pieces memo makes repeated words
+    (the overwhelming majority of any natural-language batch) a dict
+    hit, which is how production tokenizers amortize the merge loop.
+    Python is genuinely the kernel here (iterative data-dependent merges
+    have no Column-expression form), so this is the sanctioned
+    pandas-UDF slow path, not an accidental one."""
+    ranks = {p: i for i, p in enumerate(merges or DEFAULT_BPE_MERGES)}
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        cache: dict[str, tuple[str, ...]] = {}
+
+        def enc_word(w: str) -> tuple[str, ...]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            toks = tuple(w)
+            while len(toks) > 1:
+                best_rank = None
+                best_i = -1
+                for i in range(len(toks) - 1):
+                    r = ranks.get((toks[i], toks[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                toks = (
+                    toks[:best_i]
+                    + (toks[best_i] + toks[best_i + 1],)
+                    + toks[best_i + 2 :]
+                )
+            cache[w] = toks
+            return toks
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            pieces: list[str] = []
+            for w in t.split():
+                pieces.extend(enc_word(w))
+            out.append(pieces)
+        return pd.Series(out)
+
+    return encode

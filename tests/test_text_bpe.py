@@ -1,0 +1,55 @@
+"""BPE merge-application kernel: algorithm pinned against hand-computed
+merge sequences, plus the lossless-concatenation invariant on real data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.ext.text import DEFAULT_BPE_MERGES, bpe_encode_udf
+from dvh_airflow_kafka_spark.io import load_table
+
+
+def _encode_py(word: str, merges=DEFAULT_BPE_MERGES) -> list[str]:
+    """Independent reference: the textbook greedy-by-rank merge loop."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = list(word)
+    while len(toks) > 1:
+        pairs = [(ranks.get((a, b)), i) for i, (a, b) in enumerate(zip(toks, toks[1:]))]
+        ranked = [(r, i) for r, i in pairs if r is not None]
+        if not ranked:
+            break
+        _, i = min(ranked)
+        toks = toks[:i] + [toks[i] + toks[i + 1]] + toks[i + 2 :]
+    return toks
+
+
+@pytest.mark.parametrize(
+    "word,want",
+    [
+        ("the", ["the"]),  # t+h (rank 0) then th+e (rank 1)
+        ("and", ["and"]),  # a+n (rank 3) then an+d (rank 10)
+        ("to", ["to"]),
+        ("thing", ["th", "ing"]),  # th, in, in+g; no (th,ing) merge
+        ("zzz", ["z", "z", "z"]),  # no applicable merges
+        ("", []),
+    ],
+)
+def test_known_merge_sequences(word, want):
+    assert _encode_py(word) == want
+
+
+def test_udf_matches_reference_and_rejoins(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    enc = bpe_encode_udf()
+    rows = docs.select(
+        F.lower(F.col("text")).alias("t"), enc(F.lower(F.col("text"))).alias("p")
+    ).collect()
+    assert rows
+    for r in rows:
+        words = r.t.split()
+        # invariant: pieces concatenate back to the words, in order
+        assert "".join(r.p) == "".join(words)
+        # piece-for-piece agreement with the independent reference
+        ref = [piece for w in words for piece in _encode_py(w)]
+        assert r.p == ref
