@@ -12,6 +12,10 @@ shuffles the distributed rank/prefix-sum machinery needs.
 Stages (each validated by a pydantic spec, unknown keys rejected):
 
 - ``mixture_sample``  — per-source keep fractions (sha-bucket predicate)
+- ``temperature_mixture`` — α=0.5 exponent sampling: ~k·√count docs per
+                        source, fractions from runtime counts (capped 1)
+- ``token_budget``    — greedy highest-quality selection under a token
+                        budget (two-pass distributed prefix sum)
 - ``quality_gate``    — min/max whitespace-token bounds
 - ``dedup_exact``     — normalized-fingerprint dedup, longest-text
                         priority survivor
@@ -65,6 +69,27 @@ class FrequencyCapSpec(BaseModel):
     max_per_source: int
 
 
+class TemperatureMixtureSpec(BaseModel):
+    """α=0.5 exponent sampling: keep ~k·√count docs per source, fractions
+    computed from the counts AT THIS STAGE of the pipeline (a tiny
+    per-source aggregate), capped at 1. The data-dependent cousin of
+    ``mixture_sample``'s fixed fractions."""
+
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["temperature_mixture"]
+    k: float = 2.0
+    salt: str = "mix-temp-v1"
+
+
+class TokenBudgetSpec(BaseModel):
+    """Greedy highest-quality selection under a whitespace-token budget
+    (documents kept only if they fit entirely, quality desc / id asc)."""
+
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["token_budget"]
+    budget: int
+
+
 class GlobalShuffleSpec(BaseModel):
     model_config = ConfigDict(extra="forbid")
     op: Literal["global_shuffle"]
@@ -89,9 +114,11 @@ class PackSequencesSpec(BaseModel):
 StageSpec = Annotated[
     Union[
         MixtureSampleSpec,
+        TemperatureMixtureSpec,
         QualityGateSpec,
         DedupExactSpec,
         FrequencyCapSpec,
+        TokenBudgetSpec,
         GlobalShuffleSpec,
         PackShardsSpec,
         PackSequencesSpec,
@@ -145,6 +172,46 @@ def run_corpus_pipeline(
                     thr
                 )
             df = df.filter(split_bucket(F.col("doc_id"), st.salt) < thr)
+        elif isinstance(st, TemperatureMixtureSpec):
+            import math
+
+            counts = {
+                r["source"]: r["n"]
+                for r in df.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            thr_map = F.create_map(
+                *[
+                    x
+                    for s in sorted(counts)
+                    for x in (
+                        F.lit(s),
+                        F.lit(_hex_thr(min(st.k / math.sqrt(counts[s]), 1.0))),
+                    )
+                ]
+            )
+            key = F.concat(
+                F.col("source"), F.lit("|"), F.col("doc_id").cast("string")
+            )
+            df = df.filter(split_bucket(key, st.salt) < thr_map[F.col("source")])
+        elif isinstance(st, TokenBudgetSpec):
+            from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+
+            pre = with_prefix_sum(
+                df.select(
+                    "doc_id",
+                    xtext.quality_score(F.col("text")).alias("__q"),
+                    toks.cast("long").alias("__n"),
+                ),
+                "doc_id",
+                F.col("__n"),
+                order_by=[-F.col("__q"), F.col("doc_id")],
+            )
+            kept = pre.filter(
+                F.col("before") + F.col("size") <= st.budget
+            ).select("doc_id")
+            df = df.join(kept, "doc_id", "left_semi")
         elif isinstance(st, QualityGateSpec):
             df = df.filter(toks >= st.min_tokens)
             if st.max_tokens is not None:

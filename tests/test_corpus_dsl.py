@@ -82,3 +82,66 @@ stages:
     seqs = sorted(by_seq)
     assert seqs == list(range(len(seqs)))
     assert all(by_seq[s] == 256 for s in seqs[:-1])  # all but last full
+
+
+def test_temperature_mixture_stage_matches_catalog(spark, sf_dir):
+    """DSL stage with the catalog query's (k, salt) keeps EXACTLY the
+    same documents as the oracled temperature_mixture_sample query."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    yaml_text = """
+stages:
+  - op: temperature_mixture
+    k: 2.0
+    salt: mix-temp-v1
+"""
+    got = {
+        r.doc_id for r in run_corpus_pipeline(spark, yaml_text, sf_dir).collect()
+    }
+    want = {
+        r.doc_id
+        for r in REGISTRY["temperature_mixture_sample"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_token_budget_stage_matches_catalog(spark, sf_dir):
+    """DSL stage with the catalog query's budget keeps EXACTLY the same
+    documents as the oracled quality_token_budget query."""
+    from dvh_airflow_kafka_spark.catalog import _TOKEN_BUDGET, REGISTRY
+
+    yaml_text = f"""
+stages:
+  - op: token_budget
+    budget: {_TOKEN_BUDGET}
+"""
+    got = {
+        r.doc_id for r in run_corpus_pipeline(spark, yaml_text, sf_dir).collect()
+    }
+    want = {
+        r.doc_id
+        for r in REGISTRY["quality_token_budget"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_temperature_then_budget_composes(spark, sf_dir):
+    """Stages compose: the budget selection runs over the mixture
+    survivors only (fractions computed AT that stage), and the final
+    kept set is a subset of both standalone stages' outputs."""
+    yaml_text = """
+stages:
+  - op: temperature_mixture
+    k: 2.0
+  - op: token_budget
+    budget: 4096
+"""
+    rows = run_corpus_pipeline(spark, yaml_text, sf_dir).collect()
+    mixture_only = {
+        r.doc_id
+        for r in run_corpus_pipeline(
+            spark, "stages:\n  - {op: temperature_mixture, k: 2.0}", sf_dir
+        ).collect()
+    }
+    kept = {r.doc_id for r in rows}
+    assert kept and kept < mixture_only
