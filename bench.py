@@ -109,6 +109,7 @@ HEADLINE = [
     "curriculum_schedule",
     "temperature_mixture_sample",
     "bpe_encode_stats",
+    "events_value_trend",
 ]
 
 

@@ -4395,6 +4395,74 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+# epoch-millis origin for the trend regressor (2025-01-01T00:00:00Z) —
+# offsetting x keeps every decimal partial well inside DECIMAL(38,0).
+_TREND_X0 = 1735689600000
+
+
+@register(
+    "events_value_trend",
+    sql=f"""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(epoch_ms(ts) - {_TREND_X0} AS DECIMAL(19,0)) AS x,
+               CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DECIMAL(19,0)) AS y
+        FROM events
+    ), s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DECIMAL(18,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           round(CAST(86400000 * (n * sxy - sx * sy) AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents_per_day
+    FROM s
+    """,
+)
+def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-group OLS trend (cents/day drift of event values) via
+    EXACT sufficient statistics: (n, Σx, Σy, Σxy, Σx²) accumulate in
+    DECIMAL(38,0) over cent-quantized values and origin-offset
+    epoch-millis, then the closed-form slope
+    ``(nΣxy − ΣxΣy)/(nΣx² − (Σx)²)`` divides two exact integers. The
+    built-in ``regr_slope`` float aggregate is summation-ORDER dependent
+    (different partitionings → different last-ulp results → different
+    hashes); decimal partials are a commutative monoid, so the result is
+    bit-identical at any parallelism and in any engine — the same
+    partial-aggregation principle as ``incremental_daily_revenue``. One
+    map-side-combined keyed aggregate; at 100 TB this is a single fact
+    shuffle of 5-number partials per group."""
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_millis(F.col("ts").cast("timestamp")) - F.lit(_TREND_X0)
+    ).cast("decimal(19,0)")
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").cast(
+        "decimal(19,0)"
+    )
+    pts = ev.select("event_type", x.alias("x"), y.alias("y"))
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(18,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.lit(86400000).cast("decimal(18,0)") * (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    )).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round(num / den, 6).alias("slope_cents_per_day"),
+    )
+
+
 @register("bpe_encode_stats", sql=None)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Real BPE merge application (Sennrich et al. ACL'16) over the

@@ -285,3 +285,30 @@ def test_variant_int_extraction_matches_duckdb_json(spark, vals):
         for i, j in rows
     }
     assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=8),
+    k=st.sampled_from([0.5, 1.0, 2.0, 8.0, 100.0]),
+)
+def test_temperature_threshold_matches_duckdb(counts, k):
+    """The temperature-mixture hex threshold — min(k/√c, 1) → floor·2³² →
+    8-hex — must be BIT-IDENTICAL between Python (Spark driver side) and
+    DuckDB (oracle side) for any count. Holds because ÷ and √ are
+    correctly rounded under IEEE-754 in both; this is the reason α is
+    pinned to 0.5 (a general pow is only faithfully rounded)."""
+    import math
+
+    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold
+
+    con = duckdb.connect()
+    for c in counts:
+        py = _hex_threshold(min(k / math.sqrt(c), 1.0))
+        (dk,) = con.execute(
+            f"""SELECT lower(lpad(to_hex(CAST(least(
+                    floor(least({k!r} / sqrt(CAST({c} AS DOUBLE)), 1.0) * 4294967296.0),
+                    4294967295.0) AS BIGINT)), 8, '0'))"""
+        ).fetchone()
+        assert py == dk, (c, k, py, dk)
+    con.close()
