@@ -110,6 +110,7 @@ HEADLINE = [
     "temperature_mixture_sample",
     "bpe_encode_stats",
     "events_value_trend",
+    "jpeg_decode_metadata",
 ]
 
 

@@ -1741,6 +1741,40 @@ def png_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jpeg_decode_metadata",
+    sql="""
+    SELECT doc_id,
+           'image/jpeg' AS mime,
+           CAST(8 + doc_id % 24 AS INT) AS width,
+           CAST(8 + (doc_id * 5) % 24 AS INT) AS height,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END AS INT) AS channels,
+           CAST((8 + doc_id % 24) * (8 + (doc_id * 5) % 24) AS BIGINT)
+               AS n_pixels
+    FROM documents
+    """,
+)
+def jpeg_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: the THIRD real decode kernel — minimal valid
+    JFIF streams (SOI, APP0, SOF0 frame header, EOI) synthesized from
+    the document ids are parsed back by the stdlib marker walk in
+    ``decode_media``'s default decoder (ITU-T T.81 §B.2.2 segment
+    structure). The oracle recomputes width/height/channels
+    arithmetically from the synth parameters, hash-verifying the
+    byte-level parse end to end — same contract as the WAV and PNG
+    kernels; only video still requires an injected decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = xmm.decode_media(xmm.synth_jpeg_frame(docs))
+    return decoded.select(
+        "doc_id",
+        "mime",
+        "width",
+        "height",
+        "channels",
+        (F.col("width").cast("bigint") * F.col("height")).alias("n_pixels"),
+    )
+
+
+@register(
     "documents_pack_shards",
     sql=r"""
     WITH sized AS (

@@ -411,21 +411,123 @@ def decode_png_header(content: bytes) -> dict:
     raise ValueError("missing IHDR chunk")
 
 
+_JPEG_SOI = b"\xff\xd8"
+# SOF0 baseline, SOF1 extended sequential, SOF2 progressive, SOF3 lossless
+_JPEG_SOF_MARKERS = frozenset({0xC0, 0xC1, 0xC2, 0xC3})
+
+
+def synth_jpeg_frame(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic JPEG corpus: (id, content binary) where each blob
+    is a minimal REAL JFIF stream — SOI, APP0 (JFIF 1.1), SOF0 frame
+    header carrying the dimensions, EOI. Dimensions and component count
+    are arithmetic in the id (width = 8 + id%24, height = 8 + (id·5)%24,
+    grayscale/YCbCr with id%2) so the expected metadata is
+    oracle-recomputable without parsing bytes."""
+    import struct as _struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w = 8 + rid % 24
+                h = 8 + (rid * 5) % 24
+                nc = (1, 3)[rid % 2]
+                app0_body = (
+                    b"JFIF\x00"
+                    + bytes([1, 1, 0])  # version 1.1, units 0
+                    + _struct.pack(">HH", 72, 72)  # aspect ratio
+                    + bytes([0, 0])  # no thumbnail
+                )
+                app0 = b"\xff\xe0" + _struct.pack(">H", 2 + len(app0_body)) + app0_body
+                comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc))
+                sof_body = (
+                    bytes([8]) + _struct.pack(">HH", h, w) + bytes([nc]) + comps
+                )
+                sof = b"\xff\xc0" + _struct.pack(">H", 2 + len(sof_body)) + sof_body
+                rows.append(
+                    {
+                        "doc_id": rid,
+                        "content": _JPEG_SOI + app0 + sof + b"\xff\xd9",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(build, schema=out_schema)
+
+
+def decode_jpeg_header(content: bytes) -> dict:
+    """Real, stdlib-only JPEG metadata decode: verify the SOI marker and
+    walk the segment list (marker, 2-byte big-endian length) to the
+    first SOF frame header, extracting sample precision, height, width
+    and component count (ITU-T T.81 §B.2.2). Raises ValueError on a
+    malformed stream or a stream with no frame header."""
+    import struct as _struct
+
+    if len(content) < 4 or content[:2] != _JPEG_SOI:
+        raise ValueError("not a JPEG: bad SOI marker")
+    pos = 2
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker desync at offset " + str(pos))
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            pos += 2
+            continue
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment header")
+        (seglen,) = _struct.unpack(">H", content[pos + 2 : pos + 4])
+        if seglen < 2 or pos + 2 + seglen > len(content):
+            raise ValueError("truncated JPEG segment body")
+        if marker in _JPEG_SOF_MARKERS:
+            body = content[pos + 4 : pos + 2 + seglen]
+            if len(body) < 6:
+                raise ValueError("short SOF segment")
+            precision = body[0]
+            h, w = _struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            return {
+                "width": int(w),
+                "height": int(h),
+                "bit_depth": int(precision),
+                "channels": int(nc),
+            }
+        pos += 2 + seglen
+    raise ValueError("missing SOF frame header")
+
+
 def _default_decoder(content: bytes, mime: str):
-    """Default decode kernel: WAV (stdlib RIFF walk) and PNG (stdlib
-    chunk walk + CRC check) are parsed for real; JPEG/video need
-    external libraries absent from this environment and raise — inject
-    a ``decoder`` callable for those modalities."""
+    """Default decode kernel: WAV (stdlib RIFF walk), PNG (stdlib chunk
+    walk + CRC check) and JPEG (stdlib marker walk to SOF) are parsed
+    for real; video needs external libraries absent from this
+    environment and raises — inject a ``decoder`` callable for those
+    modalities."""
     if mime == "audio/wav":
         meta = decode_wav_header(content)
         return {"n_frames": meta["n_frames"], **meta}
     if mime == "image/png":
         meta = decode_png_header(content)
         return {"n_frames": 1, **meta}
+    if mime == "image/jpeg":
+        meta = decode_jpeg_header(content)
+        return {"n_frames": 1, **meta}
     raise NotImplementedError(
-        "decoding mime=" + mime + " requires an image/video library (e.g. "
-        "Pillow, PyAV) that is not installed in this environment; inject a "
-        "`decoder` callable to decode_media()"
+        "decoding mime=" + mime + " requires a media library (e.g. "
+        "PyAV for video) that is not installed in this environment; inject "
+        "a `decoder` callable to decode_media()"
     )
 
 

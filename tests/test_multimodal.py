@@ -84,13 +84,30 @@ def test_decode_media_plumbing_with_fake_decoder(blobs):
         assert d.mime == mm._sniff(blob)
 
 
-def test_decode_media_default_raises_for_images(spark):
-    df = spark.createDataFrame([(1, b"\xff\xd8\xffxx")], "doc_id long, content binary")
+def test_decode_media_default_raises_for_unknown_modalities(spark):
+    """WAV/PNG/JPEG decode for real; anything else (video, opaque
+    binary) must raise the documented NotImplementedError contract."""
+    df = spark.createDataFrame(
+        [(1, b"\x00\x00\x00\x18ftypmp42 video-ish")],
+        "doc_id long, content binary",
+    )
     with pytest.raises(Exception) as ei:
         mm.decode_media(df).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+def test_decode_media_parses_jpeg_for_real(spark):
+    docs = spark.createDataFrame([(3,), (4,)], "doc_id long")
+    rows = {
+        r.doc_id: r
+        for r in mm.decode_media(mm.synth_jpeg_frame(docs)).collect()
+    }
+    for rid, r in rows.items():
+        assert r.mime == "image/jpeg"
+        assert r.width == 8 + rid % 24
+        assert r.height == 8 + (rid * 5) % 24
 
 
 def test_wav_header_decode_against_stdlib_wave():
@@ -228,3 +245,35 @@ def test_png_roundtrip_is_stdlib_valid(spark, sf_dir):
         assert len(raw) == meta["height"] * (
             1 + meta["width"] * meta["channels"]
         )
+
+
+def test_jpeg_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from dvh_airflow_kafka_spark.ext.multimodal import decode_jpeg_header
+
+    with _pytest.raises(ValueError, match="bad SOI"):
+        decode_jpeg_header(b"\x89PNG\r\n\x1a\nrest")
+    with _pytest.raises(ValueError, match="desync"):
+        decode_jpeg_header(b"\xff\xd8\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="missing SOF"):
+        decode_jpeg_header(b"\xff\xd8\xff\xd9")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_header(b"\xff\xd8\xff\xc0\x00\xff")
+
+
+def test_jpeg_decode_walks_past_app_segments():
+    """The SOF finder must skip arbitrary APPn/COM segments (real files
+    lead with EXIF/comment blocks) and parse the first SOF it meets."""
+    import struct
+
+    from dvh_airflow_kafka_spark.ext.multimodal import decode_jpeg_header
+
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 11) + b"hello world"
+    sof_body = bytes([12]) + struct.pack(">HH", 480, 640) + bytes([3]) + (
+        b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    )
+    sof2 = b"\xff\xc2" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    blob = b"\xff\xd8" + com + sof2 + b"\xff\xd9"
+    meta = decode_jpeg_header(blob)
+    assert meta == {"width": 640, "height": 480, "bit_depth": 12, "channels": 3}
