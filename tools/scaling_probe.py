@@ -147,8 +147,99 @@ def probe_dedup(max_factor: int = 4) -> None:
     spark.stop()
 
 
+def probe_semantic(max_factor: int = 4) -> None:
+    """Scaling curve for semantic dedup and the distributed rank/prefix
+    machinery over the embeddings/documents tables replicated N×. The
+    shapes to confirm: semantic dedup tracks the linear assignment scan
+    (bucket join bounded by bucket sizes, which grow with N but stay
+    |rows|/2⁸ in expectation); the budget selection tracks the slim
+    range shuffle."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.dedup import semantic_dedup_survivors
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+    from dvh_airflow_kafka_spark.ext.text import quality_score, token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_semantic")
+    emb_base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    doc_base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_emb = emb_base.count()
+    n_doc = doc_base.count()
+    tmp = tempfile.mkdtemp(prefix="scale_sem_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        emb = emb_base.select("vec_id", "embedding")
+        docs = doc_base.select("doc_id", "text")
+        for i in range(1, factor):
+            # perturb replica vectors (reverse) so they occupy other buckets
+            emb = emb.unionByName(
+                emb_base.select(
+                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                    F.reverse(F.col("embedding")).alias("embedding"),
+                )
+            )
+            docs = docs.unionByName(
+                doc_base.select(
+                    (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+                )
+            )
+        epath, dpath = f"{tmp}/emb_x{factor}", f"{tmp}/docs_x{factor}"
+        emb.write.mode("overwrite").parquet(epath)
+        docs.write.mode("overwrite").parquet(dpath)
+        emb_r = spark.read.parquet(epath)
+        docs_r = spark.read.parquet(dpath)
+
+        t0 = time.time()
+        semantic_dedup_survivors(emb_r, "vec_id", "embedding").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sem_s = time.time() - t0
+
+        t0 = time.time()
+        scored = docs_r.select(
+            "doc_id",
+            quality_score(F.col("text")).alias("q"),
+            token_count_ws(F.col("text")).alias("sz"),
+        )
+        with_prefix_sum(
+            scored,
+            "doc_id",
+            F.col("sz"),
+            order_by=[-F.col("q"), F.col("doc_id")],
+        ).write.format("noop").mode("overwrite").save()
+        budget_s = time.time() - t0
+
+        out.append(
+            {
+                "factor": factor,
+                "emb_rows": n_emb * factor,
+                "doc_rows": n_doc * factor,
+                "semantic_dedup_sec": round(sem_s, 2),
+                "budget_prefix_sec": round(budget_s, 2),
+            }
+        )
+        print(
+            f"# semantic x{factor}: dedup {sem_s:.2f}s budget-prefix "
+            f"{budget_s:.2f}s",
+            file=sys.stderr,
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "semantic_scaling", "runs": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         probe_dedup(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "semantic":
+        probe_semantic(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
     raise SystemExit(main())
