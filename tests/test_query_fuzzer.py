@@ -217,3 +217,78 @@ def test_differential_join_spec(spark, spec):
         )
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want, f"spec={spec}\nsql={sql}"
+
+
+@st.composite
+def window_specs(draw):
+    part = draw(st.sampled_from(["event_type", "user_mod"]))
+    k = draw(st.integers(min_value=2, max_value=9))
+    fns = draw(
+        st.lists(
+            st.sampled_from(["rn", "lag_diff", "run_sum", "cnt_frame"]),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    preceding = draw(st.integers(min_value=0, max_value=25))
+    lag_off = draw(st.integers(min_value=1, max_value=5))
+    return {"part": part, "k": k, "fns": fns, "preceding": preceding,
+            "lag": lag_off}
+
+
+@settings(max_examples=15, deadline=None)
+@given(spec=window_specs())
+def test_differential_window_spec(spark, spec):
+    """Random window-function specs (partition key, ROWS frame, lag
+    offset) rendered as both a Spark plan and DuckDB SQL — frame-bound
+    and tie-break semantics must agree exactly. Order is pinned to the
+    unique (ts, event_id) so both engines rank identically; values are
+    cent-quantized so running sums are integer-exact."""
+    from pyspark.sql import Window
+
+    p = spec["preceding"]
+    part_sql = (
+        "event_type" if spec["part"] == "event_type" else f"user_id % {spec['k']}"
+    )
+    frame_sql = f"ROWS BETWEEN {p} PRECEDING AND CURRENT ROW"
+    over = f"OVER (PARTITION BY {part_sql} ORDER BY ts, event_id {frame_sql})"
+    over_nofr = f"OVER (PARTITION BY {part_sql} ORDER BY ts, event_id)"
+    cents_sql = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+    fn_sql = {
+        "rn": f"row_number() {over_nofr} AS rn",
+        "lag_diff": f"{cents_sql} - lag({cents_sql}, {spec['lag']}) "
+        f"{over_nofr} AS lag_diff",
+        "run_sum": f"CAST(SUM({cents_sql}) {over} AS BIGINT) AS run_sum",
+        "cnt_frame": f"CAST(COUNT(*) {over} AS BIGINT) AS cnt_frame",
+    }
+    sql = (
+        "SELECT event_id, "
+        + ", ".join(fn_sql[f] for f in spec["fns"])
+        + " FROM events"
+    )
+
+    pcol = (
+        F.col("event_type")
+        if spec["part"] == "event_type"
+        else F.col("user_id") % spec["k"]
+    )
+    w = Window.partitionBy(pcol).orderBy("ts", "event_id")
+    wf = w.rowsBetween(-p, Window.currentRow)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    fn_spark = {
+        "rn": F.row_number().over(w).alias("rn"),
+        "lag_diff": (cents - F.lag(cents, spec["lag"]).over(w)).alias("lag_diff"),
+        "run_sum": F.sum(cents).over(wf).cast("bigint").alias("run_sum"),
+        "cnt_frame": F.count(F.lit(1)).over(wf).cast("bigint").alias("cnt_frame"),
+    }
+    df = load_table(spark, SF_DIR, "events").select(
+        "event_id", *[fn_spark[f] for f in spec["fns"]]
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{EVENTS_PARQUET}')"
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want, f"spec={spec}\nsql={sql}"
