@@ -4497,6 +4497,67 @@ def events_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_SIZE = 32  # sequences per length-bucketed batch
+
+
+@register(
+    "length_bucketed_batches",
+    sql=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens, doc_id) AS rn
+        FROM t
+    ), b AS (
+        SELECT doc_id, n_tokens, (rn - 1) // {_BATCH_SIZE} AS batch_id FROM r
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM b GROUP BY batch_id
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Length-bucketed batching: sort documents by token length,
+    cut consecutive runs of {_BATCH_SIZE} into batches, and report each
+    batch's padding waste (docs·max_len − Σlen) — the standard
+    padding-minimization trick for transformer training/inference
+    loaders (batching similar lengths together makes the pad-to-max
+    overhead per batch tiny; a random batching wastes ~50% of compute on
+    pad tokens for skewed corpora).
+
+    Plan shape: the global length order is the distributed two-pass rank
+    (``ext/ranking.with_global_rank`` under the unique
+    (n_tokens, doc_id)); the batch cut and waste are plain arithmetic +
+    one keyed aggregate. The oracle's single-partition ``row_number``
+    is exactly what the decomposition reproduces."""
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        xtext.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    ranked, _ = with_global_rank(sized, ["n_tokens", "doc_id"], rank_col="__rn")
+    b = ranked.withColumn(
+        "batch_id", F.expr(f"(__rn - 1) div {_BATCH_SIZE}").cast("bigint")
+    )
+    return b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).alias("padding_waste"),
+    )
+
+
 @register("bpe_encode_stats", sql=None)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Real BPE merge application (Sennrich et al. ACL'16) over the

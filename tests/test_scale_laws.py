@@ -1,0 +1,59 @@
+"""Scale-hygiene laws: guarantees the 100 TB configuration leans on —
+the approximate-percentile rank-error bound (the mergeable sketch used
+when exact ordered stats are too expensive) and schema-evolution reads
+(a century-long table accretes columns; old files must stay readable)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.io import load_table
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.9])
+def test_percentile_approx_rank_error_bound(spark, sf_dir, q):
+    """percentile_approx(accuracy=A) must return a value whose RANK is
+    within n/A of the true q·n rank (Greenwald-Khanna style bound) —
+    the contract that justifies swapping it in for exact percentiles
+    when a global sort is too expensive."""
+    acc = 100
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    (approx,) = ev.agg(
+        F.percentile_approx("value", q, acc).alias("p")
+    ).collect()[0]
+    n_below = ev.filter(F.col("value") < approx).count()
+    n_lte = ev.filter(F.col("value") <= approx).count()
+    target = q * n
+    tol = n / acc + 1
+    # the target rank must fall within the value's rank interval ± tol
+    assert n_below - tol <= target <= n_lte + tol, (
+        q,
+        approx,
+        n_below,
+        n_lte,
+        target,
+    )
+
+
+def test_parquet_schema_evolution_merges_and_prunes(spark, tmp_path):
+    """Old files without a later-added column read as NULL under
+    mergeSchema, and filters on the original columns still push down to
+    the scan — the evolution path a long-lived table depends on."""
+    old = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") * 2).alias("a")
+    )
+    new = spark.range(100, 200).select(
+        F.col("id"), (F.col("id") * 2).alias("a"), F.lit("fresh").alias("b")
+    )
+    old.write.parquet(str(tmp_path / "part=0"))
+    new.write.parquet(str(tmp_path / "part=1"))
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path))
+    assert set(merged.columns) == {"id", "a", "b", "part"}
+    got = merged.filter(F.col("a") >= 198).select("id", "b").collect()
+    assert {(r.id, r.b) for r in got} == {(99, None)} | {
+        (i, "fresh") for i in range(100, 200)
+    }
+    plan = merged.filter(F.col("a") >= 198)._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(a), GreaterThanOrEqual(a,198)" in plan, plan
