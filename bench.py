@@ -111,6 +111,7 @@ HEADLINE = [
     "bpe_encode_stats",
     "events_value_trend",
     "jpeg_decode_metadata",
+    "length_bucketed_batches",
 ]
 
 
