@@ -404,3 +404,74 @@ def interval_join_streams(
         & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {lag_us} MICROSECOND")),
         "inner",
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithState running totals (Spark 4 arbitrary-state API)
+# --------------------------------------------------------------------------
+
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+_RUNNING_TOTALS_STATE = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+)
+
+
+def running_totals_with_state(stream: DataFrame) -> DataFrame:
+    """Per-user lifetime (count, cent-sum) maintained in a ValueState via
+    Spark 4's ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState`` (SPARK-40434 →  SPARK-42931): typed state
+    handles instead of a single opaque tuple, per-state TTL, and
+    composable value/list/map state. Each micro-batch emits the updated
+    totals per touched user; the LAST emission per user equals the batch
+    ``groupBy(user).agg(count, sum)`` exactly (integer cents — no float
+    summation order).
+
+    ENVIRONMENT GATE: the transformWithState Python worker speaks
+    protobuf to the JVM state server; ``google.protobuf`` is not
+    installed in this sandbox, so the operator raises ImportError here
+    and is exercised by an importorskip-gated test
+    (``tests/test_stateful_streaming.py``) wherever protobuf exists —
+    the same honest gating as the Kafka-jar and Oracle-JDBC paths.
+    State is O(1) per user; output mode Update."""
+    import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401  (gate)
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._state = handle.getValueState("totals", _RUNNING_TOTALS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["c"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    return (
+        stream.select("user_id", c)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=RUNNING_TOTALS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -362,3 +362,46 @@ def test_watermark_drops_late_rows_observably(spark, tmp_path):
     # and the late row's window never appears in the emitted result
     out = spark.table("wm_drop_test")
     assert out.filter(F.col("event_type") == "late").count() == 0
+
+
+def test_transform_with_state_running_totals(spark, sf_dir, tmp_path):
+    """Spark 4 transformWithStateInPandas running totals: the last
+    emission per user over an availableNow drain must equal the batch
+    groupBy totals exactly. GATED on protobuf (the transformWithState
+    Python worker's wire format), absent from this sandbox."""
+    pytest.importorskip("google.protobuf")
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        read_event_stream,
+        running_totals_with_state,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    ev.limit(300).repartition(3).write.mode("overwrite").parquet(src)
+    out = running_totals_with_state(read_event_stream(spark, src))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tws_totals")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = {}
+    for r in spark.table("tws_totals").collect():
+        last[r.user_id] = (r.n_events, r.sum_cents)
+    c = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    batch = {
+        r.user_id: (r.n, r.cents)
+        for r in spark.read.parquet(src)
+        .select("user_id", c)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("cents"))
+        .collect()
+    }
+    assert last == batch and batch
