@@ -39,6 +39,10 @@ BUDGETS = [
     ("quality_token_budget", 3),  # range slice + in-slice window + join
     ("curriculum_schedule", 8),  # two distributed ranks (range+window each)
     ("semantic_dedup_survivors", 4),  # bucket join + dedup + anti-join
+    ("temperature_mixture_sample", 2),  # count agg; keep predicate scan-fused
+    ("events_value_trend", 2),  # one keyed agg of decimal partials
+    ("jpeg_decode_metadata", 1),  # mapInPandas synth+decode, repartition only
+    ("length_bucketed_batches", 5),  # distributed rank + batch agg
 ]
 
 
