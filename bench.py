@@ -112,6 +112,7 @@ HEADLINE = [
     "events_value_trend",
     "jpeg_decode_metadata",
     "length_bucketed_batches",
+    "data_selection_factory",
 ]
 
 

@@ -4559,6 +4559,132 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_selection_factory",
+    sql=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM documents GROUP BY source
+    ), thr AS (
+        SELECT source,
+               lower(lpad(to_hex(CAST(least(
+                   floor(least({_TEMP_MIX_K} / sqrt(c), 1.0) * 4294967296.0),
+                   4294967295.0) AS BIGINT)), 8, '0')) AS t
+        FROM counts
+    ), mixed AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN thr USING (source)
+        WHERE substr(sha256('{_TEMP_MIX_SALT}' || d.source || '|'
+                            || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
+    ), t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_words,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                    w -> list_contains(['the','a','and','of','to','in','is','that','for','with'], w)))
+                    AS DOUBLE) AS sw,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct
+        FROM mixed
+    ), q AS (
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_tokens,
+               (least(1.0, n_words / 50.0) * 0.4
+                + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+                + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
+               ) AS quality
+        FROM t
+    ), kept AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY quality DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tokens_before
+            FROM q)
+        WHERE tokens_before + n_tokens <= {_TOKEN_BUDGET}
+    ), b AS (
+        SELECT doc_id, n_tokens,
+               (row_number() OVER (ORDER BY n_tokens, doc_id) - 1)
+                   // {_BATCH_SIZE} AS batch_id
+        FROM kept
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+               AS padding_waste
+    FROM b GROUP BY batch_id
+    """,
+)
+def data_selection_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone #4 — the full data-selection path from raw corpus
+    to loader batches in ONE lazy plan: temperature (α=0.5) domain
+    mixture → greedy quality selection under the token budget →
+    length-bucketed batches with padding-waste accounting. Every stage
+    is the distributed machinery (scan-fused mixture predicate, two-pass
+    prefix sum under (-quality, id), two-pass length rank), and the
+    WHOLE chain is hash-checked against one DuckDB SQL — the
+    end-to-end guarantee that stage composition doesn't change
+    semantics. Driver-side cost: one |sources|-bounded count collect
+    (mixture thresholds) + two O(partitions) offset collects."""
+    import math
+
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import (
+        _hex_threshold,
+        split_bucket,
+        with_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    mapping = F.create_map(
+        *[
+            x
+            for s in sorted(counts)
+            for x in (
+                F.lit(s),
+                F.lit(_hex_threshold(min(_TEMP_MIX_K / math.sqrt(counts[s]), 1.0))),
+            )
+        ]
+    )
+    key = F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
+    mixed = docs.filter(
+        split_bucket(key, _TEMP_MIX_SALT) < mapping[F.col("source")]
+    )
+    scored = mixed.select(
+        "doc_id",
+        xtext.quality_score(F.col("text")).alias("__q"),
+        xtext.token_count_ws(F.col("text")).cast("long").alias("__n"),
+    )
+    pre = with_prefix_sum(
+        scored,
+        "doc_id",
+        F.col("__n"),
+        before_col="__before",
+        order_by=[-F.col("__q"), F.col("doc_id")],
+    )
+    kept = pre.filter(
+        F.col("__before") + F.col("size") <= _TOKEN_BUDGET
+    ).select("doc_id", F.col("size").alias("n_tokens"))
+    ranked, _ = with_global_rank(kept, ["n_tokens", "doc_id"], rank_col="__rn")
+    b = ranked.withColumn(
+        "batch_id", F.expr(f"(__rn - 1) div {_BATCH_SIZE}").cast("bigint")
+    )
+    return b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (
+            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+        ).alias("padding_waste"),
+    )
+
+
 @register("bpe_encode_stats", sql=None)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Real BPE merge application (Sennrich et al. ACL'16) over the
