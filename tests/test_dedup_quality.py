@@ -122,3 +122,22 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(got & truth) / len(truth)
     assert recall >= 0.6, f"IVF recall {recall:.2f}"
+
+
+def test_inverted_index_postings_consistent(spark, sf_dir):
+    """postings length == doc_freq, postings sorted unique, and every
+    posted doc really contains the token."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = REGISTRY["token_inverted_index"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: set(r.text.lower().split())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert len(r.postings) == r.doc_freq
+        assert r.postings == sorted(set(r.postings))
+        for d in r.postings:
+            assert r.token in docs[d], (r.token, d)

@@ -94,3 +94,57 @@ def test_pack_into_shards_no_single_partition_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_slice" in line
+
+
+def test_curriculum_positions_are_a_permutation(spark, sf_dir):
+    """curriculum_pos must be exactly 1..N (a total order with no gaps
+    or ties), and deciles must be non-decreasing along the position."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    rows = REGISTRY["curriculum_schedule"].fn(spark, sf_dir).collect()
+    pos = sorted(r.curriculum_pos for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    by_pos = sorted(rows, key=lambda r: r.curriculum_pos)
+    deciles = [r.decile for r in by_pos]
+    assert deciles == sorted(deciles)
+
+
+def test_token_budget_monotone_in_budget(spark, sf_dir):
+    """A larger token budget must keep a SUPERSET of documents (greedy
+    prefix property of the quality order)."""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+    from dvh_airflow_kafka_spark.ext.text import quality_score, token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        token_count_ws(F.col("text")).cast("long").alias("n"),
+    )
+    pre = with_prefix_sum(
+        scored, "doc_id", F.col("n"),
+        order_by=[-F.col("q"), F.col("doc_id")],
+    ).persist()
+    small = {r.doc_id for r in pre.filter("before + size <= 4096").collect()}
+    large = {r.doc_id for r in pre.filter("before + size <= 16384").collect()}
+    assert small and small < large
+
+
+def test_length_batches_tile_and_account(spark, sf_dir):
+    """Batches partition the corpus into consecutive 32-runs (last one
+    ragged) and padding_waste is consistent with max/sum."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY, _BATCH_SIZE
+
+    rows = REGISTRY["length_bucketed_batches"].fn(spark, sf_dir).collect()
+    assert rows
+    by_id = sorted(rows, key=lambda r: r.batch_id)
+    assert [r.batch_id for r in by_id] == list(range(len(by_id)))
+    for r in by_id[:-1]:
+        assert r.n_docs == _BATCH_SIZE
+    assert 1 <= by_id[-1].n_docs <= _BATCH_SIZE
+    for r in by_id:
+        assert r.padding_waste == r.n_docs * r.max_tokens - r.sum_tokens
+        assert r.padding_waste >= 0
