@@ -312,3 +312,63 @@ def test_temperature_threshold_matches_duckdb(counts, k):
         ).fetchone()
         assert py == dk, (c, k, py, dk)
     con.close()
+
+
+def test_oslo_dst_transition_parity(spark):
+    """Pin the documented timezone semantics (functions/registry.py): the
+    engine maps UTC instants to naive Oslo wall clocks by IANA rules.
+    UTC→local is total and unambiguous even across both 2025 DST
+    transitions; Spark's from_utc_timestamp, DuckDB's double AT TIME
+    ZONE, and Python zoneinfo must agree instant-for-instant, including
+    the skipped spring hour and the doubled fall-back wall clock. (The
+    reference's pytz is_dst=True resolution differs by at most one hour
+    ONLY in its local→local re-resolution path — disclosed, not
+    replicated.)"""
+    import datetime as dt
+    from zoneinfo import ZoneInfo
+
+    from pyspark.sql import functions as F
+
+    instants = [
+        # spring forward (2025-03-30 01:00 UTC: 02:00→03:00 CEST)
+        dt.datetime(2025, 3, 30, 0, 0),
+        dt.datetime(2025, 3, 30, 0, 59, 59),
+        dt.datetime(2025, 3, 30, 1, 0),
+        dt.datetime(2025, 3, 30, 1, 30),
+        # fall back (2025-10-26 01:00 UTC: 03:00→02:00 CET)
+        dt.datetime(2025, 10, 26, 0, 30),  # 02:30 CEST (first 02:30)
+        dt.datetime(2025, 10, 26, 1, 0),
+        dt.datetime(2025, 10, 26, 1, 30),  # 02:30 CET (second 02:30)
+        dt.datetime(2025, 10, 26, 2, 0),
+    ]
+    df = spark.createDataFrame([(t,) for t in instants], "ts timestamp_ntz")
+    got = [
+        r.oslo
+        for r in df.select(
+            F.from_utc_timestamp(F.col("ts").cast("timestamp"), "Europe/Oslo").alias(
+                "oslo"
+            )
+        ).collect()
+    ]
+    oslo = ZoneInfo("Europe/Oslo")
+    want = [
+        t.replace(tzinfo=dt.timezone.utc).astimezone(oslo).replace(tzinfo=None)
+        for t in instants
+    ]
+    assert got == want
+    con = duckdb.connect()
+    for t, w in zip(instants, want):
+        (d,) = con.execute(
+            "SELECT CAST(TIMESTAMP '" + t.isoformat(sep=" ") + "' "
+            "AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Oslo' AS TIMESTAMP)"
+        ).fetchone()
+        assert d == w, (t, d, w)
+    con.close()
+    # the doubled wall clock really is doubled: two distinct instants map
+    # to the same naive 02:30
+    assert want[4] == want[6] == dt.datetime(2025, 10, 26, 2, 30)
+    # the skipped hour really is skipped: nothing maps into [02:00, 03:00)
+    assert not any(
+        dt.datetime(2025, 3, 30, 2, 0) <= w < dt.datetime(2025, 3, 30, 3, 0)
+        for w in want
+    )
