@@ -16,6 +16,8 @@ Stages (each validated by a pydantic spec, unknown keys rejected):
                         source, fractions from runtime counts (capped 1)
 - ``token_budget``    — greedy highest-quality selection under a token
                         budget (two-pass distributed prefix sum)
+- ``length_batches``  — terminal: sort by length (two-pass rank), cut
+                        fixed-size batches, per-batch padding accounting
 - ``quality_gate``    — min/max whitespace-token bounds
 - ``dedup_exact``     — normalized-fingerprint dedup, longest-text
                         priority survivor
@@ -90,6 +92,16 @@ class TokenBudgetSpec(BaseModel):
     budget: int
 
 
+class LengthBatchesSpec(BaseModel):
+    """Terminal stage: sort by token length (distributed rank), cut
+    ``batch_size``-sequence batches, emit per-batch padding accounting —
+    the padding-minimization loader layout."""
+
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["length_batches"]
+    batch_size: int = 32
+
+
 class GlobalShuffleSpec(BaseModel):
     model_config = ConfigDict(extra="forbid")
     op: Literal["global_shuffle"]
@@ -119,6 +131,7 @@ StageSpec = Annotated[
         DedupExactSpec,
         FrequencyCapSpec,
         TokenBudgetSpec,
+        LengthBatchesSpec,
         GlobalShuffleSpec,
         PackShardsSpec,
         PackSequencesSpec,
@@ -212,6 +225,25 @@ def run_corpus_pipeline(
                 F.col("before") + F.col("size") <= st.budget
             ).select("doc_id")
             df = df.join(kept, "doc_id", "left_semi")
+        elif isinstance(st, LengthBatchesSpec):
+            sized = df.select(
+                "doc_id", toks.cast("long").alias("n_tokens")
+            )
+            ranked, _ = with_global_rank(
+                sized, ["n_tokens", "doc_id"], rank_col="__rn"
+            )
+            b = ranked.withColumn(
+                "batch_id",
+                F.expr(f"(__rn - 1) div {st.batch_size}").cast("bigint"),
+            )
+            df = b.groupBy("batch_id").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("n_tokens").alias("max_tokens"),
+                F.sum("n_tokens").alias("sum_tokens"),
+                (
+                    F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
+                ).alias("padding_waste"),
+            )
         elif isinstance(st, QualityGateSpec):
             df = df.filter(toks >= st.min_tokens)
             if st.max_tokens is not None:

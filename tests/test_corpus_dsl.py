@@ -145,3 +145,38 @@ stages:
     }
     kept = {r.doc_id for r in rows}
     assert kept and kept < mixture_only
+
+
+def test_yaml_matches_data_selection_factory(spark, sf_dir):
+    """The YAML rendering of capstone #4 (temperature mixture →
+    token budget → length batches) is row-identical to the hand-built,
+    oracled data_selection_factory query."""
+    from dvh_airflow_kafka_spark.catalog import (
+        _BATCH_SIZE,
+        _TEMP_MIX_K,
+        _TEMP_MIX_SALT,
+        _TOKEN_BUDGET,
+        REGISTRY,
+    )
+
+    yaml_text = f"""
+stages:
+  - op: temperature_mixture
+    k: {_TEMP_MIX_K}
+    salt: {_TEMP_MIX_SALT}
+  - op: token_budget
+    budget: {_TOKEN_BUDGET}
+  - op: length_batches
+    batch_size: {_BATCH_SIZE}
+"""
+    got = {
+        tuple(r)
+        for r in run_corpus_pipeline(spark, yaml_text, sf_dir)
+        .select("batch_id", "n_docs", "max_tokens", "sum_tokens", "padding_waste")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in REGISTRY["data_selection_factory"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got

@@ -53,3 +53,32 @@ def test_udf_matches_reference_and_rejoins(spark, sf_dir):
         # piece-for-piece agreement with the independent reference
         ref = [piece for w in words for piece in _encode_py(w)]
         assert r.p == ref
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz",
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_reference_encoder_properties(words):
+    """For arbitrary lowercase words: pieces rejoin to the word, every
+    piece is non-empty, and encoding is idempotent under re-merge (no
+    adjacent piece pair is itself a mergeable rank — the loop really
+    ran to fixpoint)."""
+    ranks = {p: i for i, p in enumerate(DEFAULT_BPE_MERGES)}
+    for w in words:
+        pieces = _encode_py(w)
+        assert "".join(pieces) == w
+        assert all(pieces)
+        for a, b in zip(pieces, pieces[1:]):
+            assert (a, b) not in ranks, (w, pieces, (a, b))
