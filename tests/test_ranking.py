@@ -148,3 +148,42 @@ def test_length_batches_tile_and_account(spark, sf_dir):
     for r in by_id:
         assert r.padding_waste == r.n_docs * r.max_tokens - r.sum_tokens
         assert r.padding_waste >= 0
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 32])
+def test_rank_and_prefix_invariant_under_parallelism(spark, sf_dir, nparts):
+    """The two-pass rank/prefix-sum must produce IDENTICAL output at any
+    partition count — the property that makes it safe to swap for the
+    single-window form on any cluster geometry. (A bug that leaks slice
+    boundaries into the result shows up here as a diff between
+    parallelism levels.)"""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+    from dvh_airflow_kafka_spark.ext.text import token_count_ws
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count_ws(F.col("text")).alias("sz")
+    )
+    ranked, total = with_global_rank(
+        sized, ["sz", "doc_id"], rank_col="r", num_partitions=nparts
+    )
+    got_rank = {(r.doc_id, r.r) for r in ranked.collect()}
+    serial = sorted(
+        ((r.sz, r.doc_id) for r in sized.collect())
+    )
+    want_rank = {(doc, i + 1) for i, (_, doc) in enumerate(serial)}
+    assert got_rank == want_rank and total == len(serial)
+
+    pre = with_prefix_sum(
+        sized, "doc_id", F.col("sz"), num_partitions=nparts
+    )
+    got_pre = {(r.doc_id, r.before) for r in pre.collect()}
+    cum, want_pre = 0, set()
+    for r in sorted(sized.collect(), key=lambda r: r.doc_id):
+        want_pre.add((r.doc_id, cum))
+        cum += r.sz
+    assert got_pre == want_pre
