@@ -482,6 +482,7 @@ def semantic_dedup_survivors(
     n_bits: int = 8,
     dim: int = 64,
     seed: int = 1337,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al., 'SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication', 2023): drop
@@ -501,10 +502,18 @@ def semantic_dedup_survivors(
 
     Plan shape: bucket (one pandas-UDF matmul pass, no shuffle) →
     self-equi-join ON the bucket (never all-pairs; expected bucket size
-    is |corpus| / 2^n_bits, and a hot-bucket cap can bolt on exactly like
-    ``drop_hot_shingles``) → exact rounded cosine on candidates only →
+    is |corpus| / 2^n_bits) → exact rounded cosine on candidates only →
     ``id_b``-distinct duplicate set → broadcast-able anti-join back onto
     the corpus. Keep-lowest-id is deterministic and engine-independent.
+
+    ``max_bucket_size`` is the hot-bucket cap (the semantic analogue of
+    ``drop_hot_shingles``): buckets larger than the cap are EXCLUDED
+    from pair generation — their members all survive — bounding any
+    bucket's pair count at cap² when embedding mass concentrates (a
+    degenerate encoder, zero vectors, template documents). The cap
+    trades missed dups inside pathological buckets for a hard join
+    bound; ``None`` (default) disables it, and the registered oracled
+    query runs uncapped (the cap is not SQL-replayed).
     """
     from dvh_airflow_kafka_spark.ext.similarity import (
         _hyperplanes,
@@ -532,7 +541,16 @@ def semantic_dedup_survivors(
         )
         .persist()
     )
-    l, r = base.alias("l"), base.alias("r")
+    pair_src = base
+    if max_bucket_size is not None:
+        hot = (
+            base.groupBy("semantic_bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("semantic_bucket")
+        )
+        pair_src = base.join(F.broadcast(hot), "semantic_bucket", "left_anti")
+    l, r = pair_src.alias("l"), pair_src.alias("r")
     dups = (
         l.join(
             r,

@@ -213,3 +213,31 @@ def test_semantic_dedup_survivor_invariants(spark, sf_dir):
                 assert cos(vecs[lo], vecs[hi]) < 0.3, (lo, hi)
     # lowest id overall always survives
     assert min(vecs) in kept
+
+
+def test_semantic_dedup_hot_bucket_cap(spark, sf_dir):
+    """With a cap, members of over-size buckets are excluded from pair
+    generation (they all survive); uncapped survivors are a subset. A
+    cap larger than every bucket is a no-op."""
+    from dvh_airflow_kafka_spark.ext.dedup import semantic_dedup_survivors
+    from dvh_airflow_kafka_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    free = {
+        r.vec_id
+        for r in semantic_dedup_survivors(emb, "vec_id", "embedding").collect()
+    }
+    capped = {
+        r.vec_id
+        for r in semantic_dedup_survivors(
+            emb, "vec_id", "embedding", max_bucket_size=3
+        ).collect()
+    }
+    assert free <= capped  # capping can only ADD survivors
+    huge_cap = {
+        r.vec_id
+        for r in semantic_dedup_survivors(
+            emb, "vec_id", "embedding", max_bucket_size=10**6
+        ).collect()
+    }
+    assert huge_cap == free
