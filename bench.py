@@ -113,6 +113,7 @@ HEADLINE = [
     "jpeg_decode_metadata",
     "length_bucketed_batches",
     "data_selection_factory",
+    "mp4_decode_metadata",
 ]
 
 

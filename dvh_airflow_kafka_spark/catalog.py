@@ -1776,6 +1776,34 @@ def jpeg_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mp4_decode_metadata",
+    sql="""
+    SELECT doc_id,
+           'video/mp4' AS mime,
+           CAST(16 * (1 + doc_id % 8) AS INT) AS width,
+           CAST(16 * (1 + (doc_id * 3) % 8) AS INT) AS height,
+           CAST(1000 + (doc_id * 37) % 9000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mp4_decode_metadata_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: the FOURTH real decode kernel — minimal valid
+    ISO BMFF containers (ftyp, moov ⊃ mvhd + trak/tkhd) synthesized from
+    the document ids are parsed back by the stdlib box walk in
+    ``decode_media``'s default decoder (ISO/IEC 14496-12 §4.2 box
+    structure; duration from mvhd, 16.16 fixed-point dimensions from
+    tkhd). The oracle recomputes everything arithmetically from the
+    synth parameters. With WAV, PNG, JPEG and MP4 all parsing for real,
+    every fixture modality's METADATA path is hash-verified; only
+    compressed frame/sample decode needs an injected library decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = xmm.decode_media(xmm.synth_mp4_frame(docs))
+    return decoded.select(
+        "doc_id", "mime", "width", "height", "duration_ms"
+    )
+
+
+@register(
     "documents_pack_shards",
     sql=r"""
     WITH sized AS (

@@ -509,12 +509,116 @@ def decode_jpeg_header(content: bytes) -> dict:
     raise ValueError("missing SOF frame header")
 
 
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct as _struct
+
+    return _struct.pack(">L", 8 + len(payload)) + btype + payload
+
+
+def synth_mp4_frame(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic MP4 corpus: (id, content binary) where each blob is
+    a minimal REAL ISO BMFF container — ftyp, then moov holding an mvhd
+    (timescale 1000, duration arithmetic in the id) and a trak/tkhd
+    carrying 16.16 fixed-point dimensions. Duration and dimensions are
+    arithmetic in the id so the expected metadata is oracle-recomputable
+    without parsing bytes."""
+    import struct as _struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                duration_ms = 1000 + (rid * 37) % 9000
+                w = 16 * (1 + rid % 8)
+                h = 16 * (1 + (rid * 3) % 8)
+                ftyp = _mp4_box(b"ftyp", b"isom\x00\x00\x02\x00")
+                mvhd = _mp4_box(
+                    b"mvhd",
+                    b"\x00\x00\x00\x00"  # version 0 + flags
+                    + _struct.pack(">LL", 0, 0)  # ctime, mtime
+                    + _struct.pack(">LL", 1000, duration_ms)
+                    + b"\x00" * 80,  # rate..next_track_id boilerplate
+                )
+                tkhd = _mp4_box(
+                    b"tkhd",
+                    b"\x00\x00\x00\x07"  # version 0 + enabled flags
+                    + _struct.pack(">LLLLL", 0, 0, 1, 0, duration_ms)
+                    + b"\x00" * 52  # reserved, layer, volume, matrix
+                    + _struct.pack(">LL", w << 16, h << 16),
+                )
+                moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", tkhd))
+                rows.append({"doc_id": rid, "content": ftyp + moov})
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(build, schema=out_schema)
+
+
+_MP4_CONTAINERS = frozenset({b"moov", b"trak", b"mdia", b"minf", b"stbl"})
+
+
+def decode_mp4_header(content: bytes) -> dict:
+    """Real, stdlib-only MP4/ISO-BMFF metadata decode: verify the leading
+    ``ftyp`` box, walk the box tree (4-byte big-endian size + fourcc,
+    recursing into container boxes — ISO/IEC 14496-12 §4.2), and extract
+    the movie duration from ``mvhd`` (duration/timescale) and track
+    dimensions from ``tkhd`` (16.16 fixed point). Raises ValueError on a
+    malformed container or one with no movie header."""
+    import struct as _struct
+
+    if len(content) < 8 or content[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp box")
+    meta: dict = {}
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            (size,) = _struct.unpack(">L", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > len(buf):
+                raise ValueError("truncated MP4 box " + repr(btype))
+            body = buf[pos + 8 : pos + size]
+            if btype in _MP4_CONTAINERS:
+                walk(body)
+            elif btype == b"mvhd":
+                if body[0] != 0:
+                    raise ValueError("mvhd version %d unsupported" % body[0])
+                timescale, duration = _struct.unpack(">LL", body[12:20])
+                if timescale == 0:
+                    raise ValueError("mvhd timescale 0")
+                meta["duration_ms"] = duration * 1000 // timescale
+            elif btype == b"tkhd":
+                if body[0] != 0:
+                    raise ValueError("tkhd version %d unsupported" % body[0])
+                w16, h16 = _struct.unpack(">LL", body[len(body) - 8 :])
+                meta["width"] = w16 >> 16
+                meta["height"] = h16 >> 16
+            pos += size
+        if pos != len(buf):
+            raise ValueError("truncated MP4 box stream (trailing bytes)")
+
+    walk(content)
+    if "duration_ms" not in meta:
+        raise ValueError("missing mvhd movie header")
+    return meta
+
+
 def _default_decoder(content: bytes, mime: str):
     """Default decode kernel: WAV (stdlib RIFF walk), PNG (stdlib chunk
-    walk + CRC check) and JPEG (stdlib marker walk to SOF) are parsed
-    for real; video needs external libraries absent from this
-    environment and raises — inject a ``decoder`` callable for those
-    modalities."""
+    walk + CRC check), JPEG (stdlib marker walk to SOF) and MP4 (stdlib
+    ISO-BMFF box walk to mvhd/tkhd) all parse their METADATA for real;
+    frame/sample DECODE of compressed video still needs external
+    libraries absent from this environment and raises — inject a
+    ``decoder`` callable for that."""
     if mime == "audio/wav":
         meta = decode_wav_header(content)
         return {"n_frames": meta["n_frames"], **meta}
@@ -524,6 +628,9 @@ def _default_decoder(content: bytes, mime: str):
     if mime == "image/jpeg":
         meta = decode_jpeg_header(content)
         return {"n_frames": 1, **meta}
+    if mime == "video/mp4":
+        meta = decode_mp4_header(content)
+        return meta
     raise NotImplementedError(
         "decoding mime=" + mime + " requires a media library (e.g. "
         "PyAV for video) that is not installed in this environment; inject "
@@ -584,6 +691,9 @@ def _sniff(blob: bytes) -> str:
     ):
         if magic and blob.startswith(magic):
             return mime
+    # MP4/ISO-BMFF is sniffed at offset 4 (box size varies), not by prefix
+    if len(blob) >= 8 and blob[4:8] == b"ftyp":
+        return "video/mp4"
     return "application/octet-stream"
 
 

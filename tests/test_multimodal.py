@@ -85,10 +85,10 @@ def test_decode_media_plumbing_with_fake_decoder(blobs):
 
 
 def test_decode_media_default_raises_for_unknown_modalities(spark):
-    """WAV/PNG/JPEG decode for real; anything else (video, opaque
-    binary) must raise the documented NotImplementedError contract."""
+    """WAV/PNG/JPEG/MP4 metadata decodes for real; opaque binary must
+    raise the documented NotImplementedError contract."""
     df = spark.createDataFrame(
-        [(1, b"\x00\x00\x00\x18ftypmp42 video-ish")],
+        [(1, b"\x7fELFsome-opaque-binary-payload")],
         "doc_id long, content binary",
     )
     with pytest.raises(Exception) as ei:
@@ -277,3 +277,16 @@ def test_jpeg_decode_walks_past_app_segments():
     blob = b"\xff\xd8" + com + sof2 + b"\xff\xd9"
     meta = decode_jpeg_header(blob)
     assert meta == {"width": 640, "height": 480, "bit_depth": 12, "channels": 3}
+
+
+def test_mp4_decode_rejects_malformed():
+    import pytest as _pytest
+
+    from dvh_airflow_kafka_spark.ext.multimodal import decode_mp4_header
+
+    with _pytest.raises(ValueError, match="missing ftyp"):
+        decode_mp4_header(b"\x89PNG\r\n\x1a\nrest")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_mp4_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x20moov")
+    with _pytest.raises(ValueError, match="missing mvhd"):
+        decode_mp4_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
