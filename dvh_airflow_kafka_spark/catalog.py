@@ -4215,10 +4215,12 @@ def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKEN_BUDGET = 16384
 
-# Shared CTE: the deterministic quality score + whitespace token count per
-# document (same arithmetic as _QUALITY_SQL — bit-identical across engines).
-_QSCORE_CTE = r"""
-    WITH t AS (
+# Shared CTE pair: the deterministic quality score + whitespace token
+# count per document (same arithmetic as _QUALITY_SQL — bit-identical
+# across engines), parameterized over the source relation so composed
+# pipelines (data_selection_factory) reuse the ONE definition.
+def _qscore_ctes(src: str) -> str:
+    return rf"""t AS (
         SELECT doc_id,
                CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_words,
                CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
@@ -4226,7 +4228,7 @@ _QSCORE_CTE = r"""
                     AS DOUBLE) AS sw,
                CAST(length(text) AS DOUBLE) AS n_chars,
                CAST(length(regexp_replace(text, '[\w\s]', '', 'g')) AS DOUBLE) AS n_punct
-        FROM documents
+        FROM {src}
     ), q AS (
         SELECT doc_id,
                CAST(n_words AS BIGINT) AS n_tokens,
@@ -4235,8 +4237,10 @@ _QSCORE_CTE = r"""
                 + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
                ) AS quality
         FROM t
-    )
-"""
+    )"""
+
+
+_QSCORE_CTE = "\n    WITH " + _qscore_ctes("documents") + "\n"
 
 
 @register(
@@ -4435,26 +4439,14 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast literal map → the keep predicate fuses into the corpus
     scan. Two passes total, the second embarrassingly parallel; the
     same salted-hash determinism as every split/sample op (survivors
-    never change across runs, partitionings, or engines)."""
-    import math
-
-    from dvh_airflow_kafka_spark.ext.sampling import _hex_threshold, split_bucket
+    never change across runs, partitionings, or engines). NULL sources
+    drop, matching the oracle's inner join. Logic shared with the
+    factory/DSL via ``ext/sampling.temperature_mixture_filter``."""
+    from dvh_airflow_kafka_spark.ext.sampling import temperature_mixture_filter
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = {
-        r["source"]: r["n"]
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    thr = {
-        s: _hex_threshold(min(_TEMP_MIX_K / math.sqrt(c), 1.0))
-        for s, c in counts.items()
-    }
-    mapping = F.create_map(
-        *[x for s in sorted(thr) for x in (F.lit(s), F.lit(thr[s]))]
-    )
-    key = F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
-    return docs.filter(
-        split_bucket(key, _TEMP_MIX_SALT) < mapping[F.col("source")]
+    return temperature_mixture_filter(
+        docs, k=_TEMP_MIX_K, salt=_TEMP_MIX_SALT
     ).select("doc_id", "source")
 
 
@@ -4565,26 +4557,16 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``ext/ranking.with_global_rank`` under the unique
     (n_tokens, doc_id)); the batch cut and waste are plain arithmetic +
     one keyed aggregate. The oracle's single-partition ``row_number``
-    is exactly what the decomposition reproduces."""
-    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    is exactly what the decomposition reproduces. Logic shared with the
+    factory/DSL via ``ext/ranking.length_batch_stats``."""
+    from dvh_airflow_kafka_spark.ext.ranking import length_batch_stats
 
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id",
         xtext.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
     )
-    ranked, _ = with_global_rank(sized, ["n_tokens", "doc_id"], rank_col="__rn")
-    b = ranked.withColumn(
-        "batch_id", F.expr(f"(__rn - 1) div {_BATCH_SIZE}").cast("bigint")
-    )
-    return b.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_tokens").alias("max_tokens"),
-        F.sum("n_tokens").alias("sum_tokens"),
-        (
-            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
-        ).alias("padding_waste"),
-    )
+    return length_batch_stats(sized, batch_size=_BATCH_SIZE)
 
 
 @register(
@@ -4604,24 +4586,7 @@ def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d JOIN thr USING (source)
         WHERE substr(sha256('{_TEMP_MIX_SALT}' || d.source || '|'
                             || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
-    ), t AS (
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_words,
-               CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
-                    w -> list_contains(['the','a','and','of','to','in','is','that','for','with'], w)))
-                    AS DOUBLE) AS sw,
-               CAST(length(text) AS DOUBLE) AS n_chars,
-               CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct
-        FROM mixed
-    ), q AS (
-        SELECT doc_id,
-               CAST(n_words AS BIGINT) AS n_tokens,
-               (least(1.0, n_words / 50.0) * 0.4
-                + (1.0 - least(1.0, (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
-                + least(1.0, (CASE WHEN n_words > 0 THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
-               ) AS quality
-        FROM t
-    ), kept AS (
+    ), {_qscore_ctes("mixed")}, kept AS (
         SELECT doc_id, n_tokens FROM (
             SELECT doc_id, n_tokens,
                    CAST(COALESCE(SUM(n_tokens) OVER (
@@ -4655,35 +4620,18 @@ def data_selection_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHOLE chain is hash-checked against one DuckDB SQL — the
     end-to-end guarantee that stage composition doesn't change
     semantics. Driver-side cost: one |sources|-bounded count collect
-    (mixture thresholds) + two O(partitions) offset collects."""
-    import math
-
-    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+    (mixture thresholds) + two O(partitions) offset collects. The
+    stages are the SAME definitions the standalone queries and the
+    corpus DSL use (``temperature_mixture_filter``, ``with_prefix_sum``,
+    ``length_batch_stats``)."""
+    from dvh_airflow_kafka_spark.ext.ranking import length_batch_stats
     from dvh_airflow_kafka_spark.ext.sampling import (
-        _hex_threshold,
-        split_bucket,
+        temperature_mixture_filter,
         with_prefix_sum,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = {
-        r["source"]: r["n"]
-        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    mapping = F.create_map(
-        *[
-            x
-            for s in sorted(counts)
-            for x in (
-                F.lit(s),
-                F.lit(_hex_threshold(min(_TEMP_MIX_K / math.sqrt(counts[s]), 1.0))),
-            )
-        ]
-    )
-    key = F.concat(F.col("source"), F.lit("|"), F.col("doc_id").cast("string"))
-    mixed = docs.filter(
-        split_bucket(key, _TEMP_MIX_SALT) < mapping[F.col("source")]
-    )
+    mixed = temperature_mixture_filter(docs, k=_TEMP_MIX_K, salt=_TEMP_MIX_SALT)
     scored = mixed.select(
         "doc_id",
         xtext.quality_score(F.col("text")).alias("__q"),
@@ -4699,18 +4647,7 @@ def data_selection_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = pre.filter(
         F.col("__before") + F.col("size") <= _TOKEN_BUDGET
     ).select("doc_id", F.col("size").alias("n_tokens"))
-    ranked, _ = with_global_rank(kept, ["n_tokens", "doc_id"], rank_col="__rn")
-    b = ranked.withColumn(
-        "batch_id", F.expr(f"(__rn - 1) div {_BATCH_SIZE}").cast("bigint")
-    )
-    return b.groupBy("batch_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max("n_tokens").alias("max_tokens"),
-        F.sum("n_tokens").alias("sum_tokens"),
-        (
-            F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
-        ).alias("padding_waste"),
-    )
+    return length_batch_stats(kept, batch_size=_BATCH_SIZE)
 
 
 @register("bpe_encode_stats", sql=None)

@@ -483,6 +483,7 @@ def semantic_dedup_survivors(
     dim: int = 64,
     seed: int = 1337,
     max_bucket_size: Optional[int] = None,
+    persist_assignments: bool = True,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al., 'SemDeDup: Data-efficient
     learning at web-scale through semantic deduplication', 2023): drop
@@ -514,6 +515,18 @@ def semantic_dedup_survivors(
     trades missed dups inside pathological buckets for a hard join
     bound; ``None`` (default) disables it, and the registered oracled
     query runs uncapped (the cap is not SQL-replayed).
+
+    CACHE LIFETIME (caller-owned): with ``persist_assignments=True`` the
+    (id, vector, bucket) assignment frame is pinned in executor storage
+    and NOT unpersisted here — the returned frame is lazy and still
+    references it. The cache is LRU-evictable (MEMORY_AND_DISK), but a
+    long-lived session issuing many calls should either unpersist via
+    ``spark.catalog.clearCache()`` between batches, pass
+    ``persist_assignments=False`` (the bucketing UDF then re-runs ~5×
+    due to optimizer re-evaluation — correct, just slower), or
+    materialise assignments to parquet once (the
+    ``similarity.ivf_index_build`` pattern) and run the survivor logic
+    over the stored table.
     """
     from dvh_airflow_kafka_spark.ext.similarity import (
         _hyperplanes,
@@ -532,15 +545,13 @@ def semantic_dedup_survivors(
     # corpus scale writes them to parquet instead (the
     # ``similarity.ivf_index_build`` pattern) and every downstream stage
     # reads the materialised table.
-    base = (
-        ensure_parallelism(emb)
-        .select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("__v"),
-            buckets(F.col(vec_col))[0].alias("semantic_bucket"),
-        )
-        .persist()
+    base = ensure_parallelism(emb).select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        buckets(F.col(vec_col))[0].alias("semantic_bucket"),
     )
+    if persist_assignments:
+        base = base.persist()
     pair_src = base
     if max_bucket_size is not None:
         hot = (

@@ -61,8 +61,14 @@ def synth_blob_frame(
 
 
 def detect_mime(content: Column) -> Column:
-    """Magic-byte MIME sniff — longest-prefix match, pure codegen."""
-    out = F.lit("application/octet-stream")
+    """Magic-byte MIME sniff — longest-prefix match, pure codegen.
+    Kept in lockstep with the Python-side ``_sniff`` (same prefixes,
+    same offset-4 ftyp rule for ISO BMFF)."""
+    # MP4/ISO-BMFF is identified at offset 4 (box size varies), not by
+    # prefix — lowest priority so real prefixes win
+    out = F.when(
+        F.substring(content, 5, 4) == F.lit(b"ftyp"), F.lit("video/mp4")
+    ).otherwise(F.lit("application/octet-stream"))
     for mime, magic in sorted(
         MAGIC_BYTES.items(), key=lambda kv: len(kv[1])
     ):
@@ -481,6 +487,12 @@ def decode_jpeg_header(content: bytes) -> dict:
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker desync at offset " + str(pos))
+        # T.81 §B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip them (real camera/EXIF files pad with these)
+        while content[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 2 > len(content):
+                raise ValueError("truncated JPEG fill-byte run")
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -590,6 +602,8 @@ def decode_mp4_header(content: bytes) -> dict:
             if btype in _MP4_CONTAINERS:
                 walk(body)
             elif btype == b"mvhd":
+                if len(body) < 20:
+                    raise ValueError("short mvhd body")
                 if body[0] != 0:
                     raise ValueError("mvhd version %d unsupported" % body[0])
                 timescale, duration = _struct.unpack(">LL", body[12:20])
@@ -597,6 +611,8 @@ def decode_mp4_header(content: bytes) -> dict:
                     raise ValueError("mvhd timescale 0")
                 meta["duration_ms"] = duration * 1000 // timescale
             elif btype == b"tkhd":
+                if len(body) < 9:
+                    raise ValueError("short tkhd body")
                 if body[0] != 0:
                     raise ValueError("tkhd version %d unsupported" % body[0])
                 w16, h16 = _struct.unpack(">LL", body[len(body) - 8 :])

@@ -76,3 +76,34 @@ def ntile_from_rank(rank, total: int, tiles: int):
         .otherwise(F.lit(r) + F.ceil((rank - F.lit(cut)) / F.lit(q)))
         .cast("int")
     )
+
+
+def length_batch_stats(
+    df: DataFrame,
+    *,
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed batching: global (size, id) order via the
+    distributed two-pass rank, consecutive ``batch_size``-row cuts, and
+    per-batch padding accounting (n_docs · max − sum) — the
+    padding-minimization loader layout. The single definition behind
+    ``length_bucketed_batches``, ``data_selection_factory`` and the
+    corpus DSL's ``length_batches`` stage."""
+    ranked, _ = with_global_rank(
+        df.select(F.col(id_col), F.col(size_col)),
+        [size_col, id_col],
+        rank_col="__rn",
+    )
+    b = ranked.withColumn(
+        "batch_id", F.expr(f"(__rn - 1) div {batch_size}").cast("bigint")
+    )
+    return b.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(size_col).alias("max_tokens"),
+        F.sum(size_col).alias("sum_tokens"),
+        (F.count(F.lit(1)) * F.max(size_col) - F.sum(size_col)).alias(
+            "padding_waste"
+        ),
+    )

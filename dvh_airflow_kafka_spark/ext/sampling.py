@@ -188,3 +188,54 @@ def pack_into_shards(
         (before % F.lit(capacity)).cast("long").alias("offset_in_shard"),
         *[F.col(c) for c in carry_cols],
     )
+
+
+def temperature_mixture_filter(
+    df: DataFrame,
+    *,
+    k: float = 2.0,
+    salt: str = "mix-temp-v1",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep a deterministic ~``k``·√count of each source's rows — α=0.5
+    exponent sampling (XLM-R/mBERT style) with DATA-DEPENDENT fractions
+    computed from the counts of ``df`` as passed (so pipelines sample
+    the frame at its stage position, not the raw table). α is pinned to
+    0.5: the fraction arithmetic is division + ``sqrt``, both correctly
+    rounded IEEE ops in every engine (a general ``pow`` is only
+    faithfully rounded — last-ulp libm differences would flip hex
+    thresholds).
+
+    Rows with a NULL source are DROPPED (the oracle-side inner join
+    against the per-source thresholds has the same semantics; a NULL
+    key also cannot hold a meaningful budget). One tiny per-source
+    count aggregate (driver collect bounded by |sources|), then the
+    keep predicate fuses into the scan. The single definition behind
+    ``temperature_mixture_sample``, ``data_selection_factory`` and the
+    corpus DSL's ``temperature_mixture`` stage."""
+    import math
+
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(source_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+        if r["__s"] is not None
+    }
+    mapping = F.create_map(
+        *[
+            x
+            for s in sorted(counts)
+            for x in (
+                F.lit(s),
+                F.lit(_hex_threshold(min(k / math.sqrt(counts[s]), 1.0))),
+            )
+        ]
+    )
+    key = F.concat(
+        F.col(source_col), F.lit("|"), F.col(id_col).cast("string")
+    )
+    # a NULL source misses the map -> NULL threshold -> predicate NULL
+    # -> row dropped, matching the oracle's inner join
+    return df.filter(split_bucket(key, salt) < mapping[F.col(source_col)])

@@ -37,7 +37,7 @@ from __future__ import annotations
 from typing import Annotated, Literal, Optional, Union
 
 import yaml
-from pydantic import BaseModel, ConfigDict, Field
+from pydantic import BaseModel, ConfigDict, Field, model_validator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,6 +145,19 @@ class CorpusPipelineSpec(BaseModel):
     table: str = "documents"
     stages: list[StageSpec]
 
+    @model_validator(mode="after")
+    def _terminal_stage_is_last(self) -> "CorpusPipelineSpec":
+        """``length_batches`` replaces the document frame with a batch
+        aggregate — any stage after it would hit an unresolved-column
+        AnalysisException deep in Spark; reject it at parse time."""
+        for i, stage in enumerate(self.stages):
+            if isinstance(stage, LengthBatchesSpec) and i != len(self.stages) - 1:
+                raise ValueError(
+                    "length_batches is a terminal stage; "
+                    f"'{self.stages[i + 1].op}' cannot follow it"
+                )
+        return self
+
 
 def parse_corpus_config(yaml_text: str) -> CorpusPipelineSpec:
     return CorpusPipelineSpec.model_validate(yaml.safe_load(yaml_text))
@@ -186,28 +199,11 @@ def run_corpus_pipeline(
                 )
             df = df.filter(split_bucket(F.col("doc_id"), st.salt) < thr)
         elif isinstance(st, TemperatureMixtureSpec):
-            import math
+            from dvh_airflow_kafka_spark.ext.sampling import (
+                temperature_mixture_filter,
+            )
 
-            counts = {
-                r["source"]: r["n"]
-                for r in df.groupBy("source")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            thr_map = F.create_map(
-                *[
-                    x
-                    for s in sorted(counts)
-                    for x in (
-                        F.lit(s),
-                        F.lit(_hex_thr(min(st.k / math.sqrt(counts[s]), 1.0))),
-                    )
-                ]
-            )
-            key = F.concat(
-                F.col("source"), F.lit("|"), F.col("doc_id").cast("string")
-            )
-            df = df.filter(split_bucket(key, st.salt) < thr_map[F.col("source")])
+            df = temperature_mixture_filter(df, k=st.k, salt=st.salt)
         elif isinstance(st, TokenBudgetSpec):
             from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
 
@@ -226,24 +222,12 @@ def run_corpus_pipeline(
             ).select("doc_id")
             df = df.join(kept, "doc_id", "left_semi")
         elif isinstance(st, LengthBatchesSpec):
+            from dvh_airflow_kafka_spark.ext.ranking import length_batch_stats
+
             sized = df.select(
                 "doc_id", toks.cast("long").alias("n_tokens")
             )
-            ranked, _ = with_global_rank(
-                sized, ["n_tokens", "doc_id"], rank_col="__rn"
-            )
-            b = ranked.withColumn(
-                "batch_id",
-                F.expr(f"(__rn - 1) div {st.batch_size}").cast("bigint"),
-            )
-            df = b.groupBy("batch_id").agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.max("n_tokens").alias("max_tokens"),
-                F.sum("n_tokens").alias("sum_tokens"),
-                (
-                    F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens")
-                ).alias("padding_waste"),
-            )
+            df = length_batch_stats(sized, batch_size=st.batch_size)
         elif isinstance(st, QualityGateSpec):
             df = df.filter(toks >= st.min_tokens)
             if st.max_tokens is not None:

@@ -180,3 +180,12 @@ stages:
         for r in REGISTRY["data_selection_factory"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_length_batches_must_be_terminal():
+    with pytest.raises(Exception, match="terminal"):
+        parse_corpus_config(
+            "stages:\n"
+            "  - {op: length_batches, batch_size: 8}\n"
+            "  - {op: quality_gate, min_tokens: 1}\n"
+        )

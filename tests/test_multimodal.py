@@ -290,3 +290,62 @@ def test_mp4_decode_rejects_malformed():
         decode_mp4_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x20moov")
     with _pytest.raises(ValueError, match="missing mvhd"):
         decode_mp4_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
+def test_jpeg_decode_skips_fill_bytes():
+    """T.81 §B.1.1.2 fill bytes (0xFF runs before a marker) are legal in
+    real camera files and must not desync the walk."""
+    import struct
+
+    from dvh_airflow_kafka_spark.ext.multimodal import decode_jpeg_header
+
+    sof_body = bytes([8]) + struct.pack(">HH", 10, 20) + bytes([1, 1, 0x11, 0])
+    sof = b"\xff\xff\xff\xc0" + struct.pack(">H", 2 + len(sof_body)) + sof_body
+    meta = decode_jpeg_header(b"\xff\xd8" + sof + b"\xff\xd9")
+    assert (meta["width"], meta["height"]) == (20, 10)
+
+
+def test_mp4_decode_short_bodies_raise_value_error():
+    """Truncated mvhd/tkhd bodies must surface the documented ValueError,
+    not IndexError/struct.error."""
+    import struct
+
+    import pytest as _pytest
+
+    from dvh_airflow_kafka_spark.ext.multimodal import decode_mp4_header
+
+    ftyp = struct.pack(">L", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+    empty_mvhd = struct.pack(">L", 8) + b"mvhd"
+    with _pytest.raises(ValueError, match="short mvhd"):
+        decode_mp4_header(
+            ftyp + struct.pack(">L", 8 + len(empty_mvhd)) + b"moov" + empty_mvhd
+        )
+    short_tkhd = struct.pack(">L", 12) + b"tkhd" + b"\x00\x00\x00\x07"
+    with _pytest.raises(ValueError, match="short tkhd"):
+        decode_mp4_header(
+            ftyp + struct.pack(">L", 8 + len(short_tkhd)) + b"moov" + short_tkhd
+        )
+
+
+def test_detect_mime_agrees_with_python_sniffer(spark):
+    """The codegen Column sniffer and the Python-side _sniff must stay in
+    lockstep across every modality, including the offset-4 ftyp rule."""
+    from dvh_airflow_kafka_spark.ext.multimodal import _sniff, detect_mime
+
+    blobs = [
+        b"\xff\xd8\xffjpegish",
+        b"\x89PNG\r\n\x1a\npngish",
+        b"RIFFxxxxWAVEish",
+        b"\x00\x00\x00\x10ftypisom4444",
+        b"\x7fELFopaque",
+        b"",
+    ]
+    df = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(blobs)], "i long, content binary"
+    )
+    got = {
+        r.i: r.mime
+        for r in df.select("i", detect_mime(F.col("content")).alias("mime")).collect()
+    }
+    for i, b in enumerate(blobs):
+        assert got[i] == _sniff(b), (i, b)

@@ -241,3 +241,18 @@ def test_semantic_dedup_hot_bucket_cap(spark, sf_dir):
         ).collect()
     }
     assert huge_cap == free
+
+
+def test_temperature_mixture_drops_null_sources(spark):
+    """NULL-source rows must be DROPPED (oracle inner-join semantics),
+    not crash the driver-side threshold sort (None vs str ordering)."""
+    from dvh_airflow_kafka_spark.ext.sampling import temperature_mixture_filter
+
+    df = spark.createDataFrame(
+        [(i, "srcA" if i % 2 else None) for i in range(40)],
+        "doc_id long, source string",
+    )
+    kept = temperature_mixture_filter(df, k=100.0).collect()
+    assert kept  # k large enough that srcA keeps everything
+    assert all(r.source == "srcA" for r in kept)
+    assert len(kept) == 20
