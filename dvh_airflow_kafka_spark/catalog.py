@@ -84,8 +84,9 @@ def register(name: str, sql: Optional[str] = None):
 # rolling DAU, Misra-Gries, k-anonymity, PNG decode, VARIANT rollup,
 # fuzzy match, pseudonymization, JSONL decode, and the round-5c set:
 # semantic dedup, token-budget selection, inverted index, curriculum
-# schedule, temperature mixture, BPE stats, OLS trend, JPEG decode,
-# length-bucketed batches) no driver row AT ALL yet —
+# schedule, temperature mixture, BPE stats, OLS trend, JPEG + MP4
+# decode, length-bucketed batches, data-selection factory) no driver
+# row AT ALL yet —
 # all verified locally vs their DuckDB oracles at sf0.01. Rotate the
 # no-row set to the front of this list next round; the queries they
 # displace are multi-round stable.
