@@ -114,6 +114,7 @@ HEADLINE = [
     "length_bucketed_batches",
     "data_selection_factory",
     "mp4_decode_metadata",
+    "semantic_cluster_prototypes",
 ]
 
 

@@ -4214,6 +4214,111 @@ def semantic_dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMPROTO_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+    {{planes}}),
+    b AS (
+        SELECT v.vec_id, v.e,
+               CAST(SUM(CASE WHEN list_dot_product(v.e, planes.p) > 0
+                             THEN (1 << planes.bit) ELSE 0 END) AS BIGINT)
+                   AS semantic_bucket
+        FROM v CROSS JOIN planes
+        GROUP BY v.vec_id, v.e),
+    cl AS (
+        SELECT semantic_bucket, pos, ROUND(AVG(val), 6) AS c
+        FROM (
+            SELECT semantic_bucket,
+                   CAST(generate_subscripts(e, 1) AS INT) AS pos,
+                   CAST(unnest(e) AS DOUBLE) AS val
+            FROM b)
+        GROUP BY semantic_bucket, pos),
+    cent AS (
+        SELECT semantic_bucket, list(c ORDER BY pos) AS ce
+        FROM cl GROUP BY semantic_bucket),
+    scored AS (
+        SELECT b.vec_id, b.semantic_bucket,
+               round(list_dot_product(b.e, cent.ce) /
+                     (sqrt(list_dot_product(b.e, b.e)) *
+                      sqrt(list_dot_product(cent.ce, cent.ce))), 6)
+                   AS centroid_cosine
+        FROM b JOIN cent USING (semantic_bucket))
+    SELECT semantic_bucket,
+           vec_id AS prototype_id,
+           centroid_cosine
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY semantic_bucket
+                                     ORDER BY centroid_cosine DESC, vec_id) AS rn
+        FROM scored)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "semantic_cluster_prototypes",
+    sql=_SEMPROTO_SQL.format(planes=_srp_planes_values(n_tables=1, seed=1337)),
+)
+def semantic_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cluster prototypes: for every semantic cluster (the same
+    seeded SRP partition ``semantic_dedup_survivors`` uses), the member
+    NEAREST the cluster's mean embedding — SemDeDup's representative
+    selection (keep one exemplar per semantic neighborhood), also the
+    shape of IVF list medoids and per-cluster visualization picks.
+
+    Plan shape: bucket (Arrow matmul pass) → per-(bucket, dim) mean via
+    posexplode + one map-side-combined aggregate (|buckets|·dim partial
+    rows, pure codegen) → centroid arrays broadcast back onto members →
+    rounded-cosine window top-1 per bucket. Means and cosines are
+    rounded to 6 digits on BOTH engines before ranking, keeping the
+    argmax engine-independent (the same discipline every embedding
+    oracle here uses)."""
+    from dvh_airflow_kafka_spark.ext.similarity import (
+        _hyperplanes,
+        pair_cosine,
+        srp_buckets_udf,
+    )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = srp_buckets_udf(
+        _hyperplanes(dim=64, n_bits=8, n_tables=1, seed=1337)
+    )
+    b = ensure_parallelism(emb).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("__v"),
+        buckets(F.col("embedding"))[0].alias("semantic_bucket"),
+    )
+    expl = b.select(
+        "semantic_bucket", F.posexplode(F.col("__v")).alias("pos0", "val")
+    )
+    cl = expl.groupBy(
+        "semantic_bucket", (F.col("pos0") + 1).alias("pos")
+    ).agg(F.round(F.avg("val"), 6).alias("c"))
+    cent = cl.groupBy("semantic_bucket").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("__ce")
+    )
+    scored = b.join(F.broadcast(cent), "semantic_bucket").select(
+        "semantic_bucket",
+        "vec_id",
+        pair_cosine(F.col("__v"), F.col("__ce")).alias("centroid_cosine"),
+    )
+    w = Window.partitionBy("semantic_bucket").orderBy(
+        F.col("centroid_cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "semantic_bucket",
+            F.col("vec_id").alias("prototype_id"),
+            "centroid_cosine",
+        )
+    )
+
+
 _TOKEN_BUDGET = 16384
 
 # Shared CTE pair: the deterministic quality score + whitespace token
