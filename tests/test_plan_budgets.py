@@ -60,3 +60,24 @@ def test_exchange_budget(spark, sf_dir, name, budget):
     plan = _final_plan(df)
     n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
     assert n <= budget, f"{name}: {n} exchanges > budget {budget}\n{plan[:3000]}"
+
+
+def test_no_global_windows_in_package_source():
+    """Static guard: `Window.orderBy(...)` without a partitionBy is the
+    single-partition scale-killer this engine spent two rounds removing
+    (the distributed two-pass rank/prefix machinery replaced every one).
+    Any reappearance in the package source fails here immediately."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "dvh_airflow_kafka_spark"
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        src = path.read_text()
+        for m in re.finditer(r"Window\s*\.\s*orderBy", src):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{path.name}:{line}")
+    assert not offenders, (
+        "global Window.orderBy (no partitionBy) found — use "
+        f"ext/ranking.with_global_rank or ext/sampling.with_prefix_sum: {offenders}"
+    )
