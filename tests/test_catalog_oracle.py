@@ -40,3 +40,19 @@ def test_manifest_in_sync_with_registry():
         f"stale={sorted(listed - set(REGISTRY))} — run "
         f"PYTHONPATH=. python tools/gen_manifest.py"
     )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_deterministic(spark, sf_dir, name):
+    """Rows-only queries have no DuckDB hash pinning them — pin
+    run-to-run determinism instead: two executions must produce
+    identical canonical row sets (catches rand()/partition-order
+    sensitivity the oracle gate can't see)."""
+    from tests.compare import canonical_rows
+
+    qd = REGISTRY[name]
+    a = qd.fn(spark, sf_dir)
+    rows_a = canonical_rows(a.columns, [tuple(r) for r in a.collect()])
+    b = qd.fn(spark, sf_dir)
+    rows_b = canonical_rows(b.columns, [tuple(r) for r in b.collect()])
+    assert rows_a == rows_b
