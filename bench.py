@@ -115,6 +115,7 @@ HEADLINE = [
     "data_selection_factory",
     "mp4_decode_metadata",
     "semantic_cluster_prototypes",
+    "bpe_tokenize_and_pack",
 ]
 
 

@@ -2774,37 +2774,19 @@ def training_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     offset; the spanned sequence ids come from ``sequence``/``explode``
     and integer ``div`` arithmetic (exact at any corpus size — no double
     division). At 100 TB: one range shuffle of the slim (id, n_tokens)
-    pair, everything else scan-fused."""
-    from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+    pair, everything else scan-fused. Span arithmetic shared via
+    ``ext/sampling.explode_token_spans``."""
+    from dvh_airflow_kafka_spark.ext.sampling import (
+        explode_token_spans,
+        with_prefix_sum,
+    )
 
-    L = _SEQ_LEN
     docs = load_table(spark, sf_dir, "documents")
     slim = docs.select(
         "doc_id", F.size(xtext.tokens(F.col("text"))).alias("n_tokens")
     ).filter(F.col("n_tokens") > 0)
     pre = with_prefix_sum(slim, "doc_id", F.col("n_tokens"))
-    end = F.col("before") + F.col("size")
-    e = pre.select(
-        "doc_id",
-        "size",
-        "before",
-        F.explode(
-            F.sequence(
-                F.expr(f"before div {L}"), F.expr(f"(before + size - 1) div {L}")
-            )
-        ).alias("seq_id"),
-    )
-    seq_start = F.col("seq_id") * L
-    span_start = F.greatest(F.col("before"), seq_start)
-    return e.select(
-        "doc_id",
-        F.col("seq_id").cast("bigint").alias("seq_id"),
-        (span_start - F.col("before")).cast("bigint").alias("tok_start"),
-        (span_start - seq_start).cast("bigint").alias("offset_in_seq"),
-        (F.least(end, seq_start + L) - span_start)
-        .cast("bigint")
-        .alias("n_seq_tokens"),
-    )
+    return explode_token_spans(pre, _SEQ_LEN)
 
 
 @register(
@@ -4754,6 +4736,35 @@ def data_selection_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__before") + F.col("size") <= _TOKEN_BUDGET
     ).select("doc_id", F.col("size").alias("n_tokens"))
     return length_batch_stats(kept, batch_size=_BATCH_SIZE)
+
+
+@register("bpe_tokenize_and_pack", sql=None)
+def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone #5 — REAL tokenizer feeding the sequence packer:
+    documents are BPE-encoded (the ``bpe_encode_udf`` kernel, merge
+    ranks broadcast) and their PIECE counts drive the GPT-style
+    concat-and-split into fixed 256-token training sequences (documents
+    span boundaries). This is the actual "text in, packed token
+    sequences out" step of a pre-training pipeline — the
+    whitespace-token ``training_sequence_pack`` is its SQL-expressible
+    twin. Rows-only driver check (BPE has no SQL form); the span
+    arithmetic is the SAME ``explode_token_spans`` the oracled packers
+    use, and tiling/rejoin invariants are pytest-pinned. Plan shape:
+    one Arrow-batched tokenize pass → slim (id, n_pieces) range shuffle
+    → scan-fused span explode."""
+    from dvh_airflow_kafka_spark.ext.sampling import (
+        explode_token_spans,
+        with_prefix_sum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = xtext.bpe_encode_udf()
+    slim = docs.select(
+        "doc_id",
+        F.size(enc(F.lower(F.col("text")))).cast("long").alias("__n"),
+    ).filter(F.col("__n") > 0)
+    pre = with_prefix_sum(slim, "doc_id", F.col("__n"))
+    return explode_token_spans(pre, 256)
 
 
 @register("bpe_encode_stats", sql=None)

@@ -239,3 +239,42 @@ def temperature_mixture_filter(
     # a NULL source misses the map -> NULL threshold -> predicate NULL
     # -> row dropped, matching the oracle's inner join
     return df.filter(split_bucket(key, salt) < mapping[F.col(source_col)])
+
+
+def explode_token_spans(
+    pre: DataFrame,
+    length: int,
+    *,
+    id_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """GPT-style concat-and-split: given a ``with_prefix_sum`` frame
+    (``before``/``size`` in tokens), emit one row per (document,
+    fixed-``length``-sequence) overlap — documents SPAN sequence
+    boundaries instead of being padded or truncated. Output per row:
+    ``seq_id``, ``tok_start`` (offset into the document), ``offset_in_seq``
+    and ``n_seq_tokens``; every sequence except the last tiles to exactly
+    ``length`` tokens. Integer ``div`` arithmetic — token offsets stay
+    exact past 2⁵³ where double division would silently round. The single
+    definition behind the corpus DSL's ``pack_sequences`` stage,
+    ``training_sequence_pack`` and ``bpe_tokenize_and_pack``."""
+    e = pre.filter(F.col("size") > 0).withColumn(
+        "seq_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"before div {length}"),
+                F.expr(f"(before + size - 1) div {length}"),
+            )
+        ),
+    )
+    end = F.col("before") + F.col("size")
+    seq_start = F.col("seq_id") * length
+    span_start = F.greatest(F.col("before"), seq_start)
+    return e.select(
+        *[F.col(c) for c in id_cols],
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        (span_start - F.col("before")).cast("bigint").alias("tok_start"),
+        (span_start - seq_start).cast("bigint").alias("offset_in_seq"),
+        (F.least(end, seq_start + length) - span_start)
+        .cast("bigint")
+        .alias("n_seq_tokens"),
+    )

@@ -281,38 +281,18 @@ def run_corpus_pipeline(
                 raise ValueError(
                     "pack_sequences requires a global_shuffle stage first"
                 )
-            from dvh_airflow_kafka_spark.ext.sampling import with_prefix_sum
+            from dvh_airflow_kafka_spark.ext.sampling import (
+                explode_token_spans,
+                with_prefix_sum,
+            )
 
-            L = st.length
             pre = with_prefix_sum(
                 df.filter(F.col("n_tokens") > 0),
                 "position",
                 F.col("n_tokens"),
                 carry_cols=("doc_id",),
             )
-            end = F.col("before") + F.col("size")
-            e = pre.select(
-                "doc_id",
-                "position",
-                "size",
-                "before",
-                F.explode(
-                    F.sequence(
-                        F.expr(f"before div {L}"),
-                        F.expr(f"(before + size - 1) div {L}"),
-                    )
-                ).alias("seq_id"),
-            )
-            seq_start = F.col("seq_id") * L
-            span_start = F.greatest(F.col("before"), seq_start)
-            df = e.select(
-                "doc_id",
-                "position",
-                F.col("seq_id").cast("bigint").alias("seq_id"),
-                (span_start - F.col("before")).cast("bigint").alias("tok_start"),
-                (span_start - seq_start).cast("bigint").alias("offset_in_seq"),
-                (F.least(end, seq_start + L) - span_start)
-                .cast("bigint")
-                .alias("n_seq_tokens"),
+            df = explode_token_spans(
+                pre, st.length, id_cols=("doc_id", "position")
             )
     return df

@@ -82,3 +82,39 @@ def test_reference_encoder_properties(words):
         assert all(pieces)
         for a, b in zip(pieces, pieces[1:]):
             assert (a, b) not in ranks, (w, pieces, (a, b))
+
+
+def test_bpe_tokenize_and_pack_tiles(spark, sf_dir):
+    """Spans tile every sequence to exactly 256 tokens (last ragged),
+    per-doc span totals equal the doc's BPE piece count, and in-doc
+    offsets reconstruct contiguously."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    rows = REGISTRY["bpe_tokenize_and_pack"].fn(spark, sf_dir).collect()
+    assert rows
+    by_seq: dict[int, int] = {}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.offset_in_seq < 256
+        assert 1 <= r.n_seq_tokens <= 256
+        by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_seq_tokens
+        by_doc.setdefault(r.doc_id, []).append(r)
+    seqs = sorted(by_seq)
+    assert seqs == list(range(len(seqs)))
+    assert all(by_seq[s] == 256 for s in seqs[:-1])
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_udf()
+    n_bpe = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(enc(F.lower(F.col("text")))).alias("n")
+        ).collect()
+    }
+    for doc_id, spans in by_doc.items():
+        spans.sort(key=lambda r: r.tok_start)
+        assert sum(r.n_seq_tokens for r in spans) == n_bpe[doc_id]
+        pos = 0
+        for r in spans:
+            assert r.tok_start == pos  # contiguous in-doc coverage
+            pos += r.n_seq_tokens
