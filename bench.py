@@ -116,6 +116,7 @@ HEADLINE = [
     "mp4_decode_metadata",
     "semantic_cluster_prototypes",
     "bpe_tokenize_and_pack",
+    "bpe_piece_vocab",
 ]
 
 

@@ -4767,6 +4767,26 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_token_spans(pre, 256)
 
 
+@register("bpe_piece_vocab", sql=None)
+def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Corpus-level BPE piece vocabulary: every subword piece the
+    encoder emits, with occurrence and document frequencies — the
+    vocabulary-coverage report a tokenizer owner reads before training
+    (dead merges, piece distribution skew, OOV pressure). One
+    Arrow-batched tokenize pass → explode → one map-side-combined keyed
+    aggregate; rows-only (BPE has no SQL form) with the shared
+    run-to-run determinism law pinning the output."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = xtext.bpe_encode_udf()
+    pieces = docs.select(
+        "doc_id", F.explode(enc(F.lower(F.col("text")))).alias("piece")
+    )
+    return pieces.groupBy("piece").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+
+
 @register("bpe_encode_stats", sql=None)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Real BPE merge application (Sennrich et al. ACL'16) over the
