@@ -4265,10 +4265,18 @@ def semantic_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = srp_buckets_udf(
         _hyperplanes(dim=64, n_bits=8, n_tables=1, seed=1337)
     )
-    b = ensure_parallelism(emb).select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("__v"),
-        buckets(F.col("embedding"))[0].alias("semantic_bucket"),
+    # materialize the assignment once (same caller-owned-lifetime cache
+    # pattern as semantic_dedup_survivors): both the centroid reduction
+    # and the scoring branch read it, and without the persist the
+    # bucketing UDF re-runs per branch
+    b = (
+        ensure_parallelism(emb)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("__v"),
+            buckets(F.col("embedding"))[0].alias("semantic_bucket"),
+        )
+        .persist()
     )
     expl = b.select(
         "semantic_bucket", F.posexplode(F.col("__v")).alias("pos0", "val")
