@@ -3,11 +3,19 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Each query is forced end-to-end with a noop datasource write (no result
-materialization on the driver, no count() column pruning). Prints exactly
-ONE JSON line:
+materialization on the driver, no count() column pruning).
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q": sec, ...}, "sf": 0.1}
+Output contract (the driver keeps only the LAST ~2000 characters of the
+run's output and parses the final JSON line — round 5's 89-query single
+line overflowed that window and left the round with no parseable bench):
+
+  * line N-1: the FULL per-query map as one JSON line
+    ``{"queries_full": {"q": sec, ...}}`` (also written to
+    ``BENCH_FULL.json`` beside this script for the judge);
+  * line N (final): a compact headline line guaranteed < 1500 chars:
+    ``{"metric": "...", "value": <total sec>, "unit": "sec", "sf": 0.1,
+    "n_queries": N, "queries": {<stable 25-query comparability head,
+    2 decimals>}}``.
 """
 
 from __future__ import annotations
@@ -148,17 +156,37 @@ def main() -> int:
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline catalog queries, noop-sink end-to-end",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    # Full per-query map: one line on stdout (survives in scrollback) and a
+    # file beside the script (survives regardless of capture window).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    full = {
+        "metric": "headline catalog queries, noop-sink end-to-end",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    with open(full_path, "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps({"queries_full": times}), flush=True)
+
+    # Final line: compact headline that MUST fit the driver's ~2000-char
+    # tail capture.  The bounded "queries" map is the stable 25-query
+    # comparability head (same set since round 1), rounded to 2 decimals.
+    head = {n: round(times[n], 2) for n in HEADLINE[:25] if n in times}
+    summary = {
+        "metric": "headline catalog queries, noop-sink end-to-end",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": head,
+    }
+    line = json.dumps(summary)
+    if len(line) > 1500:  # belt-and-braces: never overflow the tail window
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line, flush=True)
     spark.stop()
     return 0
 

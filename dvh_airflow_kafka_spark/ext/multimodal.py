@@ -581,7 +581,9 @@ _MP4_CONTAINERS = frozenset({b"moov", b"trak", b"mdia", b"minf", b"stbl"})
 def decode_mp4_header(content: bytes) -> dict:
     """Real, stdlib-only MP4/ISO-BMFF metadata decode: verify the leading
     ``ftyp`` box, walk the box tree (4-byte big-endian size + fourcc,
-    recursing into container boxes — ISO/IEC 14496-12 §4.2), and extract
+    honouring the §4.2 escape sizes — 1 → 64-bit largesize, 0 → box
+    extends to end of buffer — and recursing into container boxes), and
+    extract
     the movie duration from ``mvhd`` (duration/timescale) and track
     dimensions from ``tkhd`` (16.16 fixed point). Raises ValueError on a
     malformed container or one with no movie header."""
@@ -596,9 +598,19 @@ def decode_mp4_header(content: bytes) -> dict:
         while pos + 8 <= len(buf):
             (size,) = _struct.unpack(">L", buf[pos : pos + 4])
             btype = buf[pos + 4 : pos + 8]
-            if size < 8 or pos + size > len(buf):
+            hdr = 8
+            if size == 0:
+                # §4.2: size 0 -> box extends to the end of the buffer
+                size = len(buf) - pos
+            elif size == 1:
+                # §4.2: size 1 -> 64-bit largesize follows the fourcc
+                if pos + 16 > len(buf):
+                    raise ValueError("truncated MP4 largesize " + repr(btype))
+                (size,) = _struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            if size < hdr or pos + size > len(buf):
                 raise ValueError("truncated MP4 box " + repr(btype))
-            body = buf[pos + 8 : pos + size]
+            body = buf[pos + hdr : pos + size]
             if btype in _MP4_CONTAINERS:
                 walk(body)
             elif btype == b"mvhd":

@@ -24,7 +24,15 @@ from pyspark.sql import functions as F
 
 
 def _hex_threshold(frac: float) -> str:
-    """frac in [0,1] → 8-hex lowercase threshold (P(prefix < t) ≈ frac)."""
+    """frac in [0,1] → 8-hex lowercase threshold (P(prefix < t) ≈ frac).
+
+    A fraction of exactly 1.0 means "keep everything", so it returns a
+    sentinel that sorts above every hex prefix ('g' > 'f') — the capped
+    'ffffffff' under strict '<' would still drop prefixes equal to
+    'ffffffff' (p ≈ 2⁻³²), contradicting the documented semantics.
+    """
+    if frac >= 1.0:
+        return "g"
     return format(min(int(frac * (1 << 32)), (1 << 32) - 1), "08x")
 
 

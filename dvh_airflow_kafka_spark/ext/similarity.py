@@ -316,7 +316,13 @@ def srp_buckets_udf(planes: np.ndarray):
     def buckets(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        bits = (_vstack(v) @ flat.T) > 0  # (B, n_tables*n_bits)
+        # round the projection before the sign test: BLAS matmul summation
+        # order can differ from an oracle's sequential dot product in the
+        # last ulp, so an exactly-orthogonal vector (true projection 0)
+        # could flip a bucket bit nondeterministically; at 6 digits both
+        # engines see the same 0. Mirrored by round(list_dot_product, 6)
+        # in every oracle SQL that replays these planes.
+        bits = np.round(_vstack(v) @ flat.T, 6) > 0  # (B, n_tables*n_bits)
         packed = (
             bits.reshape(len(v), n_tables, n_bits).astype(np.int64) * weights
         ).sum(axis=2)
@@ -332,7 +338,9 @@ def srp_bucket(vec: Column, planes: np.ndarray) -> Column:
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         proj = dot(vec, F.array(*[F.lit(float(x)) for x in plane]))
-        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + F.when(
+            F.round(proj, 6) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return bucket
 
 

@@ -305,10 +305,16 @@ def test_temperature_threshold_matches_duckdb(counts, k):
     con = duckdb.connect()
     for c in counts:
         py = _hex_threshold(min(k / math.sqrt(c), 1.0))
+        # the CASE mirrors the oracle SQL in catalog.py: a capped fraction
+        # of exactly 1.0 means "keep everything" -> sentinel 'g' above any
+        # hex prefix (strict '<' against 'ffffffff' would drop p≈2⁻³² rows)
         (dk,) = con.execute(
-            f"""SELECT lower(lpad(to_hex(CAST(least(
-                    floor(least({k!r} / sqrt(CAST({c} AS DOUBLE)), 1.0) * 4294967296.0),
-                    4294967295.0) AS BIGINT)), 8, '0'))"""
+            f"""SELECT CASE
+                    WHEN {k!r} / sqrt(CAST({c} AS DOUBLE)) >= 1.0 THEN 'g'
+                    ELSE lower(lpad(to_hex(CAST(least(
+                        floor({k!r} / sqrt(CAST({c} AS DOUBLE)) * 4294967296.0),
+                        4294967295.0) AS BIGINT)), 8, '0'))
+                END"""
         ).fetchone()
         assert py == dk, (c, k, py, dk)
     con.close()

@@ -327,6 +327,41 @@ def test_mp4_decode_short_bodies_raise_value_error():
         )
 
 
+def test_mp4_decode_handles_escape_size_forms():
+    """ISO/IEC 14496-12 §4.2 escape sizes are legal in real files: size==1
+    means a 64-bit largesize follows the fourcc, size==0 means the box
+    extends to the end of the buffer. Both must parse, and a truncated
+    largesize must raise the documented ValueError."""
+    import struct
+
+    import pytest as _pytest
+
+    from dvh_airflow_kafka_spark.ext.multimodal import decode_mp4_header
+
+    ftyp = struct.pack(">L", 16) + b"ftyp" + b"isom\x00\x00\x02\x00"
+    mvhd_body = (
+        b"\x00\x00\x00\x00"
+        + struct.pack(">LL", 0, 0)
+        + struct.pack(">LL", 1000, 2500)  # timescale, duration -> 2500 ms
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">L", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+
+    # moov with size==1: 64-bit largesize (header is 16 bytes)
+    large_moov = (
+        struct.pack(">L", 1) + b"moov" + struct.pack(">Q", 16 + len(mvhd)) + mvhd
+    )
+    assert decode_mp4_header(ftyp + large_moov)["duration_ms"] == 2500
+
+    # moov with size==0: box extends to the end of the buffer
+    zero_moov = struct.pack(">L", 0) + b"moov" + mvhd
+    assert decode_mp4_header(ftyp + zero_moov)["duration_ms"] == 2500
+
+    # size==1 but the largesize field itself is cut off
+    with _pytest.raises(ValueError, match="largesize"):
+        decode_mp4_header(ftyp + struct.pack(">L", 1) + b"moov" + b"\x00\x00")
+
+
 def test_detect_mime_agrees_with_python_sniffer(spark):
     """The codegen Column sniffer and the Python-side _sniff must stay in
     lockstep across every modality, including the offset-4 ftyp rule."""

@@ -38,7 +38,11 @@ def main() -> int:
         f"Every catalog query's EXECUTED plan at `{SF_DIR}` — each query "
         "runs to a noop sink first, so the counts reflect the final "
         "adaptive (AQE) plan including realized WholeStageCodegen spans, "
-        "not the pre-execution sketch. `py_stage` > 0 only where a Python kernel "
+        "not the pre-execution sketch. Counts are DISTINCT physical nodes "
+        "(identical plan lines dedup'd): a persisted frame's cached lineage "
+        "is re-printed at every InMemoryTableScan site but its exchanges "
+        "execute exactly once, at cache fill. "
+        "`py_stage` > 0 only where a Python kernel "
         "is the point (pandas UDF vector math, mapInPandas decode, "
         "stateful sessionization). `nested_loop` > 0 only for the "
         "scalar-subquery pattern — a crossJoin against a broadcast "
@@ -61,7 +65,19 @@ def main() -> int:
         except Exception as exc:  # pragma: no cover
             lines.append(f"| {name} | (error: {type(exc).__name__}) |" + " |" * 8)
             continue
-        counts = {k: len(re.findall(rx, plan)) for k, rx in COUNTERS.items()}
+        # Count DISTINCT matching plan lines, not raw occurrences: the plan
+        # string re-prints a persisted frame's full cached lineage at every
+        # InMemoryTableScan site, so raw counts charge a cache-filling
+        # shuffle once per scan even though it executes exactly once.
+        # Expression ids are globally unique per attribute, so two
+        # identical `Exchange hashpartitioning(k#12, 32)` lines are the
+        # same physical node; genuinely distinct exchanges always differ.
+        # (Reused exchanges print as ReusedExchange and never match.)
+        plan_lines = [re.sub(r"^[\s:+-]+", "", ln) for ln in plan.splitlines()]
+        counts = {
+            k: len({ln for ln in plan_lines if re.search(rx, ln)})
+            for k, rx in COUNTERS.items()
+        }
         # finalized AQE plans mark codegen stages as `*(id)` prefixes, not
         # WholeStageCodegen nodes — count distinct stage ids
         counts["codegen"] = max(

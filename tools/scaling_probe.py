@@ -177,11 +177,19 @@ def probe_semantic(max_factor: int = 4) -> None:
         emb = emb_base.select("vec_id", "embedding")
         docs = doc_base.select("doc_id", "text")
         for i in range(1, factor):
-            # perturb replica vectors (reverse) so they occupy other buckets
+            # perturb each replica DIFFERENTLY (rotate by i) so replicas
+            # land in distinct buckets — a shared transform (e.g. reverse)
+            # makes replicas 1..factor-1 mutual exact duplicates (cosine
+            # 1.0, same bucket) and intra-bucket pair counts then grow
+            # quadratically with the factor, contaminating the curve
+            e = F.col("embedding")
+            rotated = F.concat(
+                F.slice(e, i + 1, F.size(e)), F.slice(e, 1, i)
+            )
             emb = emb.unionByName(
                 emb_base.select(
                     (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
-                    F.reverse(F.col("embedding")).alias("embedding"),
+                    rotated.alias("embedding"),
                 )
             )
             docs = docs.unionByName(
