@@ -118,3 +118,42 @@ def test_bpe_tokenize_and_pack_tiles(spark, sf_dir):
         for r in spans:
             assert r.tok_start == pos  # contiguous in-doc coverage
             pos += r.n_seq_tokens
+
+
+def test_bpe_piece_vocab_aggregate_oracled_via_materialized_pieces(
+    spark, sf_dir, tmp_path
+):
+    """Partial-oracle pin for the rows-only ``bpe_piece_vocab``: the
+    tokenizer itself stays Python (no SQL form), but the doc-frequency
+    AGGREGATE over its output is SQL — materialize Spark's exploded
+    (doc_id, piece) rows to parquet and let DuckDB run the same
+    grouped aggregate over the SAME pieces. Hash-equivalent results
+    mean the distributed count/count-distinct plumbing (not just the
+    kernel) is cross-engine correct."""
+    import duckdb
+
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_udf()
+    pieces_path = str(tmp_path / "pieces")
+    docs.select(
+        "doc_id", F.explode(enc(F.lower(F.col("text")))).alias("piece")
+    ).write.parquet(pieces_path)
+
+    got = sorted(
+        (r.piece, r.n_occurrences, r.doc_freq)
+        for r in REGISTRY["bpe_piece_vocab"].fn(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (p, int(n), int(d))
+        for p, n, d in con.execute(
+            f"""SELECT piece, COUNT(*) AS n_occurrences,
+                       COUNT(DISTINCT doc_id) AS doc_freq
+                FROM read_parquet('{pieces_path}/*.parquet')
+                GROUP BY piece"""
+        ).fetchall()
+    )
+    con.close()
+    assert got == want

@@ -243,11 +243,182 @@ def probe_semantic(max_factor: int = 4) -> None:
     spark.stop()
 
 
+def probe_ann(max_factor: int = 4) -> None:
+    """Scaling curve for the ANN audit path (the shape behind
+    ``ann_recall_at_k``): a FIXED 10-query probe set against an
+    embeddings corpus replicated N×. Both legs scan the corpus — the
+    SRP-LSH bucketed top-k (hash pass + bucket-join candidates) and the
+    brute-force exact top-k (one linear mapInPandas scan) — so both
+    should track rows ~linearly on a fixed-core box; the recall join on
+    top is O(queries·k), noise. Replicas are rotated per-index so they
+    occupy distinct buckets (see probe_semantic)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_ann")
+    emb_base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = emb_base.count()
+    tmp = tempfile.mkdtemp(prefix="scale_ann_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        emb = emb_base.select("vec_id", "embedding")
+        for i in range(1, factor):
+            e = F.col("embedding")
+            rotated = F.concat(F.slice(e, i + 1, F.size(e)), F.slice(e, 1, i))
+            emb = emb.unionByName(
+                emb_base.select(
+                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                    rotated.alias("embedding"),
+                )
+            )
+        path = f"{tmp}/emb_x{factor}"
+        emb.write.mode("overwrite").parquet(path)
+        emb_r = spark.read.parquet(path)
+        queries = emb_r.filter(F.col("vec_id") < 10)
+
+        t0 = time.time()
+        lsh_bucketed_topk(emb_r, queries, k=5, n_bits=8, n_tables=4).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        lsh_s = time.time() - t0
+
+        t0 = time.time()
+        brute_force_topk(emb_r, queries, k=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        bf_s = time.time() - t0
+
+        out.append(
+            {
+                "factor": factor,
+                "rows": n_base * factor,
+                "lsh_topk_sec": round(lsh_s, 2),
+                "brute_force_sec": round(bf_s, 2),
+            }
+        )
+        print(
+            f"# ann x{factor}: lsh {lsh_s:.2f}s brute-force {bf_s:.2f}s",
+            file=sys.stderr,
+        )
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "ann_scaling", "runs": out}))
+    spark.stop()
+
+
+def probe_fuzzy(max_factor: int = 4) -> None:
+    """Scaling curve for the blocked fuzzy join (the shape behind
+    ``fuzzy_match_blocked``): documents replicated N× with a PER-REPLICA
+    prefix tag, so the (24-char-prefix, length) block key keeps replicas
+    in disjoint blocks — cross-replica pairs are impossible and pair
+    counts grow linearly with N, exactly the property a blocking key
+    must preserve at 100 TB. Each replica re-plants the 3-char mutants,
+    so verified matches also scale linearly."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_fuzzy")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_base = base.count()
+    tmp = tempfile.mkdtemp(prefix="scale_fuzzy_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        pool = base.select("doc_id", "text")
+        for i in range(1, factor):
+            pool = pool.unionByName(
+                base.select(
+                    (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                    F.concat(F.lit(f"r{i} "), F.col("text")).alias("text"),
+                )
+            )
+        path = f"{tmp}/docs_x{factor}"
+        pool.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+
+        # the fuzzy_match_blocked shape: plant mutants, block on
+        # (prefix24, length), verify with thresholded levenshtein
+        mutant = docs.filter(
+            (F.length("text") >= 40) & (F.col("doc_id") % 4 == 0)
+        ).select(
+            (F.col("doc_id") + 500_000_000).alias("doc_id"),
+            F.concat(
+                F.substring(F.col("text"), 1, 29),
+                F.lit("qqq"),
+                F.expr("substr(text, 33)"),
+            ).alias("text"),
+        )
+        keyed = (
+            docs.unionAll(mutant)
+            .select(
+                "doc_id",
+                "text",
+                F.substring("text", 1, 24).alias("__blk"),
+                F.length("text").alias("__len"),
+            )
+            .persist()
+        )
+        a = keyed.select(
+            F.col("doc_id").alias("id_a"), F.col("text").alias("__ta"),
+            "__blk", "__len",
+        )
+        b = keyed.select(
+            F.col("doc_id").alias("id_b"), F.col("text").alias("__tb"),
+            "__blk", "__len",
+        )
+        t0 = time.time()
+        (
+            a.join(b, ["__blk", "__len"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.expr("levenshtein(__ta, __tb, 5)").alias("d"),
+            )
+            .filter((F.col("d") >= 0) & (F.col("d") <= 5))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        fz_s = time.time() - t0
+        keyed.unpersist()
+        out.append(
+            {
+                "factor": factor,
+                "rows": n_base * factor,
+                "fuzzy_sec": round(fz_s, 2),
+            }
+        )
+        print(f"# fuzzy x{factor}: {fz_s:.2f}s", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "fuzzy_scaling", "runs": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         probe_dedup(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "semantic":
         probe_semantic(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "ann":
+        probe_ann(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "fuzzy":
+        probe_fuzzy(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
     raise SystemExit(main())
