@@ -125,6 +125,10 @@ HEADLINE = [
     "semantic_cluster_prototypes",
     "bpe_tokenize_and_pack",
     "bpe_piece_vocab",
+    # round-6 additions (append-only, same comparability rule)
+    "embedding_kmeans_assign",
+    "duplicate_span_removal",
+    "link_graph_pagerank",
 ]
 
 

@@ -573,3 +573,99 @@ def semantic_dedup_survivors(
         .distinct()
     )
     return base.join(dups, id_col, "left_anti").select(id_col, "semantic_bucket")
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup with span REMOVAL (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better', ACL'22): every word-level
+    ``ngram``-token span occurring in >= 2 documents is deleted from every
+    document EXCEPT the keeper (the minimum id containing that span);
+    remaining tokens are re-joined in order. This is the transform that
+    *produces* the cleaned corpus, downstream of the detection signal
+    ``duplicated_ngram_spans`` emits.
+
+    Output: ``(id_col, n_tokens int, n_removed int, cleaned_sha)`` — one
+    row per input document (``cleaned_sha`` = sha256 of the kept tokens
+    space-joined; the empty document hashes the empty string).
+
+    Plan shape — the inverted-index skeleton end-to-end, no UDF anywhere:
+
+    1. positional shingles per doc via higher-order functions (zero
+       shuffles; docs shorter than ``ngram`` tokens generate none);
+    2. ONE map-side-combined aggregate keyed on the gram -> (keeper =
+       min id, distinct-doc count) — the same exchange the detection
+       query pays; a hot-gram cap (``drop_hot_shingles``) bolts on here
+       unchanged when boilerplate spans get hot at corpus scale;
+    3. gram-keyed join back to occurrences, positions expanded with
+       ``sequence`` + ``explode`` and deduplicated -> covered (doc, pos);
+    4. (doc, pos)-keyed LEFT ANTI join deletes covered tokens — at 100 TB
+       every exchange so far is keyed by gram or (doc, pos), never
+       all-pairs;
+    5. per-doc re-assembly: ``collect_list(struct(pos, tok))`` +
+       ``array_sort`` (struct sort = pos order) — grouped by doc id, so
+       state is bounded by the longest document, not the corpus.
+    """
+    toks = docs.select(
+        id_col, tokens(F.col(text_col)).alias("__wl")
+    )
+    grams = toks.filter(F.size("__wl") >= ngram).select(
+        id_col,
+        F.posexplode(word_ngrams_from_tokens(F.col("__wl"), ngram)).alias(
+            "__i0", "__g"
+        ),
+    )
+    dup = (
+        grams.groupBy("__g")
+        .agg(
+            F.min(id_col).alias("__keeper"),
+            F.count_distinct(id_col).alias("__nd"),
+        )
+        .filter(F.col("__nd") >= 2)
+    )
+    covered = (
+        grams.join(dup, "__g")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__i0"), F.col("__i0") + (ngram - 1))
+            ).alias("__p0"),
+        )
+        .distinct()
+    )
+    tokpos = toks.select(
+        id_col, F.posexplode("__wl").alias("__p0", "__tok")
+    )
+    kept = tokpos.join(covered, [id_col, "__p0"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__kept"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p0", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ),
+            256,
+        ).alias("cleaned_sha"),
+    )
+    return (
+        toks.select(id_col, F.size("__wl").alias("n_tokens"))
+        .join(kept_agg, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_sha"), F.sha2(F.lit(""), 256)).alias(
+                "cleaned_sha"
+            ),
+        )
+    )
