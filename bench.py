@@ -129,6 +129,8 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "duplicate_span_removal",
     "link_graph_pagerank",
+    "pq_encode_stats",
+    "weighted_priority_sample",
 ]
 
 

@@ -4876,9 +4876,12 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ==========================================================================
 # [EXT] round-6: distributed k-means clustering, exact-substring span
-# REMOVAL, link-graph PageRank.
+# REMOVAL, link-graph PageRank, product-quantization encode, priority
+# sampling.
 #
-# ROUND-7 NOTE: these three register AFTER the 50-query driver window, so
+# ROUND-7 NOTE: these five (embedding_kmeans_assign,
+# duplicate_span_removal, link_graph_pagerank, pq_encode_stats,
+# weighted_priority_sample) register AFTER the 50-query driver window, so
 # they hold no driver CORRECTNESS row this round (verified locally vs
 # their oracles at sf0.01 + pytest-pinned invariants).  Next round, rotate
 # them to the front of _CERTIFY_FIRST.
@@ -5101,6 +5104,129 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranks.select(
         F.col("id").alias("doc_id"), F.round("rank", 6).alias("pagerank")
+    )
+
+
+_PQ_M = 8
+_PQ_CODES = 16
+_PQ_SUB = _EMB_DIM // _PQ_M
+
+
+@register(
+    "pq_encode_stats",
+    sql=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sd AS (SELECT CAST(vec_id % {_PQ_CODES} AS INT) AS c, MIN(vec_id) AS sid
+           FROM v GROUP BY 1),
+    cb AS (SELECT sd.c, list_transform(v.e, x -> round(x, 6)) AS ce
+           FROM sd JOIN v ON v.vec_id = sd.sid),
+    ss AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    d AS (
+        SELECT v.vec_id, ss.s, cb.c,
+               round(list_dot_product(v.e[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}],
+                                      v.e[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}])
+                     - 2 * list_dot_product(v.e[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}],
+                                            cb.ce[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}])
+                     + list_dot_product(cb.ce[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}],
+                                        cb.ce[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}]),
+                     6) AS d
+        FROM v CROSS JOIN ss CROSS JOIN cb
+    ),
+    b AS (
+        SELECT vec_id, s, c, d,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM d
+    )
+    SELECT vec_id, list(CAST(c AS INT) ORDER BY s) AS codes,
+           SUM(CAST(round(d * 1000000, 0) AS BIGINT)) / 1000000.0 AS recon_err
+    FROM b WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Product quantization encode (Jégou et al. TPAMI'11): each
+    64-dim vector becomes m=8 sub-vector codes against 16-entry seeded
+    codebooks plus its summed reconstruction error — the memory half of
+    IVF-PQ (``ivf_index_build`` is the routing half): codes shrink a
+    100 TB float corpus ~32x so ADC scans touch bytes, not floats. ONE
+    linear mapInPandas scan, codebooks broadcast in the closure, one
+    einsum per Arrow batch (``ext/similarity.pq_encode``); seeded (not
+    Lloyd-refined) codebooks keep the whole encode SQL-replayable —
+    production refines per-subspace with ``ext/cluster``."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsim2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = xsim2.pq_seed_codebooks(emb, "vec_id", "embedding", n_codes=_PQ_CODES)
+    return xsim2.pq_encode(emb, cb, m=_PQ_M)
+
+
+_PRIORITY_K = 20
+_PRIORITY_SALT = "prio-v1"
+
+
+@register(
+    "weighted_priority_sample",
+    sql=f"""
+    WITH h AS (
+        SELECT source, doc_id, GREATEST(n_chars, 1) AS weight,
+               ('0x' || substr(sha256('{_PRIORITY_SALT}'
+                                      || CAST(doc_id AS VARCHAR)), 1, 8)
+               )::BIGINT AS hv
+        FROM documents
+    ),
+    p AS (
+        SELECT source, doc_id, weight,
+               (weight * 4294967296) // (hv + 1) AS priority
+        FROM h
+    )
+    SELECT source, doc_id, weight, priority,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY priority DESC, doc_id) AS INT)
+               AS rank
+    FROM p QUALIFY rank <= {_PRIORITY_K}
+    """,
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Priority sampling (Duffield, Lund, Thorup, JACM'07): keep
+    the top-20 docs per source by priority w/u, u a
+    deterministic sha-derived uniform — the weight-proportional corpus
+    subsample whose estimators are provably near-optimal. The priority
+    is EXACT integer arithmetic (w * 2^32 div (h+1), h the 8-hex sha
+    prefix) — bit-identical across engines, no float ordering anywhere.
+    Scan-fused expressions + ONE source-keyed window; at 100 TB the
+    per-source top-k runs as rank-limited window groups (WindowGroupLimit
+    pushes the k cutoff map-side), never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(_PRIORITY_SALT), F.col("doc_id").cast("string")
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.greatest(F.col("n_chars"), F.lit(1)).alias("weight"),
+            h.alias("__hv"),
+        )
+        .withColumn(
+            "priority",
+            F.expr("weight * 4294967296 DIV (__hv + 1)"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _PRIORITY_K)
+        .select("source", "doc_id", "weight", "priority", "rank")
     )
 
 

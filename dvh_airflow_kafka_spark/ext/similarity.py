@@ -583,3 +583,104 @@ def ivf_index_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — 'Product Quantization for
+# Nearest Neighbor Search', TPAMI 2011): split the vector into m subspaces,
+# quantize each sub-vector to a tiny per-subspace codebook, store m small
+# codes per vector. The memory side of IVF-PQ (ext: ``ivf_index_build`` is
+# the routing side): 64 float32 dims (256 B) compress to m=8 uint4/uint8
+# codes, so a 100 TB embedding corpus's quantized form fits hot storage and
+# ADC distance scans touch codes, not floats.
+# ---------------------------------------------------------------------------
+
+
+def pq_seed_codebooks(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+) -> np.ndarray:
+    """Deterministic seeded codebooks: code c's centroid (in EVERY
+    subspace) comes from the full vector of the MINIMUM id in residue
+    class ``id % n_codes == c`` — a groupBy-min plus a bounded n_codes-row
+    collect, the same seeding contract as ``ext/cluster``. Production
+    refines each subspace's codebook with Lloyd iterations
+    (``ext/cluster.kmeans_assignments`` per subspace); seeds keep the
+    whole encode SQL-replayable cross-engine. Returns (n_codes, dim)
+    float64 rounded to ROUND_DIGITS."""
+    rows = (
+        emb.groupBy((F.col(id_col) % n_codes).cast("int").alias("__c"))
+        .agg(F.min(id_col).alias("__sid"))
+        .join(emb, F.col("__sid") == F.col(id_col))
+        .select("__c", vec_col)
+        .collect()
+    )
+    by_c = {int(r["__c"]): np.asarray(r[vec_col], dtype=np.float64) for r in rows}
+    return np.round(
+        np.vstack([by_c[c] for c in sorted(by_c)]), ROUND_DIGITS
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector: per subspace s (dim/m contiguous dims), pick
+    ``argmin_c round(||x_s - cb[c]_s||^2, 6)`` (ties -> lowest code) and
+    report the summed per-subspace error. ONE linear mapInPandas corpus
+    scan, codebooks broadcast in the closure — no join, no shuffle;
+    numpy does (batch, m, n_codes) distances in one einsum.
+
+    The error sum runs in EXACT integer micro-units (the rounded
+    distances are 6-decimal values, so x1e6 they are integers): a float
+    sum re-rounded to 4 decimals hits exact .00005 ties where numpy
+    rounds half-even and SQL engines half-away — integer summation has
+    no tie to disagree on.
+
+    Output: ``(id_col, codes array<int>, recon_err double, 6 dp)``."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    n_codes, dim = codebooks.shape
+    sub = dim // m
+    # (m, n_codes, sub)
+    C = codebooks.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+    cc = np.einsum("mcs,mcs->mc", C, C)  # (m, n_codes)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+            T.StructField("recon_err", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _vstack(pdf[vec_col]).reshape(-1, m, sub)  # (n, m, sub)
+            xx = np.einsum("nms,nms->nm", X, X)  # (n, m)
+            xc = np.einsum("nms,mcs->nmc", X, C)  # (n, m, n_codes)
+            d = np.round(
+                xx[:, :, None] - 2.0 * xc + cc[None, :, :], ROUND_DIGITS
+            )
+            codes = np.argmin(d, axis=2)  # ties -> lowest code
+            dsel = np.take_along_axis(d, codes[:, :, None], axis=2).squeeze(2)
+            micro = np.rint(dsel * 1e6).astype(np.int64).sum(axis=1)
+            err = micro / 1e6
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "codes": list(codes.astype(np.int32)),
+                    "recon_err": err,
+                }
+            )
+
+    return ensure_parallelism(emb.select(id_col, vec_col)).mapInPandas(
+        encode, schema=out_schema
+    )
