@@ -131,6 +131,7 @@ HEADLINE = [
     "link_graph_pagerank",
     "pq_encode_stats",
     "weighted_priority_sample",
+    "pq_adc_recall",
 ]
 
 

@@ -4879,9 +4879,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REMOVAL, link-graph PageRank, product-quantization encode, priority
 # sampling.
 #
-# ROUND-7 NOTE: these five (embedding_kmeans_assign,
+# ROUND-7 NOTE: these six (embedding_kmeans_assign,
 # duplicate_span_removal, link_graph_pagerank, pq_encode_stats,
-# weighted_priority_sample) register AFTER the 50-query driver window, so
+# pq_adc_recall, weighted_priority_sample) register AFTER the 50-query
+# driver window, so
 # they hold no driver CORRECTNESS row this round (verified locally vs
 # their oracles at sf0.01 + pytest-pinned invariants).  Next round, rotate
 # them to the front of _CERTIFY_FIRST.
@@ -5157,6 +5158,120 @@ def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = xsim2.pq_seed_codebooks(emb, "vec_id", "embedding", n_codes=_PQ_CODES)
     return xsim2.pq_encode(emb, cb, m=_PQ_M)
+
+
+def _l2_micro_sql(a: str, b: str) -> str:
+    """Rounded squared-L2 distance as an EXACT BIGINT in micro-units —
+    the shared cross-engine distance idiom of the PQ family."""
+    return (
+        f"CAST(round(round(list_dot_product({a}, {a})"
+        f" - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6) * 1000000, 0) AS BIGINT)"
+    )
+
+
+def _pq_sub_slice(col: str) -> str:
+    return f"{col}[ss.s*{_PQ_SUB}+1 : ss.s*{_PQ_SUB}+{_PQ_SUB}]"
+
+
+_PQ_ADC_SQL = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sd AS (SELECT CAST(vec_id % {_PQ_CODES} AS INT) AS c, MIN(vec_id) AS sid
+           FROM v GROUP BY 1),
+    cb AS (SELECT sd.c, list_transform(v.e, x -> round(x, 6)) AS ce
+           FROM sd JOIN v ON v.vec_id = sd.sid),
+    ss AS (SELECT unnest(range(0, {_PQ_M})) AS s),
+    d AS (
+        SELECT v.vec_id, ss.s, cb.c,
+               round(list_dot_product({_pq_sub_slice('v.e')}, {_pq_sub_slice('v.e')})
+                     - 2 * list_dot_product({_pq_sub_slice('v.e')}, {_pq_sub_slice('cb.ce')})
+                     + list_dot_product({_pq_sub_slice('cb.ce')}, {_pq_sub_slice('cb.ce')}),
+                     6) AS d
+        FROM v CROSS JOIN ss CROSS JOIN cb
+    ),
+    b AS (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+        FROM d
+    ),
+    q AS (SELECT vec_id AS qid, e FROM v WHERE vec_id < 10),
+    qd AS (
+        SELECT q.qid, ss.s, cb.c,
+               CAST(round(round(
+                   list_dot_product({_pq_sub_slice('q.e')}, {_pq_sub_slice('q.e')})
+                   - 2 * list_dot_product({_pq_sub_slice('q.e')}, {_pq_sub_slice('cb.ce')})
+                   + list_dot_product({_pq_sub_slice('cb.ce')}, {_pq_sub_slice('cb.ce')}),
+                   6) * 1000000, 0) AS BIGINT) AS dm
+        FROM q CROSS JOIN ss CROSS JOIN cb
+    ),
+    adc0 AS (
+        SELECT qd.qid, b.vec_id AS nid, SUM(qd.dm) AS dist
+        FROM b JOIN qd ON qd.s = b.s AND qd.c = b.c
+        WHERE b.rn = 1 AND b.vec_id <> qd.qid
+        GROUP BY qd.qid, b.vec_id
+    ),
+    adct AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+            FROM adc0) x WHERE rn <= 5
+    ),
+    ex0 AS (
+        SELECT q.qid, v.vec_id AS nid, {_l2_micro_sql('v.e', 'q.e')} AS dist
+        FROM q CROSS JOIN v WHERE v.vec_id <> q.qid
+    ),
+    ext AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS rn
+            FROM ex0) y WHERE rn <= 5
+    )
+    SELECT e.qid AS query_id, CAST(COUNT(a.nid) AS INT) AS hits_at_5
+    FROM (SELECT DISTINCT qid FROM ext) e
+    LEFT JOIN (
+        SELECT adct.qid, adct.nid FROM adct
+        JOIN ext ON adct.qid = ext.qid AND adct.nid = ext.nid) a
+      ON a.qid = e.qid
+    GROUP BY e.qid
+    """
+
+
+@register("pq_adc_recall", sql=_PQ_ADC_SQL)
+def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Asymmetric-distance (ADC) recall audit for the PQ codes —
+    the quality gate on ``pq_encode_stats``, mirroring what
+    ``ann_recall_at_k`` does for SRP-LSH: per query (vec_id < 10) the
+    ADC top-5 over PQ CODES (one linear scan of the codes frame, m
+    table lookups per vector — never touching the float corpus) is
+    intersected with the exact squared-L2 top-5 (one linear corpus
+    scan). Distances are exact integer micro-units end-to-end on both
+    engines, so even rank boundaries are bit-deterministic. Heavy by
+    construction (it runs the pipeline under test AND its baseline);
+    a verification harness, not a production path."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsim2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = xsim2.pq_seed_codebooks(emb, "vec_id", "embedding", n_codes=_PQ_CODES)
+    codes = xsim2.pq_encode(emb, cb, m=_PQ_M).select("vec_id", "codes")
+    qdf = emb.filter(F.col("vec_id") < 10)
+    q_ids, q_mat = xsim2._collect_matrix(qdf, "vec_id", "embedding")
+    adc = xsim2.pq_adc_topk(codes, cb, q_ids, q_mat, m=_PQ_M, k=5)
+    exact = xsim2.brute_force_topk_l2(emb, qdf, k=5)
+    hits = (
+        adc.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("int").alias("hits_at_5"),
+        )
+    )
 
 
 _PRIORITY_K = 20

@@ -80,3 +80,56 @@ def test_priority_sample_matches_python_arithmetic(spark, sf_dir):
     for src, ranks in per_source.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), src
         assert len(ranks) <= 20
+
+
+def test_pq_adc_perfect_recall_on_clustered_fixture(spark):
+    # 16 tight blobs in 64-dim (blob b = constant vector b + tiny jitter),
+    # 6 members each. Seeds (min id per id%16) are one per blob, every
+    # subspace separates blobs, so ADC top-5 must equal exact-L2 top-5
+    # (the 5 same-blob siblings) for every query: recall exactly 1.0.
+    import numpy as np
+
+    rows = []
+    for i in range(96):
+        b = i % 16
+        vec = [float(b)] * 64
+        vec[i % 64] += 0.001 * (i // 16 + 1)
+        rows.append((i, vec))
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cb = xsim.pq_seed_codebooks(emb, n_codes=16)
+    codes = xsim.pq_encode(emb, cb, m=8).select("vec_id", "codes")
+    qdf = emb.filter("vec_id < 10")
+    q_ids, q_mat = xsim._collect_matrix(qdf, "vec_id", "embedding")
+    adc = xsim.pq_adc_topk(codes, cb, q_ids, q_mat, m=8, k=5)
+    exact = xsim.brute_force_topk_l2(emb, qdf, k=5)
+    adc_sets: dict[int, set[int]] = {}
+    for r in adc.collect():
+        adc_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ex_sets: dict[int, set[int]] = {}
+    for r in exact.collect():
+        ex_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(adc_sets) == set(range(10))
+    for q in range(10):
+        expected = {i for i in range(96) if i % 16 == q % 16 and i != q}
+        assert ex_sets[q] == expected, q
+        assert adc_sets[q] == expected, q
+
+
+def test_brute_force_l2_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    out = xsim.brute_force_topk_l2(emb, emb.filter("vec_id < 3"), k=4)
+    got: dict[int, list[int]] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for q in range(3):
+        qv = X[ids == q][0]
+        d = np.round(((X - qv) ** 2).sum(axis=1), 6)
+        dm = np.rint(d * 1e6).astype(np.int64)
+        keep = ids != q
+        order = np.lexsort((ids[keep], dm[keep]))[:4]
+        assert got[q] == list(ids[keep][order]), q

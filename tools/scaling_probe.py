@@ -408,6 +408,162 @@ def probe_fuzzy(max_factor: int = 4) -> None:
     spark.stop()
 
 
+def probe_kmeans(max_factor: int = 4) -> None:
+    """Scaling curve for distributed k-means (the shape behind
+    ``embedding_kmeans_assign``): embeddings replicated N× (rotated per
+    replica, see probe_ann). Every iteration is one linear corpus scan
+    plus a k*dim-row exchange whose size is INDEPENDENT of the corpus,
+    so wall time should track rows ~linearly on a fixed-core box."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.cluster import kmeans_assignments
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_kmeans")
+    emb_base = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n_base = emb_base.count()
+    tmp = tempfile.mkdtemp(prefix="scale_kmeans_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        emb = emb_base.select("vec_id", "embedding")
+        for i in range(1, factor):
+            e = F.col("embedding")
+            rotated = F.concat(F.slice(e, i + 1, F.size(e)), F.slice(e, 1, i))
+            emb = emb.unionByName(
+                emb_base.select(
+                    (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+                    rotated.alias("embedding"),
+                )
+            )
+        path = f"{tmp}/emb_x{factor}"
+        emb.write.mode("overwrite").parquet(path)
+        emb_r = spark.read.parquet(path)
+        t0 = time.time()
+        kmeans_assignments(emb_r, k=8, iters=3).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.time() - t0
+        out.append(
+            {"factor": factor, "rows": n_base * factor, "sec": round(sec, 2)}
+        )
+        print(f"# kmeans x{factor}: {sec:.2f}s", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "kmeans_scaling", "runs": out}))
+    spark.stop()
+
+
+def probe_graph(max_factor: int = 4) -> None:
+    """Scaling curve for fixed-iteration PageRank (the shape behind
+    ``link_graph_pagerank``): N disjoint replicas of the synthesized
+    per-replica graph (dst stays inside its replica's id range), so
+    nodes, edges, and per-iteration join/agg work all grow exactly
+    linearly — the curve isolates the iterated keyed-exchange cost."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.graph import pagerank_fixed
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_graph")
+    base_ids = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    n_base = base_ids.count()
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        nodes = base_ids
+        for i in range(1, factor):
+            nodes = nodes.unionByName(
+                base_ids.select((F.col("id") + i * 1_000_000).alias("id"))
+            )
+        nodes = nodes.persist()
+        replica_base = (F.col("id") / 1_000_000).cast("long") * 1_000_000
+        local = F.col("id") - replica_base
+        edges = (
+            nodes.select(
+                F.col("id").alias("src"),
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("g"),
+                replica_base.alias("__rb"),
+                local.alias("__lid"),
+            )
+            .withColumn(
+                "dst", F.col("__rb") + (F.col("__lid") * 31 + F.col("g")) % n_base
+            )
+            .filter(F.col("dst") != F.col("src"))
+            .select("src", "dst")
+            .distinct()
+        )
+        t0 = time.time()
+        pagerank_fixed(nodes, edges, n_nodes=n_base * factor, iters=5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sec = time.time() - t0
+        out.append(
+            {"factor": factor, "nodes": n_base * factor, "sec": round(sec, 2)}
+        )
+        print(f"# graph x{factor}: {sec:.2f}s", file=sys.stderr)
+        nodes.unpersist()
+    print(json.dumps({"metric": "pagerank_scaling", "runs": out}))
+    spark.stop()
+
+
+def probe_spans(max_factor: int = 4) -> None:
+    """Scaling curve for duplicate-span REMOVAL (the shape behind
+    ``duplicate_span_removal``): documents replicated N× verbatim — the
+    WORST case, since every interior 8-gram becomes a cross-replica
+    duplicate and nearly every non-keeper token gets covered. Work still
+    grows linearly: occurrences join 1:1 to the per-gram keeper row
+    (never pairwise), covered-position explode is bounded by 8x the
+    occurrence count, and the anti-join is (doc, pos)-keyed."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.dedup import remove_duplicate_spans
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_spans")
+    base = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    n_base = base.count()
+    tmp = tempfile.mkdtemp(prefix="scale_spans_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        pool = base
+        for i in range(1, factor):
+            pool = pool.unionByName(
+                base.select(
+                    (F.col("doc_id") + i * 1_000_000).alias("doc_id"), "text"
+                )
+            )
+        path = f"{tmp}/docs_x{factor}"
+        pool.write.mode("overwrite").parquet(path)
+        docs = spark.read.parquet(path)
+        t0 = time.time()
+        remove_duplicate_spans(docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.time() - t0
+        out.append(
+            {"factor": factor, "rows": n_base * factor, "sec": round(sec, 2)}
+        )
+        print(f"# spans x{factor}: {sec:.2f}s", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "span_removal_scaling", "runs": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         probe_dedup(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
@@ -420,5 +576,14 @@ if __name__ == "__main__":
         raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "fuzzy":
         probe_fuzzy(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "kmeans":
+        probe_kmeans(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "graph":
+        probe_graph(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "spans":
+        probe_spans(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
     raise SystemExit(main())
