@@ -51,11 +51,17 @@ def pagerank_fixed(
     ``rank`` rounded to ``ITER_ROUND`` decimals (callers round coarser
     for presentation)."""
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # merge outdeg once so the per-iteration join is a single exchange
-    e = edges.join(outdeg, "src").persist()
+    # The two frames every iteration re-joins are persisted PRE-HASHED on
+    # their join keys (the in-memory analogue of the bucketed layout the
+    # module docstring prescribes at 100 TB): the edge side of the
+    # src-join and the node side of the teleport left-join then satisfy
+    # the join's required distribution from cache — only the rank frame
+    # (which changes every iteration) still exchanges.
+    e = edges.join(outdeg, "src").repartition("src").persist()
+    nodes_p = nodes.repartition(id_col).persist()
     teleport = (1.0 - damping) / n_nodes
 
-    ranks = nodes.select(
+    ranks = nodes_p.select(
         F.col(id_col), F.lit(1.0 / n_nodes).alias("rank")
     )
     for _ in range(iters):
@@ -74,7 +80,7 @@ def pagerank_fixed(
             .groupBy(id_col)
             .agg(F.sum("__c").alias("__c"))
         )
-        ranks = nodes.join(contrib, id_col, "left").select(
+        ranks = nodes_p.join(contrib, id_col, "left").select(
             F.col(id_col),
             F.round(
                 F.lit(teleport) + damping * F.coalesce(F.col("__c"), F.lit(0.0)),

@@ -32,13 +32,22 @@ class PayloadExprs:
 
 
 def payload_exprs(
-    src: SourceSpec, avro_schema_json: Optional[str] = None
+    src: SourceSpec,
+    avro_schema_json: Optional[str] = None,
+    avro_schemas_by_id: Optional[dict] = None,
 ) -> PayloadExprs:
     """Build the envelope expressions for ``src``'s schema mode. JSON
     re-serializes the drop/flag-filtered payload; string stores the
     JSON-quoted text; Avro strips the Confluent header and decodes the
     binary record to canonical JSON, then applies the same drop/flag
-    ops."""
+    ops.
+
+    Avro resolves the writer schema one of two ways: a single
+    ``avro_schema_json`` (declared schema, or one per-id branch of the
+    runner's branched plan), or ``avro_schemas_by_id`` — the id→schema
+    map for the SINGLE-SCAN multi-schema decode the runner switches to
+    when a topic carries more distinct writer-schema ids than branching
+    can afford (see ``runner._AVRO_BRANCH_LIMIT``)."""
     mode = PayloadSchema(src.schema_type)
     if mode == PayloadSchema.STRING:
         return PayloadExprs(
@@ -56,12 +65,21 @@ def payload_exprs(
             strip_confluent_header,
         )
 
-        if not avro_schema_json:
+        if avro_schemas_by_id is not None:
+            from dvh_airflow_kafka_spark.sources.avro_codec import (
+                avro_decode_multi_to_json_udf,
+            )
+
+            raw = avro_decode_multi_to_json_udf(avro_schemas_by_id)(
+                F.col("value")
+            )
+        elif avro_schema_json:
+            raw = avro_payload_json(F.col("value"), avro_schema_json)
+        else:
             raise ValueError(
                 "schema: avro needs `avro-schema` in the source config or a "
                 "schema_registry client passed to run_pipeline"
             )
-        raw = avro_payload_json(F.col("value"), avro_schema_json)
         hash_bytes = strip_confluent_header(F.col("value"))
         schema_id = confluent_schema_id(F.col("value"))
     else:

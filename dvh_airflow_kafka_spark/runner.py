@@ -55,6 +55,13 @@ from dvh_airflow_kafka_spark.sources.envelope import (
 
 KAFKA_COLUMNS = {"key", "value", "topic", "partition", "offset", "timestamp"}
 
+# Registry-resolved Avro: up to this many distinct writer-schema ids the
+# runner builds one filtered decode branch per id (static decoder per
+# branch, own whole-stage span); beyond it, one single-scan decode that
+# resolves the schema per row inside the Arrow batch — a thousand-id
+# topic must not pay a thousand re-scans and a thousand-way union.
+_AVRO_BRANCH_LIMIT = 8
+
 
 class PipelineResult:
     """What a run produces: the final frame (lazy unless the sink acted)
@@ -300,8 +307,12 @@ def run_pipeline(
     kafka_df = build_kafka_frame(spark, spec, bootstrap_servers)
     mode = PayloadSchema(src.schema_type)
 
-    def build_env(frame: DataFrame, avro_schema_json: Optional[str]) -> DataFrame:
-        pe = payload_exprs(src, avro_schema_json)
+    def build_env(
+        frame: DataFrame,
+        avro_schema_json: Optional[str],
+        avro_schemas_by_id: Optional[dict] = None,
+    ) -> DataFrame:
+        pe = payload_exprs(src, avro_schema_json, avro_schemas_by_id)
         return with_envelope(
             frame,
             key_codec=src.key_decoder,
@@ -351,22 +362,33 @@ def run_pipeline(
                 "source; declare `avro-schema` in the config"
             )
         schemas = schema_registry.schemas_for_ids(ids)
-        # Per-id decode branches unioned back together — the reference
-        # reads each message with its own writer schema
-        # (src/kafka_source.py:129-151); here each id becomes one
-        # filtered branch over the same scan, so mixed-schema topics
-        # decode in a single run.
-        env = build_env(
-            kafka_df.filter(confluent_schema_id(F.col("value")) == ids[0]),
-            schemas[ids[0]],
-        )
-        for sid in ids[1:]:
-            env = env.unionByName(
-                build_env(
-                    kafka_df.filter(confluent_schema_id(F.col("value")) == sid),
-                    schemas[sid],
-                )
+        if len(ids) > _AVRO_BRANCH_LIMIT:
+            # Scale path: ONE scan, writer schema resolved per row inside
+            # the Arrow batch (avro_codec.avro_decode_multi_to_json_udf).
+            # Branching per id re-scans the source and unions N plans —
+            # right for a handful of schema versions (each branch keeps
+            # its own whole-stage span and a static decoder), wrong for a
+            # topic carrying hundreds of ids.
+            env = build_env(kafka_df, None, avro_schemas_by_id=schemas)
+        else:
+            # Per-id decode branches unioned back together — the
+            # reference reads each message with its own writer schema
+            # (src/kafka_source.py:129-151); here each id becomes one
+            # filtered branch over the same scan, so mixed-schema topics
+            # decode in a single run.
+            env = build_env(
+                kafka_df.filter(confluent_schema_id(F.col("value")) == ids[0]),
+                schemas[ids[0]],
             )
+            for sid in ids[1:]:
+                env = env.unionByName(
+                    build_env(
+                        kafka_df.filter(
+                            confluent_schema_id(F.col("value")) == sid
+                        ),
+                        schemas[sid],
+                    )
+                )
     else:
         env = build_env(kafka_df, src.avro_schema)
     # Counters ride the sink's job as an Observation on the envelope node

@@ -240,3 +240,47 @@ def avro_encode_from_json_udf(schema_json: str):
         return vals.map(one)
 
     return encode
+
+
+def avro_decode_multi_to_json_udf(schemas_by_id: dict):
+    """Pandas UDF: FULL Confluent-framed value -> canonical JSON string,
+    the writer schema resolved PER ROW from the frame's embedded schema
+    id — ONE corpus scan decodes a mixed-schema topic no matter how many
+    writer-schema versions it carries.
+
+    This is the scale path behind the runner's per-id branching: a
+    filtered branch per distinct id (``run_pipeline``) keeps decode in
+    separate whole-stage spans and is right for the handful of versions
+    a topic normally carries, but a thousand-id topic would pay N
+    re-scans and an N-way union. Here the id→parsed-schema map lives in
+    the closure (bounded: one entry per schema VERSION, never per
+    message) and the scan stays single.
+
+    Mirrors the runner's malformed-frame strictness: a non-NULL value
+    shorter than the 5-byte Confluent frame, or an id with no registered
+    schema, raises rather than vanishing (reference
+    src/kafka_source.py:129-137 raises on the first malformed frame)."""
+    parsed = {int(k): json.loads(v) for k, v in schemas_by_id.items()}
+
+    @F.pandas_udf(T.StringType())
+    def decode(vals: pd.Series) -> pd.Series:
+        def one(v) -> Optional[str]:
+            if v is None:
+                return None
+            b = bytes(v)
+            if len(b) < 5:
+                raise ValueError(
+                    f"not a Confluent-framed Avro value ({len(b)} bytes < 5)"
+                )
+            sid = int.from_bytes(b[1:5], "big")
+            schema = parsed.get(sid)
+            if schema is None:
+                raise KeyError(
+                    f"no registered writer schema for id {sid} "
+                    f"(known: {sorted(parsed)})"
+                )
+            return json.dumps(decode_record(schema, b[5:]), ensure_ascii=False)
+
+        return vals.map(one)
+
+    return decode

@@ -734,3 +734,96 @@ transform:
     ).count()
     assert final.count() == expect  # gapless across the boundary
     assert final.select("kafka_offset").distinct().count() == expect
+
+
+def test_avro_many_ids_single_scan_matches_branched(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """A topic carrying MORE writer-schema ids than _AVRO_BRANCH_LIMIT
+    switches to the single-scan per-row decode (one corpus scan, schema
+    resolved from the frame id inside the Arrow batch) — and its output
+    is row-identical to the per-id branched plan on the same source."""
+    import dvh_airflow_kafka_spark.runner as runner_mod
+    from dvh_airflow_kafka_spark.sources.avro_codec import (
+        avro_encode_from_json_udf,
+    )
+    from dvh_airflow_kafka_spark.sources.kafka import confluent_frame
+    from dvh_airflow_kafka_spark.sources.schema_registry import (
+        SchemaRegistryClient,
+    )
+
+    n_ids = 10
+    assert n_ids > runner_mod._AVRO_BRANCH_LIMIT
+    schemas = {
+        20 + i: (
+            '{"type": "record", "name": "R%d", "fields": '
+            '[{"name": "n%d", "type": "long"}]}' % (i, i)
+        )
+        for i in range(n_ids)
+    }
+    events = load_table(spark, sf_dir, "events").limit(200)
+    value = None
+    for i in range(n_ids):
+        enc = avro_encode_from_json_udf(schemas[20 + i])(
+            F.to_json(F.struct(F.col("user_id").alias(f"n{i}")))
+        )
+        framed = confluent_frame(F.lit(20 + i), enc)
+        cond = F.col("event_id") % n_ids == i
+        value = framed if value is None else F.when(cond, framed).otherwise(value)
+    path = str(tmp_path / "many_ids_log")
+    events.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        value.alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("ts").alias("timestamp"),
+    ).write.parquet(path)
+
+    client = SchemaRegistryClient(
+        "http://r",
+        transport=lambda url, auth: {
+            "schema": schemas[int(url.rsplit("/", 1)[1])]
+        },
+    )
+    yaml_text = f"""
+source:
+  type: parquet
+  topic: events
+  schema: avro
+  path: "{path}"
+target:
+  type: memory
+  table: t_many_ids
+transform:
+  - src: kafka_offset
+    dst: kafka_offset
+  - src: kafka_schema_id
+    dst: kafka_schema_id
+  - src: kafka_message
+    dst: kafka_message
+  - src: kafka_hash
+    dst: kafka_hash
+"""
+
+    def run() -> list[tuple]:
+        result = run_pipeline(spark, yaml_text, schema_registry=client)
+        return sorted(
+            (r.kafka_offset, r.kafka_schema_id, r.kafka_message, r.kafka_hash)
+            for r in result.dataframe.collect()
+        )
+
+    single_scan = run()  # n_ids > limit -> multi-schema single scan
+    monkeypatch.setattr(runner_mod, "_AVRO_BRANCH_LIMIT", 1000)
+    branched = run()  # same source through the per-id branch union
+    assert single_scan == branched
+    assert len(single_scan) == 200
+    for off, sid, _msg, h in single_scan:
+        assert sid == 20 + (off % n_ids)
+        assert h is not None
+    # check the decoded field name/value binding per id
+    by_off = {t[0]: t for t in single_scan}
+    expect = {r.event_id: r.user_id for r in events.collect()}
+    for off, uid in expect.items():
+        i = off % n_ids
+        assert json.loads(by_off[off][2]) == {f"n{i}": uid}
