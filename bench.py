@@ -132,6 +132,7 @@ HEADLINE = [
     "pq_encode_stats",
     "weighted_priority_sample",
     "pq_adc_recall",
+    "ivf_pq_ann_topk",
 ]
 
 

@@ -4879,10 +4879,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REMOVAL, link-graph PageRank, product-quantization encode, priority
 # sampling.
 #
-# ROUND-7 NOTE: these six (embedding_kmeans_assign,
+# ROUND-7 NOTE: these seven (embedding_kmeans_assign,
 # duplicate_span_removal, link_graph_pagerank, pq_encode_stats,
-# pq_adc_recall, weighted_priority_sample) register AFTER the 50-query
-# driver window, so
+# pq_adc_recall, ivf_pq_ann_topk, weighted_priority_sample) register
+# AFTER the 50-query driver window, so
 # they hold no driver CORRECTNESS row this round (verified locally vs
 # their oracles at sf0.01 + pytest-pinned invariants).  Next round, rotate
 # them to the front of _CERTIFY_FIRST.
@@ -5271,6 +5271,27 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.coalesce(F.col("__h"), F.lit(0)).cast("int").alias("hits_at_5"),
         )
+    )
+
+
+@register("ivf_pq_ann_topk", sql=None)
+def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] IVF-PQ approximate top-k — the full production ANN
+    configuration: IVF coarse routing bounds WHICH vectors a query
+    touches (n_probe/n_lists of the corpus), PQ codes bound WHAT the hot
+    loop reads per touched vector (m small ints — the float corpus is
+    never rejoined after the single index-build scan). Runs entirely in
+    L2 over L2-normalized vectors, where squared-L2 ranking == cosine
+    ranking. Rows-only by design (the coarse quantizer is
+    data-dependent, like ``ivf_ann_topk``); recall vs the exact L2
+    baseline is pytest-pinned and the shared run-to-run determinism law
+    applies."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsim2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return xsim2.ivf_pq_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES
     )
 
 

@@ -838,3 +838,154 @@ def pq_adc_topk(
     return pruned.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def normalize_udf():
+    """Pandas UDF: vector -> L2-normalized double vector (zero vectors
+    pass through). One vectorized pass per Arrow batch."""
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def norm_vec(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        M = _normalize(_vstack(v))
+        return pd.Series(list(M))
+
+    return norm_vec
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the full production ANN configuration
+    (Jégou et al. TPAMI'11): IVF coarse routing bounds WHICH vectors a
+    query touches (~n_probe/n_lists of the corpus), PQ codes bound WHAT
+    the hot loop reads per touched vector (m small ints, never floats).
+    ``ivf_topk`` (IVF-Flat) and ``pq_adc_topk`` (exhaustive ADC) are its
+    two halves; this composes them.
+
+    Everything runs in L2 space over L2-NORMALIZED vectors, where
+    squared-L2 ranking is exactly cosine ranking (|a-b|^2 = 2 - 2cos on
+    unit vectors) — one metric end-to-end for routing, codes, and ADC.
+
+    Plan shape: (1) spherical k-means quantizer on a deterministic
+    driver-side sample; (2) ONE linear corpus pass emits (id, list id,
+    PQ codes) — the stored index row, 1 int + m small ints per vector;
+    (3) per-query probe lists picked driver-side (|queries| is the small
+    side); (4) candidates = broadcast equi-join on list id over the
+    CODES frame (the float corpus is never rejoined); (5) ADC distance =
+    m table lookups per candidate (per-query tables broadcast in the
+    closure, exact integer micro-units); (6) per-query window top-k.
+
+    Output: ``(query_id, neighbor_id, dist_micro long, rank)`` —
+    rows-only semantics (the quantizer is data-dependent), recall pinned
+    by pytest against the exact L2 baseline."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    spark = emb.sparkSession
+    nv = normalize_udf()
+    norm_emb = emb.select(F.col(id_col), nv(F.col(vec_col)).alias("__nv"))
+
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in emb.select(
+                F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__o")
+            )
+            .orderBy("__o")
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        ]
+    )
+    cents = _kmeans_cosine(sample, n_lists, seed)  # unit rows
+    cb = pq_seed_codebooks(norm_emb, id_col, "__nv", n_codes)
+
+    sub = cb.shape[1] // m
+    C = cb.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+    cc = np.einsum("mcs,mcs->mc", C, C)
+    centsT = cents.T
+
+    idx_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__list", T.IntegerType()),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def index_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one scan: coarse list id (argmax cos == argmin L2 on unit
+        # vectors) + PQ codes, both from the same normalized batch
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _vstack(pdf["__nv"])
+            lists = (X @ centsT).argmax(axis=1).astype(np.int32)
+            Xs = X.reshape(-1, m, sub)
+            xx = np.einsum("nms,nms->nm", Xs, Xs)
+            xc = np.einsum("nms,mcs->nmc", Xs, C)
+            d = np.round(
+                xx[:, :, None] - 2.0 * xc + cc[None, :, :], ROUND_DIGITS
+            )
+            codes = np.argmin(d, axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "__list": lists,
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    index = ensure_parallelism(norm_emb).mapInPandas(index_pass, schema=idx_schema)
+
+    q_ids, q_raw = _collect_matrix(queries, id_col, vec_col)
+    Q = _normalize(q_raw)
+    probes = np.argsort(-(Q @ centsT), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), int(lst)) for qid, row in zip(q_ids, probes) for lst in row
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, __list int")
+
+    Qs = Q.reshape(len(q_ids), m, sub)
+    qq = np.einsum("qms,qms->qm", Qs, Qs)
+    qc = np.einsum("qms,mcs->qmc", Qs, C)
+    dtab = np.rint(
+        np.round(qq[:, :, None] - 2.0 * qc + cc[None, :, :], ROUND_DIGITS)
+        * 1e6
+    ).astype(np.int64)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+
+    @F.pandas_udf(T.LongType())
+    def adc_dist(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="int64")
+        cd = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
+        qi = qid.map(qpos).to_numpy(dtype=np.int64)
+        return pd.Series(dtab[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1))
+
+    cands = index.join(F.broadcast(probe_df), "__list").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc_dist(F.col("query_id"), F.col("codes")).alias("dist_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -133,3 +133,44 @@ def test_brute_force_l2_matches_numpy(spark, sf_dir):
         keep = ids != q
         order = np.lexsort((ids[keep], dm[keep]))[:4]
         assert got[q] == list(ids[keep][order]), q
+
+
+def test_ivf_pq_recall_and_determinism(spark, sf_dir):
+    # IVF-PQ (routing + codes) vs the exact-L2-on-normalized baseline:
+    # with n_probe=8 of 8 lists, routing misses nothing, so the only
+    # approximation is PQ — recall must be >= the exhaustive ADC path's
+    # (same codes, same metric), and the whole pipeline is deterministic.
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["dist_micro"], r["rank"])
+            for r in xsim.ivf_pq_topk(
+                emb, queries, k=5, n_lists=8, n_probe=8, m=8, n_codes=16
+            ).collect()
+        )
+
+    a, b = run(), run()
+    assert a == b
+    per_q: dict[int, list[int]] = {}
+    for qid, nid, dist, rank in a:
+        assert dist >= 0
+        per_q.setdefault(qid, []).append(rank)
+    assert set(per_q) == set(range(10))
+    assert all(sorted(r) == [1, 2, 3, 4, 5] for r in per_q.values())
+
+    # full-probe IVF-PQ == exhaustive ADC over the same normalized
+    # vectors/codes (routing with n_probe == n_lists prunes nothing)
+    nv = xsim.normalize_udf()
+    norm_emb = emb.select("vec_id", nv("embedding").alias("embedding"))
+    cb = xsim.pq_seed_codebooks(norm_emb, n_codes=16)
+    codes = xsim.pq_encode(norm_emb, cb, m=8).select("vec_id", "codes")
+    q_ids, q_mat = xsim._collect_matrix(
+        norm_emb.filter("vec_id < 10"), "vec_id", "embedding"
+    )
+    adc = sorted(
+        (r["query_id"], r["neighbor_id"], r["dist_micro"], r["rank"])
+        for r in xsim.pq_adc_topk(codes, cb, q_ids, q_mat, m=8, k=5).collect()
+    )
+    assert a == adc
