@@ -133,6 +133,7 @@ HEADLINE = [
     "weighted_priority_sample",
     "pq_adc_recall",
     "ivf_pq_ann_topk",
+    "incremental_near_dup_ingest",
 ]
 
 

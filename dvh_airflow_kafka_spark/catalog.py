@@ -4879,10 +4879,10 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REMOVAL, link-graph PageRank, product-quantization encode, priority
 # sampling.
 #
-# ROUND-7 NOTE: these seven (embedding_kmeans_assign,
+# ROUND-7 NOTE: these eight (embedding_kmeans_assign,
 # duplicate_span_removal, link_graph_pagerank, pq_encode_stats,
-# pq_adc_recall, ivf_pq_ann_topk, weighted_priority_sample) register
-# AFTER the 50-query driver window, so
+# pq_adc_recall, ivf_pq_ann_topk, incremental_near_dup_ingest,
+# weighted_priority_sample) register AFTER the 50-query driver window, so
 # they hold no driver CORRECTNESS row this round (verified locally vs
 # their oracles at sf0.01 + pytest-pinned invariants).  Next round, rotate
 # them to the front of _CERTIFY_FIRST.
@@ -5292,6 +5292,64 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return xsim2.ivf_pq_topk(
         emb, queries, k=5, n_lists=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES
+    )
+
+
+@register(
+    "incremental_near_dup_ingest",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), i AS (SELECT doc_id, g FROM inv WHERE doc_id % 5 = 0),
+    e AS (SELECT doc_id, g FROM inv WHERE doc_id % 5 <> 0),
+    shared AS (
+        SELECT i.doc_id AS in_id, e.doc_id AS ex_id, count(*) AS c
+        FROM i JOIN e ON i.g = e.g
+        GROUP BY i.doc_id, e.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    best AS (
+        SELECT in_id, MAX(CAST(c AS DOUBLE) / (na.n + nb.n - c)) AS mx
+        FROM shared
+        JOIN sizes na ON na.doc_id = in_id
+        JOIN sizes nb ON nb.doc_id = ex_id
+        GROUP BY in_id
+    )
+    SELECT sh.doc_id,
+           COALESCE(b.mx, 0.0) AS max_jaccard,
+           CAST(COALESCE(b.mx, 0.0) < 0.4 AS INT) AS kept
+    FROM sh LEFT JOIN best b ON b.in_id = sh.doc_id
+    WHERE sh.doc_id % 5 = 0
+    """,
+)
+def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Ingest-time NEAR-dup gate: an incoming batch (doc_id % 5 ==
+    0, ~20% of the corpus) is admitted doc-by-doc only if its exact
+    3-gram Jaccard against the EXISTING corpus stays below 0.4 — the
+    LLM-corpus analogue of the reference's insert-time exact anti-join
+    (J1), upgraded from hash equality to similarity. The candidate join
+    is DIRECTIONAL (incoming shingles probe existing buckets only), so a
+    small batch against a 100 TB corpus pays batch-sized bucket probes,
+    never corpus pairs; ``ext/dedup.jaccard_ingest_gate`` documents the
+    hot-shingle cap bolt-on. Jaccard stays an exact integer ratio
+    (correctly-rounded IEEE division — bit-identical cross-engine, no
+    rounding step needed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.jaccard_ingest_gate(
+        docs,
+        "doc_id",
+        "text",
+        incoming_pred=F.col("doc_id") % 5 == 0,
+        ngram=3,
+        threshold=0.4,
     )
 
 

@@ -669,3 +669,85 @@ def remove_duplicate_spans(
             ),
         )
     )
+
+
+def jaccard_ingest_gate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    incoming_pred: Column,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Ingest-time near-dup gate — the LLM-corpus analogue of the
+    reference's insert-time EXACT anti-join (`operators/dedup.py`): each
+    INCOMING document (rows matching ``incoming_pred``) is admitted only
+    if its exact n-gram Jaccard against every EXISTING document stays
+    below ``threshold``. Output: one row per incoming doc —
+    ``(id_col, max_jaccard double, kept int)``.
+
+    The candidate join is DIRECTIONAL (incoming shingles against
+    existing shingles only): incoming x incoming and existing x existing
+    pairs are never generated, so a small ingest batch against a 100 TB
+    corpus pays |batch-shingles| bucket probes, not corpus pairs. The
+    shingle DF cap (``drop_hot_shingles``) applies over the COMBINED
+    index before the split so both sides prune the same stop shingles."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            incoming_pred.alias("__in"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "__id",
+            "__in",
+            F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram)).alias(
+                "__sh"
+            ),
+        )
+        # localCheckpoint (not cache) — see minhash_near_duplicates
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select("__id", "__in", F.explode("__sh").alias("__s"))
+    if max_doc_freq is not None:
+        inv = drop_hot_shingles(inv, "__s", max_doc_freq)
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).cast("int").alias("__n"))
+    newc = inv.filter(F.col("__in")).select(
+        F.col("__id").alias("__in_id"), "__s"
+    )
+    old = inv.filter(~F.col("__in")).select(
+        F.col("__id").alias("__ex_id"), "__s"
+    )
+    shared = (
+        newc.join(old, "__s")
+        .groupBy("__in_id", "__ex_id")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.select(F.col("__id").alias("__in_id"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("__ex_id"), F.col("__n").alias("__nb"))
+    jac = F.col("__shared").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__shared")
+    ).cast("double")
+    best = (
+        shared.join(na, "__in_id")
+        .join(nb, "__ex_id")
+        .select("__in_id", jac.alias("__j"))
+        .groupBy("__in_id")
+        .agg(F.max("__j").alias("__mx"))
+    )
+    return (
+        sh.filter(F.col("__in"))
+        .select(F.col("__id").alias(id_col))
+        .join(best, F.col(id_col) == F.col("__in_id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__mx"), F.lit(0.0)).alias("max_jaccard"),
+            (F.coalesce(F.col("__mx"), F.lit(0.0)) < threshold)
+            .cast("int")
+            .alias("kept"),
+        )
+    )

@@ -153,3 +153,37 @@ def test_span_removal_one_row_per_doc(spark, sf_dir):
         (F.col("n_removed") < 0) | (F.col("n_removed") > F.col("n_tokens"))
     )
     assert bad.count() == 0
+
+
+# ------------------------------------------------------------ ingest gate
+def test_jaccard_ingest_gate_directional(spark):
+    from dvh_airflow_kafka_spark.ext.dedup import jaccard_ingest_gate
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base),  # existing
+            (3, "totally different words here nothing shared at all"),
+            (10, base + " iota"),  # incoming: near-dup of existing 1
+            (20, "unique incoming text with fresh vocabulary only"),
+            (30, "repeated incoming payload snippet one two three"),
+            (40, "repeated incoming payload snippet one two three"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in jaccard_ingest_gate(
+            docs,
+            "doc_id",
+            "text",
+            incoming_pred=(docs.doc_id % 10 == 0),
+            threshold=0.4,
+        ).collect()
+    }
+    assert set(out) == {10, 20, 30, 40}  # one row per incoming doc
+    assert out[10]["kept"] == 0 and out[10]["max_jaccard"] > 0.4
+    assert out[20]["kept"] == 1 and out[20]["max_jaccard"] == 0.0
+    # incoming-vs-incoming duplicates are NOT the gate's business
+    # (directional join: incoming probes existing only) — both admitted
+    assert out[30]["kept"] == 1 and out[40]["kept"] == 1
