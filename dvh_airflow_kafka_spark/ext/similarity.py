@@ -989,3 +989,93 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_refine_codebooks(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    m: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed per-subspace Lloyd refinement of PQ codebooks — the
+    production step between ``pq_seed_codebooks`` and ``pq_encode``
+    (Jégou et al. train each subspace's codebook with k-means). Same
+    scalable shape as ``ext/cluster``: per iteration ONE linear
+    mapInPandas corpus scan (codebooks broadcast in the closure) emits
+    per-batch partial sums keyed (subspace, code, dim) — at most
+    m * n_codes * sub rows per batch — and ONE map-side-combined
+    groupBy reduces them to a bounded driver collect (m=8, n_codes=16,
+    sub=8 -> 1024 rows, corpus-size independent).
+
+    Refined codebooks are data-dependent (float means), so encodes
+    built from them are rows-only territory — the seeded codebooks stay
+    the SQL-replayable correctness path. Codebooks stay rounded to
+    ROUND_DIGITS after every update (same determinism contract).
+
+    Returns the refined (n_codes, dim) matrix; codes for empty
+    (subspace, code) cells keep their previous centroid."""
+    n_codes, dim = codebooks.shape
+    sub = dim // m
+    cur = codebooks.copy()
+
+    part_schema = T.StructType(
+        [
+            T.StructField("s", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("d", T.IntegerType()),
+            T.StructField("psum", T.DoubleType()),
+            T.StructField("pcnt", T.LongType()),
+        ]
+    )
+    src = emb.select(vec_col)
+
+    for _ in range(iters):
+        C = cur.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+        cc = np.einsum("mcs,mcs->mc", C, C)
+
+        def partials(
+            batches: Iterator[pd.DataFrame], C=C, cc=cc
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = _vstack(pdf[vec_col]).reshape(-1, m, sub)
+                xx = np.einsum("nms,nms->nm", X, X)
+                xc = np.einsum("nms,mcs->nmc", X, C)
+                dist = np.round(
+                    xx[:, :, None] - 2.0 * xc + cc[None, :, :], ROUND_DIGITS
+                )
+                codes = np.argmin(dist, axis=2)  # (n, m)
+                frames = []
+                for s in range(m):
+                    for ci in np.unique(codes[:, s]):
+                        mask = codes[:, s] == ci
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "s": np.full(sub, s, dtype=np.int32),
+                                    "c": np.full(sub, ci, dtype=np.int32),
+                                    "d": np.arange(sub, dtype=np.int32),
+                                    "psum": X[mask, s, :].sum(axis=0),
+                                    "pcnt": np.full(
+                                        sub, int(mask.sum()), dtype=np.int64
+                                    ),
+                                }
+                            )
+                        )
+                yield pd.concat(frames, ignore_index=True)
+
+        rows = (
+            src.mapInPandas(partials, schema=part_schema)
+            .groupBy("s", "c", "d")
+            .agg(F.sum("psum").alias("ss"), F.sum("pcnt").alias("n"))
+            .collect()
+        )
+        nxt = cur.copy()
+        for r in rows:
+            s, c, d = int(r["s"]), int(r["c"]), int(r["d"])
+            nxt[c, s * sub + d] = round(r["ss"] / r["n"], ROUND_DIGITS)
+        cur = nxt
+    return cur

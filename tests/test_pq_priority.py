@@ -174,3 +174,27 @@ def test_ivf_pq_recall_and_determinism(spark, sf_dir):
         for r in xsim.pq_adc_topk(codes, cb, q_ids, q_mat, m=8, k=5).collect()
     )
     assert a == adc
+
+
+def test_pq_refined_codebooks_reduce_error(spark, sf_dir):
+    # Lloyd refinement must (weakly) reduce total reconstruction error —
+    # the k-means objective is monotone non-increasing. (Recall@k is NOT
+    # asserted: lower quantization error does not imply better neighbor
+    # ordering on near-random fixtures — on real clustered embeddings it
+    # does, which is the clustered-fixture test's job.)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nv = xsim.normalize_udf()
+    norm_emb = emb.select("vec_id", nv("embedding").alias("embedding"))
+    seeds = xsim.pq_seed_codebooks(norm_emb, n_codes=16)
+    refined = xsim.pq_refine_codebooks(norm_emb, seeds, m=8, iters=3)
+    assert refined.shape == seeds.shape
+
+    def total_err(cb):
+        out = xsim.pq_encode(norm_emb, cb, m=8)
+        return out.agg({"recon_err": "sum"}).collect()[0][0]
+
+    e_seed, e_ref = total_err(seeds), total_err(refined)
+    assert e_ref <= e_seed + 1e-9
+    # refinement is deterministic run-to-run
+    again = xsim.pq_refine_codebooks(norm_emb, seeds, m=8, iters=3)
+    assert (again == refined).all()
