@@ -5282,16 +5282,25 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop reads per touched vector (m small ints — the float corpus is
     never rejoined after the single index-build scan). Runs entirely in
     L2 over L2-normalized vectors, where squared-L2 ranking == cosine
-    ranking. Rows-only by design (the coarse quantizer is
-    data-dependent, like ``ivf_ann_topk``); recall vs the exact L2
-    baseline is pytest-pinned and the shared run-to-run determinism law
-    applies."""
+    ranking. Codebooks are Lloyd-REFINED per subspace (2 distributed
+    iterations, ``pq_refine_codebooks``) — the production configuration;
+    rows-only by design (the coarse quantizer and the refined means are
+    data-dependent, like ``ivf_ann_topk``); full-probe == exhaustive-ADC
+    equivalence is pytest-pinned for both seeded and refined codebooks,
+    and the shared run-to-run determinism law applies."""
     from dvh_airflow_kafka_spark.ext import similarity as xsim2
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return xsim2.ivf_pq_topk(
-        emb, queries, k=5, n_lists=16, n_probe=4, m=_PQ_M, n_codes=_PQ_CODES
+        emb,
+        queries,
+        k=5,
+        n_lists=16,
+        n_probe=4,
+        m=_PQ_M,
+        n_codes=_PQ_CODES,
+        refine_iters=2,
     )
 
 

@@ -866,6 +866,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     sample_size: int = 4096,
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the full production ANN configuration
     (Jégou et al. TPAMI'11): IVF coarse routing bounds WHICH vectors a
@@ -910,6 +911,13 @@ def ivf_pq_topk(
     )
     cents = _kmeans_cosine(sample, n_lists, seed)  # unit rows
     cb = pq_seed_codebooks(norm_emb, id_col, "__nv", n_codes)
+    if refine_iters > 0:
+        # production configuration: per-subspace Lloyd refinement of the
+        # codebooks (deterministic, bounded exchanges — see
+        # pq_refine_codebooks); 0 keeps the raw seeds
+        cb = pq_refine_codebooks(
+            norm_emb, cb, m=m, iters=refine_iters, id_col=id_col, vec_col="__nv"
+        )
 
     sub = cb.shape[1] // m
     C = cb.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()

@@ -135,7 +135,8 @@ def test_brute_force_l2_matches_numpy(spark, sf_dir):
         assert got[q] == list(ids[keep][order]), q
 
 
-def test_ivf_pq_recall_and_determinism(spark, sf_dir):
+@pytest.mark.parametrize("refine_iters", [0, 2])
+def test_ivf_pq_recall_and_determinism(spark, sf_dir, refine_iters):
     # IVF-PQ (routing + codes) vs the exact-L2-on-normalized baseline:
     # with n_probe=8 of 8 lists, routing misses nothing, so the only
     # approximation is PQ — recall must be >= the exhaustive ADC path's
@@ -147,7 +148,8 @@ def test_ivf_pq_recall_and_determinism(spark, sf_dir):
         return sorted(
             (r["query_id"], r["neighbor_id"], r["dist_micro"], r["rank"])
             for r in xsim.ivf_pq_topk(
-                emb, queries, k=5, n_lists=8, n_probe=8, m=8, n_codes=16
+                emb, queries, k=5, n_lists=8, n_probe=8, m=8, n_codes=16,
+                refine_iters=refine_iters,
             ).collect()
         )
 
@@ -165,6 +167,8 @@ def test_ivf_pq_recall_and_determinism(spark, sf_dir):
     nv = xsim.normalize_udf()
     norm_emb = emb.select("vec_id", nv("embedding").alias("embedding"))
     cb = xsim.pq_seed_codebooks(norm_emb, n_codes=16)
+    if refine_iters:
+        cb = xsim.pq_refine_codebooks(norm_emb, cb, m=8, iters=refine_iters)
     codes = xsim.pq_encode(norm_emb, cb, m=8).select("vec_id", "codes")
     q_ids, q_mat = xsim._collect_matrix(
         norm_emb.filter("vec_id < 10"), "vec_id", "embedding"
