@@ -134,6 +134,7 @@ HEADLINE = [
     "pq_adc_recall",
     "ivf_pq_ann_topk",
     "incremental_near_dup_ingest",
+    "knn_label_accuracy",
 ]
 
 

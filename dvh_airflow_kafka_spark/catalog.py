@@ -4879,10 +4879,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REMOVAL, link-graph PageRank, product-quantization encode, priority
 # sampling.
 #
-# ROUND-7 NOTE: these eight (embedding_kmeans_assign,
+# ROUND-7 NOTE: these nine (embedding_kmeans_assign,
 # duplicate_span_removal, link_graph_pagerank, pq_encode_stats,
 # pq_adc_recall, ivf_pq_ann_topk, incremental_near_dup_ingest,
-# weighted_priority_sample) register AFTER the 50-query driver window, so
+# knn_label_accuracy, weighted_priority_sample) register AFTER the
+# 50-query driver window, so
 # they hold no driver CORRECTNESS row this round (verified locally vs
 # their oracles at sf0.01 + pytest-pinned invariants).  Next round, rotate
 # them to the front of _CERTIFY_FIRST.
@@ -5359,6 +5360,98 @@ def incremental_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         incoming_pred=F.col("doc_id") % 5 == 0,
         ngram=3,
         threshold=0.4,
+    )
+
+
+@register(
+    "knn_label_accuracy",
+    sql=f"""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    tr AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+    te AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+    d AS (
+        SELECT te.vec_id AS qid, te.label AS true_label,
+               tr.vec_id AS nid, tr.label AS nlabel,
+               {_l2_micro_sql('te.e', 'tr.e')} AS dist
+        FROM te CROSS JOIN tr
+    ),
+    top AS (
+        SELECT qid, true_label, nlabel FROM (
+            SELECT qid, true_label, nlabel,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, nid)
+                       AS rn
+            FROM d) x WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT qid, true_label, nlabel, COUNT(*) AS c
+        FROM top GROUP BY qid, true_label, nlabel
+    ),
+    pred AS (
+        SELECT qid, true_label, nlabel AS pred_label FROM (
+            SELECT qid, true_label, nlabel,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY c DESC, nlabel) AS rn
+            FROM votes) y WHERE rn = 1
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS INT) AS n_test,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS INT) AS n_correct
+    FROM pred GROUP BY true_label
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-quality eval: 5-NN majority-vote label
+    classification of a held-out test split (vec_id % 5 == 0) against
+    the training split, reported as per-label test counts and correct
+    predictions — the standard quick probe of whether an embedding
+    space separates classes (the eval loop a training-data pipeline
+    runs after re-embedding). Distances ride the exact integer
+    micro-unit machinery of the PQ family (``brute_force_topk_l2``:
+    query matrix broadcast, ONE linear train-corpus scan, lossless
+    per-batch prune); majority vote breaks ties by (count desc, label
+    asc) so the whole chain is bit-deterministic cross-engine."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsim2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    test = emb.filter(F.col("vec_id") % 5 == 0)
+    top = xsim2.brute_force_topk_l2(train, test, k=5)
+    labels = emb.select(F.col("vec_id"), F.col("label"))
+    votes = (
+        top.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nlabel"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nlabel")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("nlabel").alias("pred_label"))
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_test"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_correct"),
+        )
     )
 
 

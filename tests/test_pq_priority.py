@@ -202,3 +202,24 @@ def test_pq_refined_codebooks_reduce_error(spark, sf_dir):
     # refinement is deterministic run-to-run
     again = xsim.pq_refine_codebooks(norm_emb, seeds, m=8, iters=3)
     assert (again == refined).all()
+
+
+def test_knn_label_accuracy_perfect_on_clustered(spark, sf_dir, tmp_path):
+    # blobs as labels -> 5-NN classification must be perfect; and the
+    # per-label test counts must partition the test split exactly.
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    rows = []
+    for i in range(96):
+        b = i % 8
+        vec = [float(b)] * 64
+        vec[i % 64] += 0.001 * (i // 8 + 1)
+        rows.append((i, vec, b))
+    spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    # the query loads embeddings via load_table; point sf_dir at tmp
+    out = REGISTRY["knn_label_accuracy"].fn(spark, str(tmp_path)).collect()
+    n_test = sum(r["n_test"] for r in out)
+    assert n_test == len([i for i in range(96) if i % 5 == 0])
+    assert all(r["n_correct"] == r["n_test"] for r in out)
