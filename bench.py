@@ -135,6 +135,7 @@ HEADLINE = [
     "ivf_pq_ann_topk",
     "incremental_near_dup_ingest",
     "knn_label_accuracy",
+    "bpe_learn_merges_table",
 ]
 
 

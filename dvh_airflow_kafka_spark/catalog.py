@@ -4879,11 +4879,11 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # REMOVAL, link-graph PageRank, product-quantization encode, priority
 # sampling.
 #
-# ROUND-7 NOTE: these nine (embedding_kmeans_assign,
+# ROUND-7 NOTE: these ten (embedding_kmeans_assign,
 # duplicate_span_removal, link_graph_pagerank, pq_encode_stats,
 # pq_adc_recall, ivf_pq_ann_topk, incremental_near_dup_ingest,
-# knn_label_accuracy, weighted_priority_sample) register AFTER the
-# 50-query driver window, so
+# knn_label_accuracy, bpe_learn_merges_table, weighted_priority_sample)
+# register AFTER the 50-query driver window, so
 # they hold no driver CORRECTNESS row this round (verified locally vs
 # their oracles at sf0.01 + pytest-pinned invariants).  Next round, rotate
 # them to the front of _CERTIFY_FIRST.
@@ -5452,6 +5452,29 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("n_correct"),
         )
+    )
+
+
+@register("bpe_learn_merges_table", sql=None)
+def bpe_learn_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed BPE merge LEARNING (Sennrich et al. ACL'16
+    §3.2) over the corpus — the training-side counterpart of the merge
+    APPLICATION ops (`bpe_encode_stats` etc.): the first 8 learned
+    merges with their weighted pair counts. ONE corpus aggregate builds
+    the word-frequency table; every iteration then runs on that COMPACT
+    table (bounded by vocabulary, not corpus — the reason production
+    BPE trainers work from word-count dicts), with a 1-row TakeOrdered
+    collect per merge. Rows-only (iterative, data-dependent); the
+    learner is pytest-pinned against a pure-Python reference
+    implementation on a hand-built corpus, and learned merges feed
+    ``bpe_encode_udf`` end-to-end under the rejoin invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = xtext.bpe_learn_merges(docs, "text", n_merges=8)
+    rows = [
+        (i, a, b, c) for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank: int, left: string, right: string, pair_count: long"
     )
 
 

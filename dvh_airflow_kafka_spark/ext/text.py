@@ -8,7 +8,7 @@ fingerprinting run inside whole-stage codegen with zero Python hops, so a
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -254,3 +254,80 @@ def bpe_encode_udf(merges: tuple[tuple[str, str], ...] | None = None):
         return pd.Series(out)
 
     return encode
+
+
+def bpe_learn_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE merge LEARNING (Sennrich et al. ACL'16 §3.2) —
+    the training-side counterpart of ``bpe_encode_udf``'s merge
+    application. Returns ``[(left, right, weighted_count), ...]`` in
+    merge order.
+
+    Scale shape: ONE corpus aggregate builds the word-frequency table
+    (distinct lowercased whitespace words + counts) and the corpus is
+    never touched again — every learning iteration runs on the COMPACT
+    word table, bounded by vocabulary size, not corpus size (the reason
+    production BPE trainers work from word-count dicts). Per iteration:
+    adjacent symbol pairs explode weighted by word frequency, ONE
+    map-side-combined ``groupBy(pair).sum``, a 1-row TakeOrdered collect
+    picks the best pair (count desc, then lexicographic — deterministic
+    at any parallelism), and a JVM-side left-to-right ``aggregate`` fold
+    rewrites each word's piece sequence (greedy non-overlapping, the
+    standard BPE apply order). The word table is ``localCheckpoint``-ed
+    each iteration so the fold lineage stays flat across merges."""
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .select(F.col("__f"), F.split(F.col("__w"), "").alias("__p"))
+        # guard against empty-string fragments from the char split
+        .withColumn("__p", F.filter(F.col("__p"), lambda c: c != F.lit("")))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs = words.filter(F.size("__p") >= 2).select(
+            "__f",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__p") - 1),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__p"), i.cast("int")).alias("a"),
+                        F.element_at(
+                            F.col("__p"), (i + 1).cast("int")
+                        ).alias("b"),
+                    ),
+                )
+            ).alias("__pr"),
+        )
+        best = (
+            pairs.groupBy("__pr.a", "__pr.b")
+            .agg(F.sum("__f").alias("__c"))
+            .orderBy(F.col("__c").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["__c"] < min_freq:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["__c"])
+        merges.append((a, b, c))
+        la, lb = F.lit(a), F.lit(b)
+        folded = F.aggregate(
+            F.col("__p"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(F.element_at(acc, -1), x)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.withColumn("__p", folded).localCheckpoint(eager=True)
+    return merges

@@ -157,3 +157,65 @@ def test_bpe_piece_vocab_aggregate_oracled_via_materialized_pieces(
     )
     con.close()
     assert got == want
+
+
+def _reference_bpe_learn(word_freqs: dict, n_merges: int, min_freq: int = 2):
+    """Pure-Python Sennrich reference: greedy best-pair merges over a
+    word-frequency dict; ties break lexicographic."""
+    pieces = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for w, f in word_freqs.items():
+            p = pieces[w]
+            for i in range(len(p) - 1):
+                counts[(p[i], p[i + 1])] = counts.get((p[i], p[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < min_freq:
+            break
+        merges.append((a, b, c))
+        for w in pieces:
+            p, out, i = pieces[w], [], 0
+            while i < len(p):
+                if i + 1 < len(p) and p[i] == a and p[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(p[i])
+                    i += 1
+            pieces[w] = out
+    return merges
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    from dvh_airflow_kafka_spark.ext.text import bpe_learn_merges
+
+    corpus = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    docs = spark.createDataFrame(
+        [(0, " ".join(corpus))], "doc_id: long, text: string"
+    )
+    freqs = {w: corpus.count(w) for w in set(corpus)}
+    expect = _reference_bpe_learn(freqs, n_merges=6)
+    got = bpe_learn_merges(docs, "text", n_merges=6)
+    assert got == expect
+    # learned merges drive the encoder end-to-end; pieces rejoin exactly
+    from dvh_airflow_kafka_spark.ext.text import bpe_encode_udf
+
+    enc = bpe_encode_udf(tuple((a, b) for a, b, _ in got))
+    import pyspark.sql.functions as F
+
+    out = docs.select(enc(F.col("text")).alias("p")).collect()[0]["p"]
+    assert "".join(out) == "".join(corpus)
+
+
+def test_bpe_learn_deterministic(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.text import bpe_learn_merges
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = bpe_learn_merges(docs, n_merges=4)
+    b = bpe_learn_merges(docs, n_merges=4)
+    assert a == b and len(a) == 4
