@@ -136,6 +136,11 @@ HEADLINE = [
     "incremental_near_dup_ingest",
     "knn_label_accuracy",
     "bpe_learn_merges_table",
+    # round-6d additions
+    "error_burst_range_join",
+    "bm25_topk_docs",
+    "hard_negative_mining",
+    "charlm_doc_quality",
 ]
 
 

@@ -5549,6 +5549,385 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# Round-6d: retrieval scoring (BM25), batch range join, contrastive
+# hard-negative mining, statistical char-LM quality filtering
+# ==========================================================================
+
+_BURST_US = 300_000_000  # 5-minute lookback window, in microseconds
+
+
+@register(
+    "error_burst_range_join",
+    sql="""
+    WITH e AS (
+        SELECT event_id, ts, event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT p.event_id, p.ts,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_preceding,
+           round(CAST(COALESCE(SUM(c.cents), 0) AS DOUBLE) / 100, 2)
+               AS value_preceding
+    FROM e p
+    LEFT JOIN e c
+      ON c.ts < p.ts AND c.ts >= p.ts - INTERVAL 5 MINUTE
+    WHERE p.event_type = 'error'
+    GROUP BY p.event_id, p.ts
+    """,
+)
+def error_burst_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Batch RANGE join with NO equi key: for every 'error' event,
+    count and sum (cents-exact) ALL events in the preceding 5 minutes,
+    across all users. The naive plan is a BroadcastNestedLoopJoin
+    (quadratic); this implementation BINS the time axis at the window
+    width and turns the range predicate into an equi-join on the bin —
+    each probe explodes to its two covering bins, each candidate carries
+    exactly one bin, so every qualifying (probe, candidate) pair meets on
+    exactly one bin row and the residual range filter is evaluated inside
+    the hash/sort-merge join. Candidate volume per probe is bounded by
+    the events in two 5-minute bins, independent of corpus size — the
+    standard interval-join binning (same trick as Flink's interval join
+    and `streaming_interval_join`'s watermark state, here in batch form).
+    At 100 TB: two bin-keyed exchanges + one keyed aggregate; a hot bin
+    (event burst) is exactly what AQE skew-join splitting handles.
+    Timestamps compare at FULL microsecond precision (``unix_micros``) —
+    millisecond truncation would diverge from the oracle's native
+    timestamp comparison on same-millisecond events."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    base = ev.select(
+        "event_id",
+        _ntz(F.col("ts")).alias("ts"),
+        "event_type",
+        us.alias("__us"),
+        cents.alias("__cents"),
+    )
+    bin_ = F.floor(F.col("__us") / F.lit(_BURST_US)).cast("bigint")
+    probe = (
+        base.filter(F.col("event_type") == "error")
+        .select(
+            "event_id",
+            "ts",
+            F.col("__us").alias("__pus"),
+            F.explode(F.array(bin_ - 1, bin_)).alias("__bin"),
+        )
+        .alias("p")
+    )
+    cand = base.select(
+        F.col("__us").alias("__cus"),
+        "__cents",
+        bin_.alias("__bin"),
+    ).alias("c")
+    joined = probe.join(
+        cand,
+        (F.col("p.__bin") == F.col("c.__bin"))
+        & (F.col("c.__cus") < F.col("p.__pus"))
+        & (F.col("c.__cus") >= F.col("p.__pus") - F.lit(_BURST_US)),
+        "left",
+    )
+    return joined.groupBy("event_id", "ts").agg(
+        F.count(F.col("c.__cents")).alias("n_preceding"),
+        F.round(
+            F.coalesce(F.sum("c.__cents"), F.lit(0)).cast("double") / 100, 2
+        ).alias("value_preceding"),
+    )
+
+
+_BM25_TERMS = ("spark", "join", "filter")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"ln(((n - df{i} + 0.5) / (df{i} + 0.5)) + 1)"
+        f" * (tf{i} * ({_BM25_K1} + 1))"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents
+    ), d AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM t
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM d
+    )
+    SELECT doc_id, dl AS n_tokens, round({score}, 6) AS bm25
+    FROM d, s
+    WHERE {any_tf} > 0
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {_BM25_TOPK}
+    """
+
+
+def _term_eq(term: str):
+    # single-parameter lambda factory: a `lambda x, t=t:` default-arg
+    # capture makes F.filter see TWO parameters and bind the second to
+    # the element INDEX, silently comparing tokens against integers
+    return lambda x: x == F.lit(term)
+
+
+@register("bm25_topk_docs", sql=_bm25_sql())
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] BM25 ranked retrieval (Robertson/Sparck Jones; k1=1.2,
+    b=0.75) of the top-{k} documents for a fixed bag-of-terms query —
+    the lexical-retrieval complement to `doc_tfidf_top_terms` and the
+    embedding ANN family. Per-document term frequencies come from
+    ``size(filter(tokens))`` INSIDE the row (pure codegen, no token
+    explode, no shuffle); corpus statistics (N, avgdl, per-term df) are
+    ONE map-side-combined aggregate reduced to a single row and
+    broadcast back with a cross join, so scoring is a second stateless
+    scan ending in a distributed TakeOrderedAndProject top-k — no global
+    window, no full sort. At 100 TB this is two corpus scans (stats +
+    score) of exactly the projected columns; a production system
+    persists the (doc, tf, dl) profile once and reuses it across
+    queries. IDF uses the ln(((N-df+0.5)/(df+0.5))+1) form (always
+    positive); floats are mirrored operation-for-operation in the oracle
+    and rounded to 6 digits before the rank/limit tie-break on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int")).cast("long").alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            ((F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5))) + F.lit(1)
+        )
+        term = (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1 - _BM25_B)
+                    + F.lit(_BM25_B)
+                    * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        )
+        score = term if score is None else score + term
+    any_tf = sum(
+        (F.col(f"tf{i}") for i in range(1, len(_BM25_TERMS))),
+        F.col("tf0"),
+    )
+    return (
+        scored.filter(any_tf > 0)
+        .select(
+            "doc_id",
+            F.col("dl").alias("n_tokens"),
+            F.round(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+@register(
+    "hard_negative_mining",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, label AS query_label, e AS qe
+        FROM v WHERE vec_id < 50
+    ), pairs AS (
+        SELECT q.query_id, q.query_label,
+               c.vec_id AS neighbor_id, c.label AS neighbor_label,
+               round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+                     6) AS cosine
+        FROM q JOIN v c
+          ON c.vec_id <> q.query_id AND c.label <> q.query_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+    FROM pairs QUALIFY rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Contrastive-learning hard-NEGATIVE mining: for each query
+    vector (vec_id < 50), the 3 nearest neighbours whose class ``label``
+    DIFFERS — the near-boundary impostors that make the most informative
+    negatives for embedding/finetune training batches (the in-batch
+    negatives literature's "hard" sampling). Rides the exact
+    `brute_force_topk` kernel with its label-mask option: query matrix +
+    labels broadcast in the UDF closure, ONE linear corpus scan, numpy
+    matmul per Arrow batch, per-batch lossless top-k prune under the
+    final (cosine desc, id asc) order, tiny final window per query. The
+    label filter happens BEFORE the prune, so a query surrounded by
+    same-label vectors still gets true different-label top-3 (a plain
+    top-k-then-filter would not). At 100 TB the scan shape is identical
+    to `embedding_topk_cosine` — linear, no join, no quadratic shuffle;
+    the IVF/PQ family covers the sublinear path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    res = xsim.brute_force_topk(
+        emb, queries, k=3, label_col="label", same_label=False
+    )
+    qlab = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").cast("long").alias("query_label"),
+        )
+    )
+    return res.join(qlab, "query_id").select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_CHARLM_WORST = 20
+
+
+@register(
+    "charlm_doc_quality",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, lang, lower(text) AS s
+        FROM documents WHERE length(text) >= 2
+    ), bg AS (
+        SELECT doc_id, substr(s, i, 2) AS b
+        FROM t, unnest(generate_series(1, length(s) - 1)) AS u(i)
+    ), m AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b
+    ), pre AS (
+        SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS n1
+        FROM m GROUP BY c1
+    ), voc AS (
+        SELECT CAST(COUNT(DISTINCT substr(b, 2, 1)) AS BIGINT) AS v FROM m
+    ), lp AS (
+        SELECT m.b,
+               CAST(floor(ln((m.c + 1.0) / (pre.n1 + voc.v)) * 1000000 + 0.5)
+                    AS BIGINT) AS micronats
+        FROM m JOIN pre ON substr(m.b, 1, 1) = pre.c1, voc
+    ), sc AS (
+        SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp.micronats) AS BIGINT) AS sl
+        FROM bg JOIN lp ON bg.b = lp.b GROUP BY bg.doc_id
+    )
+    SELECT t.doc_id, t.lang, sc.n_bigrams,
+           round(CAST(sc.sl AS DOUBLE) / 1000000.0 / sc.n_bigrams, 6)
+               AS avg_logprob
+    FROM sc JOIN t ON t.doc_id = sc.doc_id
+    ORDER BY avg_logprob ASC, t.doc_id
+    LIMIT {_CHARLM_WORST}
+    """,
+)
+def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Statistical language-model quality filter (the CCNet/KenLM
+    pattern, Wenzek et al. 2020, at char-bigram order): train an add-one
+    conditional bigram model p(c2|c1) ON THE CORPUS ITSELF, score every
+    document by its average per-bigram log-probability, and surface the
+    {_CHARLM_WORST} worst (lowest-likelihood = most gibberish-like)
+    documents. Two passes: (1) model training — ONE exploded map-side-
+    combined bigram count (the model domain is |charset|², a few
+    thousand entries at any corpus size, so it COLLECTS to the driver by
+    construction — the same bounded-model argument as
+    `temperature_mixture_sample`'s per-source counts); (2) scoring — the
+    log-probs ship back as a literal map and each document folds over
+    its own bigram array IN-ROW (`F.aggregate`), so the scoring pass is
+    a stateless scan with NO explode, NO join and NO shuffle, ending in
+    a distributed TakeOrderedAndProject. Float discipline: log-probs are
+    quantized to integer MICRONATS (floor(ln(p)·1e6 + 0.5)) before
+    summation — integer sums are order-free, so the result is
+    bit-identical at any parallelism and in any engine; only the final
+    average divides doubles, identically on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.length("text") >= 2).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("s")
+    )
+    bigrams = F.expr("transform(sequence(1, char_length(s) - 1), i -> substring(s, i, 2))")
+    model_counts = (
+        t.select(F.explode(bigrams).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    import math
+
+    counts = {r["b"]: int(r["c"]) for r in model_counts}
+    prefix: dict[str, int] = {}
+    for b, c in counts.items():
+        prefix[b[0]] = prefix.get(b[0], 0) + c
+    vocab = len({b[1] for b in counts})
+    micronats = {
+        b: int(math.floor(math.log((c + 1.0) / (prefix[b[0]] + vocab)) * 1_000_000 + 0.5))
+        for b, c in counts.items()
+    }
+    entries: list = []
+    for b in sorted(micronats):
+        entries.append(F.lit(b))
+        entries.append(F.lit(micronats[b]))
+    lp_map = F.create_map(*entries)
+    scored = t.select(
+        "doc_id",
+        "lang",
+        (F.char_length("s") - 1).cast("long").alias("n_bigrams"),
+        F.aggregate(
+            bigrams,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(lp_map, b).cast("long"),
+        ).alias("sl"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(
+                F.col("sl").cast("double") / F.lit(1000000.0) / F.col("n_bigrams"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy(F.asc("avg_logprob"), "doc_id")
+        .limit(_CHARLM_WORST)
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.

@@ -102,10 +102,18 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    label_col: Optional[str] = None,
+    same_label: Optional[bool] = None,
 ) -> DataFrame:
     """Exact top-k neighbours (cosine) of each query vector against the
     corpus, self-matches excluded. Output: (query_id, neighbor_id, cosine,
-    rank).
+    rank) plus ``neighbor_label`` when ``label_col`` is given.
+
+    ``label_col`` + ``same_label`` restrict the candidate pool by class
+    label BEFORE ranking — ``same_label=False`` is contrastive-learning
+    hard-NEGATIVE mining (nearest vectors of a *different* class),
+    ``same_label=True`` mines hard positives (farthest-ranked matches of
+    the *same* class are the informative ones). ``None`` = no restriction.
 
     Plan shape: query matrix broadcast in the UDF closure → ONE linear
     corpus scan (mapInPandas, numpy matmul per Arrow batch) → per-batch
@@ -117,39 +125,53 @@ def brute_force_topk(
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
     qn = _normalize(q_mat).T  # (dim, nq)
     nq = len(q_ids)
+    q_labels: Optional[np.ndarray] = None
+    if label_col is not None and same_label is not None:
+        rows = queries.select(id_col, label_col).collect()
+        by_id = {int(r[0]): r[1] for r in rows}
+        q_labels = np.array([by_id[int(i)] for i in q_ids])
 
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType()),
-            T.StructField("neighbor_id", T.LongType()),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
+    fields = [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+    if label_col is not None:
+        fields.append(T.StructField("neighbor_label", T.LongType()))
+    out_schema = T.StructType(fields)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
+            labs = (
+                pdf[label_col].to_numpy() if label_col is not None else None
+            )
             sims = np.round(_normalize(_vstack(pdf[vec_col])) @ qn, ROUND_DIGITS)
             frames = []
             for j in range(nq):
                 s = sims[:, j]
-                keep = np.nonzero(ids != q_ids[j])[0]
+                mask = ids != q_ids[j]
+                if q_labels is not None:
+                    if same_label:
+                        mask &= labs == q_labels[j]
+                    else:
+                        mask &= labs != q_labels[j]
+                keep = np.nonzero(mask)[0]
                 if keep.size == 0:
                     continue
                 # exact (value desc, id asc) order => lossless local prune
                 order = np.lexsort((ids[keep], -s[keep]))[:k]
                 sel = keep[order]
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": q_ids[j],
-                            "neighbor_id": ids[sel],
-                            "cosine": s[sel],
-                        }
-                    )
-                )
+                frame = {
+                    "query_id": q_ids[j],
+                    "neighbor_id": ids[sel],
+                    "cosine": s[sel],
+                }
+                if labs is not None:
+                    frame["neighbor_label"] = labs[sel].astype(np.int64)
+                frames.append(pd.DataFrame(frame))
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 

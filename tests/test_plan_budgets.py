@@ -43,6 +43,10 @@ BUDGETS = [
     ("events_value_trend", 2),  # one keyed agg of decimal partials
     ("jpeg_decode_metadata", 1),  # mapInPandas synth+decode, repartition only
     ("length_bucketed_batches", 5),  # distributed rank + batch agg
+    ("error_burst_range_join", 3),  # bin equi-join + keyed agg
+    ("bm25_topk_docs", 0),  # stats bcast back; scoring scan-fused + top-k
+    ("hard_negative_mining", 1),  # linear scan + per-query window
+    ("charlm_doc_quality", 0),  # model collected; scoring is one scan
 ]
 
 
