@@ -141,6 +141,8 @@ HEADLINE = [
     "bm25_topk_docs",
     "hard_negative_mining",
     "charlm_doc_quality",
+    "countmin_token_freq",
+    "csv_roundtrip_decode",
 ]
 
 

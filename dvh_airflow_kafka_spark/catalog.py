@@ -5928,6 +5928,151 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CM_PROBES = ("the", "spark", "data", "window", "zzznotintext")
+
+
+@register(
+    "countmin_token_freq",
+    sql=rf"""
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+    ), seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    sk AS (
+        SELECT i,
+               substr(sha256('cm' || CAST(i AS VARCHAR) || '|' || token), 1, 2)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok, seeds GROUP BY 1, 2
+    ), probes(token) AS (
+        VALUES {", ".join(f"('{t}')" for t in _CM_PROBES)}
+    ), grid AS (
+        SELECT p.token, s.i,
+               substr(sha256('cm' || CAST(s.i AS VARCHAR) || '|' || p.token), 1, 2)
+                   AS bucket
+        FROM probes p, seeds s
+    ), est AS (
+        SELECT g.token, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS cm_estimate
+        FROM grid g LEFT JOIN sk ON sk.i = g.i AND sk.bucket = g.bucket
+        GROUP BY g.token
+    ), ex AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok
+        WHERE token IN ({", ".join(f"'{t}'" for t in _CM_PROBES)})
+        GROUP BY token
+    )
+    SELECT p.token, CAST(COALESCE(ex.exact_n, 0) AS BIGINT) AS exact_n,
+           est.cm_estimate
+    FROM probes p LEFT JOIN ex USING (token) JOIN est USING (token)
+    """,
+)
+def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Count-Min sketch frequency estimation (Cormode &
+    Muthukrishnan) over document tokens, with the exact counts alongside
+    so the one-sided error (estimate ≥ truth, never under) is visible in
+    the output — including a deliberately absent probe token whose truth
+    is 0. Completes the bounded-state sketch family next to Misra-Gries
+    (`frequent_tokens_bounded_state`), HLL (`hll_mergeable_distinct`)
+    and Bloom (`bloom_dedup_insert`): where those answer "who is heavy",
+    "how many distinct", "seen before?", CM answers "how often is X"
+    with depth·256 counters of state regardless of vocabulary size.
+    Buckets are 2-hex sha256 prefixes, so unlike the xxhash64-seeded
+    LSH internals the ENTIRE sketch — build, point query, error —
+    replays in the DuckDB oracle. Plan: one posexplode (depth rows per
+    occurrence) into a map-side-combined (i, bucket) count whose
+    partial-agg state is bounded by the sketch size — the property that
+    lets this run where a vocabulary groupBy would spill; the ≤1024-row
+    sketch frame is then broadcast against the probe grid."""
+    from dvh_airflow_kafka_spark.ext import sketch as xsketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(xtext.tokens(F.col("text"))).alias("token"))
+    sketch = xsketch.countmin_build(toks)
+    est = xsketch.countmin_estimate(spark, sketch, list(_CM_PROBES))
+    exact = (
+        toks.filter(F.col("token").isin(*_CM_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probes_df = spark.createDataFrame(
+        [(t,) for t in _CM_PROBES], "token string"
+    )
+    return (
+        probes_df.join(F.broadcast(exact), "token", "left")
+        .join(F.broadcast(est), "token")
+        .select(
+            "token",
+            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+            "cm_estimate",
+        )
+    )
+
+
+@register(
+    "csv_roundtrip_decode",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    UNION ALL
+    SELECT '__corrupt__', 1, NULL
+    """,
+)
+def csv_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CSV source with malformed-record capture — the third file
+    interchange format next to parquet and JSONL
+    (`jsonl_roundtrip_decode`): the events slice round-trips through
+    headered CSV, is read back under an EXPLICIT schema in PERMISSIVE
+    mode with ``columnNameOfCorruptRecord``, and a planted
+    unparseable-value line must surface in the corrupt bucket instead of
+    failing the scan or silently vanishing. Doubles survive the
+    round-trip exactly (Spark writes shortest-round-trip reprs); the
+    rollup is DECIMAL-exact. The planted file carries its own header
+    line because ``header=true`` drops the first line of EVERY file."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_")
+    src = os.path.join(tmp, "events_csv")
+    ev.coalesce(4).write.mode("overwrite").option("header", True).csv(src)
+    with open(os.path.join(src, "part-corrupt.csv"), "w") as f:
+        f.write("event_id,event_type,value\n9999999,purchase,not_a_number\n")
+    back = (
+        spark.read.schema(
+            "event_id long, event_type string, value double, _corrupt string"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(src)
+    )
+    back = back.persist()
+    good = back.filter(F.col("_corrupt").isNull())
+    bad = back.filter(F.col("_corrupt").isNotNull())
+    out = good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    ).unionByName(
+        bad.agg(
+            F.lit("__corrupt__").alias("event_type"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.lit(None).cast("double").alias("total_value"),
+        )
+    )
+    rows = out.collect()
+    back.unpersist()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, total_value double"
+    )
+
+
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/
 # q21/q22 shapes + as-of join) registers itself on import. Bottom of the
 # module: relational.py imports `register` from here mid-initialisation.

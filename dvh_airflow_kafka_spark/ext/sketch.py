@@ -98,3 +98,62 @@ def frequent_tokens(
         .filter(F.col("n_occurrences") * k_state > F.col("__N"))
         .select("token", "n_occurrences")
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05): depth d rows of
+# w=256 counters, bucket = first 2 hex chars of sha256(seed_i || token).
+# sha256 exists identically in Spark, DuckDB and hashlib, so unlike the
+# xxhash64-seeded LSH internals the WHOLE sketch replays in the SQL
+# oracle — build, point query and the one-sided error are all
+# hash-checkable cross-engine.
+# --------------------------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 256  # 2 hex chars
+
+
+def _cm_bucket(token: Column, i: int) -> Column:
+    return F.substring(F.sha2(F.concat(F.lit(f"cm{i}|"), token), 256), 1, 2)
+
+
+def countmin_build(toks: DataFrame, token_col: str = "token", depth: int = CM_DEPTH) -> DataFrame:
+    """Build the sketch over a token-occurrence frame → (i, bucket, c).
+
+    ONE pass: each occurrence poses-explodes to its ``depth`` buckets and
+    a map-side-combined keyed count reduces them. Unlike a vocabulary
+    groupBy, partial-agg state is bounded by depth·256 counters per task
+    NO MATTER how many distinct tokens stream through — the whole point
+    of a sketch on an unbounded key domain. The result frame is at most
+    depth·256 rows: broadcastable, and mergeable across corpora by
+    elementwise (i, bucket) sum (pytest-pinned)."""
+    arr = F.array(*[_cm_bucket(F.col(token_col), i) for i in range(depth)])
+    return (
+        toks.select(F.posexplode(arr).alias("i", "bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def countmin_estimate(
+    spark, sketch: DataFrame, probes: list[str], depth: int = CM_DEPTH
+) -> DataFrame:
+    """Point-query the sketch → (token, cm_estimate): min over the
+    ``depth`` counters each probe hashes to (missing bucket = 0). The
+    classic CM guarantee — never an underestimate; overestimate ≤ εN
+    w.h.p. — is pinned by pytest against exact counts."""
+    import hashlib
+
+    rows = [
+        (t, i, hashlib.sha256(f"cm{i}|{t}".encode()).hexdigest()[:2])
+        for t in probes
+        for i in range(depth)
+    ]
+    grid = spark.createDataFrame(rows, "token string, i int, bucket string")
+    return (
+        grid.join(F.broadcast(sketch), ["i", "bucket"], "left")
+        .groupBy("token")
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate")
+        )
+    )

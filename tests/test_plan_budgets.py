@@ -47,6 +47,7 @@ BUDGETS = [
     ("bm25_topk_docs", 0),  # stats bcast back; scoring scan-fused + top-k
     ("hard_negative_mining", 1),  # linear scan + per-query window
     ("charlm_doc_quality", 0),  # model collected; scoring is one scan
+    ("countmin_token_freq", 3),  # sketch agg + exact agg + estimate agg
 ]
 
 

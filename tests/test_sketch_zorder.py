@@ -113,3 +113,51 @@ def test_ivf_index_build_and_serve(spark, tmp_path):
         if nid in truth.get(qid, set())
     )
     assert hits / len(got) >= 0.6  # recall floor at n_probe=6/16
+
+
+def test_countmin_never_underestimates_and_merges(spark, sf_dir):
+    """CM laws: (1) one-sided error — the estimate is >= the exact count
+    for every probe, including an absent token whose truth is 0; (2)
+    mergeability — the sketch of a union equals the elementwise
+    (i, bucket) sum of the halves' sketches."""
+    from dvh_airflow_kafka_spark.ext import text as xtext
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(xtext.tokens(F.col("text"))).alias("token"))
+    probes = ["the", "spark", "data", "zzznotintext"]
+    sk = countmin_build(toks)
+    est = {
+        r["token"]: r["cm_estimate"]
+        for r in countmin_estimate(spark, sk, probes).collect()
+    }
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.filter(F.col("token").isin(probes))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est["zzznotintext"] >= 0 and exact.get("zzznotintext") is None
+    for t in probes:
+        assert est[t] >= exact.get(t, 0), t
+
+    lo = docs.filter(F.col("doc_id") % 2 == 0)
+    hi = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def sk_rows(frame):
+        t = frame.select(F.explode(xtext.tokens(F.col("text"))).alias("token"))
+        return {
+            (r["i"], r["bucket"]): r["c"] for r in countmin_build(t).collect()
+        }
+
+    whole = sk_rows(docs)
+    a, b = sk_rows(lo), sk_rows(hi)
+    merged: dict = {}
+    for part in (a, b):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == whole

@@ -564,7 +564,85 @@ def probe_spans(max_factor: int = 4) -> None:
     spark.stop()
 
 
+def probe_retrieval(max_factor: int = 4) -> None:
+    """Scaling curves for the round-6d operators: the binned range join
+    (events), BM25 scoring and char-LM quality (documents). Replicated
+    tables are staged as a synthetic sf_dir so the REGISTERED query
+    functions run unmodified. Each events replica is shifted 400 days so
+    replicas occupy DISJOINT time ranges — replicating in-place would
+    multiply per-bin density and grow range-join work quadratically
+    (probes x candidates), contaminating the curve the probe is meant to
+    confirm (the same pitfall probe_semantic's per-replica rotation
+    avoids); disjoint ranges model corpus growth over time, which is the
+    real 100 TB shape. Document replicas get a distinct text suffix so
+    model counts and tf profiles scale with rows, not duplicates."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_retrieval")
+    ev_base = load_table(spark, "/root/testdata/sf0.1", "events")
+    doc_base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_ev, n_doc = ev_base.count(), doc_base.count()
+    # warm the JVM/codegen once so the factor-1 row measures the engine
+    for q in ("error_burst_range_join", "bm25_topk_docs", "charlm_doc_quality"):
+        REGISTRY[q].fn(spark, "/root/testdata/sf0.1").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    tmp = tempfile.mkdtemp(prefix="scale_retr_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        sf_dir = os.path.join(tmp, f"x{factor}")
+        ev = ev_base
+        docs = doc_base
+        for i in range(1, factor):
+            ev = ev.unionByName(
+                ev_base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {400 * i} DAYS")
+                )
+            )
+            docs = docs.unionByName(
+                doc_base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                ).withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+                )
+            )
+        ev.write.mode("overwrite").parquet(os.path.join(sf_dir, "events.parquet"))
+        docs.write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        row = {"factor": factor, "events": n_ev * factor, "docs": n_doc * factor}
+        for q, key in (
+            ("error_burst_range_join", "rangejoin_sec"),
+            ("bm25_topk_docs", "bm25_sec"),
+            ("charlm_doc_quality", "charlm_sec"),
+        ):
+            t0 = time.time()
+            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[key] = round(time.time() - t0, 2)
+        out.append(row)
+        print(f"# retrieval x{factor}: {row}", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "retrieval_scaling", "runs": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "retrieval":
+        probe_retrieval(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "dedup":
         probe_dedup(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
