@@ -143,6 +143,7 @@ HEADLINE = [
     "charlm_doc_quality",
     "countmin_token_freq",
     "csv_roundtrip_decode",
+    "blob_cdc_chunk_dedup",
 ]
 
 

@@ -124,6 +124,18 @@ def register(name: str, sql: Optional[str] = None):
 # events_value_trend division guard is inside the 42).  Every query
 # displaced from the round-5 window holds a green `CORRECTNESS_r05.json`
 # row and is unchanged this round.
+# ROUND-7 NOTE (next rotation): once `CORRECTNESS_r06.json` certifies the
+# 42 round-5b/5c names below, the only queries without a driver row are
+# the round-6 additions registered after this window was pinned:
+#   embedding_kmeans_assign, duplicate_span_removal, link_graph_pagerank,
+#   pq_encode_stats, weighted_priority_sample, pq_adc_recall,
+#   ivf_pq_ann_topk, incremental_near_dup_ingest, knn_label_accuracy,
+#   bpe_learn_merges_table, error_burst_range_join, bm25_topk_docs,
+#   hard_negative_mining, charlm_doc_quality, countmin_token_freq,
+#   csv_roundtrip_decode, blob_cdc_chunk_dedup
+# (all verified locally vs their oracles at sf0.01/sf0.001 this round).
+# Rotate THOSE to the front of this list next round; the remaining slots
+# re-certify whatever changed that round.
 _CERTIFY_FIRST = [
     # never driver-certified: round-5b additions
     "png_decode_metadata",
@@ -6003,6 +6015,50 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
             "cm_estimate",
         )
+    )
+
+
+@register("blob_cdc_chunk_dedup", sql=None)
+def blob_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Content-defined chunking dedup report — the storage-dedup
+    primitive (Gear-hash CDC, the FastCDC/LBFS family): every synthetic
+    blob splits at positions chosen by a rolling hash of the content
+    itself, so identical regions chunk identically at ANY byte offset,
+    and the corpus-level dedup ratio falls out of a distinct-hash
+    aggregate. Fixed-size chunking loses all alignment after one
+    inserted byte; CDC boundaries re-synchronize within one hash window
+    (the shift-invariance pytest pins this). Rows-only by design — the
+    rolling-hash window is not SQL-expressible — but the report is
+    covered by the shared run-to-run determinism law, and the chunker
+    itself is pytest-pinned (vectorized window ≡ sequential fold,
+    reassembly, min/max size bounds). Plan: ONE linear mapInPandas scan
+    emits (hash, size) fingerprints; the only exchange carries those
+    fingerprints, never content — the ingest shape of a dedup store at
+    100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = xmm.cdc_chunk_blobs(xmm.synth_blob_frame(docs))
+    totals = chunks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_blobs"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("size").cast("long").alias("total_bytes"),
+    )
+    uniq = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.min("size").alias("__sz"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            F.sum("__sz").cast("long").alias("unique_bytes"),
+        )
+    )
+    return totals.crossJoin(F.broadcast(uniq)).select(
+        "n_blobs",
+        "n_chunks",
+        "n_distinct_chunks",
+        "total_bytes",
+        "unique_bytes",
+        F.round(
+            F.col("unique_bytes").cast("double") / F.col("total_bytes"), 6
+        ).alias("dedup_ratio"),
     )
 
 

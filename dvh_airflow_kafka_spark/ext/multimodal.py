@@ -833,3 +833,125 @@ def frame_sample(
                 yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the storage-dedup primitive: split each
+# blob at positions chosen by a Gear rolling hash of the content itself,
+# so identical regions chunk identically regardless of their byte OFFSET.
+# Fixed-size chunking loses all alignment after one inserted byte; CDC
+# boundaries re-synchronize within one hash window (pytest-pinned).
+# --------------------------------------------------------------------------
+
+CDC_MASK_BITS = 8  # expected chunk ≈ 2^8 = 256 bytes on the fixtures
+CDC_MIN_SIZE = 32
+CDC_MAX_SIZE = 4096
+
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("size", T.IntegerType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ]
+)
+
+
+def _gear_table_low(mask_bits: int) -> "np.ndarray":
+    """Deterministic 256-entry Gear table, reduced to the low hash bits.
+
+    In ``h = (h << 1) + gear[b]`` carries only propagate UPWARD, so
+    ``h mod 2^m`` depends on exactly the last ``m`` bytes:
+    ``h mod 2^m = (Σ_{j<m} gear[b_{i-j}] << j) mod 2^m``. That windowed
+    weighted sum vectorizes (m shifted adds over the whole byte array) —
+    no per-byte Python loop, same boundaries as the sequential fold."""
+    import numpy as np
+
+    x = np.arange(256, dtype=np.uint64)
+    g = _splitmix64(x + np.uint64(0x9E3779B97F4A7C15))
+    return (g & np.uint64((1 << mask_bits) - 1)).astype(np.uint64)
+
+
+def _cdc_boundaries(
+    data: bytes, mask_bits: int, min_size: int, max_size: int
+) -> list[int]:
+    """Chunk END positions (exclusive) for one blob."""
+    import numpy as np
+
+    n = len(data)
+    if n == 0:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8)
+    gv = _gear_table_low(mask_bits)[arr]
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(mask_bits):
+        acc[j:] += gv[: n - j] << np.uint64(j)
+    mask = np.uint64((1 << mask_bits) - 1)
+    is_cut = (acc & mask) == 0
+    cuts: list[int] = []
+    start = 0
+    # candidate walk touches only ~n/2^mask_bits positions
+    for pos in np.nonzero(is_cut)[0]:
+        end = int(pos) + 1
+        if end - start < min_size:
+            continue
+        while end - start > max_size:  # enforce max with forced cuts
+            start += max_size
+            cuts.append(start)
+        cuts.append(end)
+        start = end
+    while n - start > max_size:
+        start += max_size
+        cuts.append(start)
+    if start < n:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_chunk_blobs(
+    blobs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    *,
+    mask_bits: int = CDC_MASK_BITS,
+    min_size: int = CDC_MIN_SIZE,
+    max_size: int = CDC_MAX_SIZE,
+) -> DataFrame:
+    """(doc_id, chunk_idx, offset, size, chunk_hash) per content-defined
+    chunk. One linear ``mapInPandas`` scan (vectorized Gear window per
+    blob, sha256/16-hex per chunk); chunk rows inherit the scan's
+    partitioning — the downstream distinct/dedup aggregate is the only
+    exchange. At 100 TB this is exactly a dedup store's ingest shape:
+    chunk locally, shuffle only (hash, size) fingerprints."""
+    import hashlib
+
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                blob = bytes(content)
+                start = 0
+                for i, end in enumerate(
+                    _cdc_boundaries(blob, mask_bits, min_size, max_size)
+                ):
+                    rows.append(
+                        {
+                            "doc_id": int(rid),
+                            "chunk_idx": i,
+                            "offset": start,
+                            "size": end - start,
+                            "chunk_hash": hashlib.sha256(
+                                blob[start:end]
+                            ).hexdigest()[:16],
+                        }
+                    )
+                    start = end
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return ensure_parallelism(blobs).mapInPandas(run, schema=CDC_SCHEMA)

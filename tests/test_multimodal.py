@@ -384,3 +384,85 @@ def test_detect_mime_agrees_with_python_sniffer(spark):
     }
     for i, b in enumerate(blobs):
         assert got[i] == _sniff(b), (i, b)
+
+
+def test_cdc_chunks_reassemble_and_respect_size_bounds(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.multimodal import (
+        CDC_MAX_SIZE,
+        CDC_MIN_SIZE,
+        cdc_chunk_blobs,
+        synth_blob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    blobs = synth_blob_frame(docs)
+    sizes = {
+        r["doc_id"]: r["n"]
+        for r in blobs.select(
+            "doc_id", F.length("content").alias("n")
+        ).collect()
+    }
+    by_doc: dict = {}
+    for r in cdc_chunk_blobs(blobs).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(sizes)
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        pos = 0
+        for r in rows:
+            assert r["offset"] == pos
+            assert 0 < r["size"] <= CDC_MAX_SIZE
+            pos += r["size"]
+        assert pos == sizes[did]
+        # every chunk except the last is either a hash cut (>= min) or a
+        # forced max cut
+        for r in rows[:-1]:
+            assert r["size"] >= CDC_MIN_SIZE or r["size"] == CDC_MAX_SIZE
+
+
+def test_cdc_boundaries_resync_after_prefix_insertion():
+    """THE content-defined property: prepending bytes shifts every byte
+    offset, yet all chunk hashes except the first re-appear — fixed-size
+    chunking would lose every one."""
+    import hashlib
+
+    from dvh_airflow_kafka_spark.ext.multimodal import _cdc_boundaries
+
+    rng = __import__("random").Random(7)
+    data = bytes(rng.randrange(256) for _ in range(20_000))
+    mutated = b"\x01\x02\x03\x04\x05\x06\x07" + data
+
+    def hashes(blob):
+        out, start = [], 0
+        for end in _cdc_boundaries(blob, 8, 32, 4096):
+            out.append(hashlib.sha256(blob[start:end]).hexdigest()[:16])
+            start = end
+        return out
+
+    h0, h1 = hashes(data), hashes(mutated)
+    assert len(h0) > 10
+    shared = set(h0) & set(h1)
+    assert len(shared) >= len(h0) - 2, (len(h0), len(shared))
+
+
+def test_cdc_chunking_is_partitioning_invariant(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.multimodal import (
+        cdc_chunk_blobs,
+        synth_blob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    key = lambda r: (r["doc_id"], r["chunk_idx"])
+    a = sorted(
+        map(
+            tuple,
+            cdc_chunk_blobs(synth_blob_frame(docs.repartition(1))).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            cdc_chunk_blobs(synth_blob_frame(docs.repartition(8))).collect(),
+        )
+    )
+    assert a == b
