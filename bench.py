@@ -144,6 +144,7 @@ HEADLINE = [
     "countmin_token_freq",
     "csv_roundtrip_decode",
     "blob_cdc_chunk_dedup",
+    "dsir_domain_selection",
 ]
 
 

@@ -5835,6 +5835,70 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHARLM_WORST = 20
 
 
+def _charlm_bigrams() -> Column:
+    """Char-bigram array of the lowercased text column ``s``."""
+    return F.expr(
+        "transform(sequence(1, char_length(s) - 1), i -> substring(s, i, 2))"
+    )
+
+
+def _charlm_model(t: DataFrame) -> tuple[dict, dict, int]:
+    """Train the add-one conditional char-bigram model on frame ``t``
+    (must expose ``s``): → (bigram → micronats, prefix-char → unseen-
+    bigram fallback micronats, global unseen-prefix fallback). The model
+    domain is |charset|², so the collect is bounded at ANY corpus size;
+    log-probs quantize to integer micronats (floor(ln(p)·1e6 + 0.5),
+    mirrored formulaically in the oracle) so downstream sums are
+    order-free."""
+    import math
+
+    rows = (
+        t.select(F.explode(_charlm_bigrams()).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {r["b"]: int(r["c"]) for r in rows}
+    prefix: dict[str, int] = {}
+    for b, c in counts.items():
+        prefix[b[0]] = prefix.get(b[0], 0) + c
+    vocab = len({b[1] for b in counts})
+
+    def mk(num: float, den: float) -> int:
+        return int(math.floor(math.log(num / den) * 1_000_000 + 0.5))
+
+    micronats = {
+        b: mk(c + 1.0, prefix[b[0]] + vocab) for b, c in counts.items()
+    }
+    pre_fb = {c1: mk(1.0, n1 + vocab) for c1, n1 in prefix.items()}
+    global_fb = mk(1.0, float(vocab)) if vocab else 0
+    return micronats, pre_fb, global_fb
+
+
+def _charlm_sum(model: tuple[dict, dict, int]) -> Column:
+    """Per-document micronat log-prob sum: fold the bigram array IN-ROW
+    against the literal model map — add-one smoothing handles bigrams the
+    model never saw (p = 1/(n1+V), or 1/V for an unseen prefix), so a
+    model trained on a SUBSET scores any document (the DSIR case)."""
+    micronats, pre_fb, global_fb = model
+    m1 = F.create_map(
+        *[x for b in sorted(micronats) for x in (F.lit(b), F.lit(micronats[b]))]
+    )
+    m2 = F.create_map(
+        *[x for c in sorted(pre_fb) for x in (F.lit(c), F.lit(pre_fb[c]))]
+    )
+    return F.aggregate(
+        _charlm_bigrams(),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.coalesce(
+            F.try_element_at(m1, b),
+            F.try_element_at(m2, F.substring(b, 1, 1)),
+            F.lit(global_fb),
+        ).cast("long"),
+    )
+
+
 @register(
     "charlm_doc_quality",
     sql=f"""
@@ -5892,38 +5956,11 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.filter(F.length("text") >= 2).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("s")
     )
-    bigrams = F.expr("transform(sequence(1, char_length(s) - 1), i -> substring(s, i, 2))")
-    model_counts = (
-        t.select(F.explode(bigrams).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    import math
-
-    counts = {r["b"]: int(r["c"]) for r in model_counts}
-    prefix: dict[str, int] = {}
-    for b, c in counts.items():
-        prefix[b[0]] = prefix.get(b[0], 0) + c
-    vocab = len({b[1] for b in counts})
-    micronats = {
-        b: int(math.floor(math.log((c + 1.0) / (prefix[b[0]] + vocab)) * 1_000_000 + 0.5))
-        for b, c in counts.items()
-    }
-    entries: list = []
-    for b in sorted(micronats):
-        entries.append(F.lit(b))
-        entries.append(F.lit(micronats[b]))
-    lp_map = F.create_map(*entries)
     scored = t.select(
         "doc_id",
         "lang",
         (F.char_length("s") - 1).cast("long").alias("n_bigrams"),
-        F.aggregate(
-            bigrams,
-            F.lit(0).cast("long"),
-            lambda acc, b: acc + F.element_at(lp_map, b).cast("long"),
-        ).alias("sl"),
+        _charlm_sum(_charlm_model(t)).alias("sl"),
     )
     return (
         scored.select(
@@ -5938,6 +5975,123 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("avg_logprob"), "doc_id")
         .limit(_CHARLM_WORST)
     )
+
+
+_DSIR_TARGET_LANG = "en"
+_DSIR_TOPK = 20
+
+
+@register(
+    "dsir_domain_selection",
+    sql=f"""
+    WITH t AS (
+        SELECT doc_id, lang, lower(text) AS s
+        FROM documents WHERE length(text) >= 2
+    ), bg AS (
+        SELECT doc_id, lang, substr(s, i, 2) AS b
+        FROM t, unnest(generate_series(1, length(s) - 1)) AS u(i)
+    ), m AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY b
+    ), pre AS (
+        SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS n1
+        FROM m GROUP BY c1
+    ), voc AS (
+        SELECT CAST(COUNT(DISTINCT substr(b, 2, 1)) AS BIGINT) AS v FROM m
+    ), lp AS (
+        SELECT m.b,
+               CAST(floor(ln((m.c + 1.0) / (pre.n1 + voc.v)) * 1000000 + 0.5)
+                    AS BIGINT) AS mn
+        FROM m JOIN pre ON substr(m.b, 1, 1) = pre.c1, voc
+    ), mt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bg WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+    ), pret AS (
+        SELECT substr(b, 1, 1) AS c1, CAST(SUM(c) AS BIGINT) AS n1
+        FROM mt GROUP BY c1
+    ), voct AS (
+        SELECT CAST(COUNT(DISTINCT substr(b, 2, 1)) AS BIGINT) AS v FROM mt
+    ), lpt AS (
+        SELECT mt.b,
+               CAST(floor(ln((mt.c + 1.0) / (pret.n1 + voct.v)) * 1000000 + 0.5)
+                    AS BIGINT) AS mn
+        FROM mt JOIN pret ON substr(mt.b, 1, 1) = pret.c1, voct
+    ), pft AS (
+        SELECT pret.c1,
+               CAST(floor(ln(1.0 / (pret.n1 + voct.v)) * 1000000 + 0.5)
+                    AS BIGINT) AS fb
+        FROM pret, voct
+    ), gfb AS (
+        SELECT CAST(floor(ln(1.0 / voct.v) * 1000000 + 0.5) AS BIGINT) AS fb
+        FROM voct
+    ), sc AS (
+        SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp.mn) AS BIGINT) AS sl_b,
+               CAST(SUM(COALESCE(lpt.mn, pft.fb, gfb.fb)) AS BIGINT) AS sl_t
+        FROM bg
+        JOIN lp ON bg.b = lp.b
+        LEFT JOIN lpt ON bg.b = lpt.b
+        LEFT JOIN pft ON substr(bg.b, 1, 1) = pft.c1
+        CROSS JOIN gfb
+        GROUP BY bg.doc_id
+    )
+    SELECT t.doc_id, t.lang, sc.n_bigrams,
+           round(CAST(sc.sl_t - sc.sl_b AS DOUBLE) / 1000000.0 / sc.n_bigrams, 6)
+               AS importance
+    FROM sc JOIN t ON t.doc_id = sc.doc_id
+    ORDER BY importance DESC, t.doc_id
+    LIMIT {_DSIR_TOPK}
+    """,
+)
+def dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DSIR-style data selection with importance resampling (Xie
+    et al., NeurIPS'23): score every document by the log importance
+    weight ln p_target(x) − ln p_base(x) between a char-bigram model
+    trained on the TARGET domain (lang='{t}') and one trained on the
+    whole corpus, and keep the top-{k} — the hashed-n-gram importance
+    weighting that selects pretraining data "like the target domain"
+    without a neural scorer. Rides the shared `_charlm_model`/
+    `_charlm_sum` machinery: both models are bounded (|charset|²)
+    driver-collected maps, scoring folds each document's bigram array
+    IN-ROW against two literal maps in one stateless scan (no explode,
+    no join, no shuffle) ending in a distributed TakeOrderedAndProject.
+    Bigrams unseen by the target model take the add-one smoothing
+    fallback 1/(n1+V) (or 1/V for an unseen prefix char) — mirrored as
+    COALESCE joins in the oracle. All sums are integer micronats; only
+    the final average divides doubles, identically on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.length("text") >= 2).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("s")
+    )
+    base = _charlm_model(t)
+    target = _charlm_model(t.filter(F.col("lang") == _DSIR_TARGET_LANG))
+    scored = t.select(
+        "doc_id",
+        "lang",
+        (F.char_length("s") - 1).cast("long").alias("n_bigrams"),
+        _charlm_sum(base).alias("sl_b"),
+        _charlm_sum(target).alias("sl_t"),
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(
+                (F.col("sl_t") - F.col("sl_b")).cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_bigrams"),
+                6,
+            ).alias("importance"),
+        )
+        .orderBy(F.desc("importance"), "doc_id")
+        .limit(_DSIR_TOPK)
+    )
+
+
+dsir_domain_selection.__doc__ = dsir_domain_selection.__doc__.format(
+    t=_DSIR_TARGET_LANG, k=_DSIR_TOPK
+)
 
 
 _CM_PROBES = ("the", "spark", "data", "window", "zzznotintext")

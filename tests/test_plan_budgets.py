@@ -48,6 +48,7 @@ BUDGETS = [
     ("hard_negative_mining", 1),  # linear scan + per-query window
     ("charlm_doc_quality", 0),  # model collected; scoring is one scan
     ("countmin_token_freq", 3),  # sketch agg + exact agg + estimate agg
+    ("dsir_domain_selection", 0),  # two collected models; scoring one scan
 ]
 
 

