@@ -145,6 +145,7 @@ HEADLINE = [
     "csv_roundtrip_decode",
     "blob_cdc_chunk_dedup",
     "dsir_domain_selection",
+    "streaming_countmin_sketch",
 ]
 
 

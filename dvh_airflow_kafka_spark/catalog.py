@@ -6096,10 +6096,7 @@ dsir_domain_selection.__doc__ = dsir_domain_selection.__doc__.format(
 
 _CM_PROBES = ("the", "spark", "data", "window", "zzznotintext")
 
-
-@register(
-    "countmin_token_freq",
-    sql=rf"""
+_COUNTMIN_SQL = rf"""
     WITH tok AS (
         SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
     ), seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
@@ -6128,8 +6125,35 @@ _CM_PROBES = ("the", "spark", "data", "window", "zzznotintext")
     SELECT p.token, CAST(COALESCE(ex.exact_n, 0) AS BIGINT) AS exact_n,
            est.cm_estimate
     FROM probes p LEFT JOIN ex USING (token) JOIN est USING (token)
-    """,
-)
+    """
+
+
+def _countmin_report(spark: SparkSession, sketch: DataFrame, toks: DataFrame) -> DataFrame:
+    """(token, exact_n, cm_estimate) for the fixed probes — shared by the
+    batch and streaming Count-Min queries (identical oracle)."""
+    from dvh_airflow_kafka_spark.ext import sketch as xsketch
+
+    est = xsketch.countmin_estimate(spark, sketch, list(_CM_PROBES))
+    exact = (
+        toks.filter(F.col("token").isin(*_CM_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    probes_df = spark.createDataFrame(
+        [(t,) for t in _CM_PROBES], "token string"
+    )
+    return (
+        probes_df.join(F.broadcast(exact), "token", "left")
+        .join(F.broadcast(est), "token")
+        .select(
+            "token",
+            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+            "cm_estimate",
+        )
+    )
+
+
+@register("countmin_token_freq", sql=_COUNTMIN_SQL)
 def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Count-Min sketch frequency estimation (Cormode &
     Muthukrishnan) over document tokens, with the exact counts alongside
@@ -6152,24 +6176,54 @@ def countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(F.explode(xtext.tokens(F.col("text"))).alias("token"))
     sketch = xsketch.countmin_build(toks)
-    est = xsketch.countmin_estimate(spark, sketch, list(_CM_PROBES))
-    exact = (
-        toks.filter(F.col("token").isin(*_CM_PROBES))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("exact_n"))
+    return _countmin_report(spark, sketch, toks)
+
+
+@register("streaming_countmin_sketch", sql=_COUNTMIN_SQL)
+def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The Count-Min sketch MAINTAINED AS STREAMING STATE: the
+    documents table drains through a file stream in 4 micro-batches and
+    the sketch is nothing but an unwatermarked streaming groupBy over
+    (row, bucket) — the state store holds exactly the depth·256
+    counters, the minimal possible streaming-aggregation state for an
+    unbounded token domain. The complete-mode drain reads the FINAL
+    state snapshot, which by CM mergeability across micro-batches (the
+    pytest-pinned elementwise-sum law) equals the batch sketch exactly
+    — so this streaming query shares `countmin_token_freq`'s DuckDB
+    oracle verbatim: a cross-engine hash check that streaming state
+    arithmetic matches a batch engine's. At 100 TB ingest this is the
+    sketch shape you keep PERMANENTLY resident: O(sketch) state forever,
+    no watermark, no eviction needed."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.ext import sketch as xsketch
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory_complete,
+        read_event_stream,
     )
-    probes_df = spark.createDataFrame(
-        [(t,) for t in _CM_PROBES], "token string"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _write(src: str) -> None:
+        for i in range(4):  # 4 ordered files -> 4 micro-batches
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+    src = _staged_stream_src("stream_cm", sf_dir, _write)
+    ckpt = tempfile.mkdtemp(prefix="stream_cm_ckpt_")
+    name = f"stream_cm_{uuid.uuid4().hex[:8]}"
+    stream_toks = read_event_stream(spark, src).select(
+        F.explode(xtext.tokens(F.col("text"))).alias("token")
     )
-    return (
-        probes_df.join(F.broadcast(exact), "token", "left")
-        .join(F.broadcast(est), "token")
-        .select(
-            "token",
-            F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
-            "cm_estimate",
-        )
+    sketch = drain_to_memory_complete(
+        spark, xsketch.countmin_build(stream_toks), name, ckpt
     )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    toks = docs.select(F.explode(xtext.tokens(F.col("text"))).alias("token"))
+    return _countmin_report(spark, sketch, toks)
 
 
 @register("blob_cdc_chunk_dedup", sql=None)

@@ -475,3 +475,26 @@ def running_totals_with_state(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def drain_to_memory_complete(
+    spark: SparkSession,
+    stream: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Complete-mode drain for RUNNING (unwatermarked) aggregates: after
+    the availableNow drain the memory sink holds the final state-store
+    snapshot — e.g. a streaming sketch's counters. Append mode would
+    reject an aggregate with no watermark; complete mode is the
+    state-readout semantics these queries want."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
