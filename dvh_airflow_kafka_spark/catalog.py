@@ -5852,8 +5852,11 @@ def _charlm_model(t: DataFrame) -> tuple[dict, dict, int]:
     order-free."""
     import math
 
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
     rows = (
-        t.select(F.explode(_charlm_bigrams()).alias("b"))
+        ensure_parallelism(t)
+        .select(F.explode(_charlm_bigrams()).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
@@ -5952,11 +5955,15 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation — integer sums are order-free, so the result is
     bit-identical at any parallelism and in any engine; only the final
     average divides doubles, identically on both sides."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
     t = docs.filter(F.length("text") >= 2).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("s")
     )
-    scored = t.select(
+    # the in-row fold is an interpreted higher-order function — spread it
+    # across cores (small single-file inputs otherwise scan as ONE task)
+    scored = ensure_parallelism(t).select(
         "doc_id",
         "lang",
         (F.char_length("s") - 1).cast("long").alias("n_bigrams"),
@@ -6063,9 +6070,11 @@ def dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.filter(F.length("text") >= 2).select(
         "doc_id", "lang", F.lower(F.col("text")).alias("s")
     )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
     base = _charlm_model(t)
     target = _charlm_model(t.filter(F.col("lang") == _DSIR_TARGET_LANG))
-    scored = t.select(
+    scored = ensure_parallelism(t).select(
         "doc_id",
         "lang",
         (F.char_length("s") - 1).cast("long").alias("n_bigrams"),
