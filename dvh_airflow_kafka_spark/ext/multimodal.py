@@ -885,7 +885,7 @@ def _cdc_boundaries(
     arr = np.frombuffer(data, dtype=np.uint8)
     gv = _gear_table_low(mask_bits)[arr]
     acc = np.zeros(n, dtype=np.uint64)
-    for j in range(mask_bits):
+    for j in range(min(mask_bits, n)):  # blobs shorter than the window
         acc[j:] += gv[: n - j] << np.uint64(j)
     mask = np.uint64((1 << mask_bits) - 1)
     is_cut = (acc & mask) == 0

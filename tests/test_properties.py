@@ -96,3 +96,47 @@ def test_fuzzy_parse_never_raises_and_is_deterministic(raw):
     a = fns.fuzzy_parse_datetime(raw)
     b = fns.fuzzy_parse_datetime(raw)
     assert a == b
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=30_000),
+    st.integers(min_value=4, max_value=10),
+)
+def test_cdc_boundaries_properties(data, mask_bits):
+    """CDC chunker invariants on arbitrary bytes: boundaries are strictly
+    increasing, cover the blob exactly, respect min/max (interior cuts),
+    and the vectorized windowed Gear hash matches the sequential fold."""
+    from dvh_airflow_kafka_spark.ext.multimodal import (
+        _cdc_boundaries,
+        _gear_table_low,
+    )
+
+    min_size, max_size = 16, 2048
+    cuts = _cdc_boundaries(data, mask_bits, min_size, max_size)
+    if not data:
+        assert cuts == []
+        return
+    assert cuts[-1] == len(data)
+    assert all(a < b for a, b in zip(cuts, cuts[1:]))
+    start = 0
+    for end in cuts:
+        assert 0 < end - start <= max_size
+        start = end
+    # vectorized low-bits window == sequential (h<<1)+g fold
+    g = _gear_table_low(mask_bits)
+    mask = (1 << mask_bits) - 1
+    h, seq = 0, set()
+    for i, b in enumerate(data):
+        h = ((h << 1) + int(g[b])) & mask
+        if h == 0:
+            seq.add(i + 1)
+    import numpy as np
+
+    arr = np.frombuffer(data, dtype=np.uint8)
+    gv = g[arr]
+    acc = np.zeros(len(arr), dtype=np.uint64)
+    for j in range(min(mask_bits, len(arr))):
+        acc[j:] += gv[: len(arr) - j] << np.uint64(j)
+    vec = set((np.nonzero((acc & np.uint64(mask)) == 0)[0] + 1).tolist())
+    assert vec == seq
