@@ -146,6 +146,7 @@ HEADLINE = [
     "blob_cdc_chunk_dedup",
     "dsir_domain_selection",
     "streaming_countmin_sketch",
+    "jaccard_prefix_filter_pairs",
 ]
 
 

@@ -5984,6 +5984,49 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jaccard_prefix_filter_pairs",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / (na.n + nb.n - c) AS jaccard
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+    """,
+)
+def jaccard_prefix_filter_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PPJoin-style prefix-filtered exact Jaccard join at t=0.5 —
+    see `ext/dedup.jaccard_prefix_filter_pairs`. The oracle is the FULL
+    brute-force inverted-index SQL (the same shape `ngram_jaccard_pairs`
+    oracles against): a hash-match here PROVES the prefix filter is
+    lossless — every qualifying pair survives candidate pruning, nothing
+    extra appears. The optimization indexes only each document's
+    rarest-first prefix (|A| − ⌈t·|A|⌉ + 1 shingles), so hot shingles
+    fall out of the index entirely and candidate volume is bounded by
+    rare-shingle buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.jaccard_prefix_filter_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.5
+    )
+
+
 _DSIR_TARGET_LANG = "en"
 _DSIR_TOPK = 20
 

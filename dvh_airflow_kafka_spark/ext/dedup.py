@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import numpy as np
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.ext.text import tokens, word_ngrams_from_tokens
@@ -394,6 +394,90 @@ def ngram_jaccard_pairs(
     return (
         shared.join(na, "id_a")
         .join(nb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard ≥ ``threshold`` pairs via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate reduction, Bayardo et al. WWW'07; Xiao et
+    al. WWW'08) — provably the SAME output as the full inverted-index
+    join, from a fraction of its candidate pairs.
+
+    Under any global canonical order of shingles, J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·|A|⌉, so by pigeonhole A and B must share a shingle
+    within the first |A| − ⌈t·|A|⌉ + 1 elements of A (and likewise B):
+    indexing ONLY those prefixes loses no qualifying pair. The canonical
+    order here is (global document frequency asc, shingle asc) — rarest
+    first, so prefixes are maximally selective and hot shingles
+    (quadratic buckets, what ``drop_hot_shingles`` exists for) land in
+    the UNINDEXED suffix for free. Candidates then verify with an
+    in-row ``array_intersect`` on the full shingle arrays — exact set
+    semantics, no sampling.
+
+    Plan: shingle build (checkpointed once) → DF count + per-doc rank
+    window (both keyed) → prefix-only self-join → bounded candidate
+    pairs → two id-keyed joins for in-row verification. At t=0.5 the
+    index carries ~half the shingle occurrences and every bucket is a
+    rare-shingle bucket; at 100 TB this is the difference between an
+    inverted index over everything and one over the selective tail."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            F.col("__id"),
+            F.array_distinct(
+                word_ngrams_from_tokens(F.col("__toks"), ngram)
+            ).alias("__sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
+    dfreq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).cast("int").alias("__n"))
+    w = Window.partitionBy("__id").orderBy("__df", "__s")
+    prefix = (
+        inv.join(dfreq, "__s")
+        .join(sizes, "__id")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(
+            F.col("__rk")
+            <= F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+        )
+        .select("__id", "__s")
+    )
+    l, r = prefix.alias("l"), prefix.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.__s") == F.col("r.__s"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(
+            F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    jac = inter.cast("double") / (
+        F.size(F.col("__sha")) + F.size(F.col("__shb")) - inter
+    ).cast("double")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

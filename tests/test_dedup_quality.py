@@ -141,3 +141,44 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
         assert r.postings == sorted(set(r.postings))
         for d in r.postings:
             assert r.token in docs[d], (r.token, d)
+
+
+def test_prefix_filter_jaccard_is_lossless_and_prunes(spark, sf_dir):
+    """PPJoin law: the prefix-filtered join returns EXACTLY the pairs the
+    full inverted-index join returns at the same threshold, while
+    indexing strictly fewer shingle occurrences."""
+    from dvh_airflow_kafka_spark.ext.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+    from dvh_airflow_kafka_spark.ext.text import (
+        tokens,
+        word_ngrams_from_tokens,
+    )
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in jaccard_prefix_filter_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert fast == full and fast
+    # pruning actually bites: prefix index strictly smaller than full
+    sh = docs.select(
+        F.array_distinct(
+            word_ngrams_from_tokens(tokens(F.col("text")), 3)
+        ).alias("s")
+    )
+    full_rows = sh.select(F.explode("s")).count()
+    prefix_rows = sh.select(
+        (F.size("s") - F.ceil(F.lit(0.5) * F.size("s")) + 1).cast("long").alias("p")
+    ).agg(F.sum("p")).first()[0]
+    assert prefix_rows < full_rows
