@@ -147,6 +147,7 @@ HEADLINE = [
     "dsir_domain_selection",
     "streaming_countmin_sketch",
     "jaccard_prefix_filter_pairs",
+    "matryoshka_recall",
 ]
 
 

@@ -5984,6 +5984,89 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MRL_DIMS = 16
+_MRL_K = 5
+_MRL_QUERIES = 20
+
+
+@register(
+    "matryoshka_recall",
+    sql=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), vt AS (
+        SELECT vec_id, e[1:{_MRL_DIMS}] AS e FROM v
+    ), q AS (
+        SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_MRL_QUERIES}
+    ), qt AS (
+        SELECT vec_id AS query_id, e AS qe FROM vt WHERE vec_id < {_MRL_QUERIES}
+    ), fr AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY round(list_dot_product(qe, e) /
+                       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+                       DESC, c.vec_id) AS BIGINT) AS rk
+        FROM q, v c WHERE c.vec_id <> q.query_id
+        QUALIFY rk <= {_MRL_K}
+    ), tr AS (
+        SELECT qt.query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY qt.query_id
+                   ORDER BY round(list_dot_product(qe, e) /
+                       (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))), 6)
+                       DESC, c.vec_id) AS BIGINT) AS rk
+        FROM qt, vt c WHERE c.vec_id <> qt.query_id
+        QUALIFY rk <= {_MRL_K}
+    )
+    SELECT fr.query_id,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(tr.neighbor_id) AS DOUBLE) / {_MRL_K} AS recall_at_k
+    FROM fr
+    LEFT JOIN tr ON tr.query_id = fr.query_id
+                AND tr.neighbor_id = fr.neighbor_id
+    GROUP BY fr.query_id
+    """,
+)
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Matryoshka truncation recall (Kusupati et al. NeurIPS'22):
+    how much of the exact top-{k} survives when vectors are truncated to
+    their first {d} of 64 dimensions — the storage/latency knob MRL
+    embeddings are trained for (coarse search on a prefix, full-dim
+    re-rank). Both sides ride the exact `brute_force_topk` linear-scan
+    kernel (one corpus pass each, rounded cosine, id tie-break); the
+    truncated side just slices the array column before the scan, so at
+    100 TB the prefix search reads {d}/64 of the vector bytes — the
+    same bytes-touched argument as PQ's codes-only hot loop. Per-query
+    recall is an exact integer count over the (query, neighbor) join of
+    the two top-{k} sets, cross-engine hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = xsim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < _MRL_QUERIES), k=_MRL_K
+    ).select("query_id", "neighbor_id")
+    t_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("embedding")
+    )
+    trunc = xsim.brute_force_topk(
+        t_emb, t_emb.filter(F.col("vec_id") < _MRL_QUERIES), k=_MRL_K
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        full.join(trunc, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("__hit").alias("n_kept"),
+            (F.count("__hit").cast("double") / F.lit(_MRL_K)).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
+matryoshka_recall.__doc__ = matryoshka_recall.__doc__.format(
+    k=_MRL_K, d=_MRL_DIMS
+)
+
+
 @register(
     "jaccard_prefix_filter_pairs",
     sql=r"""
