@@ -148,6 +148,7 @@ HEADLINE = [
     "streaming_countmin_sketch",
     "jaccard_prefix_filter_pairs",
     "matryoshka_recall",
+    "privacy_erasure_cascade",
 ]
 
 

@@ -5984,6 +5984,62 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "privacy_erasure_cascade",
+    sql="""
+    WITH flagged AS (
+        SELECT c_custkey AS fid FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT CAST(e.ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN f.fid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           round(CAST(SUM(CASE WHEN f.fid IS NULL AND e.event_type = 'purchase'
+                     THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 100, 2) AS revenue_kept,
+           CAST(SUM(CASE WHEN f.fid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_erased
+    FROM events e LEFT JOIN flagged f ON e.user_id = f.fid
+    GROUP BY 1
+    """,
+)
+def privacy_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Right-to-be-forgotten CASCADE — the reference's kode-6/7
+    duty (src/oracle_target.py:46-93) taken to full erasure: every event
+    belonging to a flagged person is REMOVED (not just payload-nulled,
+    the `privacy_scrub_k6` semantics) and the derived daily-revenue
+    aggregate is recomputed in the same pass, with a per-day audit count
+    of what was erased — the consistency proof that derived data and
+    raw data forget together (`operators/maintenance.delete_where` is
+    the storage-side twin that rewrites the files). ONE broadcast
+    left-join (the flagged set is dimension-sized) + one
+    map-side-combined keyed aggregate over cents-exact DECIMAL
+    arithmetic; at 100 TB this is a single fact-table pass, the same
+    plan as `incremental_daily_revenue`'s direct branch."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    flagged = customer.filter((F.col("c_custkey") % 10) == 0).select(
+        F.col("c_custkey").alias("fid")
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    j = events.join(
+        F.broadcast(flagged), events["user_id"] == flagged["fid"], "left"
+    )
+    kept = F.col("fid").isNull()
+    return j.groupBy(F.to_date(F.col("ts")).alias("day")).agg(
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.round(
+            F.sum(
+                F.when(
+                    kept & (F.col("event_type") == "purchase"), cents
+                ).otherwise(F.lit(0))
+            ).cast("double")
+            / 100,
+            2,
+        ).alias("revenue_kept"),
+        F.sum((~kept).cast("int")).cast("long").alias("n_erased"),
+    )
+
+
 _MRL_DIMS = 16
 _MRL_K = 5
 _MRL_QUERIES = 20
