@@ -132,7 +132,9 @@ def register(name: str, sql: Optional[str] = None):
 #   ivf_pq_ann_topk, incremental_near_dup_ingest, knn_label_accuracy,
 #   bpe_learn_merges_table, error_burst_range_join, bm25_topk_docs,
 #   hard_negative_mining, charlm_doc_quality, countmin_token_freq,
-#   csv_roundtrip_decode, blob_cdc_chunk_dedup
+#   csv_roundtrip_decode, blob_cdc_chunk_dedup, dsir_domain_selection,
+#   streaming_countmin_sketch, jaccard_prefix_filter_pairs,
+#   matryoshka_recall, privacy_erasure_cascade
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.

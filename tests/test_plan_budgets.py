@@ -49,6 +49,9 @@ BUDGETS = [
     ("charlm_doc_quality", 0),  # model collected; scoring is one scan
     ("countmin_token_freq", 3),  # sketch agg + exact agg + estimate agg
     ("dsir_domain_selection", 0),  # two collected models; scoring one scan
+    ("privacy_erasure_cascade", 1),  # broadcast flagged set + one keyed agg
+    ("matryoshka_recall", 3),  # two linear scans + per-query windows + agg
+    ("jaccard_prefix_filter_pairs", 5),  # df+rank+prefix join+verify joins
 ]
 
 
