@@ -149,6 +149,7 @@ HEADLINE = [
     "jaccard_prefix_filter_pairs",
     "matryoshka_recall",
     "privacy_erasure_cascade",
+    "time_decay_engagement",
 ]
 
 

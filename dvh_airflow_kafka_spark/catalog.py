@@ -5986,6 +5986,61 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECAY_T0_US = 1706745600000000  # 2024-02-01 00:00:00 UTC, just past the fixture
+_DECAY_HALFLIFE_DAYS = 7.0
+
+
+@register(
+    "time_decay_engagement",
+    sql=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CAST(floor(
+               CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * exp(-(ln(2) / {_DECAY_HALFLIFE_DAYS})
+                     * (({_DECAY_T0_US} - epoch_us(ts)) / 86400000000.0))
+               * 1000 + 0.5) AS BIGINT)) AS DOUBLE) / 100000.0, 6)
+               AS engagement
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exponentially time-decayed engagement score per user
+    (half-life {h} days at a fixed as-of instant) — the recency
+    weighting behind freshness-weighted sampling and engagement ranking.
+    Float discipline: each event's decayed contribution
+    cents·exp(−λ·age) is quantized to an INTEGER (millicent units)
+    BEFORE aggregation, so the per-user sum is order-free and
+    bit-identical at any parallelism and in any engine — the same
+    micronat trick as the char-LM family; `exp`/`ln` evaluate per event
+    identically in both engines' libm, and only the final display
+    division touches doubles. ONE map-side-combined keyed aggregate —
+    a single fact-table pass at 100 TB."""
+    import math
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    age_days = (
+        F.lit(_DECAY_T0_US) - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(86400000000.0)
+    lam = math.log(2) / _DECAY_HALFLIFE_DAYS
+    contrib = F.floor(
+        cents * F.exp(-F.lit(lam) * age_days) * 1000 + F.lit(0.5)
+    ).cast("bigint")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(contrib).cast("double") / F.lit(100000.0), 6).alias(
+            "engagement"
+        ),
+    )
+
+
+time_decay_engagement.__doc__ = time_decay_engagement.__doc__.format(
+    h=int(_DECAY_HALFLIFE_DAYS)
+)
+
+
 @register(
     "privacy_erasure_cascade",
     sql="""

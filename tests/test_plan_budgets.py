@@ -52,6 +52,7 @@ BUDGETS = [
     ("privacy_erasure_cascade", 1),  # broadcast flagged set + one keyed agg
     ("matryoshka_recall", 3),  # two linear scans + per-query windows + agg
     ("jaccard_prefix_filter_pairs", 5),  # df+rank+prefix join+verify joins
+    ("time_decay_engagement", 2),  # one keyed agg of integer partials
 ]
 
 
