@@ -150,6 +150,8 @@ HEADLINE = [
     "matryoshka_recall",
     "privacy_erasure_cascade",
     "time_decay_engagement",
+    "ab_experiment_lift",
+    "multi_topic_fan_in",
 ]
 
 

@@ -134,7 +134,8 @@ def register(name: str, sql: Optional[str] = None):
 #   hard_negative_mining, charlm_doc_quality, countmin_token_freq,
 #   csv_roundtrip_decode, blob_cdc_chunk_dedup, dsir_domain_selection,
 #   streaming_countmin_sketch, jaccard_prefix_filter_pairs,
-#   matryoshka_recall, privacy_erasure_cascade
+#   matryoshka_recall, privacy_erasure_cascade, time_decay_engagement,
+#   ab_experiment_lift, multi_topic_fan_in
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -5983,6 +5984,122 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("avg_logprob"), "doc_id")
         .limit(_CHARLM_WORST)
+    )
+
+
+@register(
+    "multi_topic_fan_in",
+    sql="""
+    SELECT 'purchases' AS kafka_topic, event_id AS kafka_offset,
+           CAST(user_id AS VARCHAR) AS kafka_key,
+           epoch_ms(ts) AS kafka_timestamp, sha256(props) AS kafka_hash
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT 'clicks', event_id, CAST(user_id AS VARCHAR),
+           epoch_ms(ts), sha256(props)
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def multi_topic_fan_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Multi-topic fan-in — the surface SURVEY §2.9 records the
+    reference as NOT having (one source, one target per run,
+    src/mapping.py:10-47): two Kafka-shaped sources ('purchases' and
+    'clicks' topics) each get their own envelope (S3/S6/F9) and conform
+    to one shared schema in a single lazy plan via unionByName — the
+    N-mappings-one-app shape a consolidation of reference deployments
+    would need. Both branches stay scan-fused narrow projections; Spark
+    plans the union as parallel branches with no shuffle, so at 100 TB
+    this costs exactly the sum of the source scans."""
+    events = load_table(spark, sf_dir, "events")
+
+    def branch(evtype: str, topic: str) -> DataFrame:
+        env = with_envelope(
+            events_as_kafka_frame(
+                events.filter(F.col("event_type") == evtype), topic=topic
+            )
+        )
+        return env.select(
+            "kafka_topic",
+            "kafka_offset",
+            "kafka_key",
+            "kafka_timestamp",
+            "kafka_hash",
+        )
+
+    return branch("purchase", "purchases").unionByName(
+        branch("click", "clicks")
+    )
+
+
+_AB_SALT = "exp1-v1"
+
+
+@register(
+    "ab_experiment_lift",
+    sql=f"""
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN substr(sha256('{_AB_SALT}' || CAST(user_id AS VARCHAR)), 1, 8)
+                         < '80000000' THEN 'A' ELSE 'B' END AS arm,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM events GROUP BY 1, 2
+    ), s AS (
+        SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN arm = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN arm = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           round(CAST(conv_a AS DOUBLE) / n_a, 6) AS cvr_a,
+           round(CAST(conv_b AS DOUBLE) / n_b, 6) AS cvr_b,
+           round(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a, 6)
+               AS lift
+    FROM s
+    """,
+)
+def ab_experiment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic A/B experiment analysis: users hash-assign to
+    arms by the SAME stable sha-prefix machinery as the train/test split
+    (`ext/sampling.split_bucket` — assignment is a pure function of
+    (salt, user_id): reproducible across runs, engines and reshuffles,
+    exactly how production experiment frameworks bucket), conversion =
+    any 'purchase' event, and the report is per-arm user counts,
+    conversion rates and the absolute lift. Plan: ONE keyed aggregate to
+    per-user conversion flags, then a scalar rollup — a single
+    fact-table pass at 100 TB; no joins, no Python."""
+    from dvh_airflow_kafka_spark.ext.sampling import split_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        split_bucket(F.col("user_id"), _AB_SALT) < "80000000", "A"
+    ).otherwise("B")
+    u = ev.groupBy(F.col("user_id"), arm.alias("arm")).agg(
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("converted")
+    )
+    s = u.agg(
+        F.sum((F.col("arm") == "A").cast("int")).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum((F.col("arm") == "B").cast("int")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("converted")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    cvr_a = F.col("conv_a").cast("double") / F.col("n_a")
+    cvr_b = F.col("conv_b").cast("double") / F.col("n_b")
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(cvr_a, 6).alias("cvr_a"),
+        F.round(cvr_b, 6).alias("cvr_b"),
+        F.round(cvr_b - cvr_a, 6).alias("lift"),
     )
 
 

@@ -466,3 +466,50 @@ def test_cdc_chunking_is_partitioning_invariant(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_cdc_report_aggregate_oracled_via_materialized_chunks(
+    spark, sf_dir, tmp_path
+):
+    """Partial-oracle pin for the rows-only ``blob_cdc_chunk_dedup``: the
+    rolling-hash chunker stays Python (no SQL form), but the dedup-ratio
+    REPORT over its output is SQL — materialize Spark's chunk rows to
+    parquet and let DuckDB run the same distinct/total aggregates over
+    the SAME chunks. Equality pins the distributed aggregation plumbing,
+    not just the kernel."""
+    import duckdb
+
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    from dvh_airflow_kafka_spark.ext.multimodal import (
+        cdc_chunk_blobs,
+        synth_blob_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks_path = str(tmp_path / "chunks")
+    cdc_chunk_blobs(synth_blob_frame(docs)).write.parquet(chunks_path)
+
+    row = REGISTRY["blob_cdc_chunk_dedup"].fn(spark, sf_dir).first()
+    con = duckdb.connect()
+    want = con.execute(
+        f"""WITH c AS (SELECT * FROM read_parquet('{chunks_path}/*.parquet')),
+        t AS (SELECT COUNT(DISTINCT doc_id) AS n_blobs, COUNT(*) AS n_chunks,
+                     SUM(size) AS total_bytes FROM c),
+        u AS (SELECT COUNT(*) AS n_distinct_chunks, SUM(sz) AS unique_bytes
+              FROM (SELECT chunk_hash, MIN(size) AS sz FROM c GROUP BY chunk_hash))
+        SELECT n_blobs, n_chunks, n_distinct_chunks, total_bytes, unique_bytes,
+               round(CAST(unique_bytes AS DOUBLE) / total_bytes, 6)
+        FROM t, u"""
+    ).fetchone()
+    con.close()
+    got = (
+        row["n_blobs"],
+        row["n_chunks"],
+        row["n_distinct_chunks"],
+        row["total_bytes"],
+        row["unique_bytes"],
+        row["dedup_ratio"],
+    )
+    assert got == tuple(
+        int(x) if i < 5 else float(x) for i, x in enumerate(want)
+    )

@@ -53,6 +53,8 @@ BUDGETS = [
     ("matryoshka_recall", 3),  # two linear scans + per-query windows + agg
     ("jaccard_prefix_filter_pairs", 5),  # df+rank+prefix join+verify joins
     ("time_decay_engagement", 2),  # one keyed agg of integer partials
+    ("multi_topic_fan_in", 0),  # two scan-fused branches, shuffle-free union
+    ("ab_experiment_lift", 2),  # per-user flag agg + scalar rollup
 ]
 
 
