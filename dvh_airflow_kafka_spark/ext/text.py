@@ -331,3 +331,77 @@ def bpe_learn_merges(
         )
         words = words.withColumn("__p", folded).localCheckpoint(eager=True)
     return merges
+
+
+# --------------------------------------------------------------------------
+# Char-bigram statistical LM (the CCNet/KenLM quality-filter pattern at
+# bigram order). Shared by catalog's charlm_doc_quality /
+# dsir_domain_selection and the corpus DSL's charlm_gate stage.
+# --------------------------------------------------------------------------
+
+
+def charlm_bigrams() -> Column:
+    """Char-bigram array of the lowercased text column ``s``."""
+    return F.expr(
+        "transform(sequence(1, char_length(s) - 1), i -> substring(s, i, 2))"
+    )
+
+
+def charlm_model(t: DataFrame) -> tuple[dict, dict, int]:
+    """Train the add-one conditional char-bigram model on frame ``t``
+    (must expose ``s``): → (bigram → micronats, prefix-char → unseen-
+    bigram fallback micronats, global unseen-prefix fallback). The model
+    domain is |charset|², so the collect is bounded at ANY corpus size;
+    log-probs quantize to integer micronats (floor(ln(p)·1e6 + 0.5),
+    mirrored formulaically in the DuckDB oracles) so downstream sums are
+    order-free."""
+    import math
+
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    rows = (
+        ensure_parallelism(t)
+        .select(F.explode(charlm_bigrams()).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    counts = {r["b"]: int(r["c"]) for r in rows}
+    prefix: dict[str, int] = {}
+    for b, c in counts.items():
+        prefix[b[0]] = prefix.get(b[0], 0) + c
+    vocab = len({b[1] for b in counts})
+
+    def mk(num: float, den: float) -> int:
+        return int(math.floor(math.log(num / den) * 1_000_000 + 0.5))
+
+    micronats = {
+        b: mk(c + 1.0, prefix[b[0]] + vocab) for b, c in counts.items()
+    }
+    pre_fb = {c1: mk(1.0, n1 + vocab) for c1, n1 in prefix.items()}
+    global_fb = mk(1.0, float(vocab)) if vocab else 0
+    return micronats, pre_fb, global_fb
+
+
+def charlm_score_sum(model: tuple[dict, dict, int]) -> Column:
+    """Per-document micronat log-prob sum: fold the bigram array IN-ROW
+    against the literal model map — add-one smoothing handles bigrams the
+    model never saw (p = 1/(n1+V), or 1/V for an unseen prefix), so a
+    model trained on a SUBSET scores any document (the DSIR case)."""
+    micronats, pre_fb, global_fb = model
+    m1 = F.create_map(
+        *[x for b in sorted(micronats) for x in (F.lit(b), F.lit(micronats[b]))]
+    )
+    m2 = F.create_map(
+        *[x for c in sorted(pre_fb) for x in (F.lit(c), F.lit(pre_fb[c]))]
+    )
+    return F.aggregate(
+        charlm_bigrams(),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.coalesce(
+            F.try_element_at(m1, b),
+            F.try_element_at(m2, F.substring(b, 1, 1)),
+            F.lit(global_fb),
+        ).cast("long"),
+    )

@@ -102,6 +102,20 @@ class LengthBatchesSpec(BaseModel):
     batch_size: int = 32
 
 
+class CharlmGateSpec(BaseModel):
+    """Statistical-LM quality gate (the CCNet filter as a DSL stage):
+    train the add-one char-bigram model on the documents REACHING this
+    stage, score each in-row, and keep documents whose average
+    log-probability is at least ``min_avg_logprob`` nats/bigram. The
+    model is a bounded |charset|² driver-side collect (eager at plan
+    build, like ``temperature_mixture``'s counts); scoring adds no
+    shuffle."""
+
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["charlm_gate"]
+    min_avg_logprob: float = -7.0
+
+
 class GlobalShuffleSpec(BaseModel):
     model_config = ConfigDict(extra="forbid")
     op: Literal["global_shuffle"]
@@ -128,6 +142,7 @@ StageSpec = Annotated[
         MixtureSampleSpec,
         TemperatureMixtureSpec,
         QualityGateSpec,
+        CharlmGateSpec,
         DedupExactSpec,
         FrequencyCapSpec,
         TokenBudgetSpec,
@@ -232,6 +247,24 @@ def run_corpus_pipeline(
             df = df.filter(toks >= st.min_tokens)
             if st.max_tokens is not None:
                 df = df.filter(toks <= st.max_tokens)
+        elif isinstance(st, CharlmGateSpec):
+            t = df.filter(F.length("text") >= 2).select(
+                "doc_id", F.lower(F.col("text")).alias("s")
+            )
+            model = xtext.charlm_model(t)
+            kept = (
+                t.select(
+                    "doc_id",
+                    (
+                        xtext.charlm_score_sum(model).cast("double")
+                        / F.lit(1000000.0)
+                        / (F.char_length("s") - 1)
+                    ).alias("__alp"),
+                )
+                .filter(F.col("__alp") >= st.min_avg_logprob)
+                .select("doc_id")
+            )
+            df = df.join(kept, "doc_id", "left_semi")
         elif isinstance(st, DedupExactSpec):
             w = Window.partitionBy(
                 xtext.fingerprint(F.col("text"))

@@ -4,6 +4,7 @@ with the hand-built capstone chain."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.plans.corpus_dsl import (
     parse_corpus_config,
@@ -189,3 +190,46 @@ def test_length_batches_must_be_terminal():
             "  - {op: length_batches, batch_size: 8}\n"
             "  - {op: quality_gate, min_tokens: 1}\n"
         )
+
+
+def test_charlm_gate_stage_matches_hand_built_filter(spark, sf_dir):
+    """The DSL's charlm_gate stage must keep exactly the documents a
+    hand-built char-LM filter keeps at the same threshold."""
+    from dvh_airflow_kafka_spark.ext import text as xtext
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.plans.corpus_dsl import run_corpus_pipeline
+
+    yaml_text = """
+table: documents
+stages:
+  - op: charlm_gate
+    min_avg_logprob: -1.74
+"""
+    got = {
+        r["doc_id"]
+        for r in run_corpus_pipeline(spark, yaml_text, sf_dir)
+        .select("doc_id")
+        .collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.length("text") >= 2).select(
+        "doc_id", F.lower(F.col("text")).alias("s")
+    )
+    model = xtext.charlm_model(t)
+    want = {
+        r["doc_id"]
+        for r in t.select(
+            "doc_id",
+            (
+                xtext.charlm_score_sum(model).cast("double")
+                / F.lit(1000000.0)
+                / (F.char_length("s") - 1)
+            ).alias("alp"),
+        )
+        .filter(F.col("alp") >= -1.74)
+        .collect()
+    }
+    assert got == want
+    # the gate actually discriminates on the fixture
+    n_all = docs.count()
+    assert 0 < len(got) < n_all
