@@ -876,6 +876,204 @@ def normalize_udf():
     return norm_vec
 
 
+def _pq_tables(cb: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """(C, cc): per-subspace codebook views and their squared norms."""
+    n_codes, dim = cb.shape
+    sub = dim // m
+    C = cb.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
+    cc = np.einsum("mcs,mcs->mc", C, C)
+    return C, cc
+
+
+def _adc_query_tables(
+    Q: np.ndarray, C: np.ndarray, cc: np.ndarray
+) -> np.ndarray:
+    """(nq, m, n_codes) micro-int sub-distance tables for ADC."""
+    m = C.shape[0]
+    sub = C.shape[2]
+    Qs = Q.reshape(len(Q), m, sub)
+    qq = np.einsum("qms,qms->qm", Qs, Qs)
+    qc = np.einsum("qms,mcs->qmc", Qs, C)
+    return np.rint(
+        np.round(qq[:, :, None] - 2.0 * qc + cc[None, :, :], ROUND_DIGITS)
+        * 1e6
+    ).astype(np.int64)
+
+
+def _ivf_pq_index_pass(cents: np.ndarray, C: np.ndarray, cc: np.ndarray, m: int, id_col: str):
+    """mapInPandas generator: normalized batch → (id, list id, PQ codes)."""
+    centsT = cents.T
+    sub = C.shape[2]
+
+    def index_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _vstack(pdf["__nv"])
+            lists = (X @ centsT).argmax(axis=1).astype(np.int32)
+            Xs = X.reshape(-1, m, sub)
+            xx = np.einsum("nms,nms->nm", Xs, Xs)
+            xc = np.einsum("nms,mcs->nmc", Xs, C)
+            d = np.round(
+                xx[:, :, None] - 2.0 * xc + cc[None, :, :], ROUND_DIGITS
+            )
+            codes = np.argmin(d, axis=2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
+                    "__list": lists,
+                    "codes": list(codes.astype(np.int32)),
+                }
+            )
+
+    return index_pass
+
+
+def ivf_pq_index_build(
+    emb: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+    refine_iters: int = 2,
+) -> None:
+    """Materialise the FULL production ANN index on disk — IVF routing +
+    PQ codes, floats never stored: ``centroids`` (list_id, centroid),
+    ``codebooks`` (code, centroid — Lloyd-refined), and ``codes``
+    (vec_id, codes) PARTITIONED BY list_id. The quantizers train ONCE;
+    appends reuse the stored centroids/codebooks; a probe reads
+    n_probe/n_lists of the code partitions at parquet-directory
+    granularity and each touched row is m small ints — at 100 TB the
+    serving tier holds ~1/32 of the corpus bytes and never rejoins the
+    float table. `ivf_index_build` is the Flat (float-retaining)
+    sibling; this is what you deploy when memory is the constraint."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    spark = emb.sparkSession
+    nv = normalize_udf()
+    norm_emb = emb.select(F.col(id_col), nv(F.col(vec_col)).alias("__nv"))
+    sample = np.array(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in emb.select(
+                F.col(vec_col), F.xxhash64(F.col(id_col)).alias("__o")
+            )
+            .orderBy("__o")
+            .limit(sample_size)
+            .select(vec_col)
+            .collect()
+        ]
+    )
+    cents = _kmeans_cosine(sample, n_lists, seed)
+    cb = pq_seed_codebooks(norm_emb, id_col, "__nv", n_codes)
+    if refine_iters > 0:
+        cb = pq_refine_codebooks(
+            norm_emb, cb, m=m, iters=refine_iters, id_col=id_col, vec_col="__nv"
+        )
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cb)],
+        "code int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    C, cc = _pq_tables(cb, m)
+    (
+        ensure_parallelism(norm_emb)
+        .mapInPandas(
+            _ivf_pq_index_pass(cents, C, cc, m, id_col),
+            schema=T.StructType(
+                [
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("__list", T.IntegerType()),
+                    T.StructField("codes", T.ArrayType(T.IntegerType())),
+                ]
+            ),
+        )
+        .withColumnRenamed("__list", "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{path}/codes")
+    )
+
+
+def ivf_pq_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Serve approximate top-k from a PERSISTED IVF-PQ index: load the
+    centroids and codebooks (tiny), route each query to its n_probe
+    lists driver-side, scan ONLY those ``list_id=`` partitions of the
+    codes table, and rank by ADC distance — m table lookups per touched
+    row, exact integer micro-units, no quantizer training, no corpus
+    pass, no float vectors anywhere in the serve path."""
+    crows = sorted(
+        (r.list_id, r.centroid)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    )
+    cents = np.array([c for _, c in crows], dtype=np.float64)
+    cbrows = sorted(
+        (r.code, r.centroid)
+        for r in spark.read.parquet(f"{path}/codebooks").collect()
+    )
+    cb = np.array([c for _, c in cbrows], dtype=np.float64)
+    C, cc = _pq_tables(cb, m)
+
+    q_ids, q_raw = _collect_matrix(queries, id_col, vec_col)
+    Q = _normalize(q_raw)
+    probes = np.argsort(-(Q @ cents.T), axis=1)[:, :n_probe]
+    probe_rows = [
+        (int(qid), int(lst)) for qid, row in zip(q_ids, probes) for lst in row
+    ]
+    probe_df = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+    needed = sorted({p for _, p in probe_rows})
+    codes = spark.read.parquet(f"{path}/codes").filter(
+        F.col("list_id").isin(needed)  # partition-pruned scan
+    )
+    dtab = _adc_query_tables(Q, C, cc)
+    qpos = {int(q): i for i, q in enumerate(q_ids)}
+    mm = m
+
+    @F.pandas_udf(T.LongType())
+    def adc_dist(qid: pd.Series, code_col: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="int64")
+        cd = np.vstack([np.asarray(c, dtype=np.int64) for c in code_col])
+        qi = qid.map(qpos).to_numpy(dtype=np.int64)
+        return pd.Series(
+            dtab[qi[:, None], np.arange(mm)[None, :], cd].sum(axis=1)
+        )
+
+    cands = codes.join(F.broadcast(probe_df), "list_id").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_micro").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            adc_dist(F.col("query_id"), F.col("codes")).alias("dist_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     queries: DataFrame,

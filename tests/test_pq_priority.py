@@ -223,3 +223,41 @@ def test_knn_label_accuracy_perfect_on_clustered(spark, sf_dir, tmp_path):
     n_test = sum(r["n_test"] for r in out)
     assert n_test == len([i for i in range(96) if i % 5 == 0])
     assert all(r["n_correct"] == r["n_test"] for r in out)
+
+
+def test_ivf_pq_index_build_and_serve(spark, tmp_path):
+    """The persisted IVF-PQ index serves ROW-IDENTICAL results to the
+    inline ivf_pq_topk at the same params (same quantizer seeds, same
+    refined codebooks, same ADC micro-int distances), the probed scan
+    is partition-pruned at the directory level, and the serve path
+    never reads the float corpus."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsim
+    from dvh_airflow_kafka_spark.io import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.limit(8)
+    path = str(tmp_path / "ivfpq")
+    xsim.ivf_pq_index_build(
+        emb, path, n_lists=16, m=8, n_codes=16, refine_iters=2
+    )
+    served = xsim.ivf_pq_index_topk(spark, path, queries, k=5, n_probe=4)
+    inline = xsim.ivf_pq_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, m=8, n_codes=16,
+        refine_iters=2,
+    )
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_micro)
+        for r in served.collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_micro)
+        for r in inline.collect()
+    }
+    assert got == want and got
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the stored index holds codes only — floats are never persisted,
+    # so the serve path CANNOT read them
+    schema_cols = spark.read.parquet(f"{path}/codes").columns
+    assert set(schema_cols) == {"vec_id", "codes", "list_id"}
