@@ -1139,10 +1139,7 @@ def ivf_pq_topk(
             norm_emb, cb, m=m, iters=refine_iters, id_col=id_col, vec_col="__nv"
         )
 
-    sub = cb.shape[1] // m
-    C = cb.reshape(n_codes, m, sub).transpose(1, 0, 2).copy()
-    cc = np.einsum("mcs,mcs->mc", C, C)
-    centsT = cents.T
+    C, cc = _pq_tables(cb, m)
 
     idx_schema = T.StructType(
         [
@@ -1151,47 +1148,21 @@ def ivf_pq_topk(
             T.StructField("codes", T.ArrayType(T.IntegerType())),
         ]
     )
-
-    def index_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # one scan: coarse list id (argmax cos == argmin L2 on unit
-        # vectors) + PQ codes, both from the same normalized batch
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = _vstack(pdf["__nv"])
-            lists = (X @ centsT).argmax(axis=1).astype(np.int32)
-            Xs = X.reshape(-1, m, sub)
-            xx = np.einsum("nms,nms->nm", Xs, Xs)
-            xc = np.einsum("nms,mcs->nmc", Xs, C)
-            d = np.round(
-                xx[:, :, None] - 2.0 * xc + cc[None, :, :], ROUND_DIGITS
-            )
-            codes = np.argmin(d, axis=2)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(dtype=np.int64),
-                    "__list": lists,
-                    "codes": list(codes.astype(np.int32)),
-                }
-            )
-
-    index = ensure_parallelism(norm_emb).mapInPandas(index_pass, schema=idx_schema)
+    # one scan: coarse list id (argmax cos == argmin L2 on unit
+    # vectors) + PQ codes, both from the same normalized batch
+    index = ensure_parallelism(norm_emb).mapInPandas(
+        _ivf_pq_index_pass(cents, C, cc, m, id_col), schema=idx_schema
+    )
 
     q_ids, q_raw = _collect_matrix(queries, id_col, vec_col)
     Q = _normalize(q_raw)
-    probes = np.argsort(-(Q @ centsT), axis=1)[:, :n_probe]
+    probes = np.argsort(-(Q @ cents.T), axis=1)[:, :n_probe]
     probe_rows = [
         (int(qid), int(lst)) for qid, row in zip(q_ids, probes) for lst in row
     ]
     probe_df = spark.createDataFrame(probe_rows, "query_id long, __list int")
 
-    Qs = Q.reshape(len(q_ids), m, sub)
-    qq = np.einsum("qms,qms->qm", Qs, Qs)
-    qc = np.einsum("qms,mcs->qmc", Qs, C)
-    dtab = np.rint(
-        np.round(qq[:, :, None] - 2.0 * qc + cc[None, :, :], ROUND_DIGITS)
-        * 1e6
-    ).astype(np.int64)
+    dtab = _adc_query_tables(Q, C, cc)
     qpos = {int(q): i for i, q in enumerate(q_ids)}
 
     @F.pandas_udf(T.LongType())
