@@ -152,6 +152,7 @@ HEADLINE = [
     "time_decay_engagement",
     "ab_experiment_lift",
     "multi_topic_fan_in",
+    "streaming_static_enrichment",
 ]
 
 

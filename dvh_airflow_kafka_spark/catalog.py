@@ -135,7 +135,7 @@ def register(name: str, sql: Optional[str] = None):
 #   csv_roundtrip_decode, blob_cdc_chunk_dedup, dsir_domain_selection,
 #   streaming_countmin_sketch, jaccard_prefix_filter_pairs,
 #   matryoshka_recall, privacy_erasure_cascade, time_decay_engagement,
-#   ab_experiment_lift, multi_topic_fan_in
+#   ab_experiment_lift, multi_topic_fan_in, streaming_static_enrichment
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -5923,6 +5923,69 @@ def charlm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("avg_logprob"), "doc_id")
         .limit(_CHARLM_WORST)
     )
+
+
+@register(
+    "streaming_static_enrichment",
+    sql="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment,
+           e.event_type,
+           CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Stream-static broadcast enrichment — the single most common
+    production streaming shape (dimension lookup on a flowing fact
+    stream), driven as a REAL 4-micro-batch file drain: the event stream
+    joins the BATCH customer dimension per micro-batch with a broadcast
+    hash join, so the stream side never shuffles and the dimension is
+    read fresh each batch (slowly-changing dims pick up updates between
+    batches — the semantics Structured Streaming documents for
+    stream-static joins). Append-mode, no state store, no watermark:
+    enrichment is stateless, which is exactly why it scales to any
+    stream rate. The oracle is the plain batch equi-join — streaming
+    drain ≡ batch join, hash-checked cross-engine."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def _write(src: str) -> None:
+        for i in range(4):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+    src = _staged_stream_src("stream_enrich", sf_dir, _write)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    stream = read_event_stream(spark, src)
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    out = drain_to_memory(spark, enriched, name, ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 @register(
