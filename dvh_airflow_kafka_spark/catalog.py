@@ -135,7 +135,9 @@ def register(name: str, sql: Optional[str] = None):
 #   csv_roundtrip_decode, blob_cdc_chunk_dedup, dsir_domain_selection,
 #   streaming_countmin_sketch, jaccard_prefix_filter_pairs,
 #   matryoshka_recall, privacy_erasure_cascade, time_decay_engagement,
-#   ab_experiment_lift, multi_topic_fan_in, streaming_static_enrichment
+#   ab_experiment_lift, multi_topic_fan_in, streaming_static_enrichment,
+#   orc_roundtrip_decode, parquet_schema_evolution, events_anomaly_mad,
+#   winsorized_value_stats, source_drift_ks, ngram_containment_pairs
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -6700,6 +6702,366 @@ def csv_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
         rows, "event_type string, n_events long, total_value double"
+    )
+
+
+@register(
+    "orc_roundtrip_decode",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def orc_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] ORC source/sink — the fourth file interchange format beside
+    parquet, JSONL and CSV: the events slice round-trips through ORC
+    (written with a bloom-filter index on ``event_type`` and dictionary
+    encoding, the knobs a 100 TB lake actually sets) and the read-back
+    rollup must be DECIMAL-exact against the parquet original.  ORC is
+    a first-class Spark source with the same predicate-pushdown /
+    column-pruning path as parquet, so the scan stays pruned at scale;
+    doubles survive the round-trip bit-exactly (ORC stores IEEE 754)."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_")
+    src = os.path.join(tmp, "events_orc")
+    (
+        ev.coalesce(4)
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "event_type")
+        .option("orc.dictionary.key.threshold", "1.0")
+        .orc(src)
+    )
+    back = spark.read.orc(src)
+    out = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    rows = out.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, n_users long, total_value double"
+    )
+
+
+@register(
+    "parquet_schema_evolution",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_user,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def parquet_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Schema-evolution read: two parquet batches written under
+    DIFFERENT schemas (an early batch without ``user_id``, a later one
+    with it — the additive-column drift every long-lived feed
+    accumulates) unified by ``mergeSchema=true``.  Rows from the old
+    batch must surface with ``user_id`` NULL rather than failing the
+    scan or silently dropping the column; the oracle states the
+    expectation arithmetically (exactly the odd-``event_id`` rows carry
+    a user).  This is the batch-file analogue of the Kafka path's
+    multi-schema-id Avro decode — scan-level tolerance to additive
+    schema change, with the footer-merge cost paid once at planning."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="pqevo_")
+    src = os.path.join(tmp, "events_evo")
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type", "value"
+    ).coalesce(2).write.parquet(os.path.join(src, "batch=1"))
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "event_type", "value", "user_id"
+    ).coalesce(2).write.parquet(os.path.join(src, "batch=2"))
+    back = spark.read.option("mergeSchema", True).parquet(src)
+    out = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("user_id").alias("n_with_user"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    rows = out.collect()
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "event_type string, n_events long, n_with_user long, total_value double",
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    sql="""
+    WITH cents AS (
+        SELECT event_id, event_type, value,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ), med AS (
+        SELECT event_type, quantile_cont(c, 0.5) AS m
+        FROM cents GROUP BY event_type
+    ), mad AS (
+        SELECT c.event_type, quantile_cont(abs(c.c - m.m), 0.5) AS d
+        FROM cents c JOIN med m USING (event_type)
+        GROUP BY c.event_type
+    )
+    SELECT c.event_id, c.event_type, c.value,
+           m.m AS median_cents, d.d AS mad_cents
+    FROM cents c
+    JOIN med m USING (event_type)
+    JOIN mad d ON d.event_type = c.event_type
+    WHERE d.d > 0 AND abs(c.c - m.m) > 6 * d.d
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Robust outlier flagging on median/MAD instead of mean/σ:
+    an event is anomalous when its cent-quantized value deviates from
+    its event type's median by more than 6× the median absolute
+    deviation.  Complements ``events_anomaly_zscore`` (rolling
+    per-user z-score) with the 50%-breakdown-point estimator a heavy-
+    tailed metric needs — one planted whale order shifts a mean/σ gate,
+    but not this one.
+
+    Scale shape (``ext/stats.keyed_median_mad``): exact per-group
+    medians WITHOUT Spark's value-buffering ``percentile`` aggregate —
+    two map-side-combinable counting shuffles over the quantized domain
+    (bounded by |event types| × |distinct cents|, independent of corpus
+    rows), a window over that small counts frame, then one broadcast-
+    sized stats join back onto the events.  Every quantity is a dyadic
+    rational (medians are halves, MADs quarters), so the DuckDB
+    ``quantile_cont`` replay is bit-identical."""
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    st = xstats.keyed_median_mad(
+        cents.select("event_type", "c"),
+        "event_type",
+        "c",
+        "median_cents",
+        "mad_cents",
+    )
+    j = cents.join(st, "event_type")
+    return j.filter(
+        (F.col("mad_cents") > 0)
+        & (F.abs(F.col("c") - F.col("median_cents")) > 6 * F.col("mad_cents"))
+    ).select("event_id", "event_type", "value", "median_cents", "mad_cents")
+
+
+@register(
+    "winsorized_value_stats",
+    sql="""
+    WITH cents AS (
+        SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ), ranked AS (
+        SELECT event_type, c,
+               row_number() OVER (PARTITION BY event_type ORDER BY c) AS r,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM cents
+    ), caps AS (
+        SELECT event_type,
+               MAX(CASE WHEN r = (5 * n + 99) // 100 THEN c END) AS p05_cents,
+               MAX(CASE WHEN r = n - (5 * n + 99) // 100 + 1 THEN c END)
+                   AS p95_cents,
+               MAX(n) AS n_events
+        FROM ranked GROUP BY event_type
+    )
+    SELECT c.event_type, caps.n_events, caps.p05_cents, caps.p95_cents,
+           ROUND(AVG(LEAST(GREATEST(c.c, caps.p05_cents), caps.p95_cents)), 6)
+               AS winsor_mean_cents,
+           CAST(SUM(CASE WHEN c.c BETWEEN caps.p05_cents AND caps.p95_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN c.c BETWEEN caps.p05_cents AND caps.p95_cents
+                               THEN c.c END) AS DOUBLE)
+                 / SUM(CASE WHEN c.c BETWEEN caps.p05_cents AND caps.p95_cents
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean_cents
+    FROM cents c JOIN caps USING (event_type)
+    GROUP BY c.event_type, caps.n_events, caps.p05_cents, caps.p95_cents
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Winsorized + trimmed KPI rollup: per event type, the mean
+    with values clamped to the nearest-rank [p05, p95] caps, and the
+    mean with values outside the caps dropped — the two standard
+    tail-robust aggregates for revenue metrics where a single whale or
+    a refund glitch distorts a plain AVG.
+
+    Cap ranks are pure integer arithmetic (``ceil(0.05·n)`` as
+    ``(5n+99) div 100`` — no float quantile positions), cap VALUES come
+    from the ``ext/stats`` counting kernel (no per-group value
+    buffering), and the trim predicate is value-based (``BETWEEN`` the
+    caps) so ties at the cap are deterministic in any engine.  Means
+    divide exact integer sums (< 2⁵³) — bit-identical cross-engine."""
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    caps = xstats.keyed_values_at_ranks(
+        cents,
+        "event_type",
+        "c",
+        {
+            "p05_cents": "(5 * __n + 99) div 100",
+            "p95_cents": "__n - (5 * __n + 99) div 100 + 1",
+        },
+        with_total="n_events",
+    )
+    j = cents.join(caps, "event_type")
+    clamped = F.least(F.greatest(F.col("c"), F.col("p05_cents")), F.col("p95_cents"))
+    kept = F.col("c").between(F.col("p05_cents"), F.col("p95_cents"))
+    return j.groupBy("event_type", "n_events", "p05_cents", "p95_cents").agg(
+        F.round(F.avg(clamped), 6).alias("winsor_mean_cents"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.round(
+            F.sum(F.when(kept, F.col("c"))).cast("double")
+            / F.sum(F.when(kept, 1).otherwise(0)),
+            6,
+        ).alias("trimmed_mean_cents"),
+    ).select(
+        "event_type",
+        "n_events",
+        "p05_cents",
+        "p95_cents",
+        "winsor_mean_cents",
+        "n_kept",
+        "trimmed_mean_cents",
+    )
+
+
+@register(
+    "source_drift_ks",
+    sql="""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+               CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN 1 ELSE 0 END AS s
+        FROM events
+    ), cnt AS (
+        SELECT event_type, c,
+               CAST(SUM(s) AS BIGINT) AS a,
+               CAST(SUM(1 - s) AS BIGINT) AS b
+        FROM cents GROUP BY event_type, c
+    ), cum AS (
+        SELECT event_type,
+               SUM(a) OVER (PARTITION BY event_type ORDER BY c) AS ca,
+               SUM(b) OVER (PARTITION BY event_type ORDER BY c) AS cb
+        FROM cnt
+    ), tot AS (
+        SELECT event_type,
+               CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+        FROM cnt GROUP BY event_type
+    )
+    SELECT cum.event_type, tot.na AS n_early, tot.nb AS n_late,
+           CAST(MAX(ABS(cum.ca * tot.nb - cum.cb * tot.na)) AS BIGINT)
+               AS ks_num,
+           ROUND(CAST(MAX(ABS(cum.ca * tot.nb - cum.cb * tot.na)) AS DOUBLE)
+                 / CAST(tot.na * tot.nb AS DOUBLE), 6) AS ks_stat
+    FROM cum JOIN tot USING (event_type)
+    GROUP BY cum.event_type, tot.na, tot.nb
+    """,
+)
+def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distribution-drift monitor: per event type, the two-sample
+    Kolmogorov–Smirnov statistic between the value distributions of the
+    first and second half of the ingest window (cut at a fixed
+    mid-month timestamp).  The canonical "did this feed change under
+    me" check a curation pipeline runs between snapshots before
+    retraining — PSI-style binned approximations need bin tuning; KS on
+    the quantized domain is exact.
+
+    ``ext/stats.keyed_ks_two_sample``: one combinable counts shuffle
+    keyed on (event_type, cents) — never a sort of raw rows — then a
+    CDF window over the bounded counts frame.  ``D`` is emitted as the
+    integer numerator ``max|cumA·n_B − cumB·n_A|`` (engine-independent)
+    plus the rounded ratio."""
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    sides = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        (F.col("ts") < cut).alias("__early"),
+    )
+    return xstats.keyed_ks_two_sample(
+        sides,
+        "event_type",
+        "c",
+        "__early",
+        n_a="n_early",
+        n_b="n_late",
+        ks_num="ks_num",
+        ks_stat="ks_stat",
+    )
+
+
+@register(
+    "ngram_containment_pairs",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT id_a, id_b,
+           CAST(c AS DOUBLE) / na.n AS containment_a,
+           CAST(c AS DOUBLE) / nb.n AS containment_b
+    FROM shared
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE GREATEST(CAST(c AS DOUBLE) / na.n, CAST(c AS DOUBLE) / nb.n) >= 0.5
+    """,
+)
+def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] exact 3-gram CONTAINMENT pairs (Broder's asymmetric
+    near-dup measure): documents ≥50% contained in another — the
+    quote/excerpt/boilerplate duplication class that symmetric Jaccard
+    under-scores when lengths differ.  Same inverted-index join and
+    stop-shingle DF cap as ``ngram_jaccard_pairs`` (cap 50 is above the
+    fixture's max shingle DF, so the exact-oracle answer is unchanged
+    while the registered plan is the bucket-bounded one)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return xdedup.ngram_containment_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.5, max_doc_freq=50
     )
 
 

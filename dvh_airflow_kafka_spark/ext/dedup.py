@@ -399,6 +399,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: Optional[int] = None,
+) -> DataFrame:
+    """Exact n-gram-set CONTAINMENT for every pair sharing ≥1 shingle:
+    ``C(A→B) = |A∩B| / |A|`` (Broder, 'On the resemblance and
+    containment of documents', SEQUENCES'97).  Containment is the
+    asymmetric companion to Jaccard: a short document pasted verbatim
+    inside a much longer one has near-zero Jaccard (the union is huge)
+    but containment ≈ 1 — the quote/boilerplate/excerpt duplication
+    class symmetric near-dup misses entirely.
+
+    Same inverted-index plan as ``ngram_jaccard_pairs`` (explode
+    distinct shingles, self-join on shingle, count shared — never a
+    cross join; ``max_doc_freq`` caps any bucket at DF² pairs).  Output
+    (id_a, id_b, containment_a, containment_b) with ``id_a < id_b``,
+    kept when EITHER direction reaches ``threshold``; ``containment_a``
+    is the fraction of the *a*-side's shingles shared.
+    """
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    sh = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col("__id"),
+            F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), ngram)).alias(
+                "__sh"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
+    if max_doc_freq is not None:
+        inv = drop_hot_shingles(inv, "__s", max_doc_freq)
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).cast("int").alias("__n"))
+    l, r = inv.alias("l"), inv.alias("r")
+    shared = (
+        l.join(r, (F.col("l.__s") == F.col("r.__s")) & (F.col("l.__id") < F.col("r.__id")))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    ca = F.col("__shared").cast("double") / F.col("__na").cast("double")
+    cb = F.col("__shared").cast("double") / F.col("__nb").cast("double")
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+    )
+
+
 def jaccard_prefix_filter_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,198 @@
+"""[EXT] Exact order statistics on quantized domains — by counting, not
+sorting.
+
+Spark's exact ``percentile``/``median`` aggregate buffers every value of a
+group in executor memory, which collapses when a 100 TB corpus has a
+handful of giant groups (five event types → five multi-TB buffers).  The
+operators here exploit that pipeline metrics are *quantized* (cents,
+token counts, byte sizes): the heavy pass is a map-side-combinable
+``groupBy(key, value) → count`` whose output is bounded by the DOMAIN
+cardinality (|keys| × |distinct values|), not the corpus row count.  All
+subsequent rank arithmetic — cumulative bounds, median interpolation,
+two-sample CDF distance — runs windows over that *small counts frame*,
+so per-task state is O(distinct values per key) regardless of data size.
+
+Determinism: every statistic is integer arithmetic plus exact dyadic
+halving (medians of integers are worst-case ``x.5`` — exactly
+representable doubles), so results are bit-identical to an ANSI-SQL
+replay (DuckDB ``quantile_cont`` at 0.5 interpolates the same two middle
+order statistics).
+
+Reference parity note: the reference pipeline (navikt/dvh-airflow-kafka)
+has no statistics layer at all — this module is part of the [EXT]
+large-scale curation surface (robust outlier flagging, winsorized KPI
+rollups, drift monitoring between ingest windows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "keyed_values_at_ranks",
+    "keyed_median",
+    "keyed_median_mad",
+    "keyed_ks_two_sample",
+]
+
+
+def _keys(key_cols: Union[str, list]) -> list:
+    return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def keyed_values_at_ranks(
+    df: DataFrame,
+    key_cols: Union[str, list],
+    val_col: str,
+    rank_sqls: dict,
+    with_total: Optional[str] = None,
+) -> DataFrame:
+    """Per-key order statistics at integer ranks, via counting.
+
+    ``rank_sqls`` maps output column name → a SQL expression over the
+    per-key total ``__n`` (BIGINT) that yields a 1-based target rank
+    (e.g. ``"(5 * __n + 99) div 100"`` = ceil(0.05·n), the nearest-rank
+    5th percentile).  Integer rank arithmetic only — no float quantile
+    positions, so the selected element is identical in any engine.
+
+    ``val_col`` must be integral (quantize floats first).  With
+    ``with_total`` set, the per-key count is emitted under that name.
+
+    Plan: one combinable shuffle on (key, value) → cumulative-rank
+    window over the counts frame (bounded by domain cardinality) → one
+    per-key reduce.  No raw row is ever sorted or buffered.
+    """
+    keys = _keys(key_cols)
+    cnt = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy(*keys).orderBy(val_col)
+    bounds = cnt.withColumn("__hi", F.sum("__cnt").over(w)).withColumn(
+        "__lo", F.col("__hi") - F.col("__cnt") + 1
+    )
+    tot = cnt.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
+    j = bounds.join(tot, keys)
+    aggs = []
+    for out, rank_sql in rank_sqls.items():
+        r = F.expr(rank_sql)
+        aggs.append(
+            F.max(
+                F.when((F.col("__lo") <= r) & (r <= F.col("__hi")), F.col(val_col))
+            ).alias(out)
+        )
+    if with_total is not None:
+        aggs.append(F.max("__n").alias(with_total))
+    return j.groupBy(*keys).agg(*aggs)
+
+
+def keyed_median(
+    df: DataFrame,
+    key_cols: Union[str, list],
+    val_col: str,
+    out: str = "median",
+    with_total: Optional[str] = None,
+) -> DataFrame:
+    """Exact per-key median of an integral column: average of the two
+    middle order statistics (== ``quantile_cont(x, 0.5)`` for integer
+    input — linear interpolation at the exact midpoint).  Worst case is
+    ``x.5``: an exactly-representable double, so cross-engine bit-equal.
+    """
+    keys = _keys(key_cols)
+    v = keyed_values_at_ranks(
+        df,
+        keys,
+        val_col,
+        {"__v1": "(__n + 1) div 2", "__v2": "__n div 2 + 1"},
+        with_total=with_total,
+    )
+    cols = [*keys, ((F.col("__v1") + F.col("__v2")) / F.lit(2.0)).alias(out)]
+    if with_total is not None:
+        cols.append(F.col(with_total))
+    return v.select(*cols)
+
+
+def keyed_median_mad(
+    df: DataFrame,
+    key_cols: Union[str, list],
+    val_col: str,
+    med_out: str = "median",
+    mad_out: str = "mad",
+) -> DataFrame:
+    """Per-key (median, MAD) where MAD = median(|x − median|) — the
+    robust location/scale pair (Hampel, 'The influence curve and its
+    role in robust estimation', JASA 1974): a 3σ z-score threshold moves
+    with every outlier it is meant to catch, while median/MAD have a 50%
+    breakdown point.
+
+    Two counting passes: one on the value domain, one on the deviation
+    domain ``|2x − 2·median|`` (doubled to stay integral when the median
+    is a half).  All quantities are dyadic rationals — deviations are
+    halves, the MAD is worst-case a quarter — so doubles carry them
+    exactly and any engine's 0.5-interpolating median agrees bit-for-bit.
+    """
+    keys = _keys(key_cols)
+    med = keyed_median(df, keys, val_col, "__med")
+    dev = df.join(med, keys).select(
+        *keys,
+        F.abs(
+            2 * F.col(val_col) - (2 * F.col("__med")).cast("bigint")
+        ).alias("__d2"),
+    )
+    mad2 = keyed_median(dev, keys, "__d2", "__mad2")
+    return (
+        med.join(mad2, keys)
+        .select(
+            *keys,
+            F.col("__med").alias(med_out),
+            (F.col("__mad2") / F.lit(2.0)).alias(mad_out),
+        )
+    )
+
+
+def keyed_ks_two_sample(
+    df: DataFrame,
+    key_cols: Union[str, list],
+    val_col: str,
+    side_col: str,
+    n_a: str = "n_a",
+    n_b: str = "n_b",
+    ks_num: str = "ks_num",
+    ks_stat: str = "ks_stat",
+) -> DataFrame:
+    """Per-key two-sample Kolmogorov–Smirnov statistic between the rows
+    where boolean ``side_col`` is true (sample A) and false (sample B):
+    ``D = max_v |F_A(v) − F_B(v)|`` — the standard distribution-drift
+    monitor between ingest windows / sources.
+
+    Computed integer-exactly as ``max |cumA·n_B − cumB·n_A|`` over the
+    per-key quantized-value CDF (one combinable counts shuffle + a
+    window over the counts frame), emitted both as the integer numerator
+    (engine-independent) and as ``round(·/(n_A·n_B), 6)``.
+    """
+    keys = _keys(key_cols)
+    side = F.col(side_col).cast("int")
+    cnt = df.groupBy(*keys, val_col).agg(
+        F.sum(side).alias("__a"), F.sum(1 - side).alias("__b")
+    )
+    w = Window.partitionBy(*keys).orderBy(val_col)
+    cum = cnt.select(
+        *keys,
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+    )
+    tot = cnt.groupBy(*keys).agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    j = cum.join(tot, keys)
+    num = F.abs(F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na"))
+    return j.groupBy(*keys).agg(
+        F.max("__na").alias(n_a),
+        F.max("__nb").alias(n_b),
+        F.max(num).alias(ks_num),
+        F.round(
+            F.max(num).cast("double")
+            / (F.max("__na") * F.max("__nb")).cast("double"),
+            6,
+        ).alias(ks_stat),
+    )
