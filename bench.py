@@ -153,6 +153,15 @@ HEADLINE = [
     "ab_experiment_lift",
     "multi_topic_fan_in",
     "streaming_static_enrichment",
+    # round-6e additions
+    "events_anomaly_mad",
+    "winsorized_value_stats",
+    "source_drift_ks",
+    "ngram_containment_pairs",
+    "orc_roundtrip_decode",
+    "parquet_schema_evolution",
+    "token_frequency_profile",
+    "quality_length_spearman",
 ]
 
 

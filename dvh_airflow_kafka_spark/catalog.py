@@ -137,7 +137,8 @@ def register(name: str, sql: Optional[str] = None):
 #   matryoshka_recall, privacy_erasure_cascade, time_decay_engagement,
 #   ab_experiment_lift, multi_topic_fan_in, streaming_static_enrichment,
 #   orc_roundtrip_decode, parquet_schema_evolution, events_anomaly_mad,
-#   winsorized_value_stats, source_drift_ks, ngram_containment_pairs
+#   winsorized_value_stats, source_drift_ks, ngram_containment_pairs,
+#   token_frequency_profile, quality_length_spearman
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -7062,6 +7063,187 @@ def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return xdedup.ngram_containment_pairs(
         docs, "doc_id", "text", ngram=3, threshold=0.5, max_doc_freq=50
+    )
+
+
+@register(
+    "token_frequency_profile",
+    sql=r"""
+    WITH w AS (
+        SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT source, tok, COUNT(*) AS c FROM w GROUP BY source, tok
+    ), fm AS (
+        SELECT source, c, COUNT(*) AS m FROM freq GROUP BY source, c
+    ), b AS (
+        SELECT source, c, m,
+               SUM(m) OVER (PARTITION BY source ORDER BY c) AS hi,
+               CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT) AS q
+        FROM fm
+    ), agg AS (
+        SELECT source,
+               CAST(SUM(m) AS BIGINT) AS vocab,
+               CAST(SUM(c * m) AS BIGINT) AS total,
+               CAST(SUM(c * m * (2 * hi - m + 1)) AS BIGINT) AS g2,
+               CAST(SUM(m * c * q) AS BIGINT) AS ent
+        FROM b GROUP BY source
+    )
+    SELECT source, vocab AS vocab_size, total AS total_tokens,
+           ROUND(CAST(g2 - (vocab + 1) * total AS DOUBLE)
+                 / CAST(vocab * total AS DOUBLE), 6) AS gini,
+           ROUND(ln(total) - CAST(ent AS DOUBLE) / total / 1000000, 6)
+               AS entropy_nats,
+           ROUND(CAST(vocab AS DOUBLE) / total, 6) AS type_token_ratio
+    FROM agg
+    """,
+)
+def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-source vocabulary concentration profile: Gini
+    coefficient of the token-frequency distribution (how head-heavy the
+    vocabulary is — template/boilerplate sources score high), Shannon
+    entropy in nats (the corpus-diversity measure mixture recipes
+    balance on), and type-token ratio.  The trio a curation pipeline
+    reads before weighting a source into a pretraining mix.
+
+    Integer-exact at any scale: Gini's rank sum uses the tie-safe
+    identity ``Σ 2i·x = Σ_f f·m_f·(lo_f+hi_f)`` over the
+    counts-OF-counts frame (tokens sharing a frequency share a rank
+    interval — ``ext/stats.keyed_rank_bounds``), so nothing is ever
+    sorted row-wise; entropy quantizes ``ln(freq)`` to integer
+    micronats (the char-LM convention) so the sum is engine-exact, with
+    one double ``ln(total)`` at the end.  The heavy passes are two
+    combinable shuffles (token counts, counts-of-counts) whose outputs
+    are bounded by vocabulary size, not corpus rows."""
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(xtext.tokens(F.col("text"))).alias("tok")
+    )
+    freq = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    bounds = xstats.keyed_rank_bounds(
+        freq.select("source", "c"), "source", "c"
+    )
+    q = F.floor(F.log(F.col("c")) * 1000000 + F.lit(0.5)).cast("bigint")
+    m = F.col("__cnt")
+    agg = bounds.groupBy("source").agg(
+        F.sum(m).alias("vocab"),
+        F.sum(F.col("c") * m).alias("total"),
+        F.sum(F.col("c") * m * (F.col("__lo") + F.col("__hi"))).alias("g2"),
+        F.sum(m * F.col("c") * q).alias("ent"),
+    )
+    return agg.select(
+        "source",
+        F.col("vocab").alias("vocab_size"),
+        F.col("total").alias("total_tokens"),
+        F.round(
+            (F.col("g2") - (F.col("vocab") + 1) * F.col("total")).cast("double")
+            / (F.col("vocab") * F.col("total")).cast("double"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.log(F.col("total").cast("double"))
+            - F.col("ent").cast("double") / F.col("total") / 1000000,
+            6,
+        ).alias("entropy_nats"),
+        F.round(F.col("vocab").cast("double") / F.col("total"), 6).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+@register(
+    "quality_length_spearman",
+    sql=r"""
+    WITH base AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS x,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS y
+        FROM documents
+    ), r AS (
+        SELECT lang,
+               2 * rank() OVER (PARTITION BY lang ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY lang, x) AS ax0,
+               2 * rank() OVER (PARTITION BY lang ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY lang, y) AS by0,
+               COUNT(*) OVER (PARTITION BY lang) AS n
+        FROM base
+    ), c AS (
+        SELECT lang, n,
+               CAST(ax0 - n - 2 AS BIGINT) AS a,
+               CAST(by0 - n - 2 AS BIGINT) AS b
+        FROM r
+    )
+    SELECT lang, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CASE WHEN SUM(a * a) > 0 AND SUM(b * b) > 0 THEN
+               ROUND(CAST(SUM(a * b) AS DOUBLE)
+                     / (sqrt(CAST(SUM(a * a) AS DOUBLE))
+                        * sqrt(CAST(SUM(b * b) AS DOUBLE))), 6)
+           END AS spearman_rho
+    FROM c GROUP BY lang
+    """,
+)
+def quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-language Spearman rank correlation between document
+    length in characters and whitespace token count — the monotone-
+    association check (rank-based, outlier-immune) a pipeline runs
+    between any two quality signals before using one to gate on the
+    other.  Near +1 here (longer docs have more tokens) — the point is
+    the operator: any two integral doc signals plug in.
+
+    Tie-averaged ranks come from ``ext/stats.keyed_rank_bounds``
+    intervals ((lo+hi)/2, kept doubled = lo+hi to stay integral) and
+    are CENTERED (a = lo+hi−(n+1)), which zeroes the rank means exactly
+    (Σa = 0), so ρ = Σab / (√Σa²·√Σb²) over pure BIGINT sums — no float
+    means, both engines' IEEE sqrt/divide agree bit-for-bit.  Exact
+    while per-key counts stay under ~2M rows (n³ < 2⁶³); the two rank
+    frames are domain-bounded, never a row-wise sort."""
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(xtext.tokens(F.col("text"))).cast("bigint").alias("y"),
+    )
+    bx = xstats.keyed_rank_bounds(base.select("lang", "x"), "lang", "x").select(
+        "lang", "x", (F.col("__lo") + F.col("__hi")).alias("a2")
+    )
+    by = xstats.keyed_rank_bounds(base.select("lang", "y"), "lang", "y").select(
+        "lang", "y", (F.col("__lo") + F.col("__hi")).alias("b2")
+    )
+    tot = base.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        base.join(bx, ["lang", "x"])
+        .join(by, ["lang", "y"])
+        .join(tot, "lang")
+        .select(
+            "lang",
+            "n",
+            (F.col("a2") - F.col("n") - 1).alias("a"),
+            (F.col("b2") - F.col("n") - 1).alias("b"),
+        )
+    )
+    agg = j.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    rho = F.round(
+        F.col("sab").cast("double")
+        / (
+            F.sqrt(F.col("saa").cast("double"))
+            * F.sqrt(F.col("sbb").cast("double"))
+        ),
+        6,
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.when((F.col("saa") > 0) & (F.col("sbb") > 0), rho).alias(
+            "spearman_rho"
+        ),
     )
 
 

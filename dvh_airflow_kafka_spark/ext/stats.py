@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "keyed_rank_bounds",
     "keyed_values_at_ranks",
     "keyed_median",
     "keyed_median_mad",
@@ -41,6 +42,28 @@ __all__ = [
 
 def _keys(key_cols: Union[str, list]) -> list:
     return [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+
+def keyed_rank_bounds(
+    df: DataFrame, key_cols: Union[str, list], val_col: str
+) -> DataFrame:
+    """Per-key rank interval of every distinct value: one combinable
+    ``groupBy(key, value)`` counts shuffle, then a cumulative window
+    over the counts frame.  Emits (keys…, val, ``__cnt``, ``__lo``,
+    ``__hi``) where rows with that value occupy 1-based sort ranks
+    [lo, hi] — the building block for order statistics, tie-averaged
+    ranks ((lo+hi)/2), Gini rank sums and CDFs without ever sorting or
+    buffering raw rows."""
+    keys = _keys(key_cols)
+    cnt = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    return _bounds_over_counts(cnt, keys, val_col)
+
+
+def _bounds_over_counts(cnt: DataFrame, keys: list, val_col: str) -> DataFrame:
+    w = Window.partitionBy(*keys).orderBy(val_col)
+    return cnt.withColumn("__hi", F.sum("__cnt").over(w)).withColumn(
+        "__lo", F.col("__hi") - F.col("__cnt") + 1
+    )
 
 
 def keyed_values_at_ranks(
@@ -67,10 +90,9 @@ def keyed_values_at_ranks(
     """
     keys = _keys(key_cols)
     cnt = df.groupBy(*keys, val_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    w = Window.partitionBy(*keys).orderBy(val_col)
-    bounds = cnt.withColumn("__hi", F.sum("__cnt").over(w)).withColumn(
-        "__lo", F.col("__hi") - F.col("__cnt") + 1
-    )
+    bounds = _bounds_over_counts(cnt, keys, val_col)
+    # totals aggregate the PRE-window counts frame: an unused window is
+    # not pruned by Catalyst, and this branch doesn't need the ranks
     tot = cnt.groupBy(*keys).agg(F.sum("__cnt").alias("__n"))
     j = bounds.join(tot, keys)
     aggs = []

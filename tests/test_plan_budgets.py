@@ -55,6 +55,12 @@ BUDGETS = [
     ("time_decay_engagement", 2),  # one keyed agg of integer partials
     ("multi_topic_fan_in", 0),  # two scan-fused branches, shuffle-free union
     ("ab_experiment_lift", 2),  # per-user flag agg + scalar rollup
+    ("events_anomaly_mad", 6),  # two counting passes (agg+window+tot each)
+    ("winsorized_value_stats", 4),  # counts agg + window + tot + final agg
+    ("source_drift_ks", 4),  # counts agg + CDF window + tot + final agg
+    ("ngram_containment_pairs", 2),  # inverted-index join reuses exchanges
+    ("token_frequency_profile", 3),  # token counts + counts-of-counts + agg
+    ("quality_length_spearman", 6),  # two rank frames + totals + final agg
 ]
 
 

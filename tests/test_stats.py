@@ -122,6 +122,80 @@ def test_containment_superset_scores_one(spark):
     assert r["containment_b"] < 0.2
 
 
+def test_rank_bounds_cover_sorted_positions(spark, seeded_values):
+    df = _df(spark, seeded_values, "k string, v long")
+    got = {
+        (r["k"], r["v"]): (r["__lo"], r["__hi"], r["__cnt"])
+        for r in xstats.keyed_rank_bounds(df, "k", "v").collect()
+    }
+    for k in ("a", "b"):
+        vals = sorted(v for kk, v in seeded_values if kk == k)
+        for v in set(vals):
+            lo = vals.index(v) + 1
+            cnt = vals.count(v)
+            assert got[(k, v)] == (lo, lo + cnt - 1, cnt), (k, v)
+
+
+def test_gini_and_spearman_catalog_laws(spark):
+    """Analytic pins for the corpus-statistics queries: Gini is 0 for a
+    uniform frequency distribution; Spearman is exactly ±1 for
+    monotone (anti)monotone pairs and its centered doubled ranks sum
+    to zero by construction."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    import math
+
+    # Gini/entropy on a handmade corpus: source 'u' has 4 tokens each
+    # appearing twice (uniform → gini 0, entropy ln(4)); source 's' is
+    # maximally skewed over 2 types.
+    rows = [
+        (1, "aa bb cc dd aa bb cc dd", "en", "u", 1),
+        (2, "x x x x x x x y", "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile, shutil, os
+
+    tmp = tempfile.mkdtemp(prefix="statslaw_")
+    try:
+        # stage a minimal sf_dir with just the documents table
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r["source"]: r
+            for r in REGISTRY["token_frequency_profile"].fn(spark, tmp).collect()
+        }
+        assert out["u"]["gini"] == 0.0
+        assert abs(out["u"]["entropy_nats"] - math.log(4)) < 1e-5
+        assert out["u"]["vocab_size"] == 4 and out["u"]["total_tokens"] == 8
+        # frequencies [1, 7]: G = (2·1·1 + 2·2·7 − 3·8) / (2·8) = 0.375
+        assert out["s"]["gini"] == 0.375
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_spearman_monotone_is_one(spark):
+    rows = [("k", i, i * 3 + 7) for i in range(1, 50)]
+    df = _df(spark, rows, "k string, x long, y long")
+    bx = xstats.keyed_rank_bounds(df.select("k", "x"), "k", "x").select(
+        "k", "x", (F.col("__lo") + F.col("__hi")).alias("a2")
+    )
+    by = xstats.keyed_rank_bounds(df.select("k", "y"), "k", "y").select(
+        "k", "y", (F.col("__lo") + F.col("__hi")).alias("b2")
+    )
+    n = df.count()
+    j = df.join(bx, ["k", "x"]).join(by, ["k", "y"]).select(
+        (F.col("a2") - n - 1).alias("a"), (F.col("b2") - n - 1).alias("b")
+    )
+    agg = j.agg(
+        F.sum("a").alias("sa"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    ).collect()[0]
+    assert agg["sa"] == 0  # centered ranks sum to zero exactly
+    assert agg["sab"] == agg["saa"] == agg["sbb"]  # monotone → rho = 1
+
+
 def test_containment_symmetric_on_equal_docs(spark):
     text = "one two three four five six seven"
     df = _df(spark, [(1, text), (2, text)], "doc_id long, text string")
