@@ -162,6 +162,8 @@ HEADLINE = [
     "parquet_schema_evolution",
     "token_frequency_profile",
     "quality_length_spearman",
+    "link_graph_triangles",
+    "l_diversity_audit",
 ]
 
 

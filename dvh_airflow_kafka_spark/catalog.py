@@ -138,7 +138,8 @@ def register(name: str, sql: Optional[str] = None):
 #   ab_experiment_lift, multi_topic_fan_in, streaming_static_enrichment,
 #   orc_roundtrip_decode, parquet_schema_evolution, events_anomaly_mad,
 #   winsorized_value_stats, source_drift_ks, ngram_containment_pairs,
-#   token_frequency_profile, quality_length_spearman
+#   token_frequency_profile, quality_length_spearman,
+#   link_graph_triangles, l_diversity_audit
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -7244,6 +7245,127 @@ def quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("saa") > 0) & (F.col("sbb") > 0), rho).alias(
             "spearman_rho"
         ),
+    )
+
+
+@register(
+    "link_graph_triangles",
+    sql="""
+    WITH nn AS (SELECT COUNT(*) AS ni FROM documents),
+    gg AS (SELECT unnest([1, 2, 3]) AS g),
+    e AS (
+        SELECT DISTINCT d.doc_id AS src, (d.doc_id * 31 + gg.g) % nn.ni AS dst
+        FROM documents d, nn, gg
+        WHERE (d.doc_id * 31 + gg.g) % nn.ni <> d.doc_id
+    ),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM e),
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    tn AS (SELECT node, COUNT(*) AS t
+           FROM (SELECT unnest([a, b, c]) AS node FROM tri) q GROUP BY node),
+    deg AS (SELECT node, COUNT(*) AS d
+            FROM (SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und) q
+            GROUP BY node)
+    SELECT deg.node AS doc_id,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tn.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN ROUND(2.0 * COALESCE(tn.t, 0) / (deg.d * (deg.d - 1)), 6)
+           END AS clustering_coeff
+    FROM deg LEFT JOIN tn ON tn.node = deg.node
+    """,
+)
+def link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-node exact triangle counts + local clustering
+    coefficient over the same deterministic synthesized link graph as
+    ``link_graph_pagerank`` — the second graph-centrality signal
+    web-corpus curation reads (link-farm / spam-cluster detection keys
+    on abnormal clustering; community density guides domain grouping).
+
+    ``ext/graph.triangle_counts`` runs the degree-ordered node-iterator
+    (Suri & Vassilvitskii WWW'11): undirected edges oriented
+    low→high (degree, id), wedges from a source-keyed self-join, one
+    closure semi-join against the canonical edge set.  The ordering
+    bounds every oriented out-degree at O(√m) so wedge volume is
+    O(m^{3/2}) with no hot key — a naive shared-neighbor join on a
+    100 TB-scale web graph dies on its celebrity nodes; this shape is
+    the standard fix.  The oracle enumerates each triangle once as
+    u<v<w over the same edge set."""
+    from dvh_airflow_kafka_spark.ext import graph as xgraph
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("g"),
+        )
+        .withColumn("dst", (F.col("src") * 31 + F.col("g")) % F.lit(n))
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+    )
+    t = xgraph.triangle_counts(edges, out_node="doc_id")
+    return t.select(
+        "doc_id",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.col("n_triangles")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ),
+        ).alias("clustering_coeff"),
+    )
+
+
+@register(
+    "l_diversity_audit",
+    sql="""
+    SELECT event_type,
+           strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           COUNT(*) AS group_size,
+           COUNT(DISTINCT CAST(floor(value / 100) AS BIGINT)) AS n_sensitive
+    FROM events
+    GROUP BY 1, 2, 3
+    HAVING COUNT(DISTINCT CAST(floor(value / 100) AS BIGINT)) < 3
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] l-diversity audit — k-anonymity's complement (Machanavajjhala
+    et al., 'l-diversity: privacy beyond k-anonymity', ICDE'06): a
+    quasi-identifier group can be large (k-anonymous) yet still leak if
+    everyone in it shares the same SENSITIVE value — here the spend band
+    ``floor(value/100)``.  Groups on (event_type, day, hour) backed by
+    fewer than l=3 distinct bands are homogeneity-attack risks the
+    release must generalise.  Same O(|QI|) map-side-combined aggregate
+    shape as ``k_anonymity_audit``; together they form the release
+    gate the reference's kode-6/7 duty implies."""
+    ev = load_table(spark, sf_dir, "events")
+    band = F.floor(F.col("value") / 100).cast("bigint")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F.hour(F.col("ts")).cast("int").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct(band).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < 3)
     )
 
 

@@ -88,3 +88,81 @@ def pagerank_fixed(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_counts(edges: DataFrame, out_node: str = "node") -> DataFrame:
+    """Per-node exact triangle counts + degree over an undirected graph
+    given as a (src, dst) edge frame (direction and duplicates ignored;
+    self-loops dropped).
+
+    Algorithm: degree-ordered node-iterator (Suri & Vassilvitskii,
+    'Counting triangles and the curse of the last reducer', WWW'11) —
+    orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher, generate wedges by self-joining oriented edges on the
+    source, and close each wedge with one lookup in the canonical edge
+    set.  The orientation is the whole scale story: a celebrity node
+    with degree d contributes d² wedges under a naive join, but ordered
+    orientation bounds every out-degree at O(√m), so total wedges are
+    O(m^{3/2}) — the worst case of triangle counting itself, with no
+    'last reducer' hot key.  Three keyed exchanges (degree agg, wedge
+    join, closure join); each triangle is generated exactly once, from
+    its lowest-ordered vertex.
+
+    Output: (node, degree, n_triangles) — every node of the graph, zero
+    triangles included.  Local clustering coefficients derive as
+    ``2·T / (d·(d−1))``.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("u", "v")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    j = und.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = j.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    l, r = oriented.alias("l"), oriented.alias("r")
+    wedge_order = (F.col("l.db") < F.col("r.db")) | (
+        (F.col("l.db") == F.col("r.db")) & (F.col("l.b") < F.col("r.b"))
+    )
+    wedges = l.join(
+        r, (F.col("l.a") == F.col("r.a")) & wedge_order
+    ).select(
+        F.col("l.a").alias("a"),
+        F.col("l.b").alias("b"),
+        F.col("r.b").alias("c"),
+    )
+    closed = wedges.join(
+        und,
+        (F.least(F.col("b"), F.col("c")) == F.col("u"))
+        & (F.greatest(F.col("b"), F.col("c")) == F.col("v")),
+        "left_semi",
+    )
+    tri = (
+        closed.select(F.explode(F.array("a", "b", "c")).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.join(tri, "n", "left")
+        .select(
+            F.col("n").alias(out_node),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+        )
+    )

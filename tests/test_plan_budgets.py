@@ -61,6 +61,8 @@ BUDGETS = [
     ("ngram_containment_pairs", 2),  # inverted-index join reuses exchanges
     ("token_frequency_profile", 3),  # token counts + counts-of-counts + agg
     ("quality_length_spearman", 6),  # two rank frames + totals + final agg
+    ("link_graph_triangles", 9),  # canon + degree + orient + wedge + close
+    ("l_diversity_audit", 2),  # one map-side-combined QI aggregate
 ]
 
 
