@@ -164,6 +164,8 @@ HEADLINE = [
     "quality_length_spearman",
     "link_graph_triangles",
     "l_diversity_audit",
+    "token_pmi_collocations",
+    "fixed_k_per_group_sample",
 ]
 
 

@@ -139,7 +139,8 @@ def register(name: str, sql: Optional[str] = None):
 #   orc_roundtrip_decode, parquet_schema_evolution, events_anomaly_mad,
 #   winsorized_value_stats, source_drift_ks, ngram_containment_pairs,
 #   token_frequency_profile, quality_length_spearman,
-#   link_graph_triangles, l_diversity_audit
+#   link_graph_triangles, l_diversity_audit, token_pmi_collocations,
+#   fixed_k_per_group_sample
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -7366,6 +7367,140 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(band).alias("n_sensitive"),
         )
         .filter(F.col("n_sensitive") < 3)
+    )
+
+
+@register(
+    "token_pmi_collocations",
+    sql=r"""
+    WITH w AS (SELECT regexp_extract_all(text, '\S+') AS wl FROM documents),
+    w2 AS (SELECT wl FROM w WHERE len(wl) >= 2),
+    uni AS (SELECT unnest(wl) AS tok FROM w2),
+    uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    ut AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM uni),
+    big AS (SELECT unnest(list_transform(range(1, len(wl)),
+                                         i -> wl[i] || ' ' || wl[i+1]))
+                AS bigram
+            FROM w2),
+    bc AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cab
+           FROM big GROUP BY bigram),
+    bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM big),
+    j AS (SELECT bc.bigram, bc.cab, ua.c AS ca, ub.c AS cb
+          FROM bc
+          JOIN uc ua ON ua.tok = split_part(bc.bigram, ' ', 1)
+          JOIN uc ub ON ub.tok = split_part(bc.bigram, ' ', 2)
+          WHERE bc.cab >= 5)
+    SELECT bigram, cab AS n_occurrences,
+           ROUND(ln((CAST(cab AS DOUBLE) * u * u)
+                    / (CAST(b AS DOUBLE) * ca * cb)), 6) AS pmi
+    FROM j, ut, bt
+    ORDER BY pmi DESC, bigram
+    LIMIT 50
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Collocation mining: top-50 adjacent-token bigrams by
+    pointwise mutual information (Church & Hanks, 'Word association
+    norms, mutual information, and lexicography', CL 1990) with a
+    min-count floor of 5 — the multi-word-expression detector tokenizer
+    vocab construction and boilerplate analysis both read.  ADJACENT
+    bigrams only, so candidate volume is linear in corpus tokens (never
+    the quadratic all-pairs co-occurrence matrix).
+
+    Plan: two combinable counting shuffles (unigrams, bigrams) bounded
+    by vocabulary, two vocabulary-keyed joins to attach marginals, and
+    a top-k that runs as per-partition heads + one merge
+    (TakeOrderedAndProject — no global sort).  PMI's ln is a single
+    call on an identically-computed double ratio; ties at the cut rank
+    break on the bigram string, so the top-50 is engine-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(xtext.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    uni = toks.select(F.explode(F.col("toks")).alias("tok"))
+    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    big = toks.select(
+        F.explode(xtext.word_ngrams_from_tokens(F.col("toks"), 2)).alias(
+            "bigram"
+        )
+    )
+    bc = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("cab"))
+    u_total, b_total = (
+        uni.count(),
+        big.count(),
+    )  # bounded scalar aggregates (two longs)
+    j = (
+        bc.filter(F.col("cab") >= 5)
+        .join(
+            uc.select(F.col("tok").alias("__t1"), F.col("c").alias("ca")),
+            F.split(F.col("bigram"), " ")[0] == F.col("__t1"),
+        )
+        .join(
+            uc.select(F.col("tok").alias("__t2"), F.col("c").alias("cb")),
+            F.split(F.col("bigram"), " ")[1] == F.col("__t2"),
+        )
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") * F.lit(u_total) * F.lit(u_total))
+            / (F.lit(float(b_total)) * F.col("ca") * F.col("cb"))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            "bigram",
+            F.col("cab").alias("n_occurrences"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(50)
+    )
+
+
+@register(
+    "fixed_k_per_group_sample",
+    sql="""
+    WITH h AS (
+        SELECT doc_id, lang, source, n_chars,
+               substr(sha256('evalk1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS hk
+        FROM documents
+    ), r AS (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                   AS rn
+        FROM h
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM r WHERE rn <= 20
+    """,
+)
+def fixed_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact-k stratified sample: exactly 20 documents per
+    language, chosen by ranking a salted sha256 of the id within each
+    stratum — the eval-set construction shape ("k examples per
+    language/domain, reproducibly") where fraction-based Bernoulli
+    sampling (``events_stratified_sample``) can't guarantee the count.
+    Seeded, data-independent, engine-replayable: same corpus → same
+    sample anywhere, and adding documents only perturbs the sample by
+    the hash order (bounded churn), unlike rand()-based takes.
+
+    One window keyed on the stratum — strata are languages (balanced,
+    low-skew), and rank state is O(1) per task.  At extreme per-stratum
+    skew the two-pass rank (``ext/ranking``) substitutes."""
+    docs = load_table(spark, sf_dir, "documents")
+    hk = F.substring(
+        F.sha2(F.concat(F.lit("evalk1"), F.col("doc_id").cast("string")), 256),
+        1,
+        8,
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", hk.alias("hk"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source", "n_chars")
     )
 
 

@@ -63,6 +63,8 @@ BUDGETS = [
     ("quality_length_spearman", 6),  # two rank frames + totals + final agg
     ("link_graph_triangles", 9),  # canon + degree + orient + wedge + close
     ("l_diversity_audit", 2),  # one map-side-combined QI aggregate
+    ("token_pmi_collocations", 2),  # unigram+bigram counts; top-k no sort
+    ("fixed_k_per_group_sample", 1),  # one stratum-keyed window
 ]
 
 

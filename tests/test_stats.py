@@ -196,6 +196,35 @@ def test_spearman_monotone_is_one(spark):
     assert agg["sab"] == agg["saa"] == agg["sbb"]  # monotone → rho = 1
 
 
+def test_pmi_and_fixed_k_catalog_laws(spark):
+    """PMI: a bigram whose parts only ever occur together maximises
+    PMI; fixed-k sampling returns exactly k per stratum and is
+    idempotent."""
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    import os, shutil, tempfile
+
+    rows = []
+    # 'aa bb' always adjacent (5 docs) vs 'cc' 'dd' scattered apart
+    for i in range(5):
+        rows.append((i, "aa bb cc xx dd yy cc zz dd ww", "en", "s", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    tmp = tempfile.mkdtemp(prefix="pmilaw_")
+    try:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = REGISTRY["token_pmi_collocations"].fn(spark, tmp).collect()
+        assert out, "min-count floor should keep the 5x bigrams"
+        top = out[0]
+        assert top["bigram"] == "aa bb"  # perfectly-associated pair wins
+        got = REGISTRY["fixed_k_per_group_sample"].fn(spark, tmp)
+        a = sorted(r["doc_id"] for r in got.collect())
+        b = sorted(r["doc_id"] for r in got.collect())
+        assert a == b and len(a) == 5  # k=20 floor-capped by stratum size
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_containment_symmetric_on_equal_docs(spark):
     text = "one two three four five six seven"
     df = _df(spark, [(1, text), (2, text)], "doc_id long, text string")
