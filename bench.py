@@ -166,6 +166,8 @@ HEADLINE = [
     "l_diversity_audit",
     "token_pmi_collocations",
     "fixed_k_per_group_sample",
+    "events_cusum_drift",
+    "session_association_rules",
 ]
 
 

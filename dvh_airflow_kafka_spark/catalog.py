@@ -140,7 +140,7 @@ def register(name: str, sql: Optional[str] = None):
 #   winsorized_value_stats, source_drift_ks, ngram_containment_pairs,
 #   token_frequency_profile, quality_length_spearman,
 #   link_graph_triangles, l_diversity_audit, token_pmi_collocations,
-#   fixed_k_per_group_sample
+#   fixed_k_per_group_sample, events_cusum_drift, session_association_rules
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -7501,6 +7501,172 @@ def fixed_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "events_cusum_drift",
+    sql="""
+    WITH c AS (
+        SELECT user_id, event_id, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) - 25000 AS d
+        FROM events WHERE event_type = 'purchase'
+    ), p AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(d) OVER w AS BIGINT) AS ps
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+        SELECT user_id, event_id,
+               ps - LEAST(0, CAST(MIN(ps) OVER w AS BIGINT)) AS cusum
+        FROM p
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum_cents,
+           CAST(SUM(CASE WHEN cusum > 5000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms,
+           MIN(CASE WHEN cusum > 5000 THEN event_id END) AS first_alarm_event
+    FROM s GROUP BY user_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user CUSUM drift detection on purchase spend (Page,
+    'Continuous inspection schemes', Biometrika 1954): the sequential
+    change-point statistic ``S_i = max(0, S_{i-1} + (x_i − k))`` with
+    reference k = 250.00 and alarm threshold h = 50.00 — flags users
+    whose spend RUNS persistently above reference (a fraud/abuse burst)
+    where a per-event z-score only sees isolated spikes.
+
+    The recurrence looks inherently sequential, but the reflection
+    identity ``S_i = P_i − min(0, min_{j≤i} P_j)`` (P = running sum of
+    deviations) turns it into two stacked running windows over ONE
+    user-keyed partition — a single exchange, state O(1) per task, all
+    integer cents.  The oracle replays the identical identity."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") - 25000).alias(
+            "d"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = c.select(
+        "user_id", "event_id", "ts", F.sum("d").over(w).alias("ps")
+    )
+    s = p.select(
+        "user_id",
+        "event_id",
+        (
+            F.col("ps") - F.least(F.lit(0).cast("bigint"), F.min("ps").over(w))
+        ).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 5000
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("cusum").alias("max_cusum_cents"),
+        F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
+        F.min(F.when(alarm, F.col("event_id"))).alias("first_alarm_event"),
+    )
+
+
+@register(
+    "session_association_rules",
+    sql="""
+    WITH b AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day, event_type
+        FROM events
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT (user_id, day)) AS BIGINT) AS n_baskets
+        FROM b
+    ), m AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS item_a, bb.event_type AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS c_ab
+        FROM b a
+        JOIN b bb ON a.user_id = bb.user_id AND a.day = bb.day
+                  AND a.event_type < bb.event_type
+        GROUP BY a.event_type, bb.event_type
+    )
+    SELECT item_a, item_b, c_ab AS n_baskets_both,
+           ROUND(CAST(c_ab AS DOUBLE) / n.n_baskets, 6) AS support,
+           ROUND(CAST(c_ab AS DOUBLE) / ma.c, 6) AS confidence_a_to_b,
+           ROUND(CAST(c_ab AS DOUBLE) * n.n_baskets / (ma.c * mb.c), 6)
+               AS lift
+    FROM pairs
+    JOIN m ma ON ma.event_type = item_a
+    JOIN m mb ON mb.event_type = item_b
+    CROSS JOIN n
+    """,
+)
+def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Market-basket association rules over daily user activity
+    baskets: for every event-type pair, support, confidence(a→b) and
+    lift (Agrawal & Srikant's frequent-itemset metrics, VLDB'94) —
+    which behaviours co-occur in a user-day beyond chance.
+
+    The basket self-join is per-(user, day) with ≤|event types| items
+    per basket, so pair generation is bounded at C(|types|, 2) per
+    basket — linear in baskets, never a global cross join; marginals
+    and the basket count attach by broadcast-sized joins.  Every metric
+    divides exact BIGINT counts, rounded identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+    ).distinct()
+    n_baskets = b.select("user_id", "day").distinct().count()
+    m = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    l, r = b.alias("l"), b.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.day") == F.col("r.day"))
+            & (F.col("l.event_type") < F.col("r.event_type")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("item_a"),
+            F.col("r.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    j = pairs.join(
+        m.select(F.col("event_type").alias("item_a"), F.col("c").alias("ca")),
+        "item_a",
+    ).join(
+        m.select(F.col("event_type").alias("item_b"), F.col("c").alias("cb")),
+        "item_b",
+    )
+    return j.select(
+        "item_a",
+        "item_b",
+        F.col("c_ab").alias("n_baskets_both"),
+        F.round(F.col("c_ab").cast("double") / F.lit(n_baskets), 6).alias(
+            "support"
+        ),
+        F.round(F.col("c_ab").cast("double") / F.col("ca"), 6).alias(
+            "confidence_a_to_b"
+        ),
+        F.round(
+            F.col("c_ab").cast("double")
+            * F.lit(n_baskets)
+            / (F.col("ca") * F.col("cb")),
+            6,
+        ).alias("lift"),
     )
 
 

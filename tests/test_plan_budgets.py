@@ -65,6 +65,8 @@ BUDGETS = [
     ("l_diversity_audit", 2),  # one map-side-combined QI aggregate
     ("token_pmi_collocations", 2),  # unigram+bigram counts; top-k no sort
     ("fixed_k_per_group_sample", 1),  # one stratum-keyed window
+    ("events_cusum_drift", 1),  # two stacked windows share one exchange
+    ("session_association_rules", 5),  # basket dedup + pair/marginal aggs
 ]
 
 

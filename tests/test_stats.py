@@ -225,6 +225,41 @@ def test_pmi_and_fixed_k_catalog_laws(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_cusum_reflection_identity_matches_sequential(spark):
+    """The windowed CUSUM (P_i − min(0, min_{j≤i} P_j)) must equal the
+    textbook sequential recurrence S_i = max(0, S_{i−1} + d_i) on a
+    seeded deviation stream."""
+    rng = random.Random(77)
+    devs = [rng.randint(-40, 50) for _ in range(300)]
+    # sequential reference
+    seq, s = [], 0
+    for d in devs:
+        s = max(0, s + d)
+        seq.append(s)
+    rows = [("u", i, d) for i, d in enumerate(devs)]
+    df = _df(spark, rows, "k string, i long, d long")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("k")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = df.select("k", "i", F.sum("d").over(w).alias("ps"))
+    got = (
+        p.select(
+            "i",
+            (
+                F.col("ps")
+                - F.least(F.lit(0).cast("bigint"), F.min("ps").over(w))
+            ).alias("cusum"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["cusum"] for r in got] == seq
+
+
 def test_containment_symmetric_on_equal_docs(spark):
     text = "one two three four five six seven"
     df = _df(spark, [(1, text), (2, text)], "doc_id long, text string")
