@@ -168,6 +168,7 @@ HEADLINE = [
     "fixed_k_per_group_sample",
     "events_cusum_drift",
     "session_association_rules",
+    "streaming_left_outer_join",
 ]
 
 

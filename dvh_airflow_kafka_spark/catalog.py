@@ -140,7 +140,8 @@ def register(name: str, sql: Optional[str] = None):
 #   winsorized_value_stats, source_drift_ks, ngram_containment_pairs,
 #   token_frequency_profile, quality_length_spearman,
 #   link_graph_triangles, l_diversity_audit, token_pmi_collocations,
-#   fixed_k_per_group_sample, events_cusum_drift, session_association_rules
+#   fixed_k_per_group_sample, events_cusum_drift, session_association_rules,
+#   streaming_left_outer_join
 # (all verified locally vs their oracles at sf0.01/sf0.001 this round).
 # Rotate THOSE to the front of this list next round; the remaining slots
 # re-certify whatever changed that round.
@@ -7668,6 +7669,103 @@ def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lift"),
     )
+
+
+@register(
+    "streaming_left_outer_join",
+    sql="""
+    SELECT p.event_id AS purchase_id,
+           e.event_id AS error_id,
+           p.user_id,
+           CASE WHEN e.event_id IS NOT NULL
+                THEN epoch_us(p.ts) - epoch_us(e.ts) END AS lag_us
+    FROM events p
+    LEFT JOIN events e
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error'
+     AND e.ts <= p.ts
+     AND e.ts > p.ts - INTERVAL 30 MINUTE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] LEFT OUTER stream-stream interval join, drained for real:
+    every purchase attributed to the same user's errors in the
+    preceding 30 minutes — AND purchases with no such error emitted
+    with NULLs, which is the semantically hard half: an unmatched row
+    may only emit once the watermark proves no match can still arrive,
+    and since batch N's watermark comes from batches < N, the tail of
+    the stream only flushes when LATER batches advance the watermark
+    past it.  The drain stages the events ts-ordered (so nothing is
+    late-dropped) plus three far-future sentinel batches that push the
+    watermark past all real data and give the engine the extra
+    micro-batches outer emission needs; sentinels are filtered from
+    the result.  Oracled by the batch LEFT JOIN — an exact match
+    certifies both the matched pairs AND the complete, exactly-once
+    emission of the unmatched tail."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        interval_join_streams_left_outer,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+    def _write(src: str) -> None:
+        us = ev.select(F.unix_micros(F.col("ts")).alias("u"))
+        cuts = us.approxQuantile("u", [0.34, 0.67], 0.001)
+        lo, hi = int(cuts[0]), int(cuts[1])
+        u = F.unix_micros(F.col("ts"))
+        for pred in (u <= lo, (u > lo) & (u <= hi), u > hi):
+            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        # Sentinels must reach BOTH input streams: the join's effective
+        # watermark is the MINIMUM across its watermarked inputs
+        # (multipleWatermarkPolicy=min), so advancing only one side
+        # would never flush the other's outer tail.
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        for i in range(1, 4):
+            sent = spark.createDataFrame(
+                [
+                    (-2 * i, -1, "purchase", max_ts + dt.timedelta(days=i)),
+                    (-2 * i - 1, -1, "error", max_ts + dt.timedelta(days=i)),
+                ],
+                "event_id long, user_id long, event_type string, ts timestamp",
+            )
+            sent.coalesce(1).write.mode("append").parquet(src)
+
+    src = _staged_stream_src("stream_loj", sf_dir, _write)
+    ckpt = tempfile.mkdtemp(prefix="stream_loj_ckpt_")
+
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    errors = read_event_stream(spark, src).filter(
+        F.col("event_type") == "error"
+    )
+    joined = interval_join_streams_left_outer(
+        purchases, errors, key="user_id", max_lag="30 minutes"
+    ).select(
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("error_id"),
+        F.col("l.user_id").alias("user_id"),
+        (F.unix_micros(F.col("l.ts")) - F.unix_micros(F.col("r.ts"))).alias(
+            "lag_us"
+        ),
+    )
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    out = drain_to_memory(spark, joined, name, ckpt)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.filter(F.col("user_id") >= 0)
 
 
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/

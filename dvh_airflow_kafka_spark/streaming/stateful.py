@@ -406,6 +406,40 @@ def interval_join_streams(
     )
 
 
+def interval_join_streams_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    max_lag: str = "30 minutes",
+    watermark: str = "31 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``interval_join_streams`` but every unmatched left row is ALSO
+    emitted (right columns NULL) — the attribution shape that must
+    distinguish "purchase with no preceding error" from "not yet
+    known".  The subtle semantics: an unmatched left row can only emit
+    once the watermark has passed its join window (until then a match
+    could still arrive), so outer results trail the data by the
+    watermark delay and — critically for drains — need at least one
+    FURTHER micro-batch after the watermark advances past them, because
+    the watermark used by batch N is computed from batches < N.
+    Callers staging file-based drains append watermark-advancing
+    sentinel batches (and filter them from the result) to flush the
+    tail; an unbounded production stream gets this for free from the
+    next arriving data."""
+    lag_us = int(_parse_minutes(max_lag) * 60 * _US)
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") > F.col("l.ts") - F.expr(f"INTERVAL {lag_us} MICROSECOND")),
+        "leftOuter",
+    )
+
+
 # --------------------------------------------------------------------------
 # transformWithState running totals (Spark 4 arbitrary-state API)
 # --------------------------------------------------------------------------
