@@ -7419,7 +7419,14 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks") >= 2
     )
     uni = toks.select(F.explode(F.col("toks")).alias("tok"))
-    uc = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # localCheckpoint: the unigram-marginal frame joins twice (one per
+    # bigram side) — materialize it once instead of relying on
+    # session-state-sensitive exchange reuse
+    uc = (
+        uni.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     big = toks.select(
         F.explode(xtext.word_ngrams_from_tokens(F.col("toks"), 2)).alias(
             "bigram"

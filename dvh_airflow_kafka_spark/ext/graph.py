@@ -112,6 +112,10 @@ def triangle_counts(edges: DataFrame, out_node: str = "node") -> DataFrame:
     triangles included.  Local clustering coefficients derive as
     ``2·T / (d·(d−1))``.
     """
+    # localCheckpoint: `und` feeds three consumers (degrees, the wedge
+    # join via the oriented frame, the closure lookup) — materialize the
+    # canonicalized edge set once instead of relying on exchange reuse,
+    # which is session-state sensitive
     und = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("u"),
@@ -119,6 +123,7 @@ def triangle_counts(edges: DataFrame, out_node: str = "node") -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("n"))

@@ -61,9 +61,9 @@ BUDGETS = [
     ("ngram_containment_pairs", 2),  # inverted-index join reuses exchanges
     ("token_frequency_profile", 3),  # token counts + counts-of-counts + agg
     ("quality_length_spearman", 6),  # two rank frames + totals + final agg
-    ("link_graph_triangles", 9),  # canon + degree + orient + wedge + close
+    ("link_graph_triangles", 5),  # canonical edges checkpointed once
     ("l_diversity_audit", 2),  # one map-side-combined QI aggregate
-    ("token_pmi_collocations", 2),  # unigram+bigram counts; top-k no sort
+    ("token_pmi_collocations", 1),  # marginals checkpointed; top-k no sort
     ("fixed_k_per_group_sample", 1),  # one stratum-keyed window
     ("events_cusum_drift", 1),  # two stacked windows share one exchange
     ("session_association_rules", 5),  # basket dedup + pair/marginal aggs
