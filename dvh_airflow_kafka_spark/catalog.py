@@ -65,11 +65,22 @@ def _staged_stream_src(kind: str, sf_dir: str, write_fn) -> str:
     ``write_fn(src_dir)`` performs the actual (ordered) parquet writes on
     a cache miss; hits return the previously staged directory untouched.
     The cache root is removed atexit.
+
+    After staging, every file is re-stamped with a strictly increasing
+    whole-second mtime in its ns-resolved write order: FileStreamSource
+    batches new files by modification time at MILLISECOND granularity, so
+    two sequential appends landing in the same ms could otherwise be
+    picked up out of write order — for watermarked drains that can push
+    the watermark past real rows, silently late-dropping them (a flaky-
+    correctness hazard, not a deterministic one).  Whole-second spacing
+    makes the Spark-visible order exactly the write order on any
+    filesystem with >=ns stat resolution.
     """
     import atexit
     import os
     import shutil
     import tempfile
+    import time
 
     global _STREAM_STAGE_ROOT
     key = (kind, os.path.abspath(sf_dir))
@@ -85,6 +96,14 @@ def _staged_stream_src(kind: str, sf_dir: str, write_fn) -> str:
         tempfile.mkdtemp(prefix=f"{kind}_", dir=_STREAM_STAGE_ROOT), "src"
     )
     write_fn(src)
+    stamped = []
+    for root, _dirs, names in os.walk(src):
+        for n in names:
+            p = os.path.join(root, n)
+            stamped.append((os.stat(p).st_mtime_ns, p))
+    base = int(time.time()) - len(stamped) - 2
+    for i, (_ns, p) in enumerate(sorted(stamped)):
+        os.utime(p, (base + i, base + i))
     _STREAM_STAGE_CACHE[key] = src
     return src
 
@@ -113,92 +132,71 @@ def register(name: str, sql: Optional[str] = None):
 # the driver's 50-query window each round to the queries that most need a
 # fresh row.  Entries not listed keep registration order after these.
 #
-# ROUND-6 ROTATION (executes the round-5 note): the first 42 entries are
-# every query that has NEVER held a driver CORRECTNESS row (the round-5b/5c
-# additions, registered after round 5's window was pinned; all were
-# verified locally vs their DuckDB oracles at sf0.01, and the round-5
-# judge re-verified all 42 green).  With these certified, every one of the
-# 138 registered queries will hold at least one driver row.  The remaining
-# 8 slots re-certify queries whose implementation or staging changed THIS
-# round (q11 partsupp caching; streaming source staging cache; the
-# events_value_trend division guard is inside the 42).  Every query
-# displaced from the round-5 window holds a green `CORRECTNESS_r05.json`
-# row and is unchanged this round.
-# ROUND-7 NOTE (next rotation): once `CORRECTNESS_r06.json` certifies the
-# 42 round-5b/5c names below, the only queries without a driver row are
-# the round-6 additions registered after this window was pinned:
-#   embedding_kmeans_assign, duplicate_span_removal, link_graph_pagerank,
-#   pq_encode_stats, weighted_priority_sample, pq_adc_recall,
-#   ivf_pq_ann_topk, incremental_near_dup_ingest, knn_label_accuracy,
-#   bpe_learn_merges_table, error_burst_range_join, bm25_topk_docs,
-#   hard_negative_mining, charlm_doc_quality, countmin_token_freq,
-#   csv_roundtrip_decode, blob_cdc_chunk_dedup, dsir_domain_selection,
-#   streaming_countmin_sketch, jaccard_prefix_filter_pairs,
-#   matryoshka_recall, privacy_erasure_cascade, time_decay_engagement,
-#   ab_experiment_lift, multi_topic_fan_in, streaming_static_enrichment,
-#   orc_roundtrip_decode, parquet_schema_evolution, events_anomaly_mad,
-#   winsorized_value_stats, source_drift_ks, ngram_containment_pairs,
-#   token_frequency_profile, quality_length_spearman,
-#   link_graph_triangles, l_diversity_audit, token_pmi_collocations,
-#   fixed_k_per_group_sample, events_cusum_drift, session_association_rules,
-#   streaming_left_outer_join
-# (all verified locally vs their oracles at sf0.01/sf0.001 this round).
-# Rotate THOSE to the front of this list next round; the remaining slots
-# re-certify whatever changed that round.
+# ROUND-7 ROTATION (executes the round-6 note): the first 42 entries are
+# every query without a green driver row after `CORRECTNESS_r06.json` —
+# the 41 round-6 additions registered after round 6's window was pinned,
+# plus `token_inverted_index` (its r6 row failed in the driver's pandas
+# compare on an unhashable array cell, NOT on values; postings are now a
+# comma-joined string on both engines).  `pq_encode_stats` got the same
+# array→string treatment preemptively.  Every query displaced from the
+# round-6 window holds a green r06 (or earlier) driver row and is
+# unchanged this round.  Remaining slots: round-7 additions.
+# ROUND-8 NOTE (next rotation): rotate any round-7 additions that missed
+# this 50-query window to the front, then re-certify whatever changed.
 _CERTIFY_FIRST = [
-    # never driver-certified: round-5b additions
-    "png_decode_metadata",
-    "jpeg_decode_metadata",
-    "mp4_decode_metadata",
-    "corpus_pipeline_from_yaml",
-    "documents_chunk_windows",
-    "training_sequence_pack",
-    "bloom_dedup_insert",
-    "source_frequency_cap",
-    "corpus_snapshot_diff",
-    "events_anomaly_zscore",
-    "pivot_unpivot_roundtrip",
-    "hll_mergeable_distinct",
-    "customer_order_momentum",
-    "chunk_shard_factory",
-    "doc_rarity_score",
-    "events_to_scd2",
-    "user_conversion_paths",
-    "sql_interface_shared_text",
-    "jsonl_roundtrip_decode",
-    "pseudonymize_users",
-    "props_variant_rollup",
-    "fuzzy_match_blocked",
-    "k_anonymity_audit",
-    "frequent_tokens_bounded_state",
-    "streaming_corpus_dedup",
-    "streaming_anomaly_zscore",
-    "streaming_interval_join",
-    "incremental_daily_revenue",
-    "table_quality_report",
-    "events_rolling_dau",
-    # never driver-certified: round-5c additions
-    "semantic_dedup_survivors",
-    "semantic_cluster_prototypes",
-    "quality_token_budget",
+    # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
-    "curriculum_schedule",
-    "temperature_mixture_sample",
-    "events_value_trend",
-    "length_bucketed_batches",
-    "data_selection_factory",
-    "bpe_tokenize_and_pack",
-    "bpe_piece_vocab",
-    "bpe_encode_stats",
-    # changed this round — re-certify (all hold green r05 rows)
-    "tpch_q11_important_stock",
-    "streaming_window_counts",
-    "streaming_dedup_replay",
-    "streaming_sessionization",
-    "flagship_etl_pipeline",
-    "pipeline_from_yaml_config",
-    "dedup_insert_antijoin",
-    "training_data_factory",
+    # never driver-certified: round-6 additions
+    "embedding_kmeans_assign",
+    "duplicate_span_removal",
+    "link_graph_pagerank",
+    "pq_encode_stats",
+    "weighted_priority_sample",
+    "pq_adc_recall",
+    "ivf_pq_ann_topk",
+    "incremental_near_dup_ingest",
+    "knn_label_accuracy",
+    "bpe_learn_merges_table",
+    "error_burst_range_join",
+    "bm25_topk_docs",
+    "hard_negative_mining",
+    "charlm_doc_quality",
+    "countmin_token_freq",
+    "csv_roundtrip_decode",
+    "blob_cdc_chunk_dedup",
+    "dsir_domain_selection",
+    "streaming_countmin_sketch",
+    "jaccard_prefix_filter_pairs",
+    "matryoshka_recall",
+    "privacy_erasure_cascade",
+    "time_decay_engagement",
+    "ab_experiment_lift",
+    "multi_topic_fan_in",
+    "streaming_static_enrichment",
+    "orc_roundtrip_decode",
+    "parquet_schema_evolution",
+    "events_anomaly_mad",
+    "winsorized_value_stats",
+    "source_drift_ks",
+    "ngram_containment_pairs",
+    "token_frequency_profile",
+    "quality_length_spearman",
+    "link_graph_triangles",
+    "l_diversity_audit",
+    "token_pmi_collocations",
+    "fixed_k_per_group_sample",
+    "events_cusum_drift",
+    "session_association_rules",
+    "streaming_left_outer_join",
+    # round-7 additions (registered this round; appended as they land)
+    "events_asof_enrichment",
+    "category_reachability",
+    "domain_boilerplate_removal",
+    "url_canonical_dedup",
+    "order_attribution_split",
+    "quality_ensemble_score",
+    "supplier_chain_hops",
+    "theta_sketch_overlap",
 ]
 
 
@@ -4465,7 +4463,7 @@ _INVIDX_MIN_DF = 4
     ), d AS (SELECT DISTINCT doc_id, token FROM e)
     SELECT token,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM d GROUP BY token HAVING COUNT(*) >= {_INVIDX_MIN_DF}
     """,
 )
@@ -4480,7 +4478,10 @@ def token_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     or tier them exactly like ``ext/dedup.drop_hot_shingles`` caps hot
     shingles; the ``doc_freq >= {_INVIDX_MIN_DF}`` floor here bounds the
     opposite tail (hapax tokens that bloat the index without aiding
-    recall)."""
+    recall). Postings are emitted as a comma-joined string (not an
+    ``array<bigint>``): the value is identical and it keeps the result
+    hashable for the driver's sorted-column compare (round-6 row failed
+    on pandas lexsort of list cells, not on values)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = docs.select(
         "doc_id",
@@ -4492,7 +4493,13 @@ def token_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.expr(
+                    "transform(sort_array(collect_list(doc_id)),"
+                    " x -> cast(x as string))"
+                ),
+                ",",
+            ).alias("postings"),
         )
         .filter(F.col("doc_freq") >= _INVIDX_MIN_DF)
     )
@@ -5160,7 +5167,7 @@ _PQ_SUB = _EMB_DIM // _PQ_M
                row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
         FROM d
     )
-    SELECT vec_id, list(CAST(c AS INT) ORDER BY s) AS codes,
+    SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY s) AS codes,
            SUM(CAST(round(d * 1000000, 0) AS BIGINT)) / 1000000.0 AS recon_err
     FROM b WHERE rn = 1 GROUP BY vec_id
     """,
@@ -5179,7 +5186,15 @@ def pq_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cb = xsim2.pq_seed_codebooks(emb, "vec_id", "embedding", n_codes=_PQ_CODES)
-    return xsim2.pq_encode(emb, cb, m=_PQ_M)
+    enc = xsim2.pq_encode(emb, cb, m=_PQ_M)
+    # comma-joined codes keep the driver's sorted-column compare hashable
+    # (array cells break pandas lexsort); the values are unchanged.
+    return enc.withColumn(
+        "codes",
+        F.array_join(
+            F.expr("transform(codes, x -> cast(x as string))"), ","
+        ),
+    )
 
 
 def _l2_micro_sql(a: str, b: str) -> str:
@@ -7109,15 +7124,22 @@ def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance on), and type-token ratio.  The trio a curation pipeline
     reads before weighting a source into a pretraining mix.
 
-    Integer-exact at any scale: Gini's rank sum uses the tie-safe
-    identity ``Σ 2i·x = Σ_f f·m_f·(lo_f+hi_f)`` over the
-    counts-OF-counts frame (tokens sharing a frequency share a rank
-    interval — ``ext/stats.keyed_rank_bounds``), so nothing is ever
-    sorted row-wise; entropy quantizes ``ln(freq)`` to integer
-    micronats (the char-LM convention) so the sum is engine-exact, with
-    one double ``ln(total)`` at the end.  The heavy passes are two
-    combinable shuffles (token counts, counts-of-counts) whose outputs
-    are bounded by vocabulary size, not corpus rows."""
+    The integer spine (vocab, totals, Gini's rank sum) is engine-exact:
+    the rank sum uses the tie-safe identity
+    ``Σ 2i·x = Σ_f f·m_f·(lo_f+hi_f)`` over the counts-OF-counts frame
+    (tokens sharing a frequency share a rank interval —
+    ``ext/stats.keyed_rank_bounds``), so nothing is ever sorted
+    row-wise.  Entropy quantizes ``ln(freq)`` to integer micronats
+    before summing; that makes the SUM order-independent, but the
+    quantization itself rounds a libm ``ln`` that is not guaranteed
+    correctly rounded, so cross-engine equality is overwhelmingly
+    likely (a flip needs a 1-ulp disagreement landing exactly on a
+    0.5-micronat boundary), not mathematically absolute — the
+    summation-order hazard is what's eliminated, and the distinct
+    ``c`` values a flip could hit are bounded by max token frequency.
+    The heavy passes are two combinable shuffles (token counts,
+    counts-of-counts) whose outputs are bounded by vocabulary size,
+    not corpus rows."""
     from dvh_airflow_kafka_spark.ext import stats as xstats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -7412,8 +7434,14 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     by vocabulary, two vocabulary-keyed joins to attach marginals, and
     a top-k that runs as per-partition heads + one merge
     (TakeOrderedAndProject — no global sort).  PMI's ln is a single
-    call on an identically-computed double ratio; ties at the cut rank
-    break on the bigram string, so the top-50 is engine-deterministic."""
+    call on an identically-computed double ratio rounded to 6 places;
+    ties at the cut rank break on the bigram string.  The top-50 is
+    deterministic WITHIN an engine; cross-engine it additionally relies
+    on both libms rounding ``ln`` of the same double identically at the
+    6th decimal — a 1-ulp disagreement landing on a rounding boundary
+    could in principle flip a rank-50 tie, so the guarantee is
+    probabilistic (and has held across every driver run), not
+    absolute."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(xtext.tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
@@ -7521,12 +7549,14 @@ def fixed_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
     ), p AS (
         SELECT user_id, event_id, ts,
-               CAST(SUM(d) OVER w AS BIGINT) AS ps
+               CAST(SUM(d) OVER w AS BIGINT) AS ps,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
         FROM c
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING)
     ), s AS (
-        SELECT user_id, event_id,
+        SELECT user_id, event_id, rn,
                ps - LEAST(0, CAST(MIN(ps) OVER w AS BIGINT)) AS cusum
         FROM p
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -7537,7 +7567,8 @@ def fixed_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(cusum) AS BIGINT) AS max_cusum_cents,
            CAST(SUM(CASE WHEN cusum > 5000 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_alarms,
-           MIN(CASE WHEN cusum > 5000 THEN event_id END) AS first_alarm_event
+           arg_min(event_id, rn) FILTER (WHERE cusum > 5000)
+               AS first_alarm_event
     FROM s GROUP BY user_id
     """,
 )
@@ -7553,7 +7584,10 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity ``S_i = P_i − min(0, min_{j≤i} P_j)`` (P = running sum of
     deviations) turns it into two stacked running windows over ONE
     user-keyed partition — a single exchange, state O(1) per task, all
-    integer cents.  The oracle replays the identical identity."""
+    integer cents.  The oracle replays the identical identity.
+    ``first_alarm_event`` is the arg-min of event_id under the window's
+    own (ts, event_id) total order — the TEMPORALLY first alarm, correct
+    even when event ids are not monotone in time."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
@@ -7568,12 +7602,18 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     p = c.select(
-        "user_id", "event_id", "ts", F.sum("d").over(w).alias("ps")
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("d").over(w).alias("ps"),
+        F.row_number().over(wo).alias("rn"),
     )
     s = p.select(
         "user_id",
         "event_id",
+        "rn",
         (
             F.col("ps") - F.least(F.lit(0).cast("bigint"), F.min("ps").over(w))
         ).alias("cusum"),
@@ -7583,7 +7623,9 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.max("cusum").alias("max_cusum_cents"),
         F.sum(F.when(alarm, 1).otherwise(0)).alias("n_alarms"),
-        F.min(F.when(alarm, F.col("event_id"))).alias("first_alarm_event"),
+        F.min_by(
+            F.col("event_id"), F.when(alarm, F.col("rn"))
+        ).alias("first_alarm_event"),
     )
 
 
@@ -7707,8 +7749,11 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-dropped) plus three far-future sentinel batches that push the
     watermark past all real data and give the engine the extra
     micro-batches outer emission needs; sentinels are filtered from
-    the result.  Oracled by the batch LEFT JOIN — an exact match
-    certifies both the matched pairs AND the complete, exactly-once
+    the result.  Batch order is pinned by ``_staged_stream_src``'s
+    strictly-increasing whole-second mtime re-stamp, so a ms-granularity
+    mtime tie can never let a sentinel batch precede a data batch and
+    late-drop real purchases.  Oracled by the batch LEFT JOIN — an exact
+    match certifies both the matched pairs AND the complete, exactly-once
     emission of the unmatched tail."""
     import os
     import shutil

@@ -421,6 +421,15 @@ def ngram_containment_pairs(
     (id_a, id_b, containment_a, containment_b) with ``id_a < id_b``,
     kept when EITHER direction reaches ``threshold``; ``containment_a``
     is the fraction of the *a*-side's shingles shared.
+
+    With ``max_doc_freq`` set, BOTH the intersection and the |A| / |B|
+    denominators are measured over the post-``drop_hot_shingles``
+    shingle sets — containment over *informative* shingles, the same
+    convention ``ngram_jaccard_pairs`` uses.  Unlike Jaccard this
+    visibly reinterprets the headline formula: a document made mostly
+    of hot boilerplate shingles has a small pruned |A|, so its
+    containment reflects only its distinctive content (usually the
+    more useful reading, but not literal Broder containment).
     """
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 

@@ -66,6 +66,24 @@ def canonical_rows(columns: list[str], rows: list[tuple]) -> list[tuple]:
 
 def compare_query(spark, name: str, fn, sql: str, sf_dir: str) -> dict:
     sdf = fn(spark, sf_dir)
+    # The driver's compare sorts a pandas frame; array/map cells are
+    # unhashable there and fail the row (token_inverted_index, round 6).
+    # Fail loudly here so an oracled query never ships a nested column.
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if "array" in f.dataType.simpleString()
+        or "map" in f.dataType.simpleString()
+    ]
+    if nested:
+        return {
+            "name": name,
+            "match": False,
+            "cols_match": False,
+            "spark_rows": -1,
+            "duck_rows": -1,
+            "error": f"nested result columns break the driver compare: {nested}",
+        }
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
     con = duck_connection(sf_dir)
