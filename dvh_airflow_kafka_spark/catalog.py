@@ -2196,7 +2196,7 @@ def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = sessionize_with_state(
         read_event_stream(spark, src), gap="30 minutes"
     )
-    out = drain_to_memory(spark, sessions, name, ckpt)
+    out = drain_to_memory(spark, sessions, name, ckpt, shuffle_partitions=8)
     # the drain is complete and the result lives in the memory sink — the
     # checkpoint is dead weight from here (the staged source stays cached)
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -2291,7 +2291,7 @@ def streaming_window_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = windowed_event_counts(
         read_event_stream(spark, src), window="1 hour", exact_sum=True
     )
-    out = drain_to_memory(spark, counts, name, ckpt)
+    out = drain_to_memory(spark, counts, name, ckpt, shuffle_partitions=8)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.filter(F.col("event_type") != "__sentinel").select(
         F.unix_micros(F.col("window_start")).alias("window_start_us"),
@@ -2346,7 +2346,7 @@ def streaming_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = dedup_stream(
         read_event_stream(spark, src), ["event_id"], watermark="100 hours"
     )
-    out = drain_to_memory(spark, deduped, name, ckpt)
+    out = drain_to_memory(spark, deduped, name, ckpt, shuffle_partitions=8)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.select(
         "event_id",
@@ -3845,7 +3845,7 @@ def streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = gated.dropDuplicates(["fingerprint"])
     name = f"stream_corpus_{uuid.uuid4().hex[:8]}"
-    out = drain_to_memory(spark, deduped, name, ckpt)
+    out = drain_to_memory(spark, deduped, name, ckpt, shuffle_partitions=8)
     rows = out.select("doc_id", "fingerprint", "n_tokens").collect()
     shutil.rmtree(ckpt, ignore_errors=True)
     return spark.createDataFrame(
@@ -3902,7 +3902,7 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="stream_anom_ckpt_")
     name = f"stream_anom_{uuid.uuid4().hex[:8]}"
     anomalies = detect_anomalies_with_state(read_event_stream(spark, src))
-    out = drain_to_memory(spark, anomalies, name, ckpt)
+    out = drain_to_memory(spark, anomalies, name, ckpt, shuffle_partitions=8)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.select("event_id", "user_id", "value", "n_prior")
 
@@ -3980,7 +3980,7 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    out = drain_to_memory(spark, joined, name, ckpt)
+    out = drain_to_memory(spark, joined, name, ckpt, shuffle_partitions=8)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -6004,7 +6004,7 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ckpt = tempfile.mkdtemp(prefix="stream_enrich_ckpt_")
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    out = drain_to_memory(spark, enriched, name, ckpt)
+    out = drain_to_memory(spark, enriched, name, ckpt, shuffle_partitions=8)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -6606,7 +6606,8 @@ def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(xtext.tokens(F.col("text"))).alias("token")
     )
     sketch = drain_to_memory_complete(
-        spark, xsketch.countmin_build(stream_toks), name, ckpt
+        spark, xsketch.countmin_build(stream_toks), name, ckpt,
+        shuffle_partitions=8,
     )
     shutil.rmtree(ckpt, ignore_errors=True)
     toks = docs.select(F.explode(xtext.tokens(F.col("text"))).alias("token"))
@@ -7815,7 +7816,7 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"stream_loj_{uuid.uuid4().hex[:8]}"
-    out = drain_to_memory(spark, joined, name, ckpt)
+    out = drain_to_memory(spark, joined, name, ckpt, shuffle_partitions=8)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.filter(F.col("user_id") >= 0)
 

@@ -197,18 +197,40 @@ def drain_to_memory(
     stream: DataFrame,
     name: str,
     checkpoint_dir: str,
+    *,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a streaming frame into an in-memory table (availableNow) and
-    return it as a batch frame — the test-side sink."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    return it as a batch frame — the test-side sink.
+
+    ``shuffle_partitions`` right-sizes the query's state-store partition
+    count: stateful operators pin ``spark.sql.shuffle.partitions`` at
+    FIRST start (it becomes part of the checkpoint), and every
+    micro-batch then pays a fixed per-partition cost (task launch +
+    state-store open/commit) regardless of data volume.  A production
+    stream sizes this to its steady-state load; the staged catalog
+    drains carry a few hundred rows per batch, where 32 state partitions
+    are pure overhead.  The session value is restored after start — the
+    conf is only read at query planning."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # restore only after termination: the stream thread clones the
+        # session state lazily, so flipping back right after start()
+        # could race it into the restored value
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 
@@ -516,19 +538,29 @@ def drain_to_memory_complete(
     stream: DataFrame,
     name: str,
     checkpoint_dir: str,
+    *,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Complete-mode drain for RUNNING (unwatermarked) aggregates: after
     the availableNow drain the memory sink holds the final state-store
     snapshot — e.g. a streaming sketch's counters. Append mode would
     reject an aggregate with no watermark; complete mode is the
-    state-readout semantics these queries want."""
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    state-readout semantics these queries want.  ``shuffle_partitions``
+    right-sizes state partitions exactly as in ``drain_to_memory``."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
