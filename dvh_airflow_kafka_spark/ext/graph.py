@@ -171,3 +171,49 @@ def triangle_counts(edges: DataFrame, out_node: str = "node") -> DataFrame:
             F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
         )
     )
+
+
+def bfs_min_hops(
+    seeds: DataFrame,
+    edges: DataFrame,
+    *,
+    max_hops: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from any seed, bounded at
+    ``max_hops`` — the reachability primitive behind crawl-frontier
+    expansion, contamination blast-radius audits ("every doc within k
+    link hops of a flagged doc") and recursive-CTE reachability queries
+    (the Spark-side equivalent of ``WITH RECURSIVE``; the catalog
+    oracles it with unrolled per-hop CTEs).
+
+    Frontier-style (Pregel-shaped) iteration: each hop is ONE src-keyed
+    join (frontier ⋈ edges), a dst-distinct, and an anti-join against
+    the visited set — expanding from the *frontier only* is already
+    min-hop-correct, because any node reachable from an earlier layer
+    was claimed by that layer.  Scale notes: at billions of edges the
+    join is the same bucketing candidate as ``pagerank_fixed`` (edges
+    pre-bucketed by src make every hop exchange-free on the edge side);
+    the visited set is localCheckpoint-ed each hop, truncating lineage
+    that would otherwise double per iteration, and the per-hop
+    anti-join keeps frontier size monotone non-increasing in the
+    reachable set, never corpus-sized.
+
+    ``seeds``: one column ``id_col``.  ``edges``: ``src``/``dst``
+    (directed).  Returns (``id_col``, ``hops``).
+    """
+    visited = seeds.select(F.col(id_col).alias("id")).distinct()
+    out = visited.withColumn("hops", F.lit(0))
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        out = out.union(nxt.withColumn("hops", F.lit(h)))
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return out.select(F.col("id").alias(id_col), "hops")

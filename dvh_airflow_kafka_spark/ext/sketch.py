@@ -157,3 +157,86 @@ def countmin_estimate(
             F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_estimate")
         )
     )
+
+
+# ===========================================================================
+# KMV / theta sketch — mergeable distinct-count + set-overlap estimation
+# (Bar-Yossef et al. "Counting distinct elements in a data stream",
+# RANDOM'02; Dasgupta et al. "Theta sketch framework", 2016).  Like the
+# count-min above, the hash is sha256-prefix based so the WHOLE sketch —
+# build, merge, estimate — replays bit-identically in the DuckDB oracle.
+# ===========================================================================
+
+KMV_SALT = "kmv1|"
+KMV_HEX = 15  # 15 hex chars => h in [0, 16^15), fits a signed 64-bit long
+KMV_UNIVERSE = 16**KMV_HEX
+
+
+def kmv_hash(col: Column) -> Column:
+    """Uniform 60-bit hash of an element (sha256 prefix as bigint)."""
+    return F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(KMV_SALT), col.cast("string")), 256),
+            1,
+            KMV_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, elem_col: str, k: int
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT element hashes,
+    as (group, array<long> kmins ascending).
+
+    Scale shape — this is a hand-rolled map-side combine, NOT a window:
+    stage 1 reduces each (group, input-partition) slice to its local
+    k-min (collect_list bounded by partition size, the same data a
+    partial aggregate would buffer); stage 2 merges ≤ k·P candidate
+    values per group.  k-min of per-partition k-mins is exactly the
+    global k-min, so the result is independent of partitioning, and no
+    group ever funnels its full element set through one sort — the
+    failure mode of the row_number()-window formulation under skew.
+    A billion-member group moves k values per map partition, not a
+    billion rows.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("g"), kmv_hash(F.col(elem_col)).alias("h")
+    ).distinct()
+    local = (
+        hashed.withColumn("p", F.spark_partition_id())
+        .groupBy("g", "p")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("hs")
+        )
+    )
+    return (
+        local.select("g", F.explode("hs").alias("h"))
+        .groupBy("g")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("h")), 1, k
+            ).alias("kmins")
+        )
+        .select(F.col("g").alias(group_col), "kmins")
+    )
+
+
+def kmv_estimate(kmins: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch: (k-1) · U / v_k when
+    the sketch saturated (|kmins| = k), else the EXACT retained count
+    (an unsaturated sketch saw every distinct value).  Double division
+    rounded to 4 — the documented probabilistic cross-engine class."""
+    vk = F.element_at(kmins, k)
+    return F.when(
+        F.size(kmins) < k, F.size(kmins).cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(k - 1))
+            * F.lit(float(KMV_UNIVERSE))
+            / vk.cast("double"),
+            4,
+        )
+    )
