@@ -143,6 +143,9 @@ def register(name: str, sql: Optional[str] = None):
 # unchanged this round.  Remaining slots: round-7 additions.
 # ROUND-8 NOTE (next rotation): rotate any round-7 additions that missed
 # this 50-query window to the front, then re-certify whatever changed.
+# Registered after the window so far (verified vs oracles locally):
+# event_funnel_conversion, event_transition_matrix, dp_noisy_event_counts,
+# hive_partition_pruned_rollup.
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -8622,6 +8625,298 @@ def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("exact_common"), F.lit(0).cast("bigint")).alias(
             "exact_common"
         ),
+    )
+
+
+# ==========================================================================
+# [EXT] round-7 batch 2: ordered funnel conversion, Markov transition
+# matrix, differentially-private release, partition-pruned hive layout.
+# ==========================================================================
+
+
+@register(
+    "event_funnel_conversion",
+    sql="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, v.t0, MIN(e.ts) AS t1
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t0
+        GROUP BY e.user_id, v.t0
+    ), p AS (
+        SELECT e.user_id, c.t1, MIN(e.ts) AS t2
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t1
+        GROUP BY e.user_id, c.t1
+    )
+    SELECT 1 AS stage, 'view' AS step, COUNT(*) AS n_users,
+           CAST(0 AS BIGINT) AS sum_latency_us FROM v
+    UNION ALL
+    SELECT 2, 'click', COUNT(*),
+           CAST(COALESCE(SUM(epoch_us(t1) - epoch_us(t0)), 0) AS BIGINT)
+    FROM c
+    UNION ALL
+    SELECT 3, 'purchase', COUNT(*),
+           CAST(COALESCE(SUM(epoch_us(t2) - epoch_us(t1)), 0) AS BIGINT)
+    FROM p
+    """,
+)
+def event_funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Ordered three-step funnel (view -> click -> purchase): a user
+    counts at a stage only if the stage event happens strictly AFTER
+    their entry into the previous stage — the standard product-analytics
+    conversion shape, with exact integer microsecond latency sums.
+
+    Scale: each stage is one user-keyed aggregate joined back to the
+    (filtered) fact — build sides are per-user MIN frames, orders of
+    magnitude smaller than the fact, all joins user-keyed equi-joins.
+    The funnel never materializes per-event pairs, so the plan is three
+    keyed exchanges regardless of fan-out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "t1"), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def _stage(df: DataFrame, n: int, step: str, frm, to) -> DataFrame:
+        lat = (
+            F.lit(0).cast("long")
+            if frm is None
+            else F.coalesce(
+                F.sum(
+                    F.unix_micros(to.cast("timestamp"))
+                    - F.unix_micros(frm.cast("timestamp"))
+                ),
+                F.lit(0),
+            ).cast("long")
+        )
+        return df.agg(
+            F.count(F.lit(1)).alias("n_users"),
+            lat.alias("sum_latency_us"),
+        ).select(
+            F.lit(n).alias("stage"),
+            F.lit(step).alias("step"),
+            "n_users",
+            "sum_latency_us",
+        )
+
+    return (
+        _stage(v, 1, "view", None, None)
+        .unionByName(_stage(c, 2, "click", F.col("t0"), F.col("t1")))
+        .unionByName(_stage(p, 3, "purchase", F.col("t1"), F.col("t2")))
+    )
+
+
+@register(
+    "event_transition_matrix",
+    sql="""
+    WITH s AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), t AS (
+        SELECT cur, nxt, COUNT(*) AS n FROM s
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    )
+    SELECT cur, nxt, n,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY cur) AS BIGINT)
+               AS prob_ppm
+    FROM t
+    """,
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] First-order Markov transition matrix over per-user event
+    sequences: P(next = j | current = i) in exact parts-per-million
+    (integer floor division — no float ordering anywhere).
+
+    Scale: the lead() window partitions by user_id (bounded per-user
+    state, shuffle-keyed like sessionization); the transition counts
+    collapse to |types|^2 rows, so the normalizing window runs on a
+    vanishingly small frame."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    t = (
+        s.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return t.select(
+        "cur",
+        "nxt",
+        "n",
+        F.expr(
+            "CAST((1000000 * n) DIV SUM(n) OVER (PARTITION BY cur)"
+            " AS BIGINT)"
+        ).alias("prob_ppm"),
+    )
+
+
+_DP_SALT = "dp-lap-v1"
+_DP_B = 2.0  # Laplace scale = sensitivity 1 / epsilon 0.5
+
+
+@register(
+    "dp_noisy_event_counts",
+    sql=f"""
+    WITH g AS (
+        SELECT event_type,
+               strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+                   AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ), h AS (
+        SELECT event_type, day, n,
+               ('0x' || substr(sha256('{_DP_SALT}|' || event_type || '|'
+                                      || day), 1, 8))::BIGINT AS u32
+        FROM g
+    )
+    SELECT event_type, day, n, u32,
+           ROUND(CAST(n AS DOUBLE) + CASE
+               WHEN (2 * u32 + 1) < 4294967296
+               THEN {_DP_B} * ln(CAST(2 * u32 + 1 AS DOUBLE)
+                                 / 4294967296.0)
+               ELSE -{_DP_B} * ln(CAST(8589934592 - (2 * u32 + 1)
+                                       AS DOUBLE) / 4294967296.0)
+           END, 6) AS noisy_count
+    FROM h
+    """,
+)
+def dp_noisy_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Differentially-private daily event-count release: per
+    (event_type, day), true count + Laplace(b=2) noise via the inverse
+    CDF of a deterministic sha-derived uniform u = (2*h32+1)/2^33 — the
+    seeded-noise shape a privacy-preserving stats release pipeline uses
+    (salt = the release's secret seed).
+
+    Exactness: ``n`` and ``u32`` are integers compared exactly; both
+    engines feed ln() the SAME exact double (an integer over 2^32), so
+    ``noisy_count`` agrees to the last bit unless the two libm ln's
+    disagree by an ulp AND that ulp lands on the round-6 boundary
+    (probability ~1e-10 per group) — same documented probabilistic
+    class as the entropy/PMI profiles.
+
+    Scale: one map-side-combined aggregate; noise is a scan-fused
+    Column expression on the collapsed (type, day) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    u32 = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit(_DP_SALT + "|"),
+                        F.col("event_type"),
+                        F.lit("|"),
+                        F.col("day"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u32")
+    )
+    h = g.select("event_type", "day", "n", u32)
+    v = F.lit(2) * F.col("u32") + F.lit(1)
+    noise = F.when(
+        v < F.lit(4294967296),
+        F.lit(_DP_B) * F.log(v.cast("double") / F.lit(4294967296.0)),
+    ).otherwise(
+        -F.lit(_DP_B)
+        * F.log(
+            (F.lit(8589934592) - v).cast("double") / F.lit(4294967296.0)
+        )
+    )
+    return h.select(
+        "event_type",
+        "day",
+        "n",
+        "u32",
+        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_count"),
+    )
+
+
+@register(
+    "hive_partition_pruned_rollup",
+    sql="""
+    SELECT event_type,
+           strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1, 2
+    """,
+)
+def hive_partition_pruned_rollup_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Hive-layout partition pruning, end-to-end: the events table
+    is staged ONCE per sf_dir as parquet partitioned by event_type
+    (reusing the streaming stage cache), then read back with a
+    partition-column filter — the scan must list only 2 of 5
+    directories (`PartitionFilters` in the physical plan; pytest
+    asserts it). The rollup itself is one map-side-combined aggregate
+    in exact DECIMAL arithmetic.
+
+    Scale: THE core 100 TB layout pattern — a date/type-partitioned
+    lake where predicate → directory pruning means a 2-of-N-partition
+    query reads 2/N of the bytes before a single task runs."""
+    src = _staged_stream_src(
+        "hivepart",
+        sf_dir,
+        lambda p: load_table(spark, sf_dir, "events")
+        .write.partitionBy("event_type")
+        .parquet(p),
+    )
+    df = spark.read.parquet(src)
+    return (
+        df.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(
+            F.col("event_type").cast("string").alias("event_type"),
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
     )
 
 

@@ -137,9 +137,12 @@ def test_inverted_index_postings_consistent(spark, sf_dir):
         for r in load_table(spark, sf_dir, "documents").collect()
     }
     for r in rows:
-        assert len(r.postings) == r.doc_freq
-        assert r.postings == sorted(set(r.postings))
-        for d in r.postings:
+        # postings is a comma-joined ascending id string (nested arrays are
+        # unhashable in the driver's pandas-based compare)
+        posted = [int(d) for d in r.postings.split(",")]
+        assert len(posted) == r.doc_freq
+        assert posted == sorted(set(posted))
+        for d in posted:
             assert r.token in docs[d], (r.token, d)
 
 

@@ -1,0 +1,64 @@
+"""Laws for the round-7 batch-2 operators: funnel ordering, Markov
+normalization, DP noise envelope, hive partition pruning."""
+
+from __future__ import annotations
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+
+def _run(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    rows = {
+        r.stage: r for r in _run(spark, sf_dir, "event_funnel_conversion").collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_users >= rows[2].n_users >= rows[3].n_users
+    assert rows[1].sum_latency_us == 0
+    # latency is a sum of strictly positive per-user gaps
+    for s in (2, 3):
+        assert rows[s].sum_latency_us >= rows[s].n_users
+
+
+def test_transition_matrix_normalizes(spark, sf_dir):
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "event_transition_matrix").collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every user with k events contributes exactly k-1 transitions
+    assert sum(r.n for r in rows) == n_events - n_users
+    by_cur: dict[str, int] = {}
+    for r in rows:
+        by_cur[r.cur] = by_cur.get(r.cur, 0) + r.prob_ppm
+    # floor-division ppm: sums land in (1e6 - n_types, 1e6]
+    for cur, tot in by_cur.items():
+        assert 1_000_000 - len(by_cur) < tot <= 1_000_000, (cur, tot)
+
+
+def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
+    import math
+
+    rows = _run(spark, sf_dir, "dp_noisy_event_counts").collect()
+    assert rows
+    # |Laplace^-1(u)| <= b * ln(2^33) for the coarsest representable u
+    bound = 2.0 * math.log(2.0**33)
+    for r in rows:
+        assert abs(r.noisy_count - r.n) <= bound, (r.event_type, r.day)
+    again = {
+        (r.event_type, r.day): r.noisy_count
+        for r in _run(spark, sf_dir, "dp_noisy_event_counts").collect()
+    }
+    assert {(r.event_type, r.day): r.noisy_count for r in rows} == again
+
+
+def test_hive_rollup_plan_prunes_partitions(spark, sf_dir):
+    df = _run(spark, sf_dir, "hive_partition_pruned_rollup")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    # the pruned scan must not re-apply the partition predicate per row
+    assert df.count() > 0
