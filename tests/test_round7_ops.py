@@ -62,3 +62,40 @@ def test_hive_rollup_plan_prunes_partitions(spark, sf_dir):
     assert "event_type" in plan.split("PartitionFilters")[1][:200]
     # the pruned scan must not re-apply the partition predicate per row
     assert df.count() > 0
+
+
+def test_novelty_bounds_and_split_exclusivity(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.sampling import hash_split
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "cross_split_ngram_novelty").collect()
+    assert rows
+    test_ids = {
+        r.doc_id
+        for r in hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+        .filter("split = 'test'")
+        .collect()
+    }
+    assert {r.doc_id for r in rows} == test_ids
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_shingles
+        assert r.novelty_ppm == (1_000_000 * r.n_novel) // r.n_shingles
+
+
+def test_entity_resolution_links_dirty_to_original(spark, sf_dir):
+    rows = _run(spark, sf_dir, "customer_entity_resolution").collect()
+    cluster = {r.rid: r.cluster_id for r in rows}
+    keys = {r.c_custkey for r in rows}
+    assert len(rows) == 2 * len(keys)
+    for k in keys:
+        # the perturbed copy must resolve into its original's cluster
+        assert cluster[2 * k] == cluster[2 * k + 1]
+
+
+def test_bpe_piece_vocab_partial_oracle(spark, sf_dir):
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    from tests.compare import compare_query
+
+    qd = REGISTRY["bpe_piece_vocab"]
+    res = compare_query(spark, "bpe_piece_vocab", qd.fn, qd.sql, sf_dir)
+    assert res["match"], res
