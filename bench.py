@@ -169,6 +169,21 @@ HEADLINE = [
     "events_cusum_drift",
     "session_association_rules",
     "streaming_left_outer_join",
+    # round-7 additions (append-only, same comparability rule)
+    "link_graph_reachability",
+    "scd2_point_in_time_join",
+    "source_boilerplate_fraction",
+    "url_canonical_dedup",
+    "purchase_attribution_touch",
+    "quality_classifier_vote",
+    "event_mix_chi2_drift",
+    "theta_sketch_overlap",
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "dp_noisy_event_counts",
+    "hive_partition_pruned_rollup",
+    "cross_split_ngram_novelty",
+    "customer_entity_resolution",
 ]
 
 

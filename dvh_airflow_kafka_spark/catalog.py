@@ -146,7 +146,8 @@ def register(name: str, sql: Optional[str] = None):
 # Registered after the window so far (verified vs oracles locally):
 # event_funnel_conversion, event_transition_matrix, dp_noisy_event_counts,
 # hive_partition_pruned_rollup, cross_split_ngram_novelty,
-# customer_entity_resolution; bpe_piece_vocab moved rows-only → partial
+# customer_entity_resolution, events_moving_stats, user_rate_window,
+# referential_integrity_audit; bpe_piece_vocab moved rows-only → partial
 # oracle (re-certify).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
@@ -4893,7 +4894,10 @@ def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-only, but the staged pieces are re-aggregated by DuckDB from
     the same parquet, pinning the rollup cross-engine (the encode
     itself stays pinned by the ``tests/test_text_bpe.py`` laws)."""
+    import atexit
     import os
+    import shutil
+    import tempfile
 
     global _BPE_PIECES_STAGED_FOR
     docs = load_table(spark, sf_dir, "documents")
@@ -4903,7 +4907,21 @@ def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = os.path.abspath(sf_dir)
     if _BPE_PIECES_STAGED_FOR != key:
-        pieces.write.mode("overwrite").parquet(_BPE_PIECES_PATH)
+        # Stage to a FRESH dir, then atomically repoint a symlink at it:
+        # a concurrent reader (another bench/compare process sharing the
+        # fixed path) keeps reading the previous staging intact instead
+        # of hitting a half-deleted directory mid-overwrite.
+        stage = tempfile.mkdtemp(prefix="dvh_bpe_pieces_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        target = os.path.join(stage, "data")
+        pieces.write.parquet(target)
+        if os.path.isdir(_BPE_PIECES_PATH) and not os.path.islink(
+            _BPE_PIECES_PATH
+        ):
+            shutil.rmtree(_BPE_PIECES_PATH)  # pre-symlink layout leftover
+        tmplink = os.path.join(stage, "link")
+        os.symlink(target, tmplink)
+        os.replace(tmplink, _BPE_PIECES_PATH)
         _BPE_PIECES_STAGED_FOR = key
     return (
         spark.read.parquet(_BPE_PIECES_PATH)
@@ -9149,6 +9167,180 @@ def customer_entity_resolution_q(
         F.coalesce(F.col("lbl"), F.col("rid")).cast("long").alias(
             "cluster_id"
         ),
+    )
+
+
+@register(
+    "events_moving_stats",
+    sql="""
+    WITH s AS (
+        SELECT event_id, user_id, ts,
+               CAST("value" AS DECIMAL(18,6)) AS v
+        FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS win_n,
+           CAST(SUM(v) OVER w AS DOUBLE) AS win_sum,
+           CAST(CAST(SUM(v) OVER w * 1000000 AS BIGINT)
+                // COUNT(*) OVER w AS BIGINT) AS win_avg_micro
+    FROM s
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_moving_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user rolling 7-event window features (count, exact
+    DECIMAL sum, integer-division mean in micro-units) — the sliding
+    feature-engineering shape behind session-context model inputs. All
+    arithmetic is exact (DECIMAL sum, the ×1e6 product is integral by
+    construction, integer floor division) — no float summation order
+    anywhere.
+
+    Scale: ONE user-keyed window over (ts, event_id); the ROWS frame is
+    bounded (7), so per-row state is O(1) and the whole operator is a
+    single shuffle-keyed pass — identical shape at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    v = F.col("value").cast("decimal(18,6)")
+    win_sum = F.sum(v).over(w)
+    win_n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        win_n.alias("win_n"),
+        win_sum.cast("double").alias("win_sum"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000"
+            " AS BIGINT) DIV COUNT(*) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ).alias("win_avg_micro"),
+    )
+
+
+_RATE_WINDOW_US = 86_400_000_000  # 24 hours
+_RATE_THRESHOLD = 8
+
+
+@register(
+    "user_rate_window",
+    sql=f"""
+    WITH s AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+    ), r AS (
+        SELECT event_id, user_id, us,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                              RANGE BETWEEN {_RATE_WINDOW_US} PRECEDING
+                              AND CURRENT ROW) AS n_last_day
+        FROM s
+    )
+    SELECT event_id, user_id, n_last_day
+    FROM r WHERE n_last_day >= {_RATE_THRESHOLD}
+    """,
+)
+def user_rate_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Sliding event-time rate audit: for every event, the number
+    of events its user produced in the trailing 24 hours (RANGE frame
+    over integer microseconds — tie rows are frame peers, so the count
+    is order-independent and engine-exact); emit the rate-limit
+    violations (≥8/day). The abuse/throttling detection shape.
+
+    Scale: one user-keyed RANGE window — per-key state is the events
+    inside the hour (bounded by the rate itself), one shuffle total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_RATE_WINDOW_US, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_last_day"),
+        )
+        .filter(F.col("n_last_day") >= _RATE_THRESHOLD)
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    sql="""
+    SELECT 'orders_orphan_custkey' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_violations
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orders_duplicate_pk', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_orderkey FROM orders
+          GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'customer_null_key', CAST(COUNT(*) AS BIGINT)
+    FROM customer WHERE c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_quantity <= 0
+    """,
+)
+def referential_integrity_audit_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Warehouse constraint audit (the dbt-test / Deequ shape):
+    orphan foreign keys via ANTI joins, duplicate primary keys, null
+    keys, domain violations — one frame of (check_name, n_violations)
+    a pipeline gate reads before publishing a snapshot.
+
+    Scale: each orphan check is a keyed ANTI join (broadcast when the
+    parent side is dim-sized); the PK check is one map-side-combined
+    aggregate. No check ever materializes the violating rows — counts
+    only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def _n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphan_orders = orders.join(
+        cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+    )
+    orphan_lines = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"], "left_anti"
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    return (
+        _n(orphan_orders, "orders_orphan_custkey")
+        .unionByName(_n(orphan_lines, "lineitem_orphan_orderkey"))
+        .unionByName(_n(dup_pk, "orders_duplicate_pk"))
+        .unionByName(
+            _n(cust.filter(F.col("c_custkey").isNull()), "customer_null_key")
+        )
+        .unionByName(
+            _n(
+                li.filter(F.col("l_quantity") <= 0),
+                "lineitem_nonpositive_qty",
+            )
+        )
     )
 
 

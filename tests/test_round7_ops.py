@@ -99,3 +99,49 @@ def test_bpe_piece_vocab_partial_oracle(spark, sf_dir):
     qd = REGISTRY["bpe_piece_vocab"]
     res = compare_query(spark, "bpe_piece_vocab", qd.fn, qd.sql, sf_dir)
     assert res["match"], res
+
+
+def test_moving_stats_window_laws(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_moving_stats").collect()
+    assert rows
+    for r in rows[:500]:
+        assert 1 <= r.win_n <= 7
+        # integer mean is consistent with the exact sum
+        assert r.win_avg_micro == int(round(r.win_sum * 1e6)) // r.win_n
+
+
+def test_rate_window_matches_bruteforce(spark, sf_dir):
+    from dvh_airflow_kafka_spark.io import load_table
+
+    got = {
+        r.event_id: r.n_last_day
+        for r in _run(spark, sf_dir, "user_rate_window").collect()
+    }
+    ev = sorted(
+        (
+            (r.user_id, int(r.ts.timestamp() * 1e6), r.event_id)
+            for r in load_table(spark, sf_dir, "events").collect()
+        )
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for u, us, eid in ev:
+        by_user.setdefault(u, []).append((us, eid))
+    expect = {}
+    for u, items in by_user.items():
+        for us, eid in items:
+            n = sum(1 for us2, _ in items if us - 86_400_000_000 <= us2 <= us)
+            if n >= 8:
+                expect[eid] = n
+    assert got == expect
+
+
+def test_referential_audit_clean_fixture(spark, sf_dir):
+    rows = {r.check_name: r.n_violations for r in
+            _run(spark, sf_dir, "referential_integrity_audit").collect()}
+    assert set(rows) == {
+        "orders_orphan_custkey", "lineitem_orphan_orderkey",
+        "orders_duplicate_pk", "customer_null_key",
+        "lineitem_nonpositive_qty",
+    }
+    # the synthetic warehouse is referentially clean — every check is 0
+    assert all(v == 0 for v in rows.values()), rows
