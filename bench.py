@@ -184,6 +184,12 @@ HEADLINE = [
     "hive_partition_pruned_rollup",
     "cross_split_ngram_novelty",
     "customer_entity_resolution",
+    "events_moving_stats",
+    "user_rate_window",
+    "referential_integrity_audit",
+    "link_graph_communities",
+    "doc_feature_hashing",
+    "mergeable_variance_stats",
 ]
 
 

@@ -147,8 +147,9 @@ def register(name: str, sql: Optional[str] = None):
 # event_funnel_conversion, event_transition_matrix, dp_noisy_event_counts,
 # hive_partition_pruned_rollup, cross_split_ngram_novelty,
 # customer_entity_resolution, events_moving_stats, user_rate_window,
-# referential_integrity_audit; bpe_piece_vocab moved rows-only → partial
-# oracle (re-certify).
+# referential_integrity_audit, link_graph_communities,
+# doc_feature_hashing, mergeable_variance_stats; bpe_piece_vocab moved
+# rows-only → partial oracle (re-certify).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -9022,8 +9023,13 @@ def cross_split_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens,
         word_ngrams_from_tokens,
     )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
 
-    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    # single-row-group parquet scans as ONE partition; spread the
+    # CPU-heavy shingle build across cores (no-op on parallel inputs)
+    docs = hash_split(
+        ensure_parallelism(load_table(spark, sf_dir, "documents")), "doc_id"
+    )
     sh = docs.select(
         "doc_id",
         "split",
@@ -9341,6 +9347,239 @@ def referential_integrity_audit_q(
                 "lineitem_nonpositive_qty",
             )
         )
+    )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle_sql(iters: int) -> str:
+    """Unrolled synchronous label propagation over the same synthesized
+    link graph as ``link_graph_pagerank`` (doc i -> (i*31+g) % N,
+    g in 1..3, self-loops dropped), made undirected — the SQL mirror of
+    ``ext/graph.label_propagation_fixed``'s deterministic
+    (count DESC, label ASC) adoption rule."""
+    parts = [
+        """
+    WITH nn AS (SELECT COUNT(*) AS ni FROM documents),
+    gg AS (SELECT unnest([1, 2, 3]) AS g),
+    e0 AS (
+        SELECT DISTINCT d.doc_id AS src,
+               (d.doc_id * 31 + gg.g) % nn.ni AS dst
+        FROM documents d, nn, gg
+        WHERE (d.doc_id * 31 + gg.g) % nn.ni <> d.doc_id
+    ),
+    ed AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+    , v{t} AS (
+        SELECT ed.dst AS id, l.lbl, COUNT(*) AS c
+        FROM ed JOIN l{t - 1} l ON l.id = ed.src
+        GROUP BY ed.dst, l.lbl
+    ), b{t} AS (
+        SELECT id, lbl FROM v{t}
+        QUALIFY row_number() OVER (PARTITION BY id
+                                   ORDER BY c DESC, lbl ASC) = 1
+    ), l{t} AS (
+        SELECT d.doc_id AS id, COALESCE(b.lbl, d.doc_id) AS lbl
+        FROM documents d LEFT JOIN b{t} b ON b.id = d.doc_id
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS doc_id, CAST(lbl AS BIGINT) AS community FROM l{iters}
+    """
+    )
+    return "".join(parts)
+
+
+@register("link_graph_communities", sql=_lpa_oracle_sql(_LPA_ITERS))
+def link_graph_communities_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Label-propagation community detection (Raghavan et al.
+    2007) over the synthesized link graph — the third graph signal next
+    to PageRank (centrality) and connected components (reachability):
+    LPA finds densely-linked DOMAINS inside one weakly-connected web
+    graph, the granularity crawl curation actually groups by.
+    Deterministic adoption (most frequent neighbor label, ties to the
+    smallest) makes the fixpoint oracle-replayable; 3 synchronous
+    iterations, per iteration one src-keyed join + two combined aggs
+    (see ``ext/graph.label_propagation_fixed`` for 100 TB notes)."""
+    from dvh_airflow_kafka_spark.ext.graph import label_propagation_fixed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    g = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("g")
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), g)
+        .select(
+            "src",
+            ((F.col("src") * 31 + F.col("g")) % F.lit(n)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return label_propagation_fixed(
+        docs.select(F.col("doc_id").alias("id")), edges, iters=_LPA_ITERS
+    ).select(
+        F.col("id").alias("doc_id"), F.col("community").cast("long").alias("community")
+    )
+
+
+_FH_SALT = "fh-v1"
+_FH_BUCKETS = 64
+
+
+@register(
+    "doc_feature_hashing",
+    sql=rf"""
+    WITH t AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+        FROM documents
+    ), h AS (
+        SELECT doc_id,
+               ('0x' || substr(sha256('{_FH_SALT}|' || tok), 1, 8))::BIGINT
+                   AS u
+        FROM t
+    ), w AS (
+        SELECT doc_id, u % {_FH_BUCKETS} AS bucket,
+               SUM(CASE WHEN (u // {_FH_BUCKETS}) % 2 = 0
+                        THEN 1 ELSE -1 END) AS wt
+        FROM h GROUP BY doc_id, u % {_FH_BUCKETS}
+        HAVING SUM(CASE WHEN (u // {_FH_BUCKETS}) % 2 = 0
+                        THEN 1 ELSE -1 END) <> 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           string_agg(bucket || ':' || wt, ',' ORDER BY bucket)
+               AS features
+    FROM w GROUP BY doc_id
+    """,
+)
+def doc_feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Feature hashing (the Weinberger et al. ICML'09 hashing
+    trick): every token maps to one of 64 signed buckets via a salted
+    sha-derived hash, per-document signed counts form the fixed-width
+    sparse feature vector a linear classifier trains on — no vocabulary
+    pass, no dictionary state, the property that makes the trick THE
+    featurizer for unbounded token domains. Vector serialized as
+    ascending 'bucket:weight' pairs (exact integers; nested arrays
+    don't survive the driver compare).
+
+    Scale: explode → one (doc, bucket)-keyed combined aggregate → one
+    doc-keyed rollup; dimensionality is FIXED at 64, so state never
+    grows with the vocabulary."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", F.explode(xtext.tokens(F.col("text"))).alias("tok")
+    )
+    u = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(_FH_SALT + "|"), F.col("tok")), 256), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = (
+        t.select(
+            "doc_id",
+            (u % _FH_BUCKETS).alias("bucket"),
+            F.when((u.bitwiseAND(F.lit(_FH_BUCKETS))) == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("wt"))
+        .filter(F.col("wt") != 0)
+    )
+    pair = F.struct(F.col("bucket"), F.col("wt"))
+    return w.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(pair)),
+                lambda x: F.concat(
+                    x["bucket"].cast("string"),
+                    F.lit(":"),
+                    x["wt"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("features"),
+    )
+
+
+@register(
+    "mergeable_variance_stats",
+    sql="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(CAST("value" AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+                   AS v
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(v) AS BIGINT) AS sum_micro,
+           CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS VARCHAR)
+               AS sumsq_str,
+           ROUND((CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE)
+                  - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)
+                    / COUNT(*)) / COUNT(*), 4) AS var_micro2
+    FROM m GROUP BY event_type
+    """,
+)
+def mergeable_variance_stats_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Re-aggregatable variance via exact sufficient statistics:
+    per event type, (n, Σv, Σv²) in integer micro-units — the
+    commutative-monoid partials an incremental pipeline merges across
+    days/partitions without ever revisiting raw rows. The Spark side
+    COMPUTES THE MERGE (per-(type, day) partials summed up), the oracle
+    computes the direct aggregate — the hash match IS the mergeability
+    proof, cross-engine. Σv² is emitted as a decimal STRING (exceeds
+    int64; decimal→string renders identically in both engines); the
+    one double division for the variance is IEEE-exact arithmetic on
+    exactly-cast integers, rounded to 4.
+
+    Scale: two map-side-combined aggregates (partials then merge) over
+    integer/decimal monoids — order-free at any parallelism."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (F.col("value").cast("decimal(18,6)") * 1000000).cast("long")
+    partials = (
+        ev.select(
+            "event_type",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+            .alias("day"),
+            v.alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum("v").alias("ps"),
+            F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias(
+                "pq"
+            ),
+        )
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.sum("ps").cast("long").alias("sum_micro"),
+        F.sum("pq").cast("decimal(38,0)").alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sum_micro").cast("double")
+    qd = F.col("q").cast("double")
+    return merged.select(
+        "event_type",
+        "n",
+        "sum_micro",
+        F.col("q").cast("string").alias("sumsq_str"),
+        F.round((qd - sd * sd / nd) / nd, 4).alias("var_micro2"),
     )
 
 

@@ -217,3 +217,60 @@ def bfs_min_hops(
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return out.select(F.col("id").alias(id_col), "hops")
+
+
+def label_propagation_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 3,
+    id_col: str = "id",
+) -> DataFrame:
+    """``iters`` synchronous label-propagation steps (community
+    detection, Raghavan et al. 2007) with DETERMINISTIC resolution:
+    label_0 = node id; each step every node adopts the most frequent
+    label among its undirected neighbors, ties broken by the SMALLEST
+    label; isolated nodes keep their id. The (count DESC, label ASC)
+    argmax is one ``max(struct(count, -label))`` — no window, no
+    nondeterministic arbitrary pick, so the fixpoint replays exactly in
+    an unrolled SQL oracle.
+
+    Scale shape mirrors :func:`pagerank_fixed`: the undirected edge
+    frame is persisted pre-hashed on ``src`` once; each iteration is one
+    src-keyed join + two map-side-combined aggregates keyed on the
+    destination. Per-iteration state is one (node, label) row per node.
+    Returns ``(id_col, community)``."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    nodes_p = nodes.repartition(id_col).persist()
+    labels = nodes_p.select(F.col(id_col), F.col(id_col).alias("lbl"))
+    for _ in range(iters):
+        nbr = und.join(
+            labels.select(F.col(id_col).alias("__s"), "lbl"),
+            F.col("src") == F.col("__s"),
+        ).select(F.col("dst").alias(id_col), "lbl")
+        votes = nbr.groupBy(id_col, "lbl").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        best = (
+            votes.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select(F.col(id_col), (-F.col("m.nl")).alias("__new"))
+        )
+        labels = nodes_p.join(best, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("__new"), F.col(id_col)).alias("lbl"),
+        )
+    return labels.select(F.col(id_col), F.col("lbl").alias("community"))

@@ -145,3 +145,58 @@ def test_referential_audit_clean_fixture(spark, sf_dir):
     }
     # the synthetic warehouse is referentially clean — every check is 0
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_label_propagation_deterministic_and_covers_all(spark, sf_dir):
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "link_graph_communities").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    # labels are node ids, so communities are subsets of the id space
+    assert all(0 <= r.community < n_docs for r in rows)
+    again = {
+        r.doc_id: r.community
+        for r in _run(spark, sf_dir, "link_graph_communities").collect()
+    }
+    assert {r.doc_id: r.community for r in rows} == again
+
+
+def test_feature_hashing_vector_laws(spark, sf_dir):
+    rows = _run(spark, sf_dir, "doc_feature_hashing").collect()
+    assert rows
+    for r in rows:
+        feats = [p.split(":") for p in r.features.split(",")]
+        assert len(feats) == r.n_features
+        buckets = [int(b) for b, _ in feats]
+        assert buckets == sorted(set(buckets))
+        assert all(0 <= b < 64 for b in buckets)
+        assert all(int(w) != 0 for _, w in feats)
+
+
+def test_mergeable_variance_matches_numpy(spark, sf_dir):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "mergeable_variance_stats").collect()
+    vals: dict[str, list[int]] = {}
+    for r in load_table(spark, sf_dir, "events").collect():
+        # mirror Spark's HALF_UP decimal(18,6) cast, not Python's
+        # banker's rounding
+        micro = int(
+            Decimal(repr(r.value)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+            * 1_000_000
+        )
+        vals.setdefault(r.event_type, []).append(micro)
+    for r in rows:
+        v = np.array(vals[r.event_type], dtype=object)
+        assert r.n == len(v)
+        assert r.sum_micro == int(v.sum())
+        assert int(r.sumsq_str) == int((v * v).sum())
+        pop_var = float((v * v).sum() - v.sum() ** 2 / len(v)) / len(v)
+        assert abs(r.var_micro2 - pop_var) < 1e-3 * max(1.0, abs(pop_var))
