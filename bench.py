@@ -190,6 +190,9 @@ HEADLINE = [
     "link_graph_communities",
     "doc_feature_hashing",
     "mergeable_variance_stats",
+    "streaming_partitioned_sink",
+    "quality_quantile_normalize",
+    "ml_fold_assignment",
 ]
 
 

@@ -148,8 +148,10 @@ def register(name: str, sql: Optional[str] = None):
 # hive_partition_pruned_rollup, cross_split_ngram_novelty,
 # customer_entity_resolution, events_moving_stats, user_rate_window,
 # referential_integrity_audit, link_graph_communities,
-# doc_feature_hashing, mergeable_variance_stats; bpe_piece_vocab moved
-# rows-only → partial oracle (re-certify).
+# doc_feature_hashing, mergeable_variance_stats,
+# streaming_partitioned_sink, quality_quantile_normalize,
+# ml_fold_assignment; bpe_piece_vocab moved rows-only → partial oracle
+# (re-certify).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -9580,6 +9582,181 @@ def mergeable_variance_stats_q(
         "sum_micro",
         F.col("q").cast("string").alias("sumsq_str"),
         F.round((qd - sd * sd / nd) / nd, 4).alias("var_micro2"),
+    )
+
+
+@register(
+    "streaming_partitioned_sink",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type
+    """,
+)
+def streaming_partitioned_sink_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Streaming → hive-partitioned EXACTLY-ONCE file sink: the
+    event stream drains (availableNow, 3 micro-batches) into a parquet
+    sink partitioned by event_type — Structured Streaming's
+    transactional file sink (`_spark_metadata` commit log) writing the
+    SAME directory layout `hive_partition_pruned_rollup` prunes. The
+    read-back rollup of two partitions must hash-match the batch
+    aggregate over the raw table: the proof that the streamed,
+    partitioned, committed files carry exactly the source rows.
+
+    Scale: this IS the canonical lake ingest topology — stream in,
+    partition-pruned batch readers out; sink state is the metadata log,
+    not data."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.streaming.stateful import read_event_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+    def _write(src: str) -> None:
+        for i in range(3):
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+    src = _staged_stream_src("stream_psink", sf_dir, _write)
+    out = tempfile.mkdtemp(prefix="stream_psink_out_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="stream_psink_ckpt_")
+    q = (
+        read_event_stream(spark, src)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "quality_quantile_normalize",
+    sql="\n    WITH "
+    + _qscore_ctes("documents")
+    + """, s AS (
+        SELECT q.doc_id, d.source, q.quality
+        FROM q JOIN documents d ON d.doc_id = q.doc_id
+    ), r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rnk,
+               COUNT(*) OVER (PARTITION BY source) AS n_src
+        FROM s
+    )
+    SELECT doc_id, source, CAST(rnk AS BIGINT) AS rank_in_source,
+           CAST(CASE WHEN n_src > 1
+                     THEN (1000000 * (rnk - 1)) // (n_src - 1)
+                     ELSE 0 END AS BIGINT) AS quantile_ppm
+    FROM r
+    """,
+)
+def quality_quantile_normalize_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Per-source quantile normalization of the quality score —
+    the rank-based calibration that makes quality thresholds comparable
+    ACROSS sources whose raw score distributions differ (a web crawl
+    scores systematically lower than books; quantiles equalize the
+    selection pressure). quantile_ppm is exact integer arithmetic over
+    the (quality DESC, doc_id) rank: 0 = best in source, 1e6 = worst.
+
+    Scale: one source-keyed window. A single pathologically huge source
+    would fatten one window partition; production swaps in the
+    range-slice two-pass rank (``ext/ranking.with_global_rank``) keyed
+    per source — same output, bounded partitions."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", xtext.quality_score(F.col("text")).alias("__q")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("__q").desc(), F.col("doc_id")
+    )
+    wn = Window.partitionBy("source")
+    return scored.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+        F.expr(
+            "CAST(CASE WHEN COUNT(*) OVER (PARTITION BY source) > 1"
+            " THEN (1000000 * (ROW_NUMBER() OVER (PARTITION BY source"
+            " ORDER BY __q DESC, doc_id) - 1))"
+            " DIV (COUNT(*) OVER (PARTITION BY source) - 1)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("quantile_ppm"),
+    )
+
+
+_FOLD_SALT = "fold-v1"
+_N_FOLDS = 5
+
+
+@register(
+    "ml_fold_assignment",
+    sql=f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(sha256('{_FOLD_SALT}|'
+                                       || CAST(doc_id AS VARCHAR)), 1, 8)
+                )::BIGINT % {_N_FOLDS} AS INT) AS fold
+    FROM documents
+    """,
+)
+def ml_fold_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Deterministic 5-fold cross-validation assignment — the
+    k-fold sibling of ``documents_train_test_split``: fold = sha-prefix
+    hash of the id mod k, reproducible across runs, engines and
+    repartitions, with no stored fold table to drift out of sync.
+
+    Scale: a scan-fused Column expression — zero shuffles, zero state."""
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit(_FOLD_SALT + "|"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _N_FOLDS
+    )
+    return docs.select(
+        "doc_id", "source", fold.cast("int").alias("fold")
     )
 
 

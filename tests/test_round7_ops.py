@@ -200,3 +200,50 @@ def test_mergeable_variance_matches_numpy(spark, sf_dir):
         assert int(r.sumsq_str) == int((v * v).sum())
         pop_var = float((v * v).sum() - v.sum() ** 2 / len(v)) / len(v)
         assert abs(r.var_micro2 - pop_var) < 1e-3 * max(1.0, abs(pop_var))
+
+
+def test_streaming_partitioned_sink_layout(spark, sf_dir):
+    import glob
+    import re
+
+    df = _run(spark, sf_dir, "streaming_partitioned_sink")
+    rows = {r.event_type: r.n_events for r in df.collect()}
+    assert set(rows) == {"purchase", "error"}
+    # the sink must have produced a hive layout with one dir per type
+    # (find it via the read-back plan's location)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"(/[^\s,\]]*stream_psink_out_[^\s,\]/]*)", plan)
+    assert m, plan[:500]
+    parts = {
+        p.rsplit("=", 1)[1]
+        for p in glob.glob(m.group(1) + "/event_type=*")
+    }
+    assert {"purchase", "error"} <= parts
+    assert "PartitionFilters" in plan
+
+
+def test_quantile_normalize_is_per_source_uniform(spark, sf_dir):
+    rows = _run(spark, sf_dir, "quality_quantile_normalize").collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        ranks = sorted(r.rank_in_source for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), src
+        qs = {r.rank_in_source: r.quantile_ppm for r in rs}
+        assert qs[1] == 0
+        if len(rs) > 1:
+            assert qs[len(rs)] == 1_000_000
+
+
+def test_fold_assignment_balance_and_determinism(spark, sf_dir):
+    rows = _run(spark, sf_dir, "ml_fold_assignment").collect()
+    folds = [r.fold for r in rows]
+    assert all(0 <= f < 5 for f in folds)
+    n = len(folds)
+    for f in range(5):
+        c = folds.count(f)
+        # sha-uniform: each fold within a loose binomial envelope
+        assert 0.5 * n / 5 <= c <= 1.5 * n / 5, (f, c)
+    again = {r.doc_id: r.fold for r in _run(spark, sf_dir, "ml_fold_assignment").collect()}
+    assert {r.doc_id: r.fold for r in rows} == again
