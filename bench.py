@@ -193,6 +193,8 @@ HEADLINE = [
     "streaming_partitioned_sink",
     "quality_quantile_normalize",
     "ml_fold_assignment",
+    "streaming_late_data_audit",
+    "customer_ltv_running",
 ]
 
 

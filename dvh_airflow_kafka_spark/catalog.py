@@ -150,8 +150,8 @@ def register(name: str, sql: Optional[str] = None):
 # referential_integrity_audit, link_graph_communities,
 # doc_feature_hashing, mergeable_variance_stats,
 # streaming_partitioned_sink, quality_quantile_normalize,
-# ml_fold_assignment; bpe_piece_vocab moved rows-only → partial oracle
-# (re-certify).
+# ml_fold_assignment, streaming_late_data_audit, customer_ltv_running;
+# bpe_piece_vocab moved rows-only → partial oracle (re-certify).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -9757,6 +9757,139 @@ def ml_fold_assignment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id", "source", fold.cast("int").alias("fold")
+    )
+
+
+@register(
+    "streaming_late_data_audit",
+    sql="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events, mx
+    WHERE ts >= m - INTERVAL 15 DAY
+    GROUP BY 1, 2
+    """,
+)
+def streaming_late_data_audit_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Watermark LATE-DROP semantics pinned cross-engine: the
+    event log is staged out of time order — the RECENT half, a
+    far-future sentinel (advances AND COMMITS the watermark; the
+    engine's input filter takes effect one committed batch after the
+    watermark value appears), then the OLD half, then a final sentinel
+    to flush surviving windows. Every old-half row arrives with its
+    hourly window far below the committed watermark and the state store
+    drops all of them, deterministically. The oracle is the batch
+    aggregate over ONLY the recent half (``ts >= max − 15 days``) — the
+    hash match proves the drop boundary is exactly the watermark
+    contract, not approximately. Complements `streaming_window_counts`
+    (which proves in-order completeness); together they pin both sides
+    of the watermark contract.
+
+    Scale: watermark state is the open windows of the recent half —
+    late floods of historical data cost NOTHING (dropped pre-state),
+    the property that makes watermarked ingest survivable under
+    backfill storms."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory,
+        read_event_stream,
+        windowed_event_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+
+    def _write(src: str) -> None:
+        mx = ev.agg(F.max("ts")).collect()[0][0]
+        cutoff = mx - dt.timedelta(days=15)
+
+        def _sentinel(days: int) -> None:
+            spark.createDataFrame(
+                [(mx + dt.timedelta(days=days), "__sentinel", 0.0)],
+                "ts timestamp, event_type string, value double",
+            ).coalesce(1).write.mode("append").parquet(src)
+
+        # batch 1: the recent half (sets the watermark input)
+        ev.filter(F.col("ts") >= cutoff).coalesce(1).write.parquet(src)
+        # batch 2: sentinel — commits a watermark far above the old half
+        _sentinel(10)
+        # batch 3: the old half — every row late beyond the watermark
+        ev.filter(F.col("ts") < cutoff).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        # batch 4: final sentinel flushes the surviving windows
+        _sentinel(20)
+
+    src = _staged_stream_src("stream_late", sf_dir, _write)
+    ckpt = tempfile.mkdtemp(prefix="stream_late_ckpt_")
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    counts = windowed_event_counts(
+        read_event_stream(spark, src),
+        window="1 hour",
+        watermark="1 minute",
+        exact_sum=True,
+    )
+    out = drain_to_memory(spark, counts, name, ckpt, shuffle_partitions=8)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out.filter(F.col("event_type") != "__sentinel").select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "customer_ltv_running",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS ltv
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_ltv_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Running customer lifetime value: per customer, the order
+    sequence number and cumulative spend after each order (exact
+    DECIMAL accumulation, cast to double once at the end) — the
+    growing-frame companion to ``events_moving_stats``'s bounded frame.
+
+    Scale: one customer-keyed window ordered by (date, key); cumulative
+    ROWS frames stream in O(1) state per row within each partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                "o_orderdate", "o_orderkey"
+            )
+        )
+        .cast("long")
+        .alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("ltv"),
     )
 
 

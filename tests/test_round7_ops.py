@@ -247,3 +247,35 @@ def test_fold_assignment_balance_and_determinism(spark, sf_dir):
         assert 0.5 * n / 5 <= c <= 1.5 * n / 5, (f, c)
     again = {r.doc_id: r.fold for r in _run(spark, sf_dir, "ml_fold_assignment").collect()}
     assert {r.doc_id: r.fold for r in rows} == again
+
+
+def test_late_data_audit_drops_old_half_exactly(spark, sf_dir):
+    import datetime as dt
+
+    from dvh_airflow_kafka_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, sf_dir, "streaming_late_data_audit").collect()
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = mx - dt.timedelta(days=15)
+    n_recent = ev.filter(F.col("ts") >= cutoff).count()
+    # emitted rows cover exactly the recent half, none of the old half
+    assert sum(r.n_events for r in rows) == n_recent
+    cutoff_us = int(cutoff.timestamp() * 1e6)
+    for r in rows:
+        assert r.window_start_us + 3_600_000_000 > cutoff_us
+
+
+def test_customer_ltv_running_is_cumulative(spark, sf_dir):
+    rows = _run(spark, sf_dir, "customer_ltv_running").collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for rs in by_cust.values():
+        rs.sort(key=lambda r: r.order_seq)
+        assert [r.order_seq for r in rs] == list(range(1, len(rs) + 1))
+        last = 0.0
+        for r in rs:
+            assert r.ltv >= last - 1e-9
+            last = r.ltv
