@@ -4868,13 +4868,17 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The tokenizer itself has no SQL form, but its AGGREGATION does: the
-# query materializes the per-doc (doc_id, piece) stream to this fixed
-# parquet path (overwritten per sf_dir, eagerly, at query-call time —
-# before any oracle can run) and returns the rollup over the staged copy,
-# so DuckDB aggregates the exact same bytes.  Partial oracle per the
-# round-5 verdict: the vocabulary rollup is pinned cross-engine even
-# though the BPE encode stays Python-only.
-_BPE_PIECES_PATH = "/tmp/dvh_bpe_pieces.parquet"
+# query materializes the per-doc (doc_id, piece) stream to this parquet
+# path (re-staged per sf_dir, eagerly, at query-call time — before any
+# oracle can run) and returns the rollup over the staged copy, so DuckDB
+# aggregates the exact same bytes.  Partial oracle per the round-5
+# verdict: the vocabulary rollup is pinned cross-engine even though the
+# BPE encode stays Python-only.  The path is PER-PROCESS (pid suffix,
+# baked into this process's oracle SQL string at import): two concurrent
+# runs at different scales would otherwise swap one shared link under
+# each other mid-read.  Within the process the symlink swap keeps
+# re-staging atomic.
+_BPE_PIECES_PATH = f"/tmp/dvh_bpe_pieces_{__import__('os').getpid()}.parquet"
 _BPE_PIECES_STAGED_FOR: Optional[str] = None
 
 
@@ -4925,6 +4929,9 @@ def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmplink = os.path.join(stage, "link")
         os.symlink(target, tmplink)
         os.replace(tmplink, _BPE_PIECES_PATH)
+        atexit.register(
+            lambda p=_BPE_PIECES_PATH: os.path.islink(p) and os.remove(p)
+        )
         _BPE_PIECES_STAGED_FOR = key
     return (
         spark.read.parquet(_BPE_PIECES_PATH)
@@ -9528,9 +9535,11 @@ def doc_feature_hashing_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(v) AS BIGINT) AS sum_micro,
            CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS VARCHAR)
                AS sumsq_str,
-           ROUND((CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE)
-                  - CAST(SUM(v) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)
-                    / COUNT(*)) / COUNT(*), 4) AS var_micro2
+           CAST((CAST(COUNT(*) AS HUGEINT)
+                     * CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS HUGEINT)
+                 - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT))
+                // (CAST(COUNT(*) AS HUGEINT) * COUNT(*)) AS BIGINT)
+               AS var_micro2
     FROM m GROUP BY event_type
     """,
 )
@@ -9544,9 +9553,10 @@ def mergeable_variance_stats_q(
     COMPUTES THE MERGE (per-(type, day) partials summed up), the oracle
     computes the direct aggregate — the hash match IS the mergeability
     proof, cross-engine. Σv² is emitted as a decimal STRING (exceeds
-    int64; decimal→string renders identically in both engines); the
-    one double division for the variance is IEEE-exact arithmetic on
-    exactly-cast integers, rounded to 4.
+    int64; decimal→string renders identically in both engines), and the
+    population variance is exact 128-bit integer floor division
+    (n·Σv² − (Σv)²) div n² — no decimal→double cast anywhere (those
+    round differently across engines past 2⁵³).
 
     Scale: two map-side-combined aggregates (partials then merge) over
     integer/decimal monoids — order-free at any parallelism."""
@@ -9573,15 +9583,18 @@ def mergeable_variance_stats_q(
         F.sum("ps").cast("long").alias("sum_micro"),
         F.sum("pq").cast("decimal(38,0)").alias("q"),
     )
-    nd = F.col("n").cast("double")
-    sd = F.col("sum_micro").cast("double")
-    qd = F.col("q").cast("double")
     return merged.select(
         "event_type",
         "n",
         "sum_micro",
         F.col("q").cast("string").alias("sumsq_str"),
-        F.round((qd - sd * sd / nd) / nd, 4).alias("var_micro2"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * q"
+            " - CAST(sum_micro AS DECIMAL(38,0))"
+            "   * CAST(sum_micro AS DECIMAL(38,0)))"
+            " div (CAST(n AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("var_micro2"),
     )
 
 

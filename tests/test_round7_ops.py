@@ -195,11 +195,11 @@ def test_mergeable_variance_matches_numpy(spark, sf_dir):
         vals.setdefault(r.event_type, []).append(micro)
     for r in rows:
         v = np.array(vals[r.event_type], dtype=object)
-        assert r.n == len(v)
-        assert r.sum_micro == int(v.sum())
-        assert int(r.sumsq_str) == int((v * v).sum())
-        pop_var = float((v * v).sum() - v.sum() ** 2 / len(v)) / len(v)
-        assert abs(r.var_micro2 - pop_var) < 1e-3 * max(1.0, abs(pop_var))
+        n, s, q = len(v), int(v.sum()), int((v * v).sum())
+        assert r.n == n
+        assert r.sum_micro == s
+        assert int(r.sumsq_str) == q
+        assert r.var_micro2 == (n * q - s * s) // (n * n)
 
 
 def test_streaming_partitioned_sink_layout(spark, sf_dir):
