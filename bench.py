@@ -195,6 +195,8 @@ HEADLINE = [
     "ml_fold_assignment",
     "streaming_late_data_audit",
     "customer_ltv_running",
+    "text_clean_normalize",
+    "doc_compression_ratio",
 ]
 
 

@@ -150,7 +150,8 @@ def register(name: str, sql: Optional[str] = None):
 # referential_integrity_audit, link_graph_communities,
 # doc_feature_hashing, mergeable_variance_stats,
 # streaming_partitioned_sink, quality_quantile_normalize,
-# ml_fold_assignment, streaming_late_data_audit, customer_ltv_running;
+# ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
+# text_clean_normalize, doc_compression_ratio (rows-only);
 # bpe_piece_vocab moved rows-only → partial oracle (re-certify).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
@@ -9903,6 +9904,101 @@ def customer_ltv_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("ltv"),
+    )
+
+
+# Deterministic dirt injection for the cleaning demo (the fixture text is
+# already clean): a BEL control char + two extra spaces spliced in at a
+# hash-derived position — both engines build the identical dirty string,
+# clean it with the identical explicit-class regexes (no \s: Java regex
+# includes \x0B in \s, RE2 does not), and must agree on the repair.
+_CLEAN_POS = "1 + (doc_id % 20)"
+_CLEAN_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+_CLEAN_WS = r"[ \t\n\f\r][ \t\n\f\r]+"
+
+
+@register(
+    "text_clean_normalize",
+    sql=f"""
+    WITH dirty AS (
+        SELECT doc_id,
+               substr(text, 1, {_CLEAN_POS}) || chr(7) || '  '
+                   || substr(text, 1 + ({_CLEAN_POS})) AS d
+        FROM documents
+    ), cleaned AS (
+        SELECT doc_id, d,
+               trim(regexp_replace(regexp_replace(d,
+                    '{_CLEAN_CTRL}', '', 'g'),
+                    '{_CLEAN_WS}', ' ', 'g')) AS c
+        FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(d) AS BIGINT) AS len_dirty,
+           CAST(length(c) AS BIGINT) AS len_clean,
+           CAST(length(d) - length(c) AS BIGINT) AS n_removed,
+           sha256(c) AS cleaned_sha
+    FROM cleaned
+    """,
+)
+def text_clean_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Text cleaning/normalization — the first stage of every
+    ingest pipeline: strip control characters, collapse whitespace
+    runs, trim. The fixture text is already clean, so the query splices
+    deterministic dirt in first (BEL + doubled spaces at a hash-derived
+    position) and both engines must repair it to the byte-identical
+    sha. Regex classes are explicit ([\\x00-...], [ \\t\\n\\f\\r]) —
+    Java's \\s includes \\x0B, RE2's does not, so shorthand classes
+    would silently diverge across engines.
+
+    Scale: pure codegen string expressions fused into the scan — zero
+    shuffles, zero state."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    dirty = docs.select(
+        "doc_id",
+        F.expr(
+            f"concat(substring(text, 1, {_CLEAN_POS}), chr(7), '  ',"
+            f" substring(text, 1 + ({_CLEAN_POS})))"
+        ).alias("d"),
+    )
+    c = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("d"), _CLEAN_CTRL, ""),
+            _CLEAN_WS,
+            " ",
+        )
+    )
+    return dirty.select(
+        "doc_id",
+        F.length("d").cast("long").alias("len_dirty"),
+        F.length(c).cast("long").alias("len_clean"),
+        (F.length("d") - F.length(c)).cast("long").alias("n_removed"),
+        F.sha2(c, 256).alias("cleaned_sha"),
+    )
+
+
+@register("doc_compression_ratio", sql=None)
+def doc_compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] DEFLATE compression-ratio quality signal (compressed/raw in
+    exact ppm): templated or highly repetitive documents compress far
+    below natural prose, random noise above it — the cheap redundancy
+    detector corpus curation runs beside the n-gram repetition stats
+    (used by RefinedWeb-style dedup-adjacent filtering). Rows-only by
+    design (no SQL zlib); the kernel is pytest-pinned (determinism,
+    repetitive ≪ natural < shuffled-noise ordering) and the output
+    rides the shared run-to-run determinism law.
+
+    Scale: one linear Arrow-batched scan; only (doc_id, 2 ints) ever
+    moves."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    ratio = xtext.compression_ratio_udf()
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        ratio(F.col("text")).alias("compress_ppm"),
     )
 
 

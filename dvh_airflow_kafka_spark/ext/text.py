@@ -405,3 +405,32 @@ def charlm_score_sum(model: tuple[dict, dict, int]) -> Column:
             F.lit(global_fb),
         ).cast("long"),
     )
+
+
+def compression_ratio_udf(level: int = 6):
+    """Arrow-batched pandas UDF: zlib compressed-size / raw-size ratio in
+    exact parts-per-million of the UTF-8 text (empty text → 1 000 000).
+
+    The DEFLATE ratio is the classic cheap redundancy signal corpus
+    curation uses beside the n-gram repetition stats (highly repetitive
+    or templated documents compress far below natural prose; random
+    noise compresses above it). Python is the kernel (no SQL/Column
+    zlib), so this is a sanctioned pandas-UDF path: one linear scan,
+    no shuffle, no state. The ratio depends only on the DEFLATE
+    output LENGTH at a fixed level — stable for a given zlib across
+    runs (pytest pins determinism and the repetitive≪random ordering).
+    """
+    import zlib
+
+    @F.pandas_udf(T.LongType())
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t) -> int:
+            if not t:
+                return 1_000_000
+            raw = t.encode("utf-8")
+            comp = len(zlib.compress(raw, level))
+            return (1_000_000 * comp) // len(raw)
+
+        return texts.map(one)
+
+    return ratio

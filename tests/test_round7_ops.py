@@ -279,3 +279,58 @@ def test_customer_ltv_running_is_cumulative(spark, sf_dir):
         for r in rs:
             assert r.ltv >= last - 1e-9
             last = r.ltv
+
+
+def test_clean_normalize_repairs_injected_dirt(spark, sf_dir):
+    import hashlib
+
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = {r.doc_id: r for r in _run(spark, sf_dir, "text_clean_normalize").collect()}
+    for d in load_table(spark, sf_dir, "documents").collect():
+        r = rows[d.doc_id]
+        # BEL + 2 spaces injected = 3 chars
+        assert r.len_dirty == len(d.text) + 3
+        # reference repair: drop the BEL, collapse whitespace runs, trim
+        # (a mid-word splice point legitimately leaves one split word)
+        p = 1 + d.doc_id % 20
+        raw = d.text[:p] + "  " + d.text[p:]
+        expect = " ".join(raw.split())
+        assert r.len_clean == len(expect)
+        assert r.cleaned_sha == hashlib.sha256(expect.encode()).hexdigest()
+
+
+def test_compression_ratio_orders_redundancy(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.text import compression_ratio_udf
+    from pyspark.sql import functions as F
+
+    ratio = compression_ratio_udf()
+    # natural text must NOT be a repeated phrase — any repetition
+    # compresses like boilerplate, which is exactly what the signal
+    # detects
+    natural = (
+        "a quick brown fox jumps over the lazy dog while seventy "
+        "jackdaws love my big sphinx of quartz and pack my box with "
+        "five dozen liquor jugs before the wizards jump quickly at "
+        "vexing daft zebras near frozen galaxy docks"
+    )
+    import hashlib
+
+    noise = bytearray()
+    seed = b"noise"
+    while len(noise) < 4000:
+        seed = hashlib.sha256(seed).digest()
+        noise.extend(seed)
+    probe = spark.createDataFrame(
+        [
+            ("rep", "spam ham " * 500),
+            ("nat", natural),
+            ("rnd", "".join(chr(33 + b % 90) for b in noise[:4000])),
+        ],
+        "k string, text string",
+    )
+    got = {r.k: r.ppm for r in probe.select("k", ratio(F.col("text")).alias("ppm")).collect()}
+    assert got["rep"] < got["nat"] < got["rnd"]
+    rows1 = {r.doc_id: r.compress_ppm for r in _run(spark, sf_dir, "doc_compression_ratio").collect()}
+    rows2 = {r.doc_id: r.compress_ppm for r in _run(spark, sf_dir, "doc_compression_ratio").collect()}
+    assert rows1 == rows2 and rows1
