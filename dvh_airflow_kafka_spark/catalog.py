@@ -9913,8 +9913,8 @@ def customer_ltv_running_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # clean it with the identical explicit-class regexes (no \s: Java regex
 # includes \x0B in \s, RE2 does not), and must agree on the repair.
 _CLEAN_POS = "1 + (doc_id % 20)"
-_CLEAN_CTRL = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
-_CLEAN_WS = r"[ \t\n\f\r][ \t\n\f\r]+"
+_CLEAN_CTRL = xtext.CLEAN_CTRL_RE
+_CLEAN_WS = xtext.CLEAN_WS_RE
 
 
 @register(
@@ -9962,13 +9962,7 @@ def text_clean_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" substring(text, 1 + ({_CLEAN_POS})))"
         ).alias("d"),
     )
-    c = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.col("d"), _CLEAN_CTRL, ""),
-            _CLEAN_WS,
-            " ",
-        )
-    )
+    c = xtext.clean_text(F.col("d"))
     return dirty.select(
         "doc_id",
         F.length("d").cast("long").alias("len_dirty"),

@@ -434,3 +434,21 @@ def compression_ratio_udf(level: int = 6):
         return texts.map(one)
 
     return ratio
+
+
+# Explicit character classes for cleaning — NOT shorthand \s: Java regex
+# (Spark) includes \x0B in \s while RE2 (the DuckDB oracle) does not, so
+# shorthand classes silently diverge across engines.
+CLEAN_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+CLEAN_WS_RE = r"[ \t\n\f\r][ \t\n\f\r]+"
+
+
+def clean_text(text: Column) -> Column:
+    """Ingest-grade text normalization: strip control characters,
+    collapse whitespace runs to one space, trim. Pure codegen string
+    expressions — fuses into the scan."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(text, CLEAN_CTRL_RE, ""), CLEAN_WS_RE, " "
+        )
+    )

@@ -116,6 +116,32 @@ class CharlmGateSpec(BaseModel):
     min_avg_logprob: float = -7.0
 
 
+class CleanNormalizeSpec(BaseModel):
+    """Ingest text normalization as a DSL stage: strip control chars,
+    collapse whitespace runs, trim (``ext/text.clean_text`` — the same
+    explicit-class regexes the oracled ``text_clean_normalize`` query
+    pins cross-engine). Rewrites the ``text`` column in place, so every
+    downstream token-derived stage sees the cleaned text. Scan-fused,
+    no shuffle. Place BEFORE frequency_cap if byte-exact n_chars
+    ordering matters — n_chars stays the raw ingest length."""
+
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["clean_normalize"]
+
+
+class SplitFilterSpec(BaseModel):
+    """Train/test split gate: keep only the ``keep`` side of the
+    deterministic sha-bucket 80/20 split (``ext/sampling.hash_split``'s
+    predicate — same salt conventions as ``documents_train_test_split``).
+    Scan-fused predicate, no shuffle."""
+
+    model_config = ConfigDict(extra="forbid")
+    op: Literal["split_filter"]
+    keep: Literal["train", "test"] = "train"
+    train_frac: float = 0.8
+    salt: str = "split-v1"
+
+
 class GlobalShuffleSpec(BaseModel):
     model_config = ConfigDict(extra="forbid")
     op: Literal["global_shuffle"]
@@ -143,6 +169,8 @@ StageSpec = Annotated[
         TemperatureMixtureSpec,
         QualityGateSpec,
         CharlmGateSpec,
+        CleanNormalizeSpec,
+        SplitFilterSpec,
         DedupExactSpec,
         FrequencyCapSpec,
         TokenBudgetSpec,
@@ -265,6 +293,12 @@ def run_corpus_pipeline(
                 .select("doc_id")
             )
             df = df.join(kept, "doc_id", "left_semi")
+        elif isinstance(st, CleanNormalizeSpec):
+            df = df.withColumn("text", xtext.clean_text(F.col("text")))
+        elif isinstance(st, SplitFilterSpec):
+            thr = F.lit(_hex_thr(st.train_frac))
+            b = split_bucket(F.col("doc_id"), st.salt)
+            df = df.filter(b < thr if st.keep == "train" else b >= thr)
         elif isinstance(st, DedupExactSpec):
             w = Window.partitionBy(
                 xtext.fingerprint(F.col("text"))

@@ -233,3 +233,54 @@ stages:
     # the gate actually discriminates on the fixture
     n_all = docs.count()
     assert 0 < len(got) < n_all
+
+
+def test_clean_normalize_stage_matches_helper(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.text import clean_text
+    from dvh_airflow_kafka_spark.io import load_table
+
+    got = run_corpus_pipeline(
+        spark,
+        "stages:\n  - op: clean_normalize\n  - op: quality_gate\n"
+        "    min_tokens: 1\n",
+        sf_dir,
+    ).select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents")
+    want = (
+        docs.withColumn("text", clean_text(F.col("text")))
+        .filter(F.size(F.split(F.col("text"), r"\s+")) >= 1)
+        .select("doc_id", "text")
+    )
+    assert {(r.doc_id, r.text) for r in got.collect()} == {
+        (r.doc_id, r.text) for r in want.collect()
+    }
+
+
+def test_split_filter_stage_matches_hash_split(spark, sf_dir):
+    from dvh_airflow_kafka_spark.ext.sampling import hash_split
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for keep in ("train", "test"):
+        got = {
+            r.doc_id
+            for r in run_corpus_pipeline(
+                spark,
+                f"stages:\n  - op: split_filter\n    keep: {keep}\n",
+                sf_dir,
+            ).collect()
+        }
+        want = {
+            r.doc_id
+            for r in hash_split(docs, "doc_id")
+            .filter(F.col("split") == keep)
+            .collect()
+        }
+        assert got == want, keep
+
+
+def test_split_filter_bad_keep_rejected():
+    with pytest.raises(Exception):
+        parse_corpus_config(
+            "stages:\n  - op: split_filter\n    keep: validation\n"
+        )
