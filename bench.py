@@ -197,6 +197,7 @@ HEADLINE = [
     "customer_ltv_running",
     "text_clean_normalize",
     "doc_compression_ratio",
+    "hll_register_distinct",
 ]
 
 

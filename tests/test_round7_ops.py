@@ -334,3 +334,14 @@ def test_compression_ratio_orders_redundancy(spark, sf_dir):
     rows1 = {r.doc_id: r.compress_ppm for r in _run(spark, sf_dir, "doc_compression_ratio").collect()}
     rows2 = {r.doc_id: r.compress_ppm for r in _run(spark, sf_dir, "doc_compression_ratio").collect()}
     assert rows1 == rows2 and rows1
+
+
+def test_hll_register_estimate_within_error_envelope(spark, sf_dir):
+    rows = _run(spark, sf_dir, "hll_register_distinct").collect()
+    assert rows
+    for r in rows:
+        # 1.04/sqrt(256) ~ 6.5% standard error; allow 4 sigma
+        assert abs(r.hll_estimate - r.n_exact) <= max(
+            0.26 * r.n_exact, 32
+        ), (r.event_type, r.n_exact, r.hll_estimate)
+        assert 1 <= r.n_nonzero_regs <= 256
