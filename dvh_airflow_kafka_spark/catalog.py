@@ -153,7 +153,9 @@ def register(name: str, sql: Optional[str] = None):
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
 # text_clean_normalize, hll_register_distinct,
 # doc_compression_ratio (rows-only);
-# bpe_piece_vocab moved rows-only → partial oracle (re-certify).
+# bpe_piece_vocab AND minhash_near_dup moved rows-only → partial oracle
+# (re-certify; minhash stages its signatures and DuckDB replays banding
+# + exact-Jaccard verify from the same bytes).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -2101,20 +2103,166 @@ def blob_simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xmm.blob_simhash_near_duplicates(xmm.synth_blob_frame(docs))
 
 
-@register("minhash_near_dup", sql=None)
+# Partial-oracle staging for minhash_near_dup (the bpe_piece_vocab
+# pattern): the xxhash64+permutation signature kernel has no SQL form,
+# but everything DOWNSTREAM of the signatures does — stage them to
+# parquet at query-call time and let DuckDB replay banding (on slice
+# VALUES), candidate generation and the exact-Jaccard verify.
+_MINHASH_SIGS_PATH = (
+    f"/tmp/dvh_minhash_sigs_{__import__('os').getpid()}.parquet"
+)
+_MINHASH_SIGS_STAGED_FOR: Optional[str] = None
+_MINHASH_BANDS = 8
+_MINHASH_ROWS = 8  # num_perm 64 / 8 bands
+
+
+_MINHASH_ORACLE_SQL = rf"""
+    WITH sigs AS (
+        SELECT __id, __sig
+        FROM read_parquet('{_MINHASH_SIGS_PATH}/*.parquet')
+    ), bands AS (
+        SELECT __id, i,
+               __sig[i * {_MINHASH_ROWS} + 1 : i * {_MINHASH_ROWS}
+                     + {_MINHASH_ROWS}] AS sl
+        FROM sigs, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS i)
+    ), cand AS (
+        SELECT DISTINCT a.__id AS id_a, b.__id AS id_b
+        FROM bands a JOIN bands b
+          ON a.i = b.i AND a.sl = b.sl AND a.__id < b.__id
+    ), w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       j -> wl[j] || ' ' || wl[j+1] || ' '
+                                            || wl[j+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+    SELECT c.id_a, c.id_b,
+           CAST(s.c AS DOUBLE) / (na.n + nb.n - s.c) AS jaccard
+    FROM cand c
+    JOIN shared s ON s.id_a = c.id_a AND s.id_b = c.id_b
+    JOIN sizes na ON na.doc_id = c.id_a
+    JOIN sizes nb ON nb.doc_id = c.id_b
+    WHERE CAST(s.c AS DOUBLE) / (na.n + nb.n - s.c) >= 0.5
+    """
+
+
+@register("minhash_near_dup", sql=_MINHASH_ORACLE_SQL)
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] MinHash-LSH near-dup (shingle → signature → band → bucket-join
-    → exact-Jaccard verify). Rows-only driver check; precision/recall vs
-    exact Jaccard is pytest-verified on planted duplicates.
+    → exact-Jaccard verify), upgraded rows-only → PARTIAL oracle: the
+    signature kernel (xxhash64 + 64 permutations) stays engine-side, but
+    the signatures are staged to parquet at query-call time and DuckDB
+    replays banding, candidate generation and the exact-Jaccard verify
+    from the SAME bytes. The one semantic gap: Spark buckets on
+    xxhash64(slice) (an 8-byte shuffle key — the 100 TB shape) while the
+    oracle joins on slice VALUES; a 64-bit collision between different
+    slices could only ADD a candidate, which then must also pass exact
+    J ≥ 0.5 to diverge — P ≈ 2⁻⁶⁴·pairs, far below the documented float
+    classes.
 
     Registered with the scale-safe DF cap ACTIVE (``max_doc_freq=50``,
-    above the fixture's max shingle DF of 25 at sf0.1) — same results,
-    but the benched plan includes the stop-shingle pruning that bounds
-    candidate buckets at corpus scale."""
+    above the fixture's max shingle DF of 25 at sf0.1): stop-shingles
+    are pruned from SIGNATURES (candidate generation) while the verify
+    uses full shingle sets — which is why the oracle's banding reads
+    the staged signatures rather than recomputing uncapped ones."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.ext.dedup import (
+        jaccard_sets,
+        minhash_signatures,
+    )
+    from dvh_airflow_kafka_spark.ext.text import (
+        tokens,
+        word_ngrams_from_tokens,
+    )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    global _MINHASH_SIGS_STAGED_FOR
     docs = load_table(spark, sf_dir, "documents")
-    return xdedup.minhash_near_duplicates(
-        docs, "doc_id", "text", ngram=3, num_perm=64, bands=8, threshold=0.5,
-        max_doc_freq=50,
+    shingled = (
+        ensure_parallelism(docs)
+        .select(
+            F.col("doc_id").alias("__id"),
+            tokens(F.col("text")).alias("__toks"),
+        )
+        .select(
+            "__id", word_ngrams_from_tokens(F.col("__toks"), 3).alias("__sh")
+        )
+        .localCheckpoint(eager=False)
+    )
+    sigs = minhash_signatures(
+        shingled, "__id", "__sh", num_perm=64, seed=42, max_doc_freq=50
+    )
+    key = os.path.abspath(sf_dir)
+    if _MINHASH_SIGS_STAGED_FOR != key:
+        stage = tempfile.mkdtemp(prefix="dvh_minhash_sigs_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        target = os.path.join(stage, "data")
+        sigs.write.parquet(target)
+        if os.path.isdir(_MINHASH_SIGS_PATH) and not os.path.islink(
+            _MINHASH_SIGS_PATH
+        ):
+            shutil.rmtree(_MINHASH_SIGS_PATH)
+        tmplink = os.path.join(stage, "link")
+        os.symlink(target, tmplink)
+        os.replace(tmplink, _MINHASH_SIGS_PATH)
+        atexit.register(
+            lambda p=_MINHASH_SIGS_PATH: os.path.islink(p) and os.remove(p)
+        )
+        _MINHASH_SIGS_STAGED_FOR = key
+    staged = spark.read.parquet(_MINHASH_SIGS_PATH)
+    banded = staged.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.slice(
+                            F.col("__sig"),
+                            i * _MINHASH_ROWS + 1,
+                            _MINHASH_ROWS,
+                        )
+                    )
+                    for i in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.__band") == F.col("r.__band"))
+            & (F.col("l.__bucket") == F.col("r.__bucket"))
+            & (F.col("l.__id") < F.col("r.__id")),
+        )
+        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .distinct()
+    )
+    a = shingled.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = shingled.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_sets(F.col("__sh_a"), F.col("__sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 
