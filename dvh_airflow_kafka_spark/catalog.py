@@ -108,6 +108,47 @@ def _staged_stream_src(kind: str, sf_dir: str, write_fn) -> str:
     return src
 
 
+# --------------------------------------------------------------------------
+# Staged-bytes partial oracles.  Some kernels (BPE encode, MinHash/SimHash
+# signatures) have no SQL form, but everything DOWNSTREAM of their output
+# does: the query materialises the kernel output to a per-process parquet
+# path (pid-suffixed, baked into this process's oracle SQL at import, so
+# concurrent runs at different scales can never swap each other's bytes)
+# and the DuckDB oracle replays the rest of the pipeline from the SAME
+# bytes.  Re-staging for a new sf_dir swaps an atomic symlink — a
+# concurrent reader keeps the previous staging intact, never a
+# half-deleted directory.
+# --------------------------------------------------------------------------
+_STAGED_LINKS: dict = {}
+
+
+def _stage_frame(df: DataFrame, link_path: str, sf_dir: str) -> None:
+    """Write ``df`` once per (link_path, sf_dir) and atomically point
+    ``link_path`` at it.  Eager — runs at query-CALL time, before any
+    oracle can read the path."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    if _STAGED_LINKS.get(link_path) == key:
+        return
+    stage = tempfile.mkdtemp(prefix="dvh_stage_")
+    atexit.register(shutil.rmtree, stage, ignore_errors=True)
+    target = os.path.join(stage, "data")
+    df.write.parquet(target)
+    if os.path.isdir(link_path) and not os.path.islink(link_path):
+        shutil.rmtree(link_path)  # pre-symlink layout leftover
+    tmplink = os.path.join(stage, "link")
+    os.symlink(target, tmplink)
+    os.replace(tmplink, link_path)
+    atexit.register(
+        lambda p=link_path: os.path.islink(p) and os.remove(p)
+    )
+    _STAGED_LINKS[link_path] = key
+
+
 @dataclass(frozen=True)
 class QueryDef:
     name: str
@@ -153,9 +194,9 @@ def register(name: str, sql: Optional[str] = None):
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
 # text_clean_normalize, hll_register_distinct,
 # doc_compression_ratio (rows-only);
-# bpe_piece_vocab AND minhash_near_dup moved rows-only → partial oracle
-# (re-certify; minhash stages its signatures and DuckDB replays banding
-# + exact-Jaccard verify from the same bytes).
+# bpe_piece_vocab, minhash_near_dup AND simhash_near_dup moved
+# rows-only → partial oracle (re-certify; the kernels stage their output
+# bytes and DuckDB replays the downstream pipeline — see _stage_frame).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -2111,7 +2152,6 @@ def blob_simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MINHASH_SIGS_PATH = (
     f"/tmp/dvh_minhash_sigs_{__import__('os').getpid()}.parquet"
 )
-_MINHASH_SIGS_STAGED_FOR: Optional[str] = None
 _MINHASH_BANDS = 8
 _MINHASH_ROWS = 8  # num_perm 64 / 8 bands
 
@@ -2175,11 +2215,6 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are pruned from SIGNATURES (candidate generation) while the verify
     uses full shingle sets — which is why the oracle's banding reads
     the staged signatures rather than recomputing uncapped ones."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from dvh_airflow_kafka_spark.ext.dedup import (
         jaccard_sets,
         minhash_signatures,
@@ -2190,7 +2225,6 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
-    global _MINHASH_SIGS_STAGED_FOR
     docs = load_table(spark, sf_dir, "documents")
     shingled = (
         ensure_parallelism(docs)
@@ -2206,23 +2240,7 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         shingled, "__id", "__sh", num_perm=64, seed=42, max_doc_freq=50
     )
-    key = os.path.abspath(sf_dir)
-    if _MINHASH_SIGS_STAGED_FOR != key:
-        stage = tempfile.mkdtemp(prefix="dvh_minhash_sigs_")
-        atexit.register(shutil.rmtree, stage, ignore_errors=True)
-        target = os.path.join(stage, "data")
-        sigs.write.parquet(target)
-        if os.path.isdir(_MINHASH_SIGS_PATH) and not os.path.islink(
-            _MINHASH_SIGS_PATH
-        ):
-            shutil.rmtree(_MINHASH_SIGS_PATH)
-        tmplink = os.path.join(stage, "link")
-        os.symlink(target, tmplink)
-        os.replace(tmplink, _MINHASH_SIGS_PATH)
-        atexit.register(
-            lambda p=_MINHASH_SIGS_PATH: os.path.islink(p) and os.remove(p)
-        )
-        _MINHASH_SIGS_STAGED_FOR = key
+    _stage_frame(sigs, _MINHASH_SIGS_PATH, sf_dir)
     staged = spark.read.parquet(_MINHASH_SIGS_PATH)
     banded = staged.select(
         "__id",
@@ -2266,11 +2284,53 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_near_dup", sql=None)
+_SIMHASH_SIGS_PATH = (
+    f"/tmp/dvh_simhash_sigs_{__import__('os').getpid()}.parquet"
+)
+
+# Post-kernel SimHash is PURE bit arithmetic, so unlike MinHash there is
+# no hashed-bucket caveat: chunks are joined on VALUES in both engines.
+# DuckDB's >> on BIGINT is an arithmetic (sign-extending) shift while
+# Spark uses shiftrightunsigned — masking the low 16 bits after the
+# shift makes them identical for every chunk offset <= 48.
+_SIMHASH_ORACLE_SQL = f"""
+    WITH sigs AS (
+        SELECT doc_id, simhash
+        FROM read_parquet('{_SIMHASH_SIGS_PATH}/*.parquet')
+    ), chunks AS (
+        SELECT doc_id, simhash, i,
+               (simhash >> (i * 16)) & 65535 AS chunk
+        FROM sigs, (SELECT unnest(range(0, 4)) AS i)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM chunks a JOIN chunks b
+          ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+@register("simhash_near_dup", sql=_SIMHASH_ORACLE_SQL)
 def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] SimHash near-dup (64-bit signatures, pigeonhole banding)."""
+    """[EXT] SimHash near-dup (64-bit signatures, pigeonhole banding),
+    upgraded rows-only → PARTIAL oracle: the signature kernel (xxhash64
+    token votes) stays engine-side, the (doc_id, simhash) frame stages
+    to a per-process parquet path at query-call time, and DuckDB replays
+    the ENTIRE downstream pipeline — pigeonhole chunking, candidate
+    equi-join on chunk values, hamming verify via bit_count(xor) — from
+    the same bytes, exactly (pure integer bit arithmetic, no float or
+    hash-collision caveat at all)."""
     docs = load_table(spark, sf_dir, "documents")
-    return xdedup.simhash_near_duplicates(docs, "doc_id", "text", max_hamming=3)
+    sigs = xdedup.simhash64(docs, "doc_id", "text").select(
+        F.col("doc_id"), F.col("simhash")
+    )
+    _stage_frame(sigs, _SIMHASH_SIGS_PATH, sf_dir)
+    staged = spark.read.parquet(_SIMHASH_SIGS_PATH)
+    return xdedup.simhash_band_pairs(staged, "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @register("lsh_ann_topk", sql=None)
@@ -5029,7 +5089,6 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # each other mid-read.  Within the process the symlink swap keeps
 # re-staging atomic.
 _BPE_PIECES_PATH = f"/tmp/dvh_bpe_pieces_{__import__('os').getpid()}.parquet"
-_BPE_PIECES_STAGED_FOR: Optional[str] = None
 
 
 @register(
@@ -5051,38 +5110,12 @@ def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-only, but the staged pieces are re-aggregated by DuckDB from
     the same parquet, pinning the rollup cross-engine (the encode
     itself stays pinned by the ``tests/test_text_bpe.py`` laws)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
-    global _BPE_PIECES_STAGED_FOR
     docs = load_table(spark, sf_dir, "documents")
     enc = xtext.bpe_encode_udf()
     pieces = docs.select(
         "doc_id", F.explode(enc(F.lower(F.col("text")))).alias("piece")
     )
-    key = os.path.abspath(sf_dir)
-    if _BPE_PIECES_STAGED_FOR != key:
-        # Stage to a FRESH dir, then atomically repoint a symlink at it:
-        # a concurrent reader (another bench/compare process sharing the
-        # fixed path) keeps reading the previous staging intact instead
-        # of hitting a half-deleted directory mid-overwrite.
-        stage = tempfile.mkdtemp(prefix="dvh_bpe_pieces_")
-        atexit.register(shutil.rmtree, stage, ignore_errors=True)
-        target = os.path.join(stage, "data")
-        pieces.write.parquet(target)
-        if os.path.isdir(_BPE_PIECES_PATH) and not os.path.islink(
-            _BPE_PIECES_PATH
-        ):
-            shutil.rmtree(_BPE_PIECES_PATH)  # pre-symlink layout leftover
-        tmplink = os.path.join(stage, "link")
-        os.symlink(target, tmplink)
-        os.replace(tmplink, _BPE_PIECES_PATH)
-        atexit.register(
-            lambda p=_BPE_PIECES_PATH: os.path.islink(p) and os.remove(p)
-        )
-        _BPE_PIECES_STAGED_FOR = key
+    _stage_frame(pieces, _BPE_PIECES_PATH, sf_dir)
     return (
         spark.read.parquet(_BPE_PIECES_PATH)
         .groupBy("piece")
