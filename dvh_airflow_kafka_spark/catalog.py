@@ -194,9 +194,10 @@ def register(name: str, sql: Optional[str] = None):
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
 # text_clean_normalize, hll_register_distinct,
 # doc_compression_ratio (rows-only);
-# bpe_piece_vocab, minhash_near_dup AND simhash_near_dup moved
-# rows-only → partial oracle (re-certify; the kernels stage their output
-# bytes and DuckDB replays the downstream pipeline — see _stage_frame).
+# bpe_piece_vocab, minhash_near_dup, simhash_near_dup AND
+# blob_simhash_near_dup moved rows-only → partial oracle (re-certify;
+# the kernels stage their output bytes and DuckDB replays the
+# downstream pipeline — see _stage_frame).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -2135,13 +2136,55 @@ def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
 
 
-@register("blob_simhash_near_dup", sql=None)
+_BLOB_SIMHASH_SIGS_PATH = (
+    f"/tmp/dvh_blob_simhash_sigs_{__import__('os').getpid()}.parquet"
+)
+
+_BLOB_SIMHASH_ORACLE_SQL = f"""
+    WITH sigs AS (
+        SELECT doc_id, simhash
+        FROM read_parquet('{_BLOB_SIMHASH_SIGS_PATH}/*.parquet')
+    ), chunks AS (
+        SELECT doc_id, simhash, i,
+               (simhash >> (i * 16)) & 65535 AS chunk
+        FROM sigs, (SELECT unnest(range(0, 4)) AS i)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sa, b.simhash AS sb
+        FROM chunks a JOIN chunks b
+          ON a.i = b.i AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+
+@register("blob_simhash_near_dup", sql=_BLOB_SIMHASH_ORACLE_SQL)
 def blob_simhash_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] multimodal: perceptual-hash-style near-dup over byte 4-grams
-    (SimHash + pigeonhole banding). Rows-only driver check; planted-dup
-    recall is pytest-verified."""
+    (SimHash + pigeonhole banding), PARTIAL oracle via the staged-bytes
+    pattern: the numpy byte-gram vote kernel stays engine-side, the
+    (doc_id, simhash) frame stages to parquet, and DuckDB replays
+    chunking, candidate join and the bit_count(xor) hamming verify from
+    the same bytes — exact integer arithmetic end to end (the text-path
+    ``simhash_near_dup`` shares the identical replay). Planted-dup
+    recall stays pytest-verified."""
+    from dvh_airflow_kafka_spark.ext.dedup import simhash_band_pairs
+    from dvh_airflow_kafka_spark.ext.multimodal import (
+        blob_simhash_signature,
+    )
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
     docs = load_table(spark, sf_dir, "documents")
-    return xmm.blob_simhash_near_duplicates(xmm.synth_blob_frame(docs))
+    sim = blob_simhash_signature(4, 4096)
+    sigs = ensure_parallelism(xmm.synth_blob_frame(docs)).select(
+        F.col("doc_id"), sim(F.col("content")).alias("simhash")
+    )
+    _stage_frame(sigs, _BLOB_SIMHASH_SIGS_PATH, sf_dir)
+    staged = spark.read.parquet(_BLOB_SIMHASH_SIGS_PATH)
+    return simhash_band_pairs(staged, "doc_id", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 # Partial-oracle staging for minhash_near_dup (the bpe_piece_vocab
