@@ -194,10 +194,11 @@ def register(name: str, sql: Optional[str] = None):
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
 # text_clean_normalize, hll_register_distinct,
 # doc_compression_ratio (rows-only);
-# bpe_piece_vocab, minhash_near_dup, simhash_near_dup AND
-# blob_simhash_near_dup moved rows-only → partial oracle (re-certify;
-# the kernels stage their output bytes and DuckDB replays the
-# downstream pipeline — see _stage_frame).
+# bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
+# blob_simhash_near_dup, blob_cdc_chunk_dedup AND bpe_tokenize_and_pack
+# moved rows-only → partial oracle (re-certify; the kernels stage their
+# output bytes and DuckDB replays the downstream pipeline — see
+# _stage_frame).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -5091,7 +5092,41 @@ def data_selection_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_batch_stats(kept, batch_size=_BATCH_SIZE)
 
 
-@register("bpe_tokenize_and_pack", sql=None)
+_BPE_COUNTS_PATH = (
+    f"/tmp/dvh_bpe_counts_{__import__('os').getpid()}.parquet"
+)
+_BPE_SEQ_LEN = 256
+
+_BPE_PACK_ORACLE_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, n
+        FROM read_parquet('{_BPE_COUNTS_PATH}/*.parquet')
+    ), c AS (
+        SELECT doc_id, n,
+               CAST(SUM(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                    - n AS BIGINT) AS before
+        FROM t
+    ), e AS (
+        SELECT doc_id, n, before,
+               unnest(range(before // {_BPE_SEQ_LEN},
+                            (before + n - 1) // {_BPE_SEQ_LEN} + 1))
+                   AS seq_id
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(before, seq_id * {_BPE_SEQ_LEN}) - before
+                AS BIGINT) AS tok_start,
+           CAST(greatest(before, seq_id * {_BPE_SEQ_LEN})
+                - seq_id * {_BPE_SEQ_LEN} AS BIGINT) AS offset_in_seq,
+           CAST(least(before + n, (seq_id + 1) * {_BPE_SEQ_LEN})
+                - greatest(before, seq_id * {_BPE_SEQ_LEN}) AS BIGINT)
+               AS n_seq_tokens
+    FROM e
+    """
+
+
+@register("bpe_tokenize_and_pack", sql=_BPE_PACK_ORACLE_SQL)
 def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Capstone #5 — REAL tokenizer feeding the sequence packer:
     documents are BPE-encoded (the ``bpe_encode_udf`` kernel, merge
@@ -5100,11 +5135,14 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     span boundaries). This is the actual "text in, packed token
     sequences out" step of a pre-training pipeline — the
     whitespace-token ``training_sequence_pack`` is its SQL-expressible
-    twin. Rows-only driver check (BPE has no SQL form); the span
-    arithmetic is the SAME ``explode_token_spans`` the oracled packers
-    use, and tiling/rejoin invariants are pytest-pinned. Plan shape:
-    one Arrow-batched tokenize pass → slim (id, n_pieces) range shuffle
-    → scan-fused span explode."""
+    twin. PARTIAL oracle via the staged-bytes pattern: the tokenizer
+    has no SQL form, but the per-doc (doc_id, n_pieces) counts stage to
+    parquet and DuckDB replays the ENTIRE distributed prefix-sum +
+    span-explode packing arithmetic from the same bytes (the same SQL
+    shape that oracles ``training_sequence_pack``); tiling/rejoin
+    invariants stay pytest-pinned. Plan shape: one Arrow-batched
+    tokenize pass → slim (id, n_pieces) range shuffle → scan-fused
+    span explode."""
     from dvh_airflow_kafka_spark.ext.sampling import (
         explode_token_spans,
         with_prefix_sum,
@@ -5114,10 +5152,12 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = xtext.bpe_encode_udf()
     slim = docs.select(
         "doc_id",
-        F.size(enc(F.lower(F.col("text")))).cast("long").alias("__n"),
-    ).filter(F.col("__n") > 0)
-    pre = with_prefix_sum(slim, "doc_id", F.col("__n"))
-    return explode_token_spans(pre, 256)
+        F.size(enc(F.lower(F.col("text")))).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    _stage_frame(slim, _BPE_COUNTS_PATH, sf_dir)
+    staged = spark.read.parquet(_BPE_COUNTS_PATH)
+    pre = with_prefix_sum(staged, "doc_id", F.col("n"))
+    return explode_token_spans(pre, _BPE_SEQ_LEN)
 
 
 # The tokenizer itself has no SQL form, but its AGGREGATION does: the
@@ -6905,7 +6945,34 @@ def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _countmin_report(spark, sketch, toks)
 
 
-@register("blob_cdc_chunk_dedup", sql=None)
+_CDC_CHUNKS_PATH = (
+    f"/tmp/dvh_cdc_chunks_{__import__('os').getpid()}.parquet"
+)
+
+_CDC_ORACLE_SQL = f"""
+    WITH chunks AS (
+        SELECT doc_id, chunk_hash, size
+        FROM read_parquet('{_CDC_CHUNKS_PATH}/*.parquet')
+    ), t AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_blobs,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(size) AS BIGINT) AS total_bytes
+        FROM chunks
+    ), u AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+               CAST(SUM(msz) AS BIGINT) AS unique_bytes
+        FROM (SELECT chunk_hash, MIN(size) AS msz
+              FROM chunks GROUP BY chunk_hash)
+    )
+    SELECT t.n_blobs, t.n_chunks, u.n_distinct_chunks, t.total_bytes,
+           u.unique_bytes,
+           ROUND(CAST(u.unique_bytes AS DOUBLE) / t.total_bytes, 6)
+               AS dedup_ratio
+    FROM t, u
+    """
+
+
+@register("blob_cdc_chunk_dedup", sql=_CDC_ORACLE_SQL)
 def blob_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Content-defined chunking dedup report — the storage-dedup
     primitive (Gear-hash CDC, the FastCDC/LBFS family): every synthetic
@@ -6914,16 +6981,25 @@ def blob_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the corpus-level dedup ratio falls out of a distinct-hash
     aggregate. Fixed-size chunking loses all alignment after one
     inserted byte; CDC boundaries re-synchronize within one hash window
-    (the shift-invariance pytest pins this). Rows-only by design — the
-    rolling-hash window is not SQL-expressible — but the report is
-    covered by the shared run-to-run determinism law, and the chunker
-    itself is pytest-pinned (vectorized window ≡ sequential fold,
-    reassembly, min/max size bounds). Plan: ONE linear mapInPandas scan
+    (the shift-invariance pytest pins this). Plan: ONE linear mapInPandas scan
     emits (hash, size) fingerprints; the only exchange carries those
     fingerprints, never content — the ingest shape of a dedup store at
-    100 TB."""
+    100 TB.
+
+    PARTIAL oracle via the staged-bytes pattern: the rolling-hash
+    chunker itself has no SQL form (pytest-pinned: vectorized window ≡
+    sequential fold, reassembly, min/max bounds, shift-invariance), but
+    its (doc_id, chunk_hash, size) fingerprint stream stages to parquet
+    and DuckDB re-runs the whole dedup-ratio rollup from the same
+    bytes — the distributed aggregate is pinned cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
-    chunks = xmm.cdc_chunk_blobs(xmm.synth_blob_frame(docs))
+    chunks_all = xmm.cdc_chunk_blobs(xmm.synth_blob_frame(docs))
+    _stage_frame(
+        chunks_all.select("doc_id", "chunk_hash", "size"),
+        _CDC_CHUNKS_PATH,
+        sf_dir,
+    )
+    chunks = spark.read.parquet(_CDC_CHUNKS_PATH)
     totals = chunks.agg(
         F.countDistinct("doc_id").cast("long").alias("n_blobs"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
