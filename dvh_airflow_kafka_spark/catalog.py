@@ -2377,23 +2377,148 @@ def simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_ann_topk", sql=None)
+_LSH_BUCKETS_PATH = (
+    f"/tmp/dvh_lsh_buckets_{__import__('os').getpid()}.parquet"
+)
+# multi-probe perturbation set for the registered (n_bits=8, hamming<=2)
+# configuration, baked into the oracle as literals — a pure function of
+# the two ints, identical to what the Spark side expands at run time
+_LSH_PROBE_MASKS = ", ".join(str(m) for m in xsim._probe_masks(8, 2))
+_LSH_ANN_SQL = f"""
+    WITH b AS (
+        SELECT __id, __table, __bucket
+        FROM read_parquet('{_LSH_BUCKETS_PATH}/*.parquet')
+    ), probes AS (
+        SELECT b.__id AS query_id, b.__table,
+               xor(b.__bucket, m.mask) AS __bucket
+        FROM b, (SELECT unnest([{_LSH_PROBE_MASKS}]) AS mask) m
+        WHERE b.__id < 10
+    ), cand AS (
+        SELECT DISTINCT p.query_id, c.__id AS neighbor_id
+        FROM probes p
+        JOIN b c ON c.__table = p.__table AND c.__bucket = p.__bucket
+        WHERE c.__id <> p.query_id
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(q.e, n.e) /
+                     (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@register("lsh_ann_topk", sql=_LSH_ANN_SQL)
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] SRP-LSH bucketed approximate top-k (the ANN scale path);
-    recall vs brute force is pytest-verified."""
+    """[EXT] SRP-LSH bucketed approximate top-k (the ANN scale path),
+    upgraded rows-only → PARTIAL oracle: the SRP sign-fold kernel
+    (seeded hyperplane matmul) stays engine-side, its
+    ``(__id, __table, __bucket)`` frame stages to a per-process parquet
+    path at query-call time, and DuckDB replays the ENTIRE downstream —
+    multi-probe XOR expansion (masks baked as literals), candidate
+    equi-join per (table, bucket), exact-cosine re-rank at the shared
+    6-digit rounding, (cosine DESC, id) top-5 — from the same bytes.
+    Recall vs brute force additionally pytest-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return xsim.lsh_bucketed_topk(emb, queries, k=5, n_bits=8, n_tables=4)
+    buckets = xsim.srp_bucket_frame(emb, n_bits=8, n_tables=4)
+    _stage_frame(buckets, _LSH_BUCKETS_PATH, sf_dir)
+    staged = spark.read.parquet(_LSH_BUCKETS_PATH)
+    return xsim.lsh_bucketed_topk(
+        emb,
+        queries,
+        k=5,
+        n_bits=8,
+        n_tables=4,
+        corpus_buckets=staged,
+        query_buckets=staged.filter(F.col("__id") < 10),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
-@register("ivf_ann_topk", sql=None)
+_IVF_ASSIGN_PATH = (
+    f"/tmp/dvh_ivf_assign_{__import__('os').getpid()}.parquet"
+)
+_IVF_PROBES_PATH = (
+    f"/tmp/dvh_ivf_probes_{__import__('os').getpid()}.parquet"
+)
+# no DISTINCT in cand: each corpus vector lives in exactly one inverted
+# list and a query's probe set is distinct lists, so the probe join emits
+# each (query, neighbor) pair at most once — mirroring the Spark side
+_IVF_ANN_SQL = f"""
+    WITH a AS (
+        SELECT __id, __list FROM read_parquet('{_IVF_ASSIGN_PATH}/*.parquet')
+    ), p AS (
+        SELECT query_id, __list
+        FROM read_parquet('{_IVF_PROBES_PATH}/*.parquet')
+    ), cand AS (
+        SELECT p.query_id, a.__id AS neighbor_id
+        FROM p JOIN a ON a.__list = p.__list
+        WHERE a.__id <> p.query_id
+    ), v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(q.e, n.e) /
+                     (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(n.e, n.e))), 6) AS cosine
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v n ON n.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)
+                AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@register("ivf_ann_topk", sql=_IVF_ANN_SQL)
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] IVF-Flat approximate top-k (coarse-quantizer k-means +
-    multi-list probe) — the second ANN scale path; recall vs brute force
-    is pytest-verified."""
+    multi-list probe) — the second ANN scale path, upgraded rows-only →
+    PARTIAL oracle: the k-means quantizer + nearest-centroid argmax stay
+    engine-side, their two output frames (corpus inverted-list assignment
+    and per-query probe set) stage to per-process parquet paths, and
+    DuckDB replays the downstream — the probe equi-join (the
+    partition-pruning scale mechanism), self-filter, exact-cosine re-rank
+    at the shared 6-digit rounding, (cosine DESC, id) top-5 — from the
+    same bytes.  Recall vs brute force additionally pytest-verified."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return xsim.ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6)
+    assign_df, probe_df = xsim.ivf_partition(
+        emb, queries, n_lists=16, n_probe=6
+    )
+    _stage_frame(assign_df, _IVF_ASSIGN_PATH, sf_dir)
+    _stage_frame(probe_df, _IVF_PROBES_PATH, sf_dir)
+    return xsim.ivf_topk_from_lists(
+        spark.read.parquet(_IVF_ASSIGN_PATH),
+        spark.read.parquet(_IVF_PROBES_PATH),
+        emb,
+        queries,
+        k=5,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @register(

@@ -259,6 +259,42 @@ def ivf_topk(
     window top-k. Each query touches ~n_probe/n_lists of the corpus, so
     at 100 TB the scan is the assignment pass (IO-bound) and the probe
     work shrinks by the fan-out ratio."""
+    corpus, probe_df = ivf_partition(
+        emb,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        sample_size=sample_size,
+        seed=seed,
+        with_vectors=True,
+    )
+    return ivf_topk_from_lists(
+        corpus, probe_df, emb, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+
+
+def ivf_partition(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 4096,
+    seed: int = 42,
+    with_vectors: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-Flat kernel outputs: the corpus inverted-list assignment frame
+    ``(__id, __list)`` and the per-query probe set ``(query_id, __list)``.
+    The k-means quantizer and nearest-centroid argmax are the only
+    non-relational pieces of the pipeline; everything downstream (the
+    probe equi-join — the actual partition-pruning scale mechanism — and
+    the exact-cosine re-rank) is relational, so catalog queries stage
+    these two frames and a DuckDB oracle replays the downstream from the
+    same bytes.  ``with_vectors=True`` keeps the vector on the assignment
+    row (one fused corpus scan — the non-staged hot path)."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
     # Deterministic training sample: bare limit() is partition-order
@@ -281,11 +317,14 @@ def ivf_topk(
     cents = _kmeans_cosine(sample, n_lists, seed)
     assign = ivf_assign_udf(cents)
 
-    corpus = ensure_parallelism(emb).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("__nv"),
+    cols = [
+        F.col(id_col).alias("__id"),
         assign(F.col(vec_col)).alias("__list"),
-    )
+    ]
+    if with_vectors:
+        cols.insert(1, F.col(vec_col).cast("array<double>").alias("__nv"))
+    corpus = ensure_parallelism(emb).select(*cols)
+
     q_ids, q_mat = _collect_matrix(queries, id_col, vec_col)
     probes = np.argsort(-(_normalize(q_mat) @ cents.T), axis=1)[:, :n_probe]
     probe_rows = [
@@ -293,6 +332,37 @@ def ivf_topk(
     ]
     spark = emb.sparkSession
     probe_df = spark.createDataFrame(probe_rows, "query_id long, __list int")
+    return corpus, probe_df
+
+
+def ivf_topk_from_lists(
+    corpus_assign: DataFrame,
+    probe_df: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Relational downstream of IVF-Flat: broadcast probe equi-join on
+    list id, self-match filter, exact-cosine re-rank (rounded — ranking
+    happens on the rounded value, see module docstring), per-query window
+    top-k.  ``corpus_assign`` is an ``ivf_partition`` frame; when it does
+    not already carry the vector (``__nv`` — e.g. it was re-read from a
+    staged parquet), vectors are re-attached from ``emb`` by id."""
+    corpus = corpus_assign.select(
+        F.col("__id").alias("neighbor_id"),
+        *(["__nv"] if "__nv" in corpus_assign.columns else []),
+        "__list",
+    )
+    if "__nv" not in corpus.columns:
+        corpus = corpus.join(
+            emb.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("__nv"),
+            ),
+            "neighbor_id",
+        )
     query_v = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -376,6 +446,30 @@ def _probe_masks(n_bits: int, max_hamming: int) -> list[int]:
     return [m for m in range(1 << n_bits) if bin(m).count("1") <= max_hamming]
 
 
+def srp_bucket_frame(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """SRP kernel output: one ``(__id, __table, __bucket)`` row per vector
+    per hash table — the ONLY non-relational piece of the LSH pipeline (a
+    seeded numpy matmul sign-fold inside a pandas UDF).  Everything
+    downstream (multi-probe expansion, candidate equi-join, exact-cosine
+    re-rank, top-k) is pure relational algebra; catalog queries stage this
+    frame to parquet so a DuckDB oracle can replay that downstream exactly
+    from the same bytes (see ``catalog.lsh_ann_topk``)."""
+    planes = _hyperplanes(dim, n_bits, n_tables, seed)
+    buckets = srp_buckets_udf(planes)
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("__table", "__bucket"),
+    )
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -387,6 +481,8 @@ def lsh_bucketed_topk(
     dim: int = 64,
     seed: int = 42,
     probe_hamming: int = 2,
+    corpus_buckets: Optional[DataFrame] = None,
+    query_buckets: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Approximate top-k: SRP-LSH candidate generation + exact cosine
     re-rank. Candidates = vectors whose bucket is within ``probe_hamming``
@@ -395,22 +491,36 @@ def lsh_bucketed_topk(
     probes) — the corpus is hashed exactly once per table (one pandas-UDF
     matmul pass), so the linear corpus scan that dominates at 100 TB stays
     IO-bound; recall rises from p^n_bits to
-    P(Binomial(n_bits, p) >= n_bits-m) per table."""
+    P(Binomial(n_bits, p) >= n_bits-m) per table.
+
+    ``corpus_buckets`` / ``query_buckets`` optionally inject precomputed
+    ``srp_bucket_frame`` outputs (e.g. re-read from a staged parquet) in
+    place of hashing here — the staged-partial-oracle hook."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
-    planes = _hyperplanes(dim, n_bits, n_tables, seed)
-    buckets = srp_buckets_udf(planes)
-
     def bucketize(df: DataFrame, role: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.posexplode(buckets(F.col(vec_col))).alias(
-                f"__{role}_table", f"__{role}_bucket"
-            ),
+        frame = srp_bucket_frame(
+            df, id_col, vec_col, n_bits, n_tables, dim, seed
+        )
+        return _role_buckets(frame, role)
+
+    def _role_buckets(frame: DataFrame, role: str) -> DataFrame:
+        return frame.select(
+            F.col("__id").alias(f"{role}_id"),
+            F.col("__table").alias(f"__{role}_table"),
+            F.col("__bucket").alias(f"__{role}_bucket"),
         )
 
-    c = bucketize(ensure_parallelism(emb), "neighbor")
-    q = bucketize(queries, "query")
+    c = (
+        _role_buckets(corpus_buckets, "neighbor")
+        if corpus_buckets is not None
+        else bucketize(ensure_parallelism(emb), "neighbor")
+    )
+    q = (
+        _role_buckets(query_buckets, "query")
+        if query_buckets is not None
+        else bucketize(queries, "query")
+    )
     if probe_hamming > 0:
         masks = F.array(*[F.lit(m) for m in _probe_masks(n_bits, probe_hamming)])
         q = q.select(
