@@ -5299,6 +5299,20 @@ def bpe_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_PIECES_PATH = f"/tmp/dvh_bpe_pieces_{__import__('os').getpid()}.parquet"
 
 
+def _staged_bpe_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Arrow-batched BPE tokenize pass → staged (doc_id, piece)
+    parquet, shared by every query that aggregates the piece stream
+    (``bpe_piece_vocab``, ``bpe_encode_stats``) — staged once per
+    (path, sf_dir), so the second query reuses the first's bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = xtext.bpe_encode_udf()
+    pieces = docs.select(
+        "doc_id", F.explode(enc(F.lower(F.col("text")))).alias("piece")
+    )
+    _stage_frame(pieces, _BPE_PIECES_PATH, sf_dir)
+    return spark.read.parquet(_BPE_PIECES_PATH)
+
+
 @register(
     "bpe_piece_vocab",
     sql=f"""
@@ -5318,14 +5332,8 @@ def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python-only, but the staged pieces are re-aggregated by DuckDB from
     the same parquet, pinning the rollup cross-engine (the encode
     itself stays pinned by the ``tests/test_text_bpe.py`` laws)."""
-    docs = load_table(spark, sf_dir, "documents")
-    enc = xtext.bpe_encode_udf()
-    pieces = docs.select(
-        "doc_id", F.explode(enc(F.lower(F.col("text")))).alias("piece")
-    )
-    _stage_frame(pieces, _BPE_PIECES_PATH, sf_dir)
     return (
-        spark.read.parquet(_BPE_PIECES_PATH)
+        _staged_bpe_pieces(spark, sf_dir)
         .groupBy("piece")
         .agg(
             F.count(F.lit(1)).alias("n_occurrences"),
@@ -5334,27 +5342,41 @@ def bpe_piece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_stats", sql=None)
+@register(
+    "bpe_encode_stats",
+    sql=f"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(COUNT(*) FILTER (WHERE length(piece) > 1) AS BIGINT)
+               AS n_merged_pieces
+    FROM read_parquet('{_BPE_PIECES_PATH}/*.parquet')
+    GROUP BY doc_id
+    """,
+)
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Real BPE merge application (Sennrich et al. ACL'16) over the
     corpus: per document, the subword piece count and how many pieces are
     multi-character merges — the tokenizer-side numbers a pre-training
-    data pipeline reports. Rows-only driver check (an iterative
-    data-dependent merge loop has no SQL form); the ALGORITHM is
-    pytest-pinned against hand-computed merge sequences and the
+    data pipeline reports. Upgraded rows-only → PARTIAL oracle: the
+    merge-loop kernel has no SQL form, but its per-doc piece stream is
+    the SAME staged (doc_id, piece) parquet ``bpe_piece_vocab`` rolls
+    up, so DuckDB re-aggregates the per-document counts from identical
+    bytes (documents tokenizing to zero pieces drop from both engines
+    identically). The ALGORITHM stays pytest-pinned against
+    hand-computed merge sequences and the
     pieces-concatenate-back-to-the-word invariant
     (``tests/test_text_bpe.py``). One linear Arrow-batched pass; the
     merge table broadcasts in the UDF closure and per-batch cost is
     amortized over DISTINCT words via the word→pieces memo."""
-    docs = load_table(spark, sf_dir, "documents")
-    enc = xtext.bpe_encode_udf()
-    pieces = docs.select("doc_id", enc(F.lower(F.col("text"))).alias("__p"))
-    return pieces.select(
-        "doc_id",
-        F.size("__p").alias("n_pieces"),
-        F.size(F.filter(F.col("__p"), lambda p: F.length(p) > 1)).alias(
-            "n_merged_pieces"
-        ),
+    return (
+        _staged_bpe_pieces(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pieces"),
+            F.count(F.when(F.length("piece") > 1, 1)).alias(
+                "n_merged_pieces"
+            ),
+        )
     )
 
 
@@ -10398,27 +10420,69 @@ def text_clean_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_compression_ratio", sql=None)
+_DEFLATE_LEN_PATH = (
+    f"/tmp/dvh_deflate_len_{__import__('os').getpid()}.parquet"
+)
+# DuckDB strlen() = BYTES (UTF-8), length() = characters — matching
+# Spark's octet_length / length split used on the query side
+_DEFLATE_RATIO_SQL = f"""
+    WITH c AS (
+        SELECT doc_id, comp_bytes
+        FROM read_parquet('{_DEFLATE_LEN_PATH}/*.parquet')
+    ), d AS (
+        SELECT doc_id, length(text) AS n_chars, strlen(text) AS n_bytes
+        FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN d.n_bytes = 0 THEN 1000000
+                     ELSE (1000000 * c.comp_bytes) // d.n_bytes
+                END AS BIGINT) AS compress_ppm
+    FROM d JOIN c USING (doc_id)
+    """
+
+
+@register("doc_compression_ratio", sql=_DEFLATE_RATIO_SQL)
 def doc_compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] DEFLATE compression-ratio quality signal (compressed/raw in
     exact ppm): templated or highly repetitive documents compress far
     below natural prose, random noise above it — the cheap redundancy
     detector corpus curation runs beside the n-gram repetition stats
-    (used by RefinedWeb-style dedup-adjacent filtering). Rows-only by
-    design (no SQL zlib); the kernel is pytest-pinned (determinism,
-    repetitive ≪ natural < shuffled-noise ordering) and the output
-    rides the shared run-to-run determinism law.
+    (used by RefinedWeb-style dedup-adjacent filtering), upgraded
+    rows-only → PARTIAL oracle: the zlib kernel emits only the DEFLATE
+    byte LENGTH (staged to a per-process parquet path), and BOTH
+    engines compute the raw UTF-8 byte length and the exact-ppm integer
+    ratio relationally — DuckDB from the same staged bytes joined back
+    to the documents table. The kernel itself stays pytest-pinned
+    (determinism, repetitive ≪ natural < shuffled-noise ordering).
 
-    Scale: one linear Arrow-batched scan; only (doc_id, 2 ints) ever
-    moves."""
+    Scale: one linear Arrow-batched scan; only (doc_id, 1 int) is
+    staged and the ratio join is id-keyed."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    ratio = xtext.compression_ratio_udf()
-    return docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        ratio(F.col("text")).alias("compress_ppm"),
+    comp_len = xtext.deflate_len_udf()
+    comp = docs.select(
+        "doc_id", comp_len(F.col("text")).alias("comp_bytes")
+    )
+    _stage_frame(comp, _DEFLATE_LEN_PATH, sf_dir)
+    staged = spark.read.parquet(_DEFLATE_LEN_PATH)
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        .join(staged, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("n_bytes") == 0, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.expr("(1000000L * comp_bytes) div n_bytes")
+            )
+            .alias("compress_ppm"),
+        )
     )
 
 

@@ -436,6 +436,27 @@ def compression_ratio_udf(level: int = 6):
     return ratio
 
 
+def deflate_len_udf(level: int = 6):
+    """Arrow-batched pandas UDF: zlib DEFLATE output length in bytes of
+    the UTF-8 text — the raw kernel output behind the compression-ratio
+    signal.  Splitting the kernel (this UDF) from the ratio ARITHMETIC
+    lets catalog queries stage the compressed lengths to parquet and
+    have a DuckDB oracle recompute the ppm ratio relationally from the
+    same bytes (``catalog.doc_compression_ratio``); the fused
+    ``compression_ratio_udf`` remains for direct use."""
+    import zlib
+
+    @F.pandas_udf(T.LongType())
+    def comp_len(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t
+            else 0
+        )
+
+    return comp_len
+
+
 # Explicit character classes for cleaning — NOT shorthand \s: Java regex
 # (Spark) includes \x0B in \s while RE2 (the DuckDB oracle) does not, so
 # shorthand classes silently diverge across engines.
