@@ -5789,7 +5789,54 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_pq_ann_topk", sql=None)
+_IVFPQ_INDEX_PATH = (
+    f"/tmp/dvh_ivfpq_index_{__import__('os').getpid()}.parquet"
+)
+_IVFPQ_PROBES_PATH = (
+    f"/tmp/dvh_ivfpq_probes_{__import__('os').getpid()}.parquet"
+)
+_IVFPQ_DTAB_PATH = (
+    f"/tmp/dvh_ivfpq_dtab_{__import__('os').getpid()}.parquet"
+)
+# generate_subscripts is 1-based; dtab's mi is 0-based.  Pure int64
+# arithmetic end-to-end — this replay is BIT-exact, no float caveat.
+_IVFPQ_ANN_SQL = f"""
+    WITH idx AS (
+        SELECT vec_id, __list, codes
+        FROM read_parquet('{_IVFPQ_INDEX_PATH}/*.parquet')
+    ), p AS (
+        SELECT query_id, __list
+        FROM read_parquet('{_IVFPQ_PROBES_PATH}/*.parquet')
+    ), t AS (
+        SELECT query_id, mi, code, d_micro
+        FROM read_parquet('{_IVFPQ_DTAB_PATH}/*.parquet')
+    ), cand AS (
+        SELECT p.query_id, idx.vec_id AS neighbor_id, idx.codes
+        FROM p JOIN idx USING (__list)
+        WHERE idx.vec_id <> p.query_id
+    ), expl AS (
+        SELECT query_id, neighbor_id,
+               unnest(codes) AS code,
+               generate_subscripts(codes, 1) - 1 AS mi
+        FROM cand
+    ), dist AS (
+        SELECT e.query_id, e.neighbor_id,
+               CAST(SUM(t.d_micro) AS BIGINT) AS dist_micro
+        FROM expl e
+        JOIN t ON t.query_id = e.query_id
+              AND t.mi = e.mi AND t.code = e.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, dist_micro,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist_micro, neighbor_id)
+                AS BIGINT) AS rank
+    FROM dist
+    QUALIFY rank <= 5
+    """
+
+
+@register("ivf_pq_ann_topk", sql=_IVFPQ_ANN_SQL)
 def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] IVF-PQ approximate top-k — the full production ANN
     configuration: IVF coarse routing bounds WHICH vectors a query
@@ -5798,24 +5845,41 @@ def ivf_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never rejoined after the single index-build scan). Runs entirely in
     L2 over L2-normalized vectors, where squared-L2 ranking == cosine
     ranking. Codebooks are Lloyd-REFINED per subspace (2 distributed
-    iterations, ``pq_refine_codebooks``) — the production configuration;
-    rows-only by design (the coarse quantizer and the refined means are
-    data-dependent, like ``ivf_ann_topk``); full-probe == exhaustive-ADC
-    equivalence is pytest-pinned for both seeded and refined codebooks,
-    and the shared run-to-run determinism law applies."""
+    iterations, ``pq_refine_codebooks``) — the production configuration.
+    Upgraded rows-only → PARTIAL oracle: the quantizer/codebook training
+    stays engine-side, its three kernel frames (codes index, probe set,
+    per-query integer ADC sub-distance tables) stage to per-process
+    parquet, and DuckDB replays the ENTIRE query-time path — probe
+    equi-join, ADC as m exact-int64 table-lookup sums, (dist, id) top-5
+    — BIT-exactly from the same bytes (pure integer arithmetic).
+    Full-probe == exhaustive-ADC equivalence additionally pytest-pinned
+    for both seeded and refined codebooks."""
     from dvh_airflow_kafka_spark.ext import similarity as xsim2
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return xsim2.ivf_pq_topk(
+    index, probes, dtab = xsim2.ivf_pq_kernel_frames(
         emb,
         queries,
-        k=5,
         n_lists=16,
         n_probe=4,
         m=_PQ_M,
         n_codes=_PQ_CODES,
         refine_iters=2,
+    )
+    _stage_frame(index, _IVFPQ_INDEX_PATH, sf_dir)
+    _stage_frame(probes, _IVFPQ_PROBES_PATH, sf_dir)
+    _stage_frame(dtab, _IVFPQ_DTAB_PATH, sf_dir)
+    return xsim2.ivf_pq_topk_from_index(
+        spark.read.parquet(_IVFPQ_INDEX_PATH),
+        spark.read.parquet(_IVFPQ_PROBES_PATH),
+        spark.read.parquet(_IVFPQ_DTAB_PATH),
+        k=5,
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "dist_micro",
+        F.col("rank").cast("long").alias("rank"),
     )
 
 

@@ -1218,9 +1218,51 @@ def ivf_pq_topk(
     m table lookups per candidate (per-query tables broadcast in the
     closure, exact integer micro-units); (6) per-query window top-k.
 
-    Output: ``(query_id, neighbor_id, dist_micro long, rank)`` —
-    rows-only semantics (the quantizer is data-dependent), recall pinned
-    by pytest against the exact L2 baseline."""
+    Output: ``(query_id, neighbor_id, dist_micro long, rank)`` — the
+    quantizer is data-dependent, but the integer ADC arithmetic is
+    exactly replayable from the staged kernel frames (see
+    ``ivf_pq_kernel_frames``); recall pinned by pytest against the
+    exact L2 baseline."""
+    index, probe_df, dtab_df = ivf_pq_kernel_frames(
+        emb,
+        queries,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        m=m,
+        n_codes=n_codes,
+        sample_size=sample_size,
+        seed=seed,
+        refine_iters=refine_iters,
+    )
+    return ivf_pq_topk_from_index(
+        index, probe_df, dtab_df, k=k, id_col=id_col
+    )
+
+
+def ivf_pq_kernel_frames(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 4096,
+    seed: int = 42,
+    refine_iters: int = 0,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """IVF-PQ kernel outputs as three stageable frames: the index
+    ``(id, __list, codes array<int>)`` (one fused corpus scan), the
+    per-query probe set ``(query_id, __list)``, and the per-query ADC
+    sub-distance tables ``(query_id, mi, code, d_micro)`` — nq·m·n_codes
+    rows of exact int64 micro-units.  The quantizer/codebook training is
+    the only non-relational piece; the ENTIRE query-time path downstream
+    (probe equi-join, ADC = m integer table lookups summed, top-k) is
+    pure relational algebra over these frames, so a DuckDB oracle can
+    replay it bit-exactly (integer arithmetic — no float caveat)."""
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
     spark = emb.sparkSession
@@ -1273,7 +1315,39 @@ def ivf_pq_topk(
     probe_df = spark.createDataFrame(probe_rows, "query_id long, __list int")
 
     dtab = _adc_query_tables(Q, C, cc)
+    dtab_rows = [
+        (int(q_ids[qi]), mi, code, int(dtab[qi, mi, code]))
+        for qi in range(len(q_ids))
+        for mi in range(dtab.shape[1])
+        for code in range(dtab.shape[2])
+    ]
+    dtab_df = spark.createDataFrame(
+        dtab_rows, "query_id long, mi int, code int, d_micro long"
+    )
+    return index, probe_df, dtab_df
+
+
+def ivf_pq_topk_from_index(
+    index_df: DataFrame,
+    probe_df: DataFrame,
+    dtab_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Relational downstream of IVF-PQ: broadcast probe equi-join over
+    the CODES frame (the float corpus is never touched), ADC distance =
+    m exact-integer table lookups summed (tables rebuilt from the — by
+    construction bounded, nq·m·n_codes-row — ``dtab_df``, so a staged
+    parquet roundtrip feeds Spark and the oracle identical bytes), and
+    the (dist, id) window top-k."""
+    rows = dtab_df.collect()  # bounded: nq * m * n_codes (e.g. 1280)
+    q_ids = sorted({r.query_id for r in rows})
     qpos = {int(q): i for i, q in enumerate(q_ids)}
+    mm = 1 + max(r.mi for r in rows)
+    ncodes = 1 + max(r.code for r in rows)
+    dtab = np.zeros((len(q_ids), mm, ncodes), dtype=np.int64)
+    for r in rows:
+        dtab[qpos[int(r.query_id)], r.mi, r.code] = r.d_micro
 
     @F.pandas_udf(T.LongType())
     def adc_dist(qid: pd.Series, codes: pd.Series) -> pd.Series:
@@ -1281,9 +1355,11 @@ def ivf_pq_topk(
             return pd.Series([], dtype="int64")
         cd = np.vstack([np.asarray(c, dtype=np.int64) for c in codes])
         qi = qid.map(qpos).to_numpy(dtype=np.int64)
-        return pd.Series(dtab[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1))
+        return pd.Series(
+            dtab[qi[:, None], np.arange(mm)[None, :], cd].sum(axis=1)
+        )
 
-    cands = index.join(F.broadcast(probe_df), "__list").filter(
+    cands = index_df.join(F.broadcast(probe_df), "__list").filter(
         F.col(id_col) != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(
