@@ -198,6 +198,10 @@ HEADLINE = [
     "text_clean_normalize",
     "doc_compression_ratio",
     "hll_register_distinct",
+    "link_graph_hits",
+    "link_graph_kcore",
+    "t_closeness_audit",
+    "loo_target_encoding",
 ]
 
 

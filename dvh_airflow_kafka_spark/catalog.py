@@ -192,13 +192,17 @@ def register(name: str, sql: Optional[str] = None):
 # doc_feature_hashing, mergeable_variance_stats,
 # streaming_partitioned_sink, quality_quantile_normalize,
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
-# text_clean_normalize, hll_register_distinct,
-# doc_compression_ratio (rows-only);
-# bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
-# blob_simhash_near_dup, blob_cdc_chunk_dedup AND bpe_tokenize_and_pack
-# moved rows-only → partial oracle (re-certify; the kernels stage their
-# output bytes and DuckDB replays the downstream pipeline — see
-# _stage_frame).
+# text_clean_normalize, hll_register_distinct.
+# Moved rows-only → partial oracle this round (re-certify; the kernels
+# stage their output bytes and DuckDB replays the downstream pipeline —
+# see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
+# blob_simhash_near_dup, blob_cdc_chunk_dedup, bpe_tokenize_and_pack,
+# lsh_ann_topk, ivf_ann_topk, ivf_pq_ann_topk (bit-exact int replay),
+# doc_compression_ratio, bpe_encode_stats.
+# Still rows-only BY DESIGN (2): hll_mergeable_distinct (DataSketches
+# binary; hll_register_distinct is its fully-oracled counterpart) and
+# bpe_learn_merges_table (iterative data-dependent merge learning;
+# pytest-pinned against hand-computed merge sequences).
 _CERTIFY_FIRST = [
     # failed r6 driver compare on list cells — fixed, re-certify first
     "token_inverted_index",
@@ -10681,6 +10685,387 @@ def hll_register_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_nonzero_regs",
         F.round(est_expr, 4).alias("hll_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# [EXT] round-7d: HITS hubs/authorities and k-core peeling (completing the
+# link-graph analytics family), t-closeness (completing the privacy-release
+# audit family), leave-one-out target encoding (ML feature pipelines).
+# --------------------------------------------------------------------------
+
+_HITS_ITERS = 5
+
+
+def _hits_oracle_sql(iters: int) -> str:
+    """Unrolled unnormalized HITS as nested CTEs over the synthesized
+    link graph — pure INTEGER sums (hub₀ = 1), so the replay is
+    bit-exact; the normalized columns divide two exact int64s (one
+    correctly-rounded double op, identical cross-engine)."""
+    parts = [
+        """
+    WITH nn AS (SELECT COUNT(*) AS ni FROM documents),
+    gg AS (SELECT unnest([1, 2, 3]) AS g),
+    e AS (
+        SELECT DISTINCT d.doc_id AS src,
+               (d.doc_id * 31 + gg.g) % nn.ni AS dst
+        FROM documents d, nn, gg
+        WHERE (d.doc_id * 31 + gg.g) % nn.ni <> d.doc_id
+    ),
+    h0 AS (SELECT doc_id AS id, CAST(1 AS BIGINT) AS h FROM documents)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+    , a{t} AS (
+        SELECT d.doc_id AS id, CAST(COALESCE(s.c, 0) AS BIGINT) AS a
+        FROM documents d LEFT JOIN (
+            SELECT e.dst AS id, SUM(h.h) AS c
+            FROM e JOIN h{t - 1} h ON h.id = e.src GROUP BY e.dst) s
+        ON s.id = d.doc_id
+    ), h{t} AS (
+        SELECT d.doc_id AS id, CAST(COALESCE(s.c, 0) AS BIGINT) AS h
+        FROM documents d LEFT JOIN (
+            SELECT e.src AS id, SUM(a.a) AS c
+            FROM e JOIN a{t} a ON a.id = e.dst GROUP BY e.src) s
+        ON s.id = d.doc_id
+    )"""
+        )
+    parts.append(
+        f"""
+    , mx AS (SELECT MAX(h.h) AS mh, MAX(a.a) AS ma
+             FROM h{iters} h JOIN a{iters} a ON a.id = h.id)
+    SELECT h.id AS doc_id, h.h AS hub_score, a.a AS auth_score,
+           round(CAST(h.h AS DOUBLE) / mx.mh, 6) AS hub_norm,
+           round(CAST(a.a AS DOUBLE) / mx.ma, 6) AS auth_norm
+    FROM h{iters} h JOIN a{iters} a ON a.id = h.id, mx
+    """
+    )
+    return "".join(parts)
+
+
+def _doc_link_edges(docs: DataFrame, n: int) -> DataFrame:
+    """The deterministic synthesized link graph shared by every
+    link_graph_* query: doc i → (i·31 + g) % N for g ∈ 1..3, self-loops
+    dropped, deduplicated."""
+    return (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("g"),
+        )
+        .withColumn("dst", (F.col("src") * 31 + F.col("g")) % F.lit(n))
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@register("link_graph_hits", sql=_hits_oracle_sql(_HITS_ITERS))
+def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Fixed-iteration HITS hubs/authorities (Kleinberg JACM'99)
+    over the synthesized link graph — the second link-centrality signal
+    beside PageRank (hubs = pages whose OUT-links select well,
+    authorities = pages selected by good hubs; crawl-frontier and
+    source-selection curation uses both). Run UNNORMALIZED from hub=1 so
+    every score is a pure integer path count: the unrolled SQL oracle
+    replays all 5 iterations BIT-exactly (no float class at all), and
+    the presentation-normalized columns divide two exact int64s — one
+    correctly-rounded double op each, still exact cross-engine.  Per
+    half-step one keyed join + one map-side-combined sum; edge frame
+    persisted pre-hashed per join key (``ext/graph.hits_fixed``)."""
+    from dvh_airflow_kafka_spark.ext import graph as xgraph
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    scores = xgraph.hits_fixed(
+        docs.select(F.col("doc_id").alias("id")),
+        _doc_link_edges(docs, n),
+        iters=_HITS_ITERS,
+        id_col="id",
+    )
+    mx = scores.agg(
+        F.max("hub_score").alias("__mh"), F.max("auth_score").alias("__ma")
+    )
+    return scores.crossJoin(F.broadcast(mx)).select(
+        F.col("id").alias("doc_id"),
+        "hub_score",
+        "auth_score",
+        F.round(
+            F.col("hub_score").cast("double") / F.col("__mh"), 6
+        ).alias("hub_norm"),
+        F.round(
+            F.col("auth_score").cast("double") / F.col("__ma"), 6
+        ).alias("auth_norm"),
+    )
+
+
+_KCORE_K = 5
+_KCORE_ITERS = 4
+
+
+def _kcore_oracle_sql(k: int, iters: int) -> str:
+    """Unrolled k-core peeling as nested CTEs (integer degrees only —
+    bit-exact replay): per round degrees over the current undirected
+    edge set, survivors with degree >= k, edge set restricted to
+    survivors; ``converged`` compares the last two survivor counts.
+
+    The edge set here is the VARYING-degree synthesized graph (doc i →
+    (17i² + 31i + 7g) % N for g ∈ 1..(1 + i mod 5)) — the PageRank/HITS
+    3-regular graph is useless for peeling (every node has undirected
+    degree 6, so any k either keeps or drops everything); out-degree
+    1..5 plus a quadratic dst hash gives a genuine multi-round
+    cascade."""
+    parts = [
+        """
+    WITH nn AS (SELECT COUNT(*) AS ni FROM documents),
+    gg AS (SELECT unnest([1, 2, 3, 4, 5]) AS g),
+    de AS (
+        SELECT DISTINCT d.doc_id AS src,
+               (d.doc_id * d.doc_id * 17 + d.doc_id * 31 + gg.g * 7)
+                   % nn.ni AS dst
+        FROM documents d, nn, gg
+        WHERE gg.g <= 1 + d.doc_id % 5
+          AND (d.doc_id * d.doc_id * 17 + d.doc_id * 31 + gg.g * 7)
+                  % nn.ni <> d.doc_id
+    ),
+    e0 AS (
+        SELECT src, dst FROM de
+        UNION
+        SELECT dst AS src, src AS dst FROM de
+    ),
+    k0 AS (SELECT DISTINCT src FROM e0)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""
+    , k{t} AS (
+        SELECT src FROM e{t - 1} GROUP BY src HAVING COUNT(*) >= {k}
+    ), e{t} AS (
+        SELECT e.src, e.dst FROM e{t - 1} e
+        JOIN k{t} a ON a.src = e.src
+        JOIN k{t} b ON b.src = e.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    , cv AS (SELECT (SELECT COUNT(*) FROM k{iters})
+                  = (SELECT COUNT(*) FROM k{iters - 1}) AS converged)
+    SELECT e.src AS doc_id, CAST(COUNT(*) AS BIGINT) AS degree,
+           cv.converged
+    FROM e{iters} e, cv
+    GROUP BY e.src, cv.converged
+    """
+    )
+    return "".join(parts)
+
+
+@register("link_graph_kcore", sql=_kcore_oracle_sql(_KCORE_K, _KCORE_ITERS))
+def link_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] k-core peeling (Seidman 1983), k=5, 4 fixed rounds, over an
+    undirected VARYING-degree synthesized link graph (doc i → (17i² +
+    31i + 7g) % N for g ∈ 1..(1 + i mod 5) — out-degree 1..5; the
+    3-regular PageRank graph peels all-or-nothing and tests nothing) —
+    the degeneracy/cohesion audit beside PageRank-centrality and
+    LPA-communities: the k-core is the maximal subgraph where every node
+    keeps >= k neighbours, the standard spam-farm / link-ring detector
+    in web-corpus curation.  Fixed-round peeling keeps it deterministic
+    and SQL-replayable (integer degrees — bit-exact oracle); the
+    ``converged`` flag reports whether the final round dropped anyone
+    (false here at the test scales — the cascade is still running at
+    round 4, exactly what the flag exists to surface).  Per round one
+    map-side-combined degree count + two survivor semi-joins
+    (``ext/graph.k_core_peel``)."""
+    from dvh_airflow_kafka_spark.ext import graph as xgraph
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    i = F.col("doc_id")
+    edges = (
+        docs.select(
+            i.alias("src"),
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(1) + i % 5).cast("int"))
+            ).alias("g"),
+        )
+        .withColumn(
+            "dst",
+            (
+                F.col("src") * F.col("src") * 17
+                + F.col("src") * 31
+                + F.col("g") * 7
+            )
+            % F.lit(n),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return xgraph.k_core_peel(
+        docs.select(F.col("doc_id").alias("id")),
+        edges,
+        k=_KCORE_K,
+        iters=_KCORE_ITERS,
+        id_col="id",
+    ).select(F.col("id").alias("doc_id"), "degree", "converged")
+
+
+_TCLOSE_T_PPM = 250_000  # t = 0.25
+
+
+@register(
+    "t_closeness_audit",
+    sql=f"""
+    WITH b AS (
+        SELECT event_type,
+               strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+                   AS day,
+               CAST(extract(hour FROM ts) AS INT) AS hour,
+               CAST(floor(value / 100) AS BIGINT) AS band
+        FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b),
+    gv AS (SELECT event_type, day, hour, band,
+                  CAST(COUNT(*) AS BIGINT) AS c_gv
+           FROM b GROUP BY 1, 2, 3, 4),
+    g AS (SELECT event_type, day, hour, CAST(SUM(c_gv) AS BIGINT) AS n_g
+          FROM gv GROUP BY 1, 2, 3),
+    v AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS c_v FROM b GROUP BY 1),
+    p AS (
+        SELECT gv.event_type, gv.day, gv.hour,
+               SUM(abs(gv.c_gv * tot.n - v.c_v * g.n_g)
+                   - v.c_v * g.n_g) AS s_present
+        FROM gv JOIN g USING (event_type, day, hour)
+                JOIN v USING (band), tot
+        GROUP BY 1, 2, 3
+    )
+    SELECT g.event_type, g.day, g.hour, g.n_g AS group_size,
+           CAST((1000000 * (p.s_present + g.n_g * tot.n))
+                // (2 * g.n_g * tot.n) AS BIGINT) AS tvd_ppm
+    FROM g JOIN p USING (event_type, day, hour), tot
+    WHERE (1000000 * (p.s_present + g.n_g * tot.n))
+              // (2 * g.n_g * tot.n) >= {_TCLOSE_T_PPM}
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] t-closeness audit (Li, Li & Venkatasubramanian, ICDE'07) —
+    the third leg of the release gate after ``k_anonymity_audit`` and
+    ``l_diversity_audit``: a QI group can be large AND diverse yet still
+    leak if its SENSITIVE-value distribution differs sharply from the
+    table-wide one (skewness attack).  Flags (event_type, day, hour)
+    groups whose total-variation distance from the global spend-band
+    distribution exceeds t=0.25, computed in EXACT integer ppm:
+    TVD = Σ|c_gv·N − C_v·n_g| / (2·n_g·N), with the
+    absent-band mass folded in algebraically (Σ_absent C_v·n_g =
+    n_g·N − Σ_present C_v·n_g) so no group×band cross join ever
+    materializes — O(present pairs) work, bit-exact oracle.  Products
+    stay < 2^63 up to ~10^9 events per group-size 10^9; beyond that the
+    same query runs on DECIMAL(38).  Two map-side-combined aggregates +
+    one broadcast of the O(bands) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.hour(F.col("ts")).cast("int").alias("hour"),
+        F.floor(F.col("value") / 100).cast("long").alias("band"),
+    )
+    gv = b.groupBy("event_type", "day", "hour", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gv")
+    )
+    g = gv.groupBy("event_type", "day", "hour").agg(
+        F.sum("c_gv").cast("long").alias("n_g")
+    )
+    v = b.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("c_v"))
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    p = (
+        gv.join(g, ["event_type", "day", "hour"])
+        .join(F.broadcast(v), "band")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type", "day", "hour")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c_gv") * F.col("__n")
+                    - F.col("c_v") * F.col("n_g")
+                )
+                - F.col("c_v") * F.col("n_g")
+            ).alias("s_present")
+        )
+    )
+    return (
+        g.join(p, ["event_type", "day", "hour"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "day",
+            "hour",
+            F.col("n_g").alias("group_size"),
+            F.expr(
+                "(1000000 * (s_present + n_g * __n))"
+                " div (2 * n_g * __n)"
+            )
+            .cast("long")
+            .alias("tvd_ppm"),
+        )
+        .filter(F.col("tvd_ppm") >= _TCLOSE_T_PPM)
+    )
+
+
+@register(
+    "loo_target_encoding",
+    sql="""
+    WITH j AS (
+        SELECT o.o_orderkey, c.c_mktsegment,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    s AS (SELECT c_mktsegment, CAST(SUM(cents) AS BIGINT) AS seg_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_seg
+          FROM j GROUP BY 1)
+    SELECT j.o_orderkey, j.c_mktsegment, s.n_seg,
+           round(CAST(s.seg_cents - j.cents AS DOUBLE)
+                 / (100.0 * (s.n_seg - 1)), 6) AS loo_segment_mean
+    FROM j JOIN s USING (c_mktsegment)
+    """,
+)
+def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Leave-one-out target encoding — the standard high-cardinality
+    categorical feature for tabular ML (each order's segment encoded as
+    the mean target of all OTHER orders in the segment, excluding the row
+    itself to prevent target leakage into the training fold).  Exact
+    cross-engine: prices sum as cent-integers (DECIMAL→int64), the LOO
+    numerator is an exact int64 difference, and the single double
+    division of two exact integers is correctly rounded identically in
+    both engines.  One broadcast dim join + one 5-group
+    map-side-combined aggregate + one broadcast of the O(segments)
+    frame back onto the fact rows — no row ever shuffles twice."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == cust["c_custkey"],
+    ).select(
+        "o_orderkey",
+        "c_mktsegment",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    s = j.groupBy("c_mktsegment").agg(
+        F.sum("cents").cast("long").alias("seg_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_seg"),
+    )
+    return j.join(F.broadcast(s), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        "n_seg",
+        F.round(
+            (F.col("seg_cents") - F.col("cents")).cast("double")
+            / (F.lit(100.0) * (F.col("n_seg") - 1)),
+            6,
+        ).alias("loo_segment_mean"),
     )
 
 

@@ -274,3 +274,125 @@ def label_propagation_fixed(
             F.coalesce(F.col("__new"), F.col(id_col)).alias("lbl"),
         )
     return labels.select(F.col(id_col), F.col("lbl").alias("community"))
+
+
+def hits_fixed(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 5,
+    id_col: str = "id",
+) -> DataFrame:
+    """``iters`` synchronous HITS steps (Kleinberg, 'Authoritative
+    sources in a hyperlinked environment', JACM'99) WITHOUT per-step
+    normalization: starting from hub = 1 on every node, each step is
+    auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v) — so every
+    score is a pure INTEGER (a count of directed paths alternating
+    out/in from the start vector), and a SQL oracle replays the
+    iteration bit-exactly with no float caveat at all.  Magnitudes grow
+    like (mean degree)^(2·iters): int64 is safe far beyond any
+    realistic (degree, iters) audit configuration.  Callers that want
+    comparable scores divide by the max AFTER the loop (two exact
+    int64s → one correctly-rounded double division — still exact
+    cross-engine).
+
+    Same movement as ``pagerank_fixed``: per half-step one keyed join
+    (scores ⋈ edges) + one map-side-combined ``groupBy().sum``; the
+    edge frame is persisted pre-hashed on each join key so only the
+    score frames exchange per iteration.  Returns ``(id_col,
+    hub_score, auth_score)`` longs over the full node universe (nodes
+    with no in/out edges score 0)."""
+    e_src = edges.repartition("src").persist()
+    e_dst = edges.repartition("dst").persist()
+    nodes_p = nodes.repartition(id_col).persist()
+    hub = nodes_p.select(F.col(id_col), F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        auth_c = (
+            e_src.join(
+                hub.select(F.col(id_col).alias("__s"), "h"),
+                F.col("src") == F.col("__s"),
+            )
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = nodes_p.join(auth_c, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
+        )
+        hub_c = (
+            e_dst.join(
+                auth.select(F.col(id_col).alias("__d"), "a"),
+                F.col("dst") == F.col("__d"),
+            )
+            .groupBy(F.col("src").alias(id_col))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = nodes_p.join(hub_c, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h"),
+        )
+    return (
+        hub.join(auth, id_col)
+        .select(
+            F.col(id_col),
+            F.col("h").alias("hub_score"),
+            F.col("a").alias("auth_score"),
+        )
+    )
+
+
+def k_core_peel(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 3,
+    iters: int = 4,
+    id_col: str = "id",
+) -> DataFrame:
+    """``iters`` rounds of k-core peeling (Seidman, 'Network structure
+    and minimum degree', Social Networks 1983) over the UNDIRECTED
+    version of ``edges``: each round drops every node whose remaining
+    degree is < k, then restricts the edge set to survivors.  A fixed
+    iteration count makes the op deterministic and SQL-replayable
+    (integer degrees only — bit-exact oracle); on graphs whose peeling
+    converges within ``iters`` rounds the result IS the k-core, and the
+    ``converged`` flag (no node dropped in the final round) tells the
+    caller whether more rounds were needed — the audit shape, rather
+    than an unbounded loop, at 100 TB.
+
+    Per round: one map-side-combined degree count + one semi-join of
+    the edge frame against survivors — the same bounded-exchange
+    movement as the other fixed-iteration graph ops.  Returns
+    ``(id_col, degree, converged)`` for surviving nodes with their
+    final within-core degree."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    cur = und
+    prev_n = und.select("src").distinct().count()
+    converged = False
+    for _ in range(iters):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src").persist()
+        n_keep = keep.count()
+        converged = n_keep == prev_n
+        prev_n = n_keep
+        cur = (
+            cur.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .persist()
+        )
+    final_deg = cur.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return final_deg.select(
+        F.col("src").alias(id_col),
+        "degree",
+        F.lit(converged).alias("converged"),
+    )

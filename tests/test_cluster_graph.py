@@ -187,3 +187,60 @@ def test_jaccard_ingest_gate_directional(spark):
     # incoming-vs-incoming duplicates are NOT the gate's business
     # (directional join: incoming probes existing only) — both admitted
     assert out[30]["kept"] == 1 and out[40]["kept"] == 1
+
+
+# ------------------------------------------------------------ HITS / k-core
+def test_hits_one_iter_auth_is_indegree(spark):
+    # star: 0->2, 1->2, 2->3.  With hub0=1, auth after one half-step is
+    # exactly the in-degree; hub after the full step sums its targets'
+    # auth scores.
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 2), (1, 2), (2, 3)], "src: long, dst: long"
+    )
+    out = {
+        r["id"]: (r["hub_score"], r["auth_score"])
+        for r in xgraph.hits_fixed(nodes, edges, iters=1).collect()
+    }
+    # auth = indegree: node2=2, node3=1, others 0
+    assert {k: v[1] for k, v in out.items()} == {0: 0, 1: 0, 2: 2, 3: 1}
+    # hub(u) = sum auth(dst): 0->2 gives 2, 1->2 gives 2, 2->3 gives 1
+    assert {k: v[0] for k, v in out.items()} == {0: 2, 1: 2, 2: 1, 3: 0}
+
+
+def test_hits_integer_growth_deterministic(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id: long")
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)] + [(0, 3), (3, 0)],
+        "src: long, dst: long",
+    )
+    a = sorted(map(tuple, xgraph.hits_fixed(nodes, edges, iters=4).collect()))
+    b = sorted(map(tuple, xgraph.hits_fixed(nodes, edges, iters=4).collect()))
+    assert a == b
+    assert all(isinstance(r[1], int) and r[1] >= 0 for r in a)
+
+
+def test_kcore_triangle_sheds_pendant(spark):
+    # triangle 0-1-2 plus pendant 3 attached to 0: the 2-core is the
+    # triangle; the pendant (degree 1) peels in round one and node 0's
+    # final degree drops to 2.
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src: long, dst: long"
+    )
+    out = {
+        r["id"]: (r["degree"], r["converged"])
+        for r in xgraph.k_core_peel(nodes, edges, k=2, iters=3).collect()
+    }
+    assert set(out) == {0, 1, 2}
+    assert all(d == 2 for d, _ in out.values())
+    assert all(c for _, c in out.values())  # peel settled within 3 rounds
+
+
+def test_kcore_full_unravel_when_k_exceeds_degrees(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src: long, dst: long"
+    )
+    out = xgraph.k_core_peel(nodes, edges, k=3, iters=2).collect()
+    assert out == []
