@@ -202,6 +202,7 @@ HEADLINE = [
     "link_graph_kcore",
     "t_closeness_audit",
     "loo_target_encoding",
+    "cdc_batched_merge_apply",
 ]
 
 

@@ -192,7 +192,9 @@ def register(name: str, sql: Optional[str] = None):
 # doc_feature_hashing, mergeable_variance_stats,
 # streaming_partitioned_sink, quality_quantile_normalize,
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
-# text_clean_normalize, hll_register_distinct.
+# text_clean_normalize, hll_register_distinct, link_graph_hits,
+# link_graph_kcore, t_closeness_audit, loo_target_encoding,
+# cdc_batched_merge_apply.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -11066,6 +11068,104 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * (F.col("n_seg") - 1)),
             6,
         ).alias("loo_segment_mean"),
+    )
+
+
+@register(
+    "cdc_batched_merge_apply",
+    sql="""
+    WITH ch AS (
+        SELECT event_id % 300 AS row_key, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               CAST(floor(value * 1000) AS BIGINT) AS val_milli
+        FROM events
+    ),
+    r AS (
+        SELECT *, row_number() OVER (
+                   PARTITION BY row_key
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+        FROM ch
+    )
+    SELECT row_key, event_id AS last_event_id, ts_us AS last_ts_us,
+           val_milli
+    FROM r WHERE rn = 1 AND op = 'U'
+    """,
+)
+def cdc_batched_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] CDC changelog apply — the reference's actual production
+    loop (Kafka topic → keyed upsert into a warehouse table,
+    src/oracle_target.py:83-123) re-expressed as batched MERGE
+    semantics on parquet: the events stream becomes an
+    insert/update/delete changelog (key = event_id % 300, op = D on
+    'error' rows, last-write-wins by (ts, event_id)), split into three
+    time-ordered batches; each batch is window-compacted to its
+    per-key latest row, applied with ``operators/maintenance
+    .merge_upsert`` (anti-join + union + atomic swap), and its
+    trailing deletes removed with ``delete_where`` — the
+    ``MERGE … WHEN MATCHED AND op='D' THEN DELETE`` decomposition.
+    The oracle is the DECLARATIVE spec the batched protocol must equal:
+    one global latest-wins window over the whole changelog (batch-wise
+    apply == global latest-wins because batches partition time in
+    order).  This puts the merge/delete/swap operators — previously
+    pytest-only — under the cross-engine value gate; integer key,
+    micro-timestamp and floor-milli payload make the check exact.
+
+    Scale: each batch's compact is one keyed window; each merge scans
+    the target once with the dedup'd batch broadcast — the standard
+    incremental-warehouse shape (bucket the target to drop the
+    anti-join exchange at 100 TB)."""
+    import os
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.operators.maintenance import (
+        delete_where,
+        merge_upsert,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        (F.col("event_id") % 300).alias("row_key"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 1000).cast("long").alias("val_milli"),
+    )
+    lo, hi = ch.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    ).first()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    batches = [
+        ch.filter(F.col("ts_us") <= cut1),
+        ch.filter((F.col("ts_us") > cut1) & (F.col("ts_us") <= cut2)),
+        ch.filter(F.col("ts_us") > cut2),
+    ]
+    w = Window.partitionBy("row_key").orderBy(
+        F.col("ts_us").desc(), F.col("event_id").desc()
+    )
+    target = tempfile.mkdtemp(prefix="cdc_target_") + "/t"
+    try:
+        ch.limit(0).write.parquet(target)  # empty target, changelog schema
+        for b in batches:
+            compact = (
+                b.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            merge_upsert(spark, target, compact, keys=["row_key"])
+            delete_where(spark, target, F.col("op") == "D")
+        rows = spark.read.parquet(target).collect()
+    finally:
+        shutil.rmtree(os.path.dirname(target), ignore_errors=True)
+    return spark.createDataFrame(rows, ch.schema).select(
+        "row_key",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts_us").alias("last_ts_us"),
+        "val_milli",
     )
 
 
