@@ -203,6 +203,7 @@ HEADLINE = [
     "t_closeness_audit",
     "loo_target_encoding",
     "cdc_batched_merge_apply",
+    "hybrid_rrf_fusion",
 ]
 
 

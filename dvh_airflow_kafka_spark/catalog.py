@@ -194,7 +194,7 @@ def register(name: str, sql: Optional[str] = None):
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
 # text_clean_normalize, hll_register_distinct, link_graph_hits,
 # link_graph_kcore, t_closeness_audit, loo_target_encoding,
-# cdc_batched_merge_apply.
+# cdc_batched_merge_apply, hybrid_rrf_fusion.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -11068,6 +11068,180 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * (F.col("n_seg") - 1)),
             6,
         ).alias("loo_segment_mean"),
+    )
+
+
+_RRF_K = 60
+_RRF_DEPTH = 50
+_RRF_TOPK = 20
+
+
+def _rrf_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    bm25 = " + ".join(
+        f"ln(((n - df{i} + 0.5) / (df{i} + 0.5)) + 1)"
+        f" * (tf{i} * ({_BM25_K1} + 1))"
+        f" / (tf{i} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / avgdl)))"
+        for i in range(len(_BM25_TERMS))
+    )
+    tfidf = " + ".join(
+        f"ln(1 + CAST(tf{i} AS DOUBLE))"
+        f" * ln((n + 1.0) / (df{i} + 1.0))"
+        for i in range(len(_BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(_BM25_TERMS)))
+    return rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+        FROM documents
+    ), d AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM t
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {df_cols}
+        FROM d
+    ), base AS (
+        SELECT doc_id, round({bm25}, 6) AS b, round({tfidf}, 6) AS t2
+        FROM d, s WHERE {any_tf} > 0
+    ), ba AS (
+        SELECT doc_id, row_number() OVER (ORDER BY b DESC, doc_id) AS rb
+        FROM base QUALIFY rb <= {_RRF_DEPTH}
+    ), ta AS (
+        SELECT doc_id, row_number() OVER (ORDER BY t2 DESC, doc_id) AS rt
+        FROM base QUALIFY rt <= {_RRF_DEPTH}
+    )
+    SELECT COALESCE(ba.doc_id, ta.doc_id) AS doc_id,
+           CAST(ba.rb AS BIGINT) AS rank_bm25,
+           CAST(ta.rt AS BIGINT) AS rank_tfidf,
+           round(COALESCE(1.0 / ({_RRF_K} + ba.rb), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + ta.rt), 0), 6) AS rrf
+    FROM ba FULL OUTER JOIN ta ON ta.doc_id = ba.doc_id
+    ORDER BY rrf DESC, COALESCE(ba.doc_id, ta.doc_id)
+    LIMIT {_RRF_TOPK}
+    """
+
+
+@register("hybrid_rrf_fusion", sql=_rrf_sql())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    SIGIR'09) of two retrieval arms — the standard hybrid-search merge a
+    RAG stack runs over its lexical and dense rankers: each arm
+    contributes 1/(k + rank) (k=60) for its top-50, documents in either
+    list fuse by summed score.  Here both arms are SQL-replayable
+    rankings of the same fixed term query (BM25 and smoothed
+    log-TF-IDF, deliberately different length normalizations) so the
+    oracle is FULL, not staged; in production the dense arm swaps in an
+    ANN ranking (``lsh_ann_topk``/``ivf_ann_topk`` — same rank-join
+    shape, RRF needs only ranks, never comparable scores, which is
+    exactly why it is the fusion of choice across heterogeneous
+    scorers).
+
+    Plan shape: ONE stats aggregate broadcast back, one scoring scan
+    per arm fused by Catalyst into the same projection, each arm cut to
+    its top-50 by distributed TakeOrderedAndProject (no global sort);
+    the rank-assigning windows then run over ≤50-row frames — bounded
+    by construction, not by data — and the fusion is a full-outer join
+    of two 50-row frames.  At 100 TB the corpus pays two scans total,
+    nothing else grows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[
+            F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    bm25 = None
+    tfidf = None
+    for i in range(len(_BM25_TERMS)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            ((F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5))) + F.lit(1)
+        )
+        term = (
+            idf
+            * (tf * F.lit(_BM25_K1 + 1))
+            / (
+                tf
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1 - _BM25_B)
+                    + F.lit(_BM25_B)
+                    * (F.col("dl").cast("double") / F.col("avgdl"))
+                )
+            )
+        )
+        t2 = F.log(F.lit(1) + tf.cast("double")) * F.log(
+            (F.col("n") + F.lit(1.0)) / (df + F.lit(1.0))
+        )
+        bm25 = term if bm25 is None else bm25 + term
+        tfidf = t2 if tfidf is None else tfidf + t2
+    any_tf = sum(
+        (F.col(f"tf{i}") for i in range(1, len(_BM25_TERMS))),
+        F.col("tf0"),
+    )
+    base = scored.filter(any_tf > 0).select(
+        "doc_id",
+        F.round(bm25, 6).alias("b"),
+        F.round(tfidf, 6).alias("t2"),
+    )
+    # each arm: distributed top-DEPTH first (TakeOrderedAndProject), THEN
+    # the rank window — which therefore runs over a ≤DEPTH-row frame,
+    # bounded by construction rather than by data volume
+    wb = Window.orderBy(F.desc("b"), "doc_id")
+    wt = Window.orderBy(F.desc("t2"), "doc_id")
+    ba = (
+        base.orderBy(F.desc("b"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("rank_bm25", F.row_number().over(wb).cast("long"))
+        .select("doc_id", "rank_bm25")
+    )
+    ta = (
+        base.orderBy(F.desc("t2"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .withColumn("rank_tfidf", F.row_number().over(wt).cast("long"))
+        .select(F.col("doc_id").alias("t_doc_id"), "rank_tfidf")
+    )
+    inv_b = F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25"))
+    inv_t = F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_tfidf"))
+    return (
+        ba.join(ta, ba["doc_id"] == ta["t_doc_id"], "full_outer")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("t_doc_id")).alias("doc_id"),
+            "rank_bm25",
+            "rank_tfidf",
+            F.round(
+                F.coalesce(inv_b, F.lit(0.0))
+                + F.coalesce(inv_t, F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(_RRF_TOPK)
     )
 
 
