@@ -108,6 +108,44 @@ def _staged_stream_src(kind: str, sf_dir: str, write_fn) -> str:
     return src
 
 
+def _staged_range_write(
+    df: DataFrame, src: str, n: int, order_col: Optional[str] = None
+) -> None:
+    """Stage ``df`` as ``n`` parquet files with ONE Spark job — replacing
+    the old n-filtered-full-scan staging (quantile probe + n sequential
+    ``filter().coalesce(1).write`` passes), which re-read the input n+1
+    times and serialized every write through a single task.
+
+    With ``order_col`` the files hold disjoint, increasing ranges of that
+    column (``repartitionByRange``: sampled boundaries, equal keys
+    co-located) — the event-time-ordered batch layout watermarked drains
+    need so no real row is ever late-dropped.  Without it, hash/round-
+    robin slices for drains whose result is invariant under batch
+    composition (mergeable sketches, stream-static joins, sinks).
+
+    Files are mtime-stamped here in partition-index order because task
+    COMPLETION order is not partition order — without the stamp,
+    ``_staged_stream_src``'s ns-sorted re-stamp could schedule a
+    later-range file as an earlier micro-batch.  Only safe for drains
+    whose per-batch processing does not depend on within-file row order
+    (the stateful ops re-sort each batch by event time; sketches and
+    joins are order-free) — row order inside a shuffled file is
+    arbitrary."""
+    import glob as _glob
+    import os
+    import time
+
+    part = (
+        df.repartitionByRange(n, order_col)
+        if order_col is not None
+        else df.repartition(n)
+    )
+    part.write.parquet(src)
+    base = time.time()
+    for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(p, (base + i, base + i))
+
+
 # --------------------------------------------------------------------------
 # Staged-bytes partial oracles.  Some kernels (BPE encode, MinHash/SimHash
 # signatures) have no SQL form, but everything DOWNSTREAM of their output
@@ -4276,21 +4314,12 @@ def streaming_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
     def _write(src: str) -> None:
-        # Sequential appends -> increasing file mtimes -> the file stream
-        # triggers the slices in ts order (event_id order == ts order in the
-        # fixture; ties on the boundary stay within one slice either way
-        # because the split predicate is deterministic per row).
-        cuts = ev.approxQuantile("event_id", [0.34, 0.67], 0.001)
-        lo, hi = int(cuts[0]), int(cuts[1])
-        ev.filter(F.col("event_id") <= lo).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        ev.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi)).coalesce(
-            1
-        ).write.mode("append").parquet(src)
-        ev.filter(F.col("event_id") > hi).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        # one-job ts-ranged staging: disjoint increasing ts ranges in
+        # mtime order, so the drain sees batches in global event-time
+        # order (equal-ts rows are co-located by repartitionByRange, and
+        # the detector re-sorts each batch by (ts, event_id), so within-
+        # file row order is immaterial).
+        _staged_range_write(ev, src, 3, "ts")
 
     src = _staged_stream_src("stream_anom", sf_dir, _write)
     ckpt = tempfile.mkdtemp(prefix="stream_anom_ckpt_")
@@ -4345,14 +4374,9 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").alias("ts"),
     )
     def _write(src: str) -> None:
-        cuts = ev.approxQuantile("event_id", [0.34, 0.67], 0.001)
-        lo, hi = int(cuts[0]), int(cuts[1])
-        for pred in (
-            F.col("event_id") <= lo,
-            (F.col("event_id") > lo) & (F.col("event_id") <= hi),
-            F.col("event_id") > hi,
-        ):
-            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        # one-job ts-ranged staging (disjoint increasing ts ranges) — the
+        # watermark-native batch order, so no row can arrive late
+        _staged_range_write(ev, src, 3, "ts")
 
     src = _staged_stream_src("stream_ij", sf_dir, _write)
     ckpt = tempfile.mkdtemp(prefix="stream_ij_ckpt_")
@@ -4374,7 +4398,7 @@ def streaming_interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-    out = drain_to_memory(spark, joined, name, ckpt, shuffle_partitions=8)
+    out = drain_to_memory(spark, joined, name, ckpt, shuffle_partitions=4)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
 
@@ -6530,10 +6554,9 @@ def streaming_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(src: str) -> None:
-        for i in range(4):
-            ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        # 4 files -> 4 micro-batches, one job; a stream-static join's
+        # result set is invariant under batch composition
+        _staged_range_write(ev, src, 4)
 
     src = _staged_stream_src("stream_enrich", sf_dir, _write)
     dim = load_table(spark, sf_dir, "customer").select(
@@ -7142,10 +7165,9 @@ def streaming_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
     def _write(src: str) -> None:
-        for i in range(4):  # 4 ordered files -> 4 micro-batches
-            docs.filter(F.pmod(F.col("doc_id"), F.lit(4)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        # 4 files -> 4 micro-batches, one job; the sketch is a mergeable
+        # elementwise sum, so WHICH docs share a batch is irrelevant
+        _staged_range_write(docs, src, 4)
 
     src = _staged_stream_src("stream_cm", sf_dir, _write)
     ckpt = tempfile.mkdtemp(prefix="stream_cm_ckpt_")
@@ -8331,7 +8353,7 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and since batch N's watermark comes from batches < N, the tail of
     the stream only flushes when LATER batches advance the watermark
     past it.  The drain stages the events ts-ordered (so nothing is
-    late-dropped) plus three far-future sentinel batches that push the
+    late-dropped) plus two far-future sentinel batches that push the
     watermark past all real data and give the engine the extra
     micro-batches outer emission needs; sentinels are filtered from
     the result.  Batch order is pinned by ``_staged_stream_src``'s
@@ -8359,18 +8381,19 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(src: str) -> None:
-        us = ev.select(F.unix_micros(F.col("ts")).alias("u"))
-        cuts = us.approxQuantile("u", [0.34, 0.67], 0.001)
-        lo, hi = int(cuts[0]), int(cuts[1])
-        u = F.unix_micros(F.col("ts"))
-        for pred in (u <= lo, (u > lo) & (u <= hi), u > hi):
-            ev.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        # one-job ts-ranged staging: three files, disjoint increasing ts
+        # ranges, mtime-ordered — nothing arrives behind the watermark
+        _staged_range_write(ev, src, 3, "ts")
         # Sentinels must reach BOTH input streams: the join's effective
         # watermark is the MINIMUM across its watermarked inputs
         # (multipleWatermarkPolicy=min), so advancing only one side
-        # would never flush the other's outer tail.
+        # would never flush the other's outer tail.  TWO sentinel batches
+        # suffice deterministically: after batch s1 the watermark sits at
+        # max+1d−30min > every real ts, and processing batch s2 under
+        # that watermark evicts all real-data state, emitting the outer
+        # tail; s2's own unmatched rows are the filtered sentinels.
         max_ts = ev.agg(F.max("ts")).collect()[0][0]
-        for i in range(1, 4):
+        for i in range(1, 3):
             sent = spark.createDataFrame(
                 [
                     (-2 * i, -1, "purchase", max_ts + dt.timedelta(days=i)),
@@ -8400,7 +8423,7 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"stream_loj_{uuid.uuid4().hex[:8]}"
-    out = drain_to_memory(spark, joined, name, ckpt, shuffle_partitions=8)
+    out = drain_to_memory(spark, joined, name, ckpt, shuffle_partitions=4)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out.filter(F.col("user_id") >= 0)
 
@@ -10157,10 +10180,9 @@ def streaming_partitioned_sink_q(
     )
 
     def _write(src: str) -> None:
-        for i in range(3):
-            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(
-                1
-            ).write.mode("append").parquet(src)
+        # 3 files -> 3 micro-batches, one job; the partitioned sink's
+        # final contents are invariant under batch composition
+        _staged_range_write(ev, src, 3)
 
     src = _staged_stream_src("stream_psink", sf_dir, _write)
     out = tempfile.mkdtemp(prefix="stream_psink_out_")
