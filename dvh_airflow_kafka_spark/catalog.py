@@ -232,7 +232,10 @@ def register(name: str, sql: Optional[str] = None):
 # ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
 # text_clean_normalize, hll_register_distinct, link_graph_hits,
 # link_graph_kcore, t_closeness_audit, loo_target_encoding,
-# cdc_batched_merge_apply, hybrid_rrf_fusion.
+# cdc_batched_merge_apply, hybrid_rrf_fusion,
+# small_file_compaction_plan, zorder_layout_audit,
+# column_encoding_stats, events_ewma_forecast, partition_skew_planner,
+# audio_frame_energy.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -11363,6 +11366,324 @@ def cdc_batched_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("last_ts_us"),
         "val_milli",
     )
+
+
+# ==========================================================================
+# Round-7 (this session): data-layout planning (compaction bin-packing,
+# Z-order clustering audit, column-encoding profile), exact dyadic EWMA,
+# shuffle-skew salting planner, PCM frame-energy DSP kernel.
+# ROUND-8 NOTE: registered after the 50-query driver window — rotate
+# these (plus any other window misses) to the front of _CERTIFY_FIRST
+# next round.  All verified locally vs their oracles at sf0.01.
+# ==========================================================================
+
+_COMPACT_TARGET = 4096
+
+
+@register(
+    "small_file_compaction_plan",
+    sql=f"""
+    WITH f AS (
+        SELECT source, doc_id,
+               CAST(strlen(text) AS BIGINT) AS bytes
+        FROM documents
+    ), b AS (
+        SELECT source, doc_id, bytes,
+               COALESCE(SUM(bytes) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM f
+    )
+    SELECT source, CAST(before // {_COMPACT_TARGET} AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+    FROM b GROUP BY 1, 2
+    """,
+)
+def small_file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Small-file compaction planning — the bin-packing step of
+    Delta/Iceberg ``OPTIMIZE``, run as a distributed window instead of a
+    driver-side greedy loop.  The file inventory is simulated from the
+    documents table (partition group = source, file = doc_id, bytes =
+    utf-8 length); ``ext/layout.plan_compaction_bins`` assigns ``bin =
+    floor(exclusive_prefix_bytes / target)`` per group and rolls up each
+    bin's file count/bytes/id-range — the work list a compaction job
+    fans out over.  The spec is closed-form, so the oracle replays it
+    exactly.
+
+    Scale: the input is table METADATA (a million rows for 100 TB, one
+    per file), the plan is one keyed window + one aggregate, and every
+    partition group plans in parallel."""
+    from dvh_airflow_kafka_spark.ext import layout as xlayout
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.select(
+        "source",
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("bytes"),
+    )
+    return xlayout.plan_compaction_bins(
+        files, "source", "doc_id", "bytes", _COMPACT_TARGET
+    )
+
+
+def _zorder_oracle_sql(bits: int = 8, n_files: int = 16) -> str:
+    """SQL mirror of ``ext/layout.bit_interleave2`` + the span audit —
+    the interleave unrolled as explicit shift/mask terms."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    z = " + ".join(terms)
+    zspan = (1 << (2 * bits)) // n_files
+    lspan = (1 << bits) // n_files
+    return f"""
+    WITH k AS (
+        SELECT user_id & 255 AS x,
+               CAST(floor(value * 10) AS BIGINT) & 255 AS y
+        FROM events
+    ), z AS (
+        SELECT x, y, ({z}) // {zspan} AS zfile, x // {lspan} AS lfile
+        FROM k
+    ), za AS (
+        SELECT 'zorder' AS layout, zfile AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM z GROUP BY 2
+    ), la AS (
+        SELECT 'linear' AS layout, lfile AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(x) AS x_min, MAX(x) AS x_max,
+               MIN(y) AS y_min, MAX(y) AS y_max
+        FROM z GROUP BY 2
+    )
+    SELECT * FROM za UNION ALL SELECT * FROM la
+    """
+
+
+@register("zorder_layout_audit", sql=_zorder_oracle_sql())
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Z-order clustering audit: interleave the bit planes of two
+    event dimensions (user band, value band) into a Morton key, assign
+    rows to 16 fixed key-range files, and emit each file's per-dimension
+    (min, max) — exactly the parquet row-group stats a reader prunes on
+    — side by side with a linear sort-by-x layout.  The z-ordered files
+    bound BOTH spans (~sqrt of domain); the linear layout leaves y at
+    full width: the measurable reason ``Z-ORDER BY`` exists.  The
+    interleave (``ext/layout.bit_interleave2``) is a closed-form
+    shift/mask expression — whole-stage codegen on Spark, the identical
+    unrolled arithmetic in the oracle, so the audit is bit-exact.
+
+    Scale: one projection + two aggregations; the audit a maintenance
+    loop runs AFTER rewriting 100 TB to prove the new layout actually
+    tightened the stats data-skipping reads."""
+    from dvh_airflow_kafka_spark.ext import layout as xlayout
+
+    ev = load_table(spark, sf_dir, "events")
+    return xlayout.layout_span_audit(
+        ev,
+        F.col("user_id"),
+        F.floor(F.col("value") * 10),
+        bits=8,
+        n_files=16,
+    )
+
+
+@register(
+    "column_encoding_stats",
+    sql="""
+    WITH v AS (
+        SELECT source, doc_id, CAST(length(text) AS BIGINT) AS v
+        FROM documents
+    ), d AS (
+        SELECT source, v,
+               v - lag(v) OVER (PARTITION BY source ORDER BY doc_id) AS dd
+        FROM v
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN dd <> 0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS n_runs,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN MAX(ABS(dd)) IS NULL THEN 0
+                ELSE length(bin(MAX(ABS(dd)))) END AS INT) AS delta_bits,
+           CAST(SUM(CASE WHEN dd >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonneg_deltas,
+           CAST(COUNT(dd) AS BIGINT) AS n_deltas
+    FROM d GROUP BY source
+    """,
+)
+def column_encoding_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Column-encoding profile in write order: per source, the RLE
+    run count, dictionary cardinality, delta bit-width (integer-exact
+    via binary-string length — never a float log2), and ascending-delta
+    counts for the document-length column — the numbers a writer
+    consults to pick parquet encodings per column chunk, and a
+    drift-audit for whether a table's write order still compresses.
+    ``ext/layout.encoding_stats`` is one keyed window + one aggregate;
+    all integer arithmetic, so the oracle replay is bit-exact."""
+    from dvh_airflow_kafka_spark.ext import layout as xlayout
+
+    docs = load_table(spark, sf_dir, "documents")
+    return xlayout.encoding_stats(
+        docs, "source", "doc_id", F.length("text")
+    )
+
+
+@register(
+    "events_ewma_forecast",
+    sql="""
+    WITH p AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ), r AS (
+        SELECT user_id, event_id, ts_us, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us DESC, event_id DESC)
+                   AS rnd
+        FROM p
+    ), k AS (
+        SELECT user_id, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS j
+        FROM r WHERE rnd <= 30
+    )
+    SELECT user_id, CAST(MAX(j) AS INT) AS n_taps,
+           CAST(SUM(cents * (CASE WHEN j = 1 THEN 1
+                ELSE (CAST(1 AS BIGINT) << (j - 2)) END)) AS BIGINT)
+               AS ewma_scaled,
+           CAST(MAX(j) - 1 AS INT) AS denom_log2,
+           SUM(cents * (CASE WHEN j = 1 THEN 1
+                ELSE (CAST(1 AS BIGINT) << (j - 2)) END))
+               / (CAST(1 AS BIGINT) << (MAX(j) - 1)) AS ewma
+    FROM k GROUP BY user_id
+    """,
+)
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Per-user spend forecast: 30-tap exponentially-weighted
+    moving average (α = 1/2) over each user's purchase history in cents
+    — the smoothing baseline burst/anomaly monitors compare the next
+    observation against.  ``ext/stats.keyed_dyadic_ewma`` unrolls the
+    recurrence into the dyadic-rational identity ``S·2^{s-1} = x_1 +
+    Σ x_j·2^{j-2}``: pure bigint arithmetic plus one power-of-two
+    division that is EXACT in doubles, so the cross-engine check is
+    bit-for-bit, not tolerance-based.  No sequential recurrence
+    anywhere: two same-key windows (one exchange) + one aggregate,
+    O(taps) rows per key past the first window."""
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return xstats.keyed_dyadic_ewma(
+        p, "user_id", ["ts", "event_id"], F.col("cents"), taps=30
+    )
+
+
+_SKEW_TARGET_ROWS = 50
+
+
+@register(
+    "partition_skew_planner",
+    sql=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY user_id
+    ), s AS (
+        SELECT user_id, n_rows,
+               (n_rows + {_SKEW_TARGET_ROWS - 1}) // {_SKEW_TARGET_ROWS}
+                   AS salt_factor
+        FROM c
+    )
+    SELECT user_id, n_rows,
+           CAST(salt_factor AS BIGINT) AS salt_factor,
+           CAST((n_rows + salt_factor - 1) // salt_factor AS BIGINT)
+               AS max_slice_rows
+    FROM s
+    ORDER BY n_rows DESC, user_id
+    LIMIT 20
+    """,
+)
+def partition_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Shuffle-skew salting planner: per join/aggregation key, the
+    salt factor ``ceil(rows / target)`` that splits a hot key into
+    near-target-size slices, for the top-20 heaviest keys — the plan you
+    compute BEFORE shuffling a skewed 100 TB join (the execution side is
+    ``salted_segment_revenue``; AQE's skew-join does this at runtime,
+    salting does it when the skew must also survive a downstream
+    window/aggregate).  The target is scaled to the fixture (50 rows);
+    production targets are per-task row budgets.  One map-side-combined
+    count + closed-form integer arithmetic + a top-k
+    (TakeOrderedAndProject, no global sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    salt = F.floor(
+        (F.col("n_rows") + F.lit(_SKEW_TARGET_ROWS - 1))
+        / F.lit(_SKEW_TARGET_ROWS)
+    ).cast("bigint")
+    plan = cnt.select(
+        "user_id",
+        "n_rows",
+        salt.alias("salt_factor"),
+    ).select(
+        "user_id",
+        "n_rows",
+        "salt_factor",
+        F.floor(
+            (F.col("n_rows") + F.col("salt_factor") - 1)
+            / F.col("salt_factor")
+        )
+        .cast("bigint")
+        .alias("max_slice_rows"),
+    )
+    return plan.orderBy(F.desc("n_rows"), "user_id").limit(20)
+
+
+@register(
+    "audio_frame_energy",
+    sql="""
+    WITH n AS (
+        SELECT doc_id, 64 + doc_id % 193 AS n FROM documents
+    ), s AS (
+        SELECT doc_id, unnest(range(n)) AS i FROM n
+    ), v AS (
+        SELECT doc_id, i,
+               ((doc_id * 131 + i * 17) % 4001 - 2000) AS v
+        FROM s
+    )
+    SELECT doc_id, CAST(i // 64 AS INT) AS block_idx,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM v GROUP BY 1, 2
+    """,
+)
+def audio_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: a REAL audio DSP kernel over binary blobs —
+    spec-exact 16-bit PCM WAVs with deterministic sample data
+    (``ext/multimodal.synth_wav_pcm_frame``) are parsed back by the
+    stdlib RIFF walk, their samples reinterpreted as int16 and reduced
+    to per-64-sample-block energies ``Σ s²`` as exact int64
+    (``ext/multimodal.wav_frame_energy``) — the silence-trim / clipping
+    / loudness pre-filter an audio-curation pipeline runs before any
+    model sees a clip.  The synth waveform is arithmetic in the id, so
+    the oracle recomputes every block energy WITHOUT touching bytes:
+    the byte-level decode + DSP is hash-verified end to end, the same
+    contract as ``wav_decode_metadata`` but over sample DATA, not
+    headers.  Arrow-batched ``mapInPandas`` with numpy inside — no
+    shuffle, a map-only pass over the blob scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = xmm.synth_wav_pcm_frame(docs)
+    return xmm.wav_frame_energy(blobs)
 
 
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/

@@ -271,6 +271,122 @@ def synth_wav_frame(
     return docs.mapInPandas(build, schema=out_schema)
 
 
+def synth_wav_pcm_frame(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic WAV corpus WITH REAL SAMPLE DATA: mono 8 kHz 16-bit
+    PCM where sample ``i`` of doc ``d`` is ``((d·131 + i·17) mod 4001) −
+    2000`` and the frame count is ``64 + d mod 193`` — all arithmetic in
+    the id, so a DSP kernel over the DECODED BYTES (frame energy, peak
+    detection) has an oracle that recomputes expectations without ever
+    touching the container.  Complements ``synth_wav_frame`` (silence;
+    exercises header parsing only)."""
+    import struct as _struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                n = 64 + rid % 193
+                idx = np.arange(n, dtype=np.int64)
+                samples = ((rid * 131 + idx * 17) % 4001 - 2000).astype(
+                    "<i2"
+                )
+                data = samples.tobytes()
+                header = (
+                    b"RIFF"
+                    + _struct.pack("<L", 36 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + _struct.pack(
+                        "<LHHLLHH", 16, 1, 1, 8000, 16000, 2, 16
+                    )
+                    + b"data"
+                    + _struct.pack("<L", len(data))
+                )
+                rows.append({"doc_id": rid, "content": header + data})
+            yield pd.DataFrame(rows)
+
+    return docs.mapInPandas(build, schema=out_schema)
+
+
+def wav_frame_energy(
+    blobs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    block: int = 64,
+) -> DataFrame:
+    """REAL audio DSP over binary blobs: parse each WAV container (the
+    same stdlib RIFF walk as ``decode_wav_header``), reinterpret the
+    ``data`` chunk as little-endian int16 PCM, and emit per-``block``-
+    sample energy ``Σ s²`` as an exact int64 — the framing/VAD
+    pre-filter an audio-curation pipeline runs before any model sees a
+    clip (silence trimming, clipping detection, loudness bucketing).
+
+    Arrow-batched ``mapInPandas`` with numpy vectorization inside the
+    batch — the canonical shape for media kernels Spark's built-ins
+    cannot express: the scan stays columnar, Python touches each blob
+    once, output is a narrow typed frame.  Integer energies make the
+    kernel oracle-checkable bit-for-bit.  Partition inheritance: no
+    shuffle is introduced; at 100 TB this runs as a map-only pass over
+    the blob store scan."""
+    import struct as _struct
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("block_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: dict = {"doc_id": [], "block_idx": [], "n_samples": [], "energy": []}
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(content)
+                if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+                    raise ValueError(f"doc {rid}: not a RIFF/WAVE container")
+                pos, data = 12, None
+                while pos + 8 <= len(content):
+                    cid = content[pos : pos + 4]
+                    (csize,) = _struct.unpack("<L", content[pos + 4 : pos + 8])
+                    if cid == b"data":
+                        data = content[pos + 8 : pos + 8 + csize]
+                    pos += 8 + csize + (csize & 1)
+                if data is None:
+                    raise ValueError(f"doc {rid}: missing data chunk")
+                samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                n = len(samples)
+                for b0 in range(0, n, block):
+                    seg = samples[b0 : b0 + block]
+                    out["doc_id"].append(int(rid))
+                    out["block_idx"].append(b0 // block)
+                    out["n_samples"].append(len(seg))
+                    out["energy"].append(int((seg * seg).sum()))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(kernel, schema=out_schema)
+
+
 # --------------------------------------------------------------------------
 # Decode plumbing — WAV decodes for real (stdlib); image/video kernels are
 # injectable (their libraries are not in this container)

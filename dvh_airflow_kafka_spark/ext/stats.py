@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "keyed_dyadic_ewma",
     "keyed_rank_bounds",
     "keyed_values_at_ranks",
     "keyed_median",
@@ -217,4 +218,62 @@ def keyed_ks_two_sample(
             / (F.max("__na") * F.max("__nb")).cast("double"),
             6,
         ).alias(ks_stat),
+    )
+
+def keyed_dyadic_ewma(
+    df: DataFrame,
+    key_cols: Union[str, list],
+    order_cols: list,
+    value: Column,
+    taps: int = 30,
+) -> DataFrame:
+    """Exact k-tap exponentially-weighted moving average (α = 1/2) per
+    key: the smoothing recurrence ``S_1 = x_1, S_i = (S_{i-1} + x_i)/2``
+    truncated to the last ``taps`` observations in ``order_cols`` order.
+
+    EWMA looks float-bound, but with α = 1/2 the unrolled form is a
+    dyadic rational: ``S_s · 2^{s-1} = x_1 + Σ_{j=2..s} x_j · 2^{j-2}``
+    — an INTEGER whenever the inputs are integers (cents, counts).  The
+    operator emits that scaled integer plus ``s-1`` (the log2 of the
+    denominator), and the double quotient, which is exact because the
+    scaled sum fits well under 2^53 (|value| < 2^20, taps ≤ 30 ⇒ sum <
+    2^50) and dividing by a power of two only shifts the exponent.
+    Cross-engine comparison is therefore bit-exact, never
+    tolerance-checked.
+
+    Plan shape: one keyed window to keep the last ``taps`` rows, one to
+    number them oldest-first (same exchange — both windows hash on the
+    key), one aggregate — O(taps) rows per key past the first window
+    and no sequential recurrence anywhere (the same unrolling family as
+    the CUSUM operator's reflection identity)."""
+    keys = _keys(key_cols)
+    wdesc = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    wasc = Window.partitionBy(*keys).orderBy(*order_cols)
+    recent = (
+        df.withColumn("__rnd", F.row_number().over(wdesc))
+        .filter(F.col("__rnd") <= taps)
+        .drop("__rnd")
+    )
+    numbered = recent.select(
+        *keys,
+        value.cast("bigint").alias("__x"),
+        F.row_number().over(wasc).alias("__j"),
+    )
+    # SQL shiftleft takes a column shift amount; the Python wrapper
+    # (F.shiftleft) only accepts a literal int
+    weight = F.when(F.col("__j") == 1, F.lit(1).cast("bigint")).otherwise(
+        F.expr("shiftleft(CAST(1 AS BIGINT), __j - 2)")
+    )
+    return numbered.groupBy(*keys).agg(
+        F.max("__j").cast("int").alias("n_taps"),
+        F.sum(F.col("__x") * weight).alias("ewma_scaled"),
+        (F.max("__j") - 1).cast("int").alias("denom_log2"),
+        (
+            F.sum(F.col("__x") * weight).cast("double")
+            / F.expr(
+                "shiftleft(CAST(1 AS BIGINT), max(__j) - 1)"
+            ).cast("double")
+        ).alias("ewma"),
     )

@@ -1,0 +1,150 @@
+"""Laws for the data-layout / forecasting / DSP operators added in
+round 7c: compaction bin-packing, Z-order span audit, encoding stats,
+dyadic EWMA, skew salting, PCM frame energy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+from dvh_airflow_kafka_spark.io import load_table
+
+
+def _run(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_compaction_bins_cover_and_bound(spark, sf_dir):
+    rows = _run(spark, sf_dir, "small_file_compaction_plan").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = {
+        r.source: (r.n, r.bytes)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("text")).alias("bytes"),
+        )
+        .collect()
+    }
+    # partition: every file lands in exactly one bin
+    got = {}
+    for r in rows:
+        n, b = got.get(r.source, (0, 0))
+        got[r.source] = (n + r.n_files, b + r.total_bytes)
+    assert got == per_src
+    # bins are contiguous id ranges: ordered by bin, ranges don't overlap
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, bins in by_src.items():
+        bins.sort(key=lambda r: r.bin)
+        assert bins[0].bin == 0
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_file < b.first_file, src
+        # every bin except possibly the last was closed at/after target
+        for r in bins[:-1]:
+            assert r.total_bytes >= 1, src
+
+
+def test_zorder_tightens_y_span(spark, sf_dir):
+    rows = _run(spark, sf_dir, "zorder_layout_audit").collect()
+    z = [r for r in rows if r.layout == "zorder"]
+    lin = [r for r in rows if r.layout == "linear"]
+    assert z and lin
+    n_total = sum(r.n_rows for r in z)
+    assert n_total == sum(r.n_rows for r in lin)
+    # the z-curve divides a 16-bit key space into 16 files: each file is
+    # a 4096-key z-range, whose projection bounds BOTH dims within 64
+    for r in z:
+        assert r.x_max - r.x_min <= 63, r
+        assert r.y_max - r.y_min <= 63, r
+    # the linear layout bounds x tightly but leaves y near full width
+    avg_lin_y = sum(r.y_max - r.y_min for r in lin) / len(lin)
+    avg_z_y = sum(r.y_max - r.y_min for r in z) / len(z)
+    assert avg_z_y < avg_lin_y
+    for r in lin:
+        assert r.x_max - r.x_min <= 15, r
+
+
+def test_encoding_stats_laws(spark, sf_dir):
+    rows = _run(spark, sf_dir, "column_encoding_stats").collect()
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {r.source for r in rows} == set(per_src)
+    for r in rows:
+        assert r.n_rows == per_src[r.source]
+        assert r.n_deltas == r.n_rows - 1
+        assert 1 <= r.n_distinct <= r.n_runs <= r.n_rows
+        assert 0 <= r.n_nonneg_deltas <= r.n_deltas
+        assert r.delta_bits >= (1 if r.n_distinct > 1 else 0)
+
+
+def test_dyadic_ewma_matches_recurrence(spark, sf_dir):
+    rows = _run(spark, sf_dir, "events_ewma_forecast").collect()
+    ev = load_table(spark, sf_dir, "events")
+    hist = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    by_user: dict = {}
+    for r in hist:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.cents))
+    for r in rows:
+        seq = sorted(by_user[r.user_id])[-30:]
+        s = None
+        for _, _, x in seq:
+            s = x if s is None else (s + x) / 2  # exact dyadic in floats
+        assert r.n_taps == len(seq)
+        assert r.ewma == s, r.user_id
+        assert r.ewma_scaled == int(s * 2 ** (len(seq) - 1))
+
+
+def test_skew_planner_slices_hit_target(spark, sf_dir):
+    rows = _run(spark, sf_dir, "partition_skew_planner").collect()
+    assert len(rows) <= 20
+    prev = None
+    for r in rows:
+        # ceil division both ways
+        assert r.salt_factor == -(-r.n_rows // 50)
+        assert r.max_slice_rows == -(-r.n_rows // r.salt_factor)
+        assert r.max_slice_rows <= 50
+        # slices cover the rows
+        assert r.salt_factor * r.max_slice_rows >= r.n_rows
+        if prev is not None:
+            assert r.n_rows <= prev
+        prev = r.n_rows
+
+
+def test_audio_frame_energy_decodes_real_bytes(spark, sf_dir):
+    rows = _run(spark, sf_dir, "audio_frame_energy").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+    assert set(by_doc) == {r.doc_id for r in docs}
+    for doc_id, blocks in by_doc.items():
+        blocks.sort(key=lambda r: r.block_idx)
+        n = 64 + doc_id % 193
+        assert sum(r.n_samples for r in blocks) == n
+        assert [r.block_idx for r in blocks] == list(range(len(blocks)))
+        # all blocks full except possibly the last
+        for r in blocks[:-1]:
+            assert r.n_samples == 64
+        # recompute one block's energy from the synth formula
+        r0 = blocks[0]
+        expect = sum(
+            ((doc_id * 131 + i * 17) % 4001 - 2000) ** 2
+            for i in range(min(64, n))
+        )
+        assert r0.energy == expect
