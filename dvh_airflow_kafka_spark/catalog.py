@@ -235,7 +235,8 @@ def register(name: str, sql: Optional[str] = None):
 # cdc_batched_merge_apply, hybrid_rrf_fusion,
 # small_file_compaction_plan, zorder_layout_audit,
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
-# audio_frame_energy.
+# audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
+# image_tile_checksum.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -11684,6 +11685,160 @@ def audio_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = xmm.synth_wav_pcm_frame(docs)
     return xmm.wav_frame_energy(blobs)
+
+
+@register(
+    "embedding_gram_matrix",
+    sql="""
+    WITH q AS (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS q
+        FROM embeddings
+    ), g AS (
+        SELECT a.d AS i, b.d AS j,
+               CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+        GROUP BY 1, 2
+    ), s AS (
+        SELECT d, CAST(SUM(q) AS BIGINT) AS dim_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM q GROUP BY d
+    )
+    SELECT g.i, g.j, g.gram,
+           CAST(CASE WHEN g.i = g.j THEN s.dim_sum ELSE 0 END AS BIGINT)
+               AS dim_sum,
+           CAST(CASE WHEN g.i = g.j THEN s.n_vecs ELSE 0 END AS BIGINT)
+               AS n_vecs
+    FROM g LEFT JOIN s ON s.d = g.i
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact Gram/co-moment matrix of the quantized embedding
+    corpus — the distributed heavy pass of PCA, whitening, and
+    covariance drift checks.  ``ext/similarity.quantized_gram_matrix``
+    computes ONE d×d int64 outer-product partial per partition (a
+    single numpy matmul per Arrow batch) and reduces d(d+1)/2 partial
+    rows — the shuffle payload is independent of corpus size, vs the
+    naive posexplode self-join's n·d² shuffled rows (what the oracle
+    runs, feasible only at fixture scale).  Quantization makes every
+    sum integer-exact, so the cross-engine check is bit-for-bit; the
+    diagonal rows carry per-dimension sums + count for driver-side
+    centering (the d×d eigensolve is trivial once the corpus pass is
+    done)."""
+    from dvh_airflow_kafka_spark.ext import similarity as xsimilarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return xsimilarity.quantized_gram_matrix(emb, "embedding", scale=1000)
+
+
+@register(
+    "join_cardinality_estimator",
+    sql="""
+    WITH lc AS (
+        SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), t AS (
+        SELECT (SELECT COUNT(*) FROM lineitem) AS tl,
+               (SELECT COUNT(*) FROM orders) AS torders
+    ), p AS (
+        SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(COALESCE(lc.c, 0)) AS BIGINT) AS actual_lines
+        FROM orders o LEFT JOIN lc ON lc.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    )
+    SELECT p.o_orderpriority, p.n_orders, p.actual_lines,
+           CAST((p.n_orders * t.tl) // t.torders AS BIGINT) AS est_lines,
+           CAST(abs(p.actual_lines - (p.n_orders * t.tl) // t.torders)
+                * 1000000 // p.actual_lines AS BIGINT) AS err_ppm
+    FROM p, t
+    """,
+)
+def join_cardinality_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Join-cardinality estimation audit: per order priority, the
+    ACTUAL orders⋈lineitem output rows next to the uniform-fanout
+    ESTIMATE ``n_orders · |lineitem| / |orders|`` (what a cost model
+    assumes without a correlated-column histogram), with the error in
+    exact ppm — the planner-calibration readout that tells you which
+    predicate's join needs real stats before you trust broadcast/shuffle
+    decisions on it at 100 TB.  Integer arithmetic throughout (floor
+    division), so the audit is bit-exact cross-engine.  Plan: one
+    map-side-combined per-key count, one foreign-key join, two scalar
+    counts broadcast into the projection — no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    tot = orders.agg(F.count(F.lit(1)).alias("torders")).crossJoin(
+        li.agg(F.count(F.lit(1)).alias("tl"))
+    )
+    p = (
+        orders.join(
+            lc, orders["o_orderkey"] == lc["l_orderkey"], "left"
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).alias("actual_lines"),
+        )
+    )
+    est = F.floor(
+        (F.col("n_orders") * F.col("tl")) / F.col("torders")
+    ).cast("bigint")
+    return p.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_orders",
+        "actual_lines",
+        est.alias("est_lines"),
+        F.floor(
+            F.abs(F.col("actual_lines") - est)
+            * F.lit(1000000)
+            / F.col("actual_lines")
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )
+
+
+@register(
+    "image_tile_checksum",
+    sql="""
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id * 7) % 16 AS h
+        FROM documents
+    ), pr AS (
+        SELECT doc_id, w, unnest(range(h)) AS r FROM dims
+    ), pc AS (
+        SELECT doc_id, r, unnest(range(w)) AS c FROM pr
+    ), v AS (
+        SELECT doc_id, r, c, (doc_id * 31 + r * 17 + c * 7) % 251 AS v
+        FROM pc
+    )
+    SELECT doc_id, CAST(r // 8 AS INT) AS tile_row,
+           CAST(c // 8 AS INT) AS tile_col,
+           CAST(COUNT(*) AS INT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MAX(v) AS INT) AS px_max
+    FROM v GROUP BY 1, 2, 3
+    """,
+)
+def image_tile_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] multimodal: a REAL image decode kernel over pixel DATA —
+    valid grayscale PNGs with deterministic pixels
+    (``ext/multimodal.synth_png_pixels_frame``) are chunk-walked, their
+    IDAT zlib-DECOMPRESSED (a real codec), filter bytes stripped, and
+    the pixel grid reduced to per-8×8-tile integer sums/maxima
+    (``ext/multimodal.png_tile_checksum``) — the blank-region /
+    brightness pre-filter an image-curation pipeline runs before any
+    vision model sees a frame, and the decode→tile→reduce access
+    pattern of patch feature extraction.  The synth pixels are
+    arithmetic in the id, so the oracle recomputes every tile without
+    touching bytes: the container walk + inflate + tiling is
+    hash-verified end to end — ``wav_decode_metadata`` verified header
+    parsing, ``audio_frame_energy`` verified sample DSP, this verifies
+    a full compressed-image decode.  Map-only at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    blobs = xmm.synth_png_pixels_frame(docs)
+    return xmm.png_tile_checksum(blobs, tile=8)
 
 
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/

@@ -501,6 +501,155 @@ def synth_png_frame(
     return docs.select(id_col).mapInPandas(build, schema=out_schema)
 
 
+def synth_png_pixels_frame(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic PNG corpus WITH REAL PIXEL DATA: 8-bit grayscale,
+    width = 8 + id%16, height = 8 + (id·7)%16, pixel(r, c) =
+    ``(id·31 + r·17 + c·7) mod 251`` — a fully valid container (CRC'd
+    IHDR, zlib IDAT of filter-0 scanlines, IEND) whose DECODED pixels
+    are arithmetic in the id, so an image kernel over the decompressed
+    bytes has an oracle that recomputes expectations without touching
+    the container.  Complements ``synth_png_frame`` (zero scanlines;
+    exercises header parsing only)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">L", len(body))
+            + ctype
+            + body
+            + _struct.pack(">L", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for rid in pdf[id_col]:
+                rid = int(rid)
+                w = 8 + rid % 16
+                h = 8 + (rid * 7) % 16
+                rr, cc = np.meshgrid(
+                    np.arange(h, dtype=np.int64),
+                    np.arange(w, dtype=np.int64),
+                    indexing="ij",
+                )
+                px = ((rid * 31 + rr * 17 + cc * 7) % 251).astype(np.uint8)
+                raw = b"".join(
+                    b"\x00" + px[r].tobytes() for r in range(h)
+                )
+                ihdr = _struct.pack(">LLBBBBB", w, h, 8, 0, 0, 0, 0)
+                rows.append(
+                    {
+                        "doc_id": rid,
+                        "content": _PNG_SIG
+                        + chunk(b"IHDR", ihdr)
+                        + chunk(b"IDAT", _zlib.compress(raw, 6))
+                        + chunk(b"IEND", b""),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col).mapInPandas(build, schema=out_schema)
+
+
+def png_tile_checksum(
+    blobs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    tile: int = 8,
+) -> DataFrame:
+    """REAL image decode + tiling over binary blobs: walk the PNG chunk
+    list, zlib-DECOMPRESS the IDAT stream (a real codec, stdlib), strip
+    the per-scanline filter bytes (filter 0 only — raised otherwise),
+    and reduce the grayscale pixel grid to per-``tile``×``tile`` sums
+    and maxima as exact integers — the thumbnail-energy / blank-region
+    / near-black pre-filter an image-curation pipeline runs before any
+    vision model sees a frame, and the access pattern (decode → tile →
+    reduce) of patch-based feature extraction.
+
+    Arrow-batched ``mapInPandas`` with numpy tiling inside — the same
+    media-kernel shape as ``wav_frame_energy``: columnar scan in, one
+    Python pass per blob, narrow typed frame out, no shuffle introduced.
+    Integer outputs make the whole decode path oracle-checkable
+    bit-for-bit."""
+    import struct as _struct
+    import zlib as _zlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tile_row", T.IntegerType()),
+            T.StructField("tile_col", T.IntegerType()),
+            T.StructField("n_px", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("px_max", T.IntegerType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out: dict = {
+                "doc_id": [], "tile_row": [], "tile_col": [],
+                "n_px": [], "px_sum": [], "px_max": [],
+            }
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(content)
+                if content[:8] != _PNG_SIG:
+                    raise ValueError(f"doc {rid}: bad PNG signature")
+                pos, w, h, idat = 8, None, None, b""
+                while pos + 12 <= len(content):
+                    (clen,) = _struct.unpack(">L", content[pos : pos + 4])
+                    ctype = content[pos + 4 : pos + 8]
+                    body = content[pos + 8 : pos + 8 + clen]
+                    if ctype == b"IHDR":
+                        w, h, depth, color_type = _struct.unpack(
+                            ">LLBB", body[:10]
+                        )
+                        if depth != 8 or color_type != 0:
+                            raise ValueError(
+                                f"doc {rid}: only 8-bit grayscale supported"
+                            )
+                    elif ctype == b"IDAT":
+                        idat += body
+                    pos += 12 + clen
+                raw = _zlib.decompress(idat)
+                stride = w + 1
+                mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+                if (mat[:, 0] != 0).any():
+                    raise ValueError(f"doc {rid}: non-zero scanline filter")
+                px = mat[:, 1:].astype(np.int64)
+                for tr in range(0, h, tile):
+                    for tc in range(0, w, tile):
+                        seg = px[tr : tr + tile, tc : tc + tile]
+                        out["doc_id"].append(int(rid))
+                        out["tile_row"].append(tr // tile)
+                        out["tile_col"].append(tc // tile)
+                        out["n_px"].append(int(seg.size))
+                        out["px_sum"].append(int(seg.sum()))
+                        out["px_max"].append(int(seg.max()))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(kernel, schema=out_schema)
+
+
 def decode_png_header(content: bytes) -> dict:
     """Real, stdlib-only PNG metadata decode: verify the 8-byte
     signature, walk the chunk list, parse IHDR (big-endian width/height,

@@ -1464,3 +1464,82 @@ def pq_refine_codebooks(
             nxt[c, s * sub + d] = round(r["ss"] / r["n"], ROUND_DIGITS)
         cur = nxt
     return cur
+
+def quantized_gram_matrix(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Exact Gram (co-moment) matrix of a quantized embedding corpus —
+    the distributed heavy pass of PCA / whitening / covariance-based
+    drift checks.  Each component is quantized ``q = floor(x · scale)``
+    (int arithmetic from here on), and the output is the upper triangle
+    ``G[i,j] = Σ_v q_i(v) · q_j(v)`` plus the per-dimension sums and
+    count needed to center it into a covariance matrix driver-side.
+
+    Plan shape — NOT the naive posexplode self-join (which shuffles
+    n·d² rows): an Arrow-batched ``mapInPandas`` computes one d×d int64
+    outer-product partial PER PARTITION (a single numpy matmul), so the
+    only shuffle is |partitions| · d(d+1)/2 partial rows reduced by a
+    map-side-combinable sum.  At 100 TB the corpus is scanned once,
+    Python touches each batch once, and the reduction payload is
+    independent of row count — the classic partial-aggregate shape for
+    distributed linear algebra.
+
+    Exactness: |q| ≤ scale for unit-normalized inputs ⇒ each product ≤
+    scale², and int64 holds corpus sums up to ~9·10¹⁸ — no float
+    summation order anywhere, so a SQL replay matches bit-for-bit."""
+    d_probe = len(emb.select(vec_col).first()[0])
+
+    part_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("gram", T.LongType()),
+            T.StructField("dim_sum", T.LongType()),
+            T.StructField("n_vecs", T.LongType()),
+        ]
+    )
+    iu = np.triu_indices(d_probe)
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = np.zeros((d_probe, d_probe), dtype=np.int64)
+        sums = np.zeros(d_probe, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.floor(
+                _vstack(pdf[vec_col]).astype(np.float64) * scale
+            ).astype(np.int64)
+            acc += X.T @ X
+            sums += X.sum(axis=0)
+            n += len(X)
+        if n == 0:
+            return
+        out = pd.DataFrame(
+            {
+                "i": iu[0].astype(np.int32),
+                "j": iu[1].astype(np.int32),
+                "gram": acc[iu],
+                "dim_sum": 0,
+                "n_vecs": 0,
+            }
+        )
+        # carry the vector sums / count on the diagonal rows (i == j)
+        diag = out["i"] == out["j"]
+        out.loc[diag, "dim_sum"] = sums
+        out.loc[diag, "n_vecs"] = n
+        yield out
+
+    return (
+        emb.select(vec_col)
+        .mapInPandas(partials, schema=part_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("gram").alias("gram"),
+            F.sum("dim_sum").alias("dim_sum"),
+            F.sum("n_vecs").alias("n_vecs"),
+        )
+    )

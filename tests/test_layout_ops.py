@@ -148,3 +148,62 @@ def test_audio_frame_energy_decodes_real_bytes(spark, sf_dir):
             for i in range(min(64, n))
         )
         assert r0.energy == expect
+
+
+def test_gram_matrix_psd_and_diag_carries_sums(spark, sf_dir):
+    import numpy as np
+
+    rows = _run(spark, sf_dir, "embedding_gram_matrix").collect()
+    d = max(r.j for r in rows) + 1
+    assert len(rows) == d * (d + 1) // 2
+    G = np.zeros((d, d), dtype=np.int64)
+    sums = np.zeros(d, dtype=np.int64)
+    n = None
+    for r in rows:
+        G[r.i, r.j] = G[r.j, r.i] = r.gram
+        if r.i == r.j:
+            sums[r.i] = r.dim_sum
+            assert n is None or n == r.n_vecs
+            n = r.n_vecs
+        else:
+            assert r.dim_sum == 0 and r.n_vecs == 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert n == emb.count()
+    # diagonal dominates in magnitude-sense: Cauchy-Schwarz on each pair
+    for _ in range(5):
+        i, j = np.random.default_rng(7).integers(0, d, 2)
+        assert G[i, j] ** 2 <= G[i, i] * G[j, j]
+    # Gram matrices are PSD (allow tiny negative eigenvalues from the
+    # float eigensolver on an exactly-singular integer matrix)
+    ev = np.linalg.eigvalsh(G.astype(np.float64))
+    assert ev.min() >= -1e-6 * max(1.0, ev.max())
+
+
+def test_join_cardinality_estimator_consistency(spark, sf_dir):
+    rows = _run(spark, sf_dir, "join_cardinality_estimator").collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r.actual_lines for r in rows) == li.count()
+    assert sum(r.n_orders for r in rows) == orders.count()
+    for r in rows:
+        # the uniform-fanout estimate is within floor error of n_orders*avg
+        assert r.est_lines <= r.n_orders * li.count() // orders.count() + 1
+        assert r.err_ppm == abs(r.actual_lines - r.est_lines) * 10**6 // r.actual_lines
+
+
+def test_image_tiles_reconstruct_pixel_totals(spark, sf_dir):
+    rows = _run(spark, sf_dir, "image_tile_checksum").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, tiles in list(by_doc.items())[:50]:
+        w = 8 + doc_id % 16
+        h = 8 + (doc_id * 7) % 16
+        assert sum(t.n_px for t in tiles) == w * h
+        expect = sum(
+            (doc_id * 31 + r * 17 + c * 7) % 251
+            for r in range(h)
+            for c in range(w)
+        )
+        assert sum(t.px_sum for t in tiles) == expect
+        assert all(0 <= t.px_max <= 250 for t in tiles)
