@@ -94,18 +94,15 @@ def plan_compaction_bins(
 def bit_interleave2(x: Column, y: Column, bits: int = 8) -> Column:
     """Morton/Z-curve interleave of the low ``bits`` bits of two integer
     columns: bit i of ``x`` lands at position 2i, bit i of ``y`` at
-    2i+1.  A closed-form shift/mask expression — whole-stage codegen,
-    no UDF — and the identical formula is writable in ANSI SQL, so
-    layouts derived from it are cross-engine exact."""
-    z = F.lit(0).cast("bigint")
-    for i in range(bits):
-        z = z + F.shiftleft(
-            F.shiftright(x.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i
-        )
-        z = z + F.shiftleft(
-            F.shiftright(y.cast("bigint"), i).bitwiseAND(F.lit(1)), 2 * i + 1
-        )
-    return z
+    2i+1.  Delegates to ``operators/maintenance.interleave_bits`` (the
+    rewrite path's interleave — same bit placement for two columns), so
+    the audit here measures exactly the curve ``zorder_layout`` writes.
+    Closed-form shift/mask expression — whole-stage codegen, no UDF —
+    and the identical formula is writable in ANSI SQL, so layouts
+    derived from it are cross-engine exact."""
+    from dvh_airflow_kafka_spark.operators.maintenance import interleave_bits
+
+    return interleave_bits([x, y], bits)
 
 
 def layout_span_audit(
