@@ -236,7 +236,7 @@ def register(name: str, sql: Optional[str] = None):
 # small_file_compaction_plan, zorder_layout_audit,
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
-# image_tile_checksum.
+# image_tile_checksum, linear_probe_gd.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -11839,6 +11839,124 @@ def image_tile_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     blobs = xmm.synth_png_pixels_frame(docs)
     return xmm.png_tile_checksum(blobs, tile=8)
+
+
+_GD_ITERS = 3
+_GD_SHIFT = 34  # learning rate 2^-34: stable for X^T X spectra to ~1.7e10
+
+
+def _gd_oracle_sql(iters: int, shift: int) -> str:
+    """Unrolled gradient-descent iterations as nested CTEs — the SQL
+    mirror of the driver loop in ``linear_probe_gd`` (what an engine
+    with iterative DML would loop; written out so every iteration's
+    integer weights are exact)."""
+    feat = f"""
+    WITH {_qscore_ctes("documents")}, f AS (
+        SELECT t.doc_id,
+               CAST(least(t.n_words, 255) AS BIGINT) AS x1,
+               CAST(least(floor(t.n_chars / 16), 255) AS BIGINT) AS x2,
+               CAST(least(t.n_punct, 255) AS BIGINT) AS x3,
+               CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS y
+        FROM t JOIN q USING (doc_id)
+    ), w0 AS (
+        SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+               CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3
+    )"""
+    parts = [feat]
+    for t in range(1, iters + 1):
+        pred = f"(w.b0 + w.b1 * f.x1 + w.b2 * f.x2 + w.b3 * f.x3)"
+        parts.append(
+            f"""
+    , g{t} AS (
+        SELECT CAST(SUM({pred} - f.y) AS BIGINT) AS g0,
+               CAST(SUM(({pred} - f.y) * f.x1) AS BIGINT) AS g1,
+               CAST(SUM(({pred} - f.y) * f.x2) AS BIGINT) AS g2,
+               CAST(SUM(({pred} - f.y) * f.x3) AS BIGINT) AS g3,
+               CAST(SUM(({pred} - f.y) * ({pred} - f.y)) AS BIGINT) AS sse
+        FROM f, w{t - 1} w
+    ), w{t} AS (
+        SELECT w.b0 - (g.g0 >> {shift}) AS b0,
+               w.b1 - (g.g1 >> {shift}) AS b1,
+               w.b2 - (g.g2 >> {shift}) AS b2,
+               w.b3 - (g.g3 >> {shift}) AS b3
+        FROM w{t - 1} w, g{t} g
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({t} AS INT) AS iter, w{t}.b0, w{t}.b1, w{t}.b2,"
+        f" w{t}.b3, g{t}.sse FROM w{t}, g{t}"
+        for t in range(1, iters + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register("linear_probe_gd", sql=_gd_oracle_sql(_GD_ITERS, _GD_SHIFT))
+def linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed model training, bit-exact: a linear probe
+    (quality score in ppm ~ capped token/char/punct features) fit by
+    full-batch gradient descent — the canonical data-parallel training
+    loop, where each iteration is ONE map-side-combined aggregate
+    producing the d+1 gradient/loss sums and the driver holds only the
+    d=4 weight scalars (the same O(model) driver state as
+    ``embedding_kmeans_assign``'s Lloyd's loop).
+
+    Everything is integer: features are capped bigints, the target is
+    ppm, the learning rate is an ARITHMETIC SHIFT (``g >> 34`` — floor
+    division by 2³⁴, identical on both engines; DuckDB's ``//``
+    truncates toward zero and would disagree on negative gradients),
+    so the weight trajectory is bit-reproducible and the oracle unrolls
+    the identical iterations as CTEs.  Magnitude proof: |resid| ≤
+    ~1.3e6, |grad| ≤ 1.3e6·255·N — int64-safe past sf1.0, sse ≤
+    1.7e12·N likewise.  Output: per-iteration post-update weights and
+    the pre-update SSE that produced them (strictly decreasing — the
+    pytest law).
+
+    Scale: at 100 TB the features frame is cached once across
+    iterations; each step shuffles only |partitions|·(d+2) partial
+    sums.  Divergence-proof step size: 2^-34 < 2/λ_max for any
+    X^T X spectrum below 1.7e10 (N·4·255² at N≈6×10⁷ docs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = xtext.token_count_ws(F.col("text")).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_punct = F.length(
+        F.regexp_replace(F.col("text"), r"[\w\s]", "")
+    ).cast("bigint")
+    feats = docs.select(
+        F.least(n_tokens, F.lit(255)).alias("x1"),
+        F.least(F.floor(n_chars / 16).cast("bigint"), F.lit(255)).alias(
+            "x2"
+        ),
+        F.least(n_punct, F.lit(255)).alias("x3"),
+        F.floor(xtext.quality_score(F.col("text")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    ).persist()
+    try:
+        w = [0, 0, 0, 0]
+        out = []
+        for t in range(1, _GD_ITERS + 1):
+            pred = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                + F.lit(w[3]) * F.col("x3")
+            )
+            resid = pred - F.col("y")
+            row = feats.agg(
+                F.sum(resid).alias("g0"),
+                F.sum(resid * F.col("x1")).alias("g1"),
+                F.sum(resid * F.col("x2")).alias("g2"),
+                F.sum(resid * F.col("x3")).alias("g3"),
+                F.sum(resid * resid).alias("sse"),
+            ).first()
+            w = [w[j] - (int(row[j]) >> _GD_SHIFT) for j in range(4)]
+            out.append((t, w[0], w[1], w[2], w[3], int(row["sse"])))
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        out, "iter int, b0 long, b1 long, b2 long, b3 long, sse long"
+    )
 
 
 # Extended relational coverage (TPC-H q4/q6/q7/q8/q12/q13/q14/q17/q18/q19/

@@ -207,3 +207,19 @@ def test_image_tiles_reconstruct_pixel_totals(spark, sf_dir):
         )
         assert sum(t.px_sum for t in tiles) == expect
         assert all(0 <= t.px_max <= 250 for t in tiles)
+
+
+def test_gd_loss_decreases_and_weights_bounded(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "linear_probe_gd").collect(), key=lambda r: r.iter
+    )
+    assert [r.iter for r in rows] == [1, 2, 3]
+    # pre-update SSE is strictly decreasing across iterations
+    assert rows[0].sse > rows[1].sse > rows[2].sse
+    # first step moves every weight in the +direction (resid = -y < 0)
+    assert all(getattr(rows[0], f"b{j}") >= 0 for j in range(4))
+    # deterministic rerun
+    again = sorted(
+        _run(spark, sf_dir, "linear_probe_gd").collect(), key=lambda r: r.iter
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
