@@ -204,6 +204,17 @@ HEADLINE = [
     "loo_target_encoding",
     "cdc_batched_merge_apply",
     "hybrid_rrf_fusion",
+    # round-7e additions (append-only, same comparability rule)
+    "small_file_compaction_plan",
+    "zorder_layout_audit",
+    "column_encoding_stats",
+    "events_ewma_forecast",
+    "partition_skew_planner",
+    "audio_frame_energy",
+    "embedding_gram_matrix",
+    "join_cardinality_estimator",
+    "image_tile_checksum",
+    "linear_probe_gd",
 ]
 
 
