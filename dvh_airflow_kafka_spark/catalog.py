@@ -11236,22 +11236,29 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tfidf, 6).alias("t2"),
     )
     # each arm: distributed top-DEPTH first (TakeOrderedAndProject), THEN
-    # the rank window — which therefore runs over a ≤DEPTH-row frame,
-    # bounded by construction rather than by data volume
-    wb = Window.orderBy(F.desc("b"), "doc_id")
-    wt = Window.orderBy(F.desc("t2"), "doc_id")
-    ba = (
+    # the exact rank via the two-pass distributed machinery — even on a
+    # ≤DEPTH-row frame the package bans single-partition global windows
+    # outright (the static plan-budget guard), so ranking goes through
+    # with_global_rank on the negated score (desc == asc on -score;
+    # scores are rounded doubles, negation exact)
+    from dvh_airflow_kafka_spark.ext.ranking import with_global_rank
+
+    ba, _ = with_global_rank(
         base.orderBy(F.desc("b"), "doc_id")
         .limit(_RRF_DEPTH)
-        .withColumn("rank_bm25", F.row_number().over(wb).cast("long"))
-        .select("doc_id", "rank_bm25")
+        .select("doc_id", (-F.col("b")).alias("nb")),
+        ["nb", "doc_id"],
+        rank_col="rank_bm25",
     )
-    ta = (
+    ba = ba.select("doc_id", "rank_bm25")
+    ta, _ = with_global_rank(
         base.orderBy(F.desc("t2"), "doc_id")
         .limit(_RRF_DEPTH)
-        .withColumn("rank_tfidf", F.row_number().over(wt).cast("long"))
-        .select(F.col("doc_id").alias("t_doc_id"), "rank_tfidf")
+        .select("doc_id", (-F.col("t2")).alias("nt")),
+        ["nt", "doc_id"],
+        rank_col="rank_tfidf",
     )
+    ta = ta.select(F.col("doc_id").alias("t_doc_id"), "rank_tfidf")
     inv_b = F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25"))
     inv_t = F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_tfidf"))
     return (
