@@ -298,45 +298,45 @@ def hits_fixed(
     Same movement as ``pagerank_fixed``: per half-step one keyed join
     (scores ⋈ edges) + one map-side-combined ``groupBy().sum``; the
     edge frame is persisted pre-hashed on each join key so only the
-    score frames exchange per iteration.  Returns ``(id_col,
-    hub_score, auth_score)`` longs over the full node universe (nodes
-    with no in/out edges score 0)."""
+    score frames exchange per iteration.  Inside the loop the score
+    frames stay SPARSE — a node absent from ``auth``/``hub`` has score
+    0 and contributes nothing to the next half-step's sum, so the
+    full-universe densification (left-join + coalesce) happens exactly
+    once, after the loop, instead of twice per iteration.  Returns
+    ``(id_col, hub_score, auth_score)`` longs over the full node
+    universe (nodes with no in/out edges score 0)."""
     e_src = edges.repartition("src").persist()
     e_dst = edges.repartition("dst").persist()
     nodes_p = nodes.repartition(id_col).persist()
     hub = nodes_p.select(F.col(id_col), F.lit(1).cast("long").alias("h"))
     auth = None
     for _ in range(iters):
-        auth_c = (
+        auth = (
             e_src.join(
                 hub.select(F.col(id_col).alias("__s"), "h"),
                 F.col("src") == F.col("__s"),
             )
             .groupBy(F.col("dst").alias(id_col))
-            .agg(F.sum("h").alias("a"))
+            .agg(F.sum("h").cast("long").alias("a"))
         )
-        auth = nodes_p.join(auth_c, id_col, "left").select(
-            F.col(id_col),
-            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a"),
-        )
-        hub_c = (
+        hub = (
             e_dst.join(
                 auth.select(F.col(id_col).alias("__d"), "a"),
                 F.col("dst") == F.col("__d"),
             )
             .groupBy(F.col("src").alias(id_col))
-            .agg(F.sum("a").alias("h"))
+            .agg(F.sum("a").cast("long").alias("h"))
         )
-        hub = nodes_p.join(hub_c, id_col, "left").select(
-            F.col(id_col),
-            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h"),
-        )
+    # the final auth frame feeds both the last hub half-step and the
+    # output — persist so the shared subtree evaluates once
+    auth = auth.persist()
     return (
-        hub.join(auth, id_col)
+        nodes_p.join(hub, id_col, "left")
+        .join(auth, id_col, "left")
         .select(
             F.col(id_col),
-            F.col("h").alias("hub_score"),
-            F.col("a").alias("auth_score"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_score"),
         )
     )
 
@@ -361,9 +361,20 @@ def k_core_peel(
 
     Per round: one map-side-combined degree count + one semi-join of
     the edge frame against survivors — the same bounded-exchange
-    movement as the other fixed-iteration graph ops.  Returns
-    ``(id_col, degree, converged)`` for surviving nodes with their
-    final within-core degree."""
+    movement as the other fixed-iteration graph ops.  Only the LAST TWO
+    rounds' survivor counts are ever compared for the ``converged``
+    flag, so earlier rounds schedule no count action.
+
+    Lineage note (this is the load-bearing scale fix): each round's
+    edge set references the previous round THREE times (once directly,
+    twice through ``keep``), so without truncation the logical plan
+    grows 3^rounds and Catalyst analysis time explodes long before the
+    data does — measured 16s planning at round 4 on a 30k-edge graph.
+    An eager ``localCheckpoint`` per round replaces the lineage with
+    the materialized blocks, keeping plan depth constant; on a real
+    cluster with executor churn, swap for reliable ``checkpoint()``.
+    Returns ``(id_col, degree, converged)`` for surviving nodes with
+    their final within-core degree."""
     und = (
         edges.select("src", "dst")
         .unionByName(
@@ -375,18 +386,23 @@ def k_core_peel(
         .persist()
     )
     cur = und
-    prev_n = und.select("src").distinct().count()
+    # initial survivor count only matters when iters == 1 (the flag then
+    # compares round 1 against the un-peeled graph)
+    prev_n = (
+        und.select("src").distinct().count() if iters <= 1 else None
+    )
     converged = False
-    for _ in range(iters):
+    for t in range(1, iters + 1):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src").persist()
-        n_keep = keep.count()
-        converged = n_keep == prev_n
-        prev_n = n_keep
+        if t >= iters - 1:
+            n_keep = keep.count()
+            converged = n_keep == prev_n
+            prev_n = n_keep
         cur = (
             cur.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
-            .persist()
+            .localCheckpoint()
         )
     final_deg = cur.groupBy("src").agg(
         F.count(F.lit(1)).cast("long").alias("degree")
