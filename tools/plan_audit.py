@@ -47,7 +47,12 @@ def main() -> int:
         "stateful sessionization). `nested_loop` > 0 only for the "
         "scalar-subquery pattern — a crossJoin against a broadcast "
         "**1-row** aggregate (global min/max, global avg), which is "
-        "O(n·1); no query nested-loops two data-sized inputs.\n",
+        "O(n·1); no query nested-loops two data-sized inputs. "
+        "Iterative ops that truncate lineage per round (eager "
+        "localCheckpoint — `link_graph_kcore`) surface only their FINAL "
+        "job's nodes here; their per-round exchanges run inside the "
+        "checkpoint jobs and are bounded by construction (see the "
+        "`ext/graph` docstrings).\n",
         "| query | shuffles | bcast_join | smj | nested_loop | window "
         "| py_stage | codegen | oracle |",
         "|---|---|---|---|---|---|---|---|---|",
