@@ -215,6 +215,7 @@ HEADLINE = [
     "join_cardinality_estimator",
     "image_tile_checksum",
     "linear_probe_gd",
+    "kneser_ney_bigram_lm",
 ]
 
 

@@ -236,7 +236,7 @@ def register(name: str, sql: Optional[str] = None):
 # small_file_compaction_plan, zorder_layout_audit,
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
-# image_tile_checksum, linear_probe_gd.
+# image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -11963,6 +11963,108 @@ def linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
     return spark.createDataFrame(
         out, "iter int, b0 long, b1 long, b2 long, b3 long, sse long"
+    )
+
+
+_KN_DISCOUNT = 0.75  # exactly representable in binary; c−D is exact
+_KN_MIN_COUNT = 5
+_KN_TOPN = 200
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    sql=rf"""
+    WITH w AS (SELECT regexp_extract_all(text, '\S+') AS wl FROM documents),
+    w2 AS (SELECT wl FROM w WHERE len(wl) >= 2),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(wl)), i -> wl[i])) AS a,
+               unnest(list_transform(range(1, len(wl)), i -> wl[i+1])) AS b
+        FROM w2
+    ),
+    bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM pairs GROUP BY a, b),
+    ca AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a,
+                  CAST(COUNT(*) AS BIGINT) AS n_follow_a
+           FROM bc GROUP BY a),
+    cb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_prec_b
+           FROM bc GROUP BY b),
+    bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM bc)
+    SELECT bc.a || ' ' || bc.b AS bigram, c_ab, c_a, n_follow_a, n_prec_b,
+           ROUND((CAST(c_ab AS DOUBLE) - {_KN_DISCOUNT}) / c_a
+                 + (({_KN_DISCOUNT} * n_follow_a) / c_a)
+                   * (CAST(n_prec_b AS DOUBLE) / btypes), 6) AS p_kn
+    FROM bc JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN bt
+    WHERE c_ab >= {_KN_MIN_COUNT}
+    ORDER BY c_ab DESC, bigram
+    LIMIT {_KN_TOPN}
+    """,
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed interpolated Kneser–Ney bigram LM estimation
+    (Kneser & Ney, ICASSP'95; Chen & Goodman, CL'99) with a fixed
+    discount D=0.75 — the count-based language model CCNet-style
+    corpus curation scores documents with (perplexity filtering à la
+    KenLM), built the way Brants et al., 'Large language models in
+    machine translation' (EMNLP'07) established n-gram LM training as
+    a canonical distributed-counting workload.
+
+    P_KN(b|a) = max(c(a,b)−D, 0)/c(a) + (D·N1+(a·)/c(a)) · N1+(·b)/B
+    where N1+(a·)/N1+(·b) are follow/precede TYPE counts and B is the
+    number of distinct bigram types — the continuation-probability
+    insight that makes KN the strongest count-based smoother.
+
+    Everything derives from ONE corpus-token shuffle: the adjacent-pair
+    count c(a,b) (map-side combined, vocabulary-bounded output); c(a),
+    N1+(a·), N1+(·b) and B are then aggregates OVER the bigram-type
+    frame, never over the corpus again — at 100 TB the heavy exchange
+    happens once and the smoothing statistics ride on frames bounded by
+    |vocab²∩corpus|.  Bit-exactness: every input to the probability is
+    an exact BIGINT, D=0.75 is a dyadic rational (c−D exact in double),
+    and both engines evaluate the identical association order of
+    correctly-rounded IEEE ops, so ROUND(·, 6) agrees exactly — no libm
+    call anywhere.  Top-200 by raw count, floor 5, ties on the bigram
+    string."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(xtext.tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = F.split(F.col("bg"), " ")
+    pairs = toks.select(
+        F.explode(xtext.word_ngrams_from_tokens(F.col("toks"), 2)).alias("bg")
+    ).select(bg[0].alias("a"), bg[1].alias("b"))
+    # the bigram-type frame feeds four consumers (ca, cb, B, the output
+    # join) — materialize it once
+    bc = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    ca = bc.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"),
+        F.count(F.lit(1)).alias("n_follow_a"),
+    )
+    cb = bc.groupBy("b").agg(F.count(F.lit(1)).alias("n_prec_b"))
+    btypes = bc.count()  # bounded scalar aggregate (one long)
+    p_kn = F.round(
+        (F.col("c_ab").cast("double") - F.lit(_KN_DISCOUNT)) / F.col("c_a")
+        + ((F.lit(_KN_DISCOUNT) * F.col("n_follow_a")) / F.col("c_a"))
+        * (F.col("n_prec_b").cast("double") / F.lit(btypes)),
+        6,
+    )
+    return (
+        bc.filter(F.col("c_ab") >= _KN_MIN_COUNT)
+        .join(ca, "a")
+        .join(cb, "b")
+        .select(
+            F.concat_ws(" ", F.col("a"), F.col("b")).alias("bigram"),
+            "c_ab",
+            "c_a",
+            "n_follow_a",
+            "n_prec_b",
+            p_kn.alias("p_kn"),
+        )
+        .orderBy(F.desc("c_ab"), "bigram")
+        .limit(_KN_TOPN)
     )
 
 

@@ -345,3 +345,35 @@ def test_hll_register_estimate_within_error_envelope(spark, sf_dir):
             0.26 * r.n_exact, 32
         ), (r.event_type, r.n_exact, r.hll_estimate)
         assert 1 <= r.n_nonzero_regs <= 256
+
+
+def test_kneser_ney_bigram_lm_laws(spark, sf_dir):
+    """KN smoothing invariants on exact integers: the discounted mass
+    identity, probability bounds, and count consistency."""
+    rows = _run(spark, sf_dir, "kneser_ney_bigram_lm").collect()
+    assert rows
+    for r in rows:
+        # discount leaves a strictly positive first term (c_ab >= 5 > D)
+        # and interpolation adds strictly positive continuation mass
+        assert 0.0 < r.p_kn <= 1.0, r.bigram
+        assert r.c_ab <= r.c_a, r.bigram
+        assert 1 <= r.n_follow_a <= r.c_a, r.bigram
+        assert r.n_prec_b >= 1, r.bigram
+        # reconstruct p_kn from the exact integer stats it publishes:
+        # the row is self-certifying up to the published B (back it out
+        # from any row, then it must be the SAME B for every row)
+    # back out B = D * n_follow_a / c_a * n_prec_b / (p - (c_ab-D)/c_a)
+    import math
+
+    bs = set()
+    for r in rows:
+        resid = r.p_kn - (r.c_ab - 0.75) / r.c_a
+        if resid > 1e-9:
+            b_est = (0.75 * r.n_follow_a / r.c_a) * r.n_prec_b / resid
+            bs.add(round(b_est / 100))  # 1% bucket: rounding of p_kn blurs
+    assert len(bs) <= 2, bs  # one implied bigram-type count (boundary aside)
+    # determinism: run-to-run identical
+    again = [
+        (r.bigram, r.p_kn) for r in _run(spark, sf_dir, "kneser_ney_bigram_lm").collect()
+    ]
+    assert [(r.bigram, r.p_kn) for r in rows] == again
