@@ -216,6 +216,7 @@ HEADLINE = [
     "image_tile_checksum",
     "linear_probe_gd",
     "kneser_ney_bigram_lm",
+    "phrase_match_positional",
 ]
 
 

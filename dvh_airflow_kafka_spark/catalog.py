@@ -236,7 +236,8 @@ def register(name: str, sql: Optional[str] = None):
 # small_file_compaction_plan, zorder_layout_audit,
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
-# image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm.
+# image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
+# phrase_match_positional.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12065,6 +12066,98 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c_ab"), "bigram")
         .limit(_KN_TOPN)
+    )
+
+
+@register(
+    "phrase_match_positional",
+    sql=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ),
+    tri AS (
+        SELECT unnest(list_transform(
+                   range(1, len(wl) - 1),
+                   i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2])) AS t
+        FROM w WHERE len(wl) >= 3
+    ),
+    top AS (
+        SELECT t FROM tri GROUP BY t
+        ORDER BY COUNT(*) DESC, t LIMIT 1
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(wl) - 1),
+                   i -> struct_pack(
+                       t := wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2],
+                       pos := i))) AS o
+        FROM w WHERE len(wl) >= 3
+    )
+    SELECT occ.doc_id, CAST(o.pos AS BIGINT) AS start_pos,
+           o.t AS phrase
+    FROM occ, top WHERE o.t = top.t
+    ORDER BY doc_id, start_pos
+    """,
+)
+def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact phrase lookup via a POSITIONAL inverted index — the
+    benchmark-string / contamination probe primitive: find every
+    occurrence of a phrase across the corpus WITHOUT re-scanning text,
+    by chaining postings on (doc, position), the classic IR phrase
+    query (Manning, Raghavan & Schütze, 'Introduction to Information
+    Retrieval' §2.4, positional postings).
+
+    The probe phrase is the corpus's most frequent trigram (ties on the
+    string — deterministic, SF-independent choice); resolution is three
+    postings lookups equi-joined on (doc_id, pos), (doc_id, pos−1),
+    (doc_id, pos−2).  The word filter lands in the parquet scan, so the
+    joined frames carry only the three query terms' postings — at
+    100 TB the phrase query touches the index partitions for its terms,
+    never the corpus.  The oracle resolves the same phrase by direct
+    occurrence enumeration over the token lists — a different algorithm
+    reaching the same rows, so a hash match certifies the index-join
+    path against the scan path, not one implementation against itself.
+    The 1-row top-trigram pick is the documented bounded scalar
+    collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), xtext.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    top = (
+        toks.select(
+            F.explode(
+                xtext.word_ngrams_from_tokens(F.col("toks"), 3)
+            ).alias("t")
+        )
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(1)
+        .first()["t"]
+    )
+    w1, w2, w3 = top.split(" ")
+    post = toks.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("pos0", "tok")
+    ).filter(F.col("tok").isin(w1, w2, w3))
+    p1 = post.filter(F.col("tok") == w1).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos")
+    )
+    p2 = post.filter(F.col("tok") == w2).select(
+        "doc_id", (F.col("pos0")).alias("pos")
+    )
+    p3 = post.filter(F.col("tok") == w3).select(
+        "doc_id", (F.col("pos0") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .join(p3, ["doc_id", "pos"])
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("start_pos"),
+            F.lit(top).alias("phrase"),
+        )
+        .orderBy("doc_id", "start_pos")
     )
 
 

@@ -67,6 +67,8 @@ BUDGETS = [
     ("fixed_k_per_group_sample", 1),  # one stratum-keyed window
     ("events_cusum_drift", 1),  # two stacked windows share one exchange
     ("session_association_rules", 5),  # basket dedup + pair/marginal aggs
+    ("kneser_ney_bigram_lm", 2),  # one corpus-pair agg; stats ride bc
+    ("phrase_match_positional", 1),  # postings joins bcast; result sort
 ]
 
 

@@ -377,3 +377,44 @@ def test_kneser_ney_bigram_lm_laws(spark, sf_dir):
         (r.bigram, r.p_kn) for r in _run(spark, sf_dir, "kneser_ney_bigram_lm").collect()
     ]
     assert [(r.bigram, r.p_kn) for r in rows] == again
+
+
+def test_phrase_match_positional_agrees_with_array_scan(spark, sf_dir):
+    """The positional-index join must find exactly the occurrences a
+    direct sliding-window scan over the token arrays finds."""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext import text as xtext
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "phrase_match_positional").collect()
+    assert rows
+    phrase = rows[0].phrase
+    assert len(phrase.split(" ")) == 3
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", xtext.tokens(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 3)
+    scan = toks.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 2),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("toks", i),
+                            F.element_at("toks", i + 1),
+                            F.element_at("toks", i + 2),
+                        ).alias("t"),
+                        i.cast("long").alias("pos"),
+                    ),
+                ),
+                lambda s: s["t"] == F.lit(phrase),
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.pos").alias("start_pos"))
+    expect = {(r.doc_id, r.start_pos) for r in scan.collect()}
+    got = {(r.doc_id, r.start_pos) for r in rows}
+    assert got == expect and len(got) == len(rows)
