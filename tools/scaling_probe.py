@@ -514,6 +514,74 @@ def probe_graph(max_factor: int = 4) -> None:
     spark.stop()
 
 
+def probe_kcore(max_factor: int = 4) -> None:
+    """Scaling curve for fixed-round k-core peeling (the shape behind
+    ``link_graph_kcore``): N disjoint replicas of the varying-degree
+    synthesized graph, so edges and per-round degree/semi-join work grow
+    exactly linearly.  Exists to evidence the round-7f lineage fix —
+    before the eager per-round localCheckpoint, Catalyst analysis grew
+    3^rounds and dominated wall time at EVERY size; after it, the curve
+    should be flat-to-linear in the replica count."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext.graph import k_core_peel
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+
+    spark = get_spark("scaling_probe_kcore")
+    base_ids = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    n_base = base_ids.count()
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        nodes = base_ids
+        for i in range(1, factor):
+            nodes = nodes.unionByName(
+                base_ids.select((F.col("id") + i * 1_000_000).alias("id"))
+            )
+        nodes = nodes.persist()
+        replica_base = (F.col("id") / 1_000_000).cast("long") * 1_000_000
+        local = F.col("id") - replica_base
+        edges = (
+            nodes.select(
+                F.col("id").alias("src"),
+                F.explode(
+                    F.sequence(F.lit(1), (F.lit(1) + local % 5).cast("int"))
+                ).alias("g"),
+                replica_base.alias("__rb"),
+                local.alias("__lid"),
+            )
+            .withColumn(
+                "dst",
+                F.col("__rb")
+                + (
+                    F.col("__lid") * F.col("__lid") * 17
+                    + F.col("__lid") * 31
+                    + F.col("g") * 7
+                )
+                % n_base,
+            )
+            .filter(F.col("dst") != F.col("src"))
+            .select("src", "dst")
+            .distinct()
+        )
+        t0 = time.time()
+        k_core_peel(nodes, edges, k=5, iters=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        sec = time.time() - t0
+        out.append(
+            {"factor": factor, "nodes": n_base * factor, "sec": round(sec, 2)}
+        )
+        print(f"# kcore x{factor}: {sec:.2f}s", file=sys.stderr)
+        nodes.unpersist()
+    print(json.dumps({"metric": "kcore_scaling", "runs": out}))
+    spark.stop()
+
+
 def probe_spans(max_factor: int = 4) -> None:
     """Scaling curve for duplicate-span REMOVAL (the shape behind
     ``duplicate_span_removal``): documents replicated N× verbatim — the
@@ -660,6 +728,9 @@ if __name__ == "__main__":
         raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "graph":
         probe_graph(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "kcore":
+        probe_kcore(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "spans":
         probe_spans(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
