@@ -232,8 +232,16 @@ def main() -> int:
     # Best of 2 per query (3 when the first two disagree by >30% — a
     # disagreement that large is a CPU-steal burst from a neighbor
     # tenant, not the engine; the extra run stops phantom regressions).
+    # Session hygiene between queries: drop driver references so the
+    # ContextCleaner reclaims each query's persisted/localCheckpoint
+    # blocks, and clear the SQL cache periodically — without this the
+    # block manager accumulates hundreds of orphaned cache entries over
+    # a 170-query run and late queries measure GC pressure, not the
+    # engine (observed 2x phantom slowdowns on the bench tail).
+    import gc
+
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for i, name in enumerate(HEADLINE):
         fn = REGISTRY[name].fn
         runs = []
         for _ in range(2):
@@ -246,6 +254,9 @@ def main() -> int:
             runs.append(time.time() - t0)
         times[name] = round(min(runs), 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+        gc.collect()
+        if (i + 1) % 25 == 0:
+            spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     # Full per-query map: one line on stdout (survives in scrollback) and a
