@@ -543,6 +543,21 @@ def jaccard_prefix_filter_pairs(
             F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
         )
         .distinct()
+        # candidate pairs are tiny BY BYTES (two ids), so AQE coalesces
+        # their exchange to a handful of partitions — but each pair costs
+        # a full-array intersect downstream, so bytes mispredict CPU and
+        # verification ran ~5-wide on a 32-core session.  Repartition to
+        # the cluster parallelism and CHECKPOINT: the verify query then
+        # starts from materialized wide blocks, and AQE never re-plans
+        # (and mid-flight-cancels) the candidate stages inside the verify
+        # job — the cancellation is what spammed benign accumulator
+        # errors when this was a plain repartition.
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            "id_a",
+            "id_b",
+        )
+        .localCheckpoint()
     )
     a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
