@@ -244,3 +244,37 @@ def test_kcore_full_unravel_when_k_exceeds_degrees(spark):
     )
     out = xgraph.k_core_peel(nodes, edges, k=3, iters=2).collect()
     assert out == []
+
+
+def test_kcore_iters1_converged_compares_against_unpeeled(spark):
+    # iters=1 takes the prev_n = initial-survivor-count path: on a cycle
+    # (everyone degree 2, k=2) round 1 drops nobody -> converged True;
+    # with a pendant attached, round 1 drops it -> converged False.
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    cycle = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src: long, dst: long"
+    )
+    out = xgraph.k_core_peel(
+        nodes, cycle, k=2, iters=1
+    ).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2]
+    assert all(r["converged"] for r in out)
+    pendant = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src: long, dst: long"
+    )
+    out = xgraph.k_core_peel(nodes, pendant, k=2, iters=1).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2]
+    assert not any(r["converged"] for r in out)
+
+
+def test_kcore_iters2_converged_from_last_two_rounds(spark):
+    # pendant peels in round 1, round 2 drops nobody: the flag compares
+    # the LAST TWO survivor counts, so iters=2 reports converged even
+    # though round 1 shed a node.
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src: long, dst: long"
+    )
+    out = xgraph.k_core_peel(nodes, edges, k=2, iters=2).collect()
+    assert sorted(r["id"] for r in out) == [0, 1, 2]
+    assert all(r["converged"] for r in out)
