@@ -217,6 +217,7 @@ HEADLINE = [
     "linear_probe_gd",
     "kneser_ney_bigram_lm",
     "phrase_match_positional",
+    "timeseries_sax_pairs",
 ]
 
 

@@ -237,7 +237,7 @@ def register(name: str, sql: Optional[str] = None):
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
-# phrase_match_positional.
+# phrase_match_positional, timeseries_sax_pairs.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12158,6 +12158,125 @@ def phrase_match_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(top).alias("phrase"),
         )
         .orderBy("doc_id", "start_pos")
+    )
+
+
+_SAX_LEVEL_PPM = 100_000  # equi-width discretization of the share simplex
+_SAX_SIM_D2 = 2_500_000_000  # flag pairs with L2 <= 50k ppm rms
+
+
+@register(
+    "timeseries_sax_pairs",
+    sql=f"""
+    WITH c AS (
+        SELECT user_id, (isodow(ts) - 1) AS d,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN d = 0 THEN cents ELSE 0 END) AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN d = 1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN d = 2 THEN cents ELSE 0 END) AS BIGINT) AS s2,
+               CAST(SUM(CASE WHEN d = 3 THEN cents ELSE 0 END) AS BIGINT) AS s3,
+               CAST(SUM(CASE WHEN d = 4 THEN cents ELSE 0 END) AS BIGINT) AS s4,
+               CAST(SUM(CASE WHEN d = 5 THEN cents ELSE 0 END) AS BIGINT) AS s5,
+               CAST(SUM(CASE WHEN d = 6 THEN cents ELSE 0 END) AS BIGINT) AS s6,
+               CAST(SUM(cents) AS BIGINT) AS tot
+        FROM c GROUP BY user_id
+    ),
+    p AS (
+        SELECT user_id,
+               (1000000 * s0) // tot AS p0, (1000000 * s1) // tot AS p1,
+               (1000000 * s2) // tot AS p2, (1000000 * s3) // tot AS p3,
+               (1000000 * s4) // tot AS p4, (1000000 * s5) // tot AS p5,
+               (1000000 * s6) // tot AS p6
+        FROM s WHERE tot > 0
+    ),
+    w AS (
+        SELECT *,
+               (p0 // {_SAX_LEVEL_PPM}) || '-' || (p1 // {_SAX_LEVEL_PPM})
+               || '-' || (p2 // {_SAX_LEVEL_PPM}) || '-' ||
+               (p3 // {_SAX_LEVEL_PPM}) || '-' || (p4 // {_SAX_LEVEL_PPM})
+               || '-' || (p5 // {_SAX_LEVEL_PPM}) || '-' ||
+               (p6 // {_SAX_LEVEL_PPM}) AS word
+        FROM p
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, a.word AS sax_word,
+           CAST((a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+              + (a.p2-b.p2)*(a.p2-b.p2) + (a.p3-b.p3)*(a.p3-b.p3)
+              + (a.p4-b.p4)*(a.p4-b.p4) + (a.p5-b.p5)*(a.p5-b.p5)
+              + (a.p6-b.p6)*(a.p6-b.p6) AS BIGINT) AS dist2_ppm2,
+           ((a.p0-b.p0)*(a.p0-b.p0) + (a.p1-b.p1)*(a.p1-b.p1)
+              + (a.p2-b.p2)*(a.p2-b.p2) + (a.p3-b.p3)*(a.p3-b.p3)
+              + (a.p4-b.p4)*(a.p4-b.p4) + (a.p5-b.p5)*(a.p5-b.p5)
+              + (a.p6-b.p6)*(a.p6-b.p6)) <= {_SAX_SIM_D2} AS similar
+    FROM w a JOIN w b ON a.word = b.word AND a.user_id < b.user_id
+    ORDER BY user_a, user_b
+    """,
+)
+def timeseries_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed time-series similarity search via SAX-style
+    discretization (Lin, Keogh et al., 'A symbolic representation of
+    time series', DMKD'03; the iSAX indexing idea behind distributed
+    series search engines): each user's activity collapses to a 7-point
+    PAA profile (day-of-week spend shares in exact integer ppm), the
+    profile quantizes into a SAX word on fixed equi-width breakpoints,
+    and CANDIDATE pairs are users sharing a word — an equi-join on the
+    word, never all-pairs — verified in-row by exact integer squared
+    L2.  Equi-width integer breakpoints replace SAX's Gaussian ones so
+    every step (shares, word, distance) is exact BIGINT arithmetic and
+    the oracle replays bit-identically.
+
+    Scale: ONE map-side-combined aggregate keyed on user builds all
+    profiles (7 conditional sums — no pivot, no second pass); the word
+    join is the dedup-family bucket shape, and a hot-word cap
+    (``drop_hot_shingles`` on the word column) bolts on unchanged if a
+    share profile dominates a 100 TB user base.  Output: every
+    same-word pair with its exact distance and a ``similar`` flag at
+    50k-ppm rms — the flag's threshold is the knob a curation pipeline
+    tunes."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    c = ev.select(
+        "user_id", F.weekday(F.col("ts")).alias("d"), cents.alias("cents")
+    )
+    sums = [
+        F.sum(F.when(F.col("d") == i, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"s{i}")
+        for i in range(7)
+    ]
+    s = c.groupBy("user_id").agg(*sums, F.sum("cents").cast("long").alias("tot"))
+    shares = [
+        F.expr(f"(1000000 * s{i}) div tot").alias(f"p{i}") for i in range(7)
+    ]
+    p = s.filter(F.col("tot") > 0).select("user_id", *shares)
+    word = F.concat_ws(
+        "-", *[F.expr(f"p{i} div {_SAX_LEVEL_PPM}") for i in range(7)]
+    )
+    w = p.withColumn("word", word)
+    a, b = w.alias("a"), w.alias("b")
+    d2 = None
+    for i in range(7):
+        t = (F.col(f"a.p{i}") - F.col(f"b.p{i}")) * (
+            F.col(f"a.p{i}") - F.col(f"b.p{i}")
+        )
+        d2 = t if d2 is None else d2 + t
+    return (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.word").alias("sax_word"),
+            d2.cast("long").alias("dist2_ppm2"),
+            (d2 <= F.lit(_SAX_SIM_D2)).alias("similar"),
+        )
+        .orderBy("user_a", "user_b")
     )
 
 

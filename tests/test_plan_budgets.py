@@ -69,6 +69,7 @@ BUDGETS = [
     ("session_association_rules", 5),  # basket dedup + pair/marginal aggs
     ("kneser_ney_bigram_lm", 2),  # one corpus-pair agg; stats ride bc
     ("phrase_match_positional", 1),  # postings joins bcast; result sort
+    ("timeseries_sax_pairs", 3),  # profile agg + word join + result sort
 ]
 
 
