@@ -218,6 +218,7 @@ HEADLINE = [
     "kneser_ney_bigram_lm",
     "phrase_match_positional",
     "timeseries_sax_pairs",
+    "doc_sentiment_lexicon",
 ]
 
 

@@ -237,7 +237,7 @@ def register(name: str, sql: Optional[str] = None):
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
-# phrase_match_positional, timeseries_sax_pairs.
+# phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12277,6 +12277,109 @@ def timeseries_sax_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d2 <= F.lit(_SAX_SIM_D2)).alias("similar"),
         )
         .orderBy("user_a", "user_b")
+    )
+
+
+# fixed valence lexicon over the corpus vocabulary — the deterministic
+# stand-in for AFINN/VADER-style resources (integer valences)
+_SENTIMENT_LEXICON = [
+    ("fast", 2),
+    ("good", 2),
+    ("best", 3),
+    ("easy", 1),
+    ("cache", 1),
+    ("hit", 1),
+    ("slow", -2),
+    ("bad", -2),
+    ("worst", -3),
+    ("error", -3),
+    ("fail", -2),
+    ("miss", -1),
+]
+
+
+@register(
+    "doc_sentiment_lexicon",
+    sql=f"""
+    WITH lex(tok, valence) AS (VALUES {", ".join(
+        f"('{w}', {v})" for w, v in _SENTIMENT_LEXICON
+    )}),
+    t AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents
+    ),
+    m AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(lex.tok) AS BIGINT) AS n_matched,
+               CAST(COALESCE(SUM(lex.valence), 0) AS BIGINT) AS sentiment
+        FROM t LEFT JOIN lex ON t.tok = lex.tok
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.n_tokens, 0) AS n_tokens,
+           COALESCE(m.n_matched, 0) AS n_matched,
+           COALESCE(m.sentiment, 0) AS sentiment,
+           CASE WHEN COALESCE(m.sentiment, 0) > 0 THEN 'positive'
+                WHEN COALESCE(m.sentiment, 0) < 0 THEN 'negative'
+                ELSE 'neutral' END AS polarity
+    FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+    """,
+)
+def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Lexicon-based sentiment scoring (the AFINN/SentiWordNet
+    valence-sum method; the workload shape of 'Large Scale Sentiment
+    Analysis on Twitter with Spark', EDBT'16): per document, the sum of
+    integer valences of matched lexicon tokens plus match/token counts
+    and a sign polarity — the label-free affect signal corpus curation
+    and A/B readout pipelines both consume.
+
+    Shape: token explode → BROADCAST lexicon join (the lexicon is a
+    constant-size dimension — at 100 TB this stays one corpus scan with
+    a map-side hash probe, no shuffle for the join itself) → one
+    map-side-combined per-doc sum.  All valences are integers and the
+    polarity is a sign test, so the oracle is bit-exact; ratios are
+    deliberately omitted (integer division of NEGATIVE sums truncates
+    toward zero in Spark but floors in DuckDB — the one integer op the
+    cross-engine exactness playbook must avoid)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex = spark.createDataFrame(
+        _SENTIMENT_LEXICON, "tok string, valence int"
+    )
+    t = docs.select(
+        "doc_id", F.explode(xtext.tokens(F.col("text"))).alias("tok")
+    )
+    m = (
+        t.join(F.broadcast(lex), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.count("valence").alias("n_matched"),
+            F.coalesce(F.sum("valence"), F.lit(0))
+            .cast("long")
+            .alias("sentiment"),
+        )
+    )
+    sent = F.coalesce(F.col("sentiment"), F.lit(0)).cast("long")
+    # one corpus tokenization: counts fold into the same aggregate; the
+    # docs-side left join only restores zero-token documents
+    return (
+        docs.select("doc_id")
+        .join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            .cast("long")
+            .alias("n_matched"),
+            sent.alias("sentiment"),
+            F.when(sent > 0, F.lit("positive"))
+            .when(sent < 0, F.lit("negative"))
+            .otherwise(F.lit("neutral"))
+            .alias("polarity"),
+        )
     )
 
 

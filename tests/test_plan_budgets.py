@@ -70,6 +70,7 @@ BUDGETS = [
     ("kneser_ney_bigram_lm", 2),  # one corpus-pair agg; stats ride bc
     ("phrase_match_positional", 1),  # postings joins bcast; result sort
     ("timeseries_sax_pairs", 3),  # profile agg + word join + result sort
+    ("doc_sentiment_lexicon", 2),  # bcast lexicon probe + per-doc agg + id join
 ]
 
 

@@ -440,3 +440,22 @@ def test_timeseries_sax_pairs_laws(spark, sf_dir):
     # the pair set is symmetric-free and deterministic
     again = {(r.user_a, r.user_b) for r in _run(spark, sf_dir, "timeseries_sax_pairs").collect()}
     assert got == again
+
+
+def test_doc_sentiment_lexicon_laws(spark, sf_dir):
+    """Valence-sum invariants: matched <= tokens, polarity is the sign,
+    and sentiment is bounded by 3 * n_matched (the max |valence|)."""
+    rows = _run(spark, sf_dir, "doc_sentiment_lexicon").collect()
+    assert rows
+    from dvh_airflow_kafka_spark.io import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_tokens
+        assert abs(r.sentiment) <= 3 * r.n_matched
+        expect = (
+            "positive" if r.sentiment > 0
+            else "negative" if r.sentiment < 0
+            else "neutral"
+        )
+        assert r.polarity == expect
