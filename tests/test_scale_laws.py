@@ -57,3 +57,35 @@ def test_parquet_schema_evolution_merges_and_prunes(spark, tmp_path):
     }
     plan = merged.filter(F.col("a") >= 198)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(a), GreaterThanOrEqual(a,198)" in plan, plan
+
+
+def test_tpch_q6_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
+    """The canonical pushdown query: q6's selective predicates must reach
+    the parquet scan (PushedFilters) and the scan must read ONLY the four
+    columns the query touches — the properties that make a 100 TB scan
+    proportional to the selectivity, not the table."""
+    import contextlib
+    import io
+
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    df = REGISTRY["tpch_q6_forecast_revenue"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan[:3000]
+    assert "GreaterThanOrEqual(l_discount" in plan
+    assert "IsNotNull(l_quantity)" in plan
+    i = plan.find("ReadSchema: struct<")
+    schema_line = plan[i : plan.find("\n", i)]
+    cols = set(
+        c.split(":")[0]
+        for c in schema_line.split("struct<", 1)[1].rstrip(">").split(",")
+    )
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }, schema_line
