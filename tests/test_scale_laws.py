@@ -89,3 +89,29 @@ def test_tpch_q6_scan_pushes_filters_and_prunes_columns(spark, sf_dir):
         "l_discount",
         "l_shipdate",
     }, schema_line
+
+
+def test_bench_headline_all_registered_and_summary_bounded():
+    """Every bench HEADLINE entry must exist in the registry (a renamed
+    query would silently crash the driver's bench run), and the final
+    summary line must fit the driver's ~2000-char tail capture even at
+    worst-case float widths — the round-5 `parsed: null` regression
+    class."""
+    import json
+
+    import bench
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    worst = {n: 999.99 for n in bench.HEADLINE[:25]}
+    summary = {
+        "metric": "headline catalog queries, noop-sink end-to-end",
+        "value": 99999.999,
+        "unit": "sec",
+        "sf": 0.1,
+        "n_queries": len(bench.HEADLINE),
+        "queries": worst,
+    }
+    assert len(json.dumps(summary)) <= 1500
