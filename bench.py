@@ -219,6 +219,7 @@ HEADLINE = [
     "phrase_match_positional",
     "timeseries_sax_pairs",
     "doc_sentiment_lexicon",
+    "markov_attribution_removal",
 ]
 
 

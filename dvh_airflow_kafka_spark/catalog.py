@@ -237,7 +237,8 @@ def register(name: str, sql: Optional[str] = None):
 # column_encoding_stats, events_ewma_forecast, partition_skew_planner,
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
-# phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon.
+# phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
+# markov_attribution_removal.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12380,6 +12381,199 @@ def doc_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("neutral"))
             .alias("polarity"),
         )
+    )
+
+
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+_ATTR_ITERS = 20
+
+
+def _attribution_oracle_sql(iters: int) -> str:
+    """Unrolled integer value iteration over the absorbing Markov chain —
+    the SQL mirror of the driver-side solve in
+    ``markov_attribution_removal`` (same // floor division on the same
+    nonnegative BIGINTs, bit-exact).  CTEs are MATERIALIZED: DuckDB
+    would otherwise re-inline the shared transition frame into all
+    ``iters`` chained steps and optimization time explodes."""
+    head = """
+    WITH tc AS MATERIALIZED (
+      SELECT p.src AS src, p.dst AS dst, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_transform(range(1, len(seq)),
+                      i -> struct_pack(src := seq[i], dst := seq[i+1]))) AS p
+        FROM (
+          SELECT ['START'] ||
+                 (CASE WHEN pidx > 0 THEN wl[1:pidx-1] ELSE wl END) ||
+                 [CASE WHEN pidx > 0 THEN 'CONV' ELSE 'NULL' END] AS seq
+          FROM (
+            SELECT COALESCE(list_position(wl, 'purchase'), 0) AS pidx, wl
+            FROM (SELECT list(event_type ORDER BY ts, event_id) AS wl
+                  FROM events GROUP BY user_id)
+          )
+        )
+      )
+      GROUP BY 1, 2
+    ),
+    tra AS MATERIALIZED (
+      SELECT scen, src, dst, CAST(SUM(c) AS BIGINT) AS c
+      FROM (
+        SELECT 'base' AS scen, src, dst, c FROM tc
+"""
+    for ch in _ATTR_CHANNELS:
+        head += f"""        UNION ALL
+        SELECT '{ch}', src,
+               CASE WHEN dst = '{ch}' THEN 'NULL' ELSE dst END, c
+        FROM tc
+"""
+    head += """      ) GROUP BY 1, 2, 3
+    ),
+    tot AS MATERIALIZED (
+      SELECT scen, src, CAST(SUM(c) AS BIGINT) AS tot FROM tra GROUP BY 1, 2
+    ),
+    v0 AS MATERIALIZED (
+      SELECT scen, state,
+             CAST(CASE WHEN state = 'CONV' THEN 1000000 ELSE 0 END
+                  AS BIGINT) AS v
+      FROM (SELECT DISTINCT scen, src AS state FROM tra
+            UNION SELECT DISTINCT scen, dst FROM tra)
+    )"""
+    for t in range(1, iters + 1):
+        head += f""",
+    v{t} AS MATERIALIZED (
+      SELECT tra.scen, tra.src AS state,
+             CAST(CAST(SUM(tra.c * p.v) AS BIGINT) // MIN(tot.tot)
+                  AS BIGINT) AS v
+      FROM tra
+      JOIN v{t - 1} p ON p.scen = tra.scen AND p.state = tra.dst
+      JOIN tot ON tot.scen = tra.scen AND tot.src = tra.src
+      GROUP BY tra.scen, tra.src
+      UNION ALL
+      SELECT scen, state, v FROM v0 WHERE state IN ('CONV', 'NULL')
+    )"""
+    head += f""",
+    base AS (SELECT v FROM v{iters} WHERE scen = 'base' AND state = 'START'),
+    wo AS (SELECT scen AS channel, v FROM v{iters}
+           WHERE scen <> 'base' AND state = 'START'),
+    eff AS (
+      SELECT channel, base.v AS base_conv_ppm, wo.v AS conv_without_ppm,
+             base.v - wo.v AS removal_effect_ppm
+      FROM wo, base
+    ),
+    teff AS (SELECT CAST(SUM(removal_effect_ppm) AS BIGINT) AS te FROM eff)
+    SELECT channel, base_conv_ppm, conv_without_ppm, removal_effect_ppm,
+           CAST(CASE WHEN te > 0
+                     THEN (1000000 * removal_effect_ppm) // te
+                     ELSE 0 END AS BIGINT) AS attribution_ppm
+    FROM eff, teff ORDER BY channel
+    """
+    return head
+
+
+@register(
+    "markov_attribution_removal",
+    sql=_attribution_oracle_sql(_ATTR_ITERS),
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Data-driven marketing attribution via Markov removal
+    effects (Anderl et al., 'Mapping the customer journey', IJRM 2016;
+    the standard upgrade from first/last-touch —
+    ``purchase_attribution_touch`` is the heuristic sibling): model each
+    user's journey as an absorbing Markov chain (START → channels →
+    CONV on first purchase, NULL otherwise), estimate conversion
+    probability by value iteration, and credit each channel by how much
+    conversion drops when every transition into it is redirected to
+    NULL.
+
+    What's distributed vs. what's not, stated honestly: journey
+    construction + transition counting is the corpus-scale work — one
+    user-keyed shuffle with per-user bounded state (the
+    ``collect_list``/``array_sort`` per-key reassembly pattern).  The
+    chain itself is a ≤(|channels|+3)² integer count matrix — bounded
+    by the TYPE vocabulary, not the corpus — so it collects to the
+    driver (the charlm/DSIR "model collected" precedent) and the value
+    iteration runs in exact Python ints: v(s) ← Σ c(s,s')·v(s') //
+    tot(s), 20 steps, ppm scale.  Every quantity is a nonnegative
+    BIGINT and // is floor on both engines, so the unrolled-CTE oracle
+    replays the solve bit-exactly.  Removal is monotone (mass only
+    redirects to the 0-valued absorber), so effects are provably
+    nonnegative despite the per-step flooring."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    s = seqs.select(types.alias("tl"), F.array_position(types, "purchase").alias("pidx"))
+    prefix = F.when(
+        F.col("pidx") > 0,
+        F.slice(F.col("tl"), 1, (F.col("pidx") - 1).cast("int")),
+    ).otherwise(F.col("tl"))
+    tail = F.when(F.col("pidx") > 0, F.lit("CONV")).otherwise(F.lit("NULL"))
+    seq = F.concat(F.array(F.lit("START")), prefix, F.array(tail))
+    pairs = s.select(seq.alias("seq")).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq") - 1),
+                lambda i: F.struct(
+                    F.element_at("seq", i).alias("src"),
+                    F.element_at("seq", i + 1).alias("dst"),
+                ),
+            )
+        ).alias("p")
+    )
+    # the transition matrix is bounded by the event-type vocabulary
+    # (≤ (|channels|+3)² rows) — a documented bounded scalar collect
+    tc = [
+        (r["src"], r["dst"], r["c"])
+        for r in pairs.select("p.src", "p.dst")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+
+    def _solve(remove: Optional[str]) -> int:
+        tra: dict[tuple[str, str], int] = {}
+        for src, dst, c in tc:
+            if remove is not None and dst == remove:
+                dst = "NULL"
+            tra[(src, dst)] = tra.get((src, dst), 0) + c
+        tot: dict[str, int] = {}
+        states: set[str] = set()
+        for (src, dst), c in tra.items():
+            tot[src] = tot.get(src, 0) + c
+            states.add(src)
+            states.add(dst)
+        v = {st: (1_000_000 if st == "CONV" else 0) for st in states}
+        for _ in range(_ATTR_ITERS):
+            nv = {
+                src: sum(c * v[d] for (s2, d), c in tra.items() if s2 == src)
+                // tot[src]
+                for src in tot
+            }
+            for st in states:
+                if st not in nv:
+                    nv[st] = 1_000_000 if st == "CONV" else 0
+            v = nv
+        return v["START"]
+
+    base = _solve(None)
+    effs = {ch: base - _solve(ch) for ch in _ATTR_CHANNELS}
+    te = sum(effs.values())
+    rows = [
+        (
+            ch,
+            base,
+            base - effs[ch],
+            effs[ch],
+            (1_000_000 * effs[ch]) // te if te > 0 else 0,
+        )
+        for ch in sorted(_ATTR_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conv_ppm long, conv_without_ppm long, "
+        "removal_effect_ppm long, attribution_ppm long",
     )
 
 

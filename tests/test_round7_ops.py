@@ -459,3 +459,23 @@ def test_doc_sentiment_lexicon_laws(spark, sf_dir):
             else "neutral"
         )
         assert r.polarity == expect
+
+
+def test_markov_attribution_laws(spark, sf_dir):
+    """Absorbing-chain invariants: removal is monotone (nonnegative
+    effects), attributions floor-sum to 1e6, and the solve is
+    deterministic run-to-run."""
+    rows = _run(spark, sf_dir, "markov_attribution_removal").collect()
+    assert len(rows) == 4
+    base = rows[0].base_conv_ppm
+    assert 0 < base <= 1_000_000
+    att_sum = 0
+    for r in rows:
+        assert r.base_conv_ppm == base
+        assert 0 <= r.conv_without_ppm <= base
+        assert r.removal_effect_ppm == base - r.conv_without_ppm
+        att_sum += r.attribution_ppm
+    # floor division: sum lands in (1e6 - n_channels, 1e6]
+    assert 1_000_000 - 4 < att_sum <= 1_000_000
+    again = [tuple(r) for r in _run(spark, sf_dir, "markov_attribution_removal").collect()]
+    assert [tuple(r) for r in rows] == again
