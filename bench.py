@@ -220,6 +220,7 @@ HEADLINE = [
     "timeseries_sax_pairs",
     "doc_sentiment_lexicon",
     "markov_attribution_removal",
+    "shapley_attribution",
 ]
 
 

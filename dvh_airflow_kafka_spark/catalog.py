@@ -238,7 +238,7 @@ def register(name: str, sql: Optional[str] = None):
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
 # phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
-# markov_attribution_removal.
+# markov_attribution_removal, shapley_attribution.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12574,6 +12574,142 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "channel string, base_conv_ppm long, conv_without_ppm long, "
         "removal_effect_ppm long, attribution_ppm long",
+    )
+
+
+@register(
+    "shapley_attribution",
+    sql="""
+    WITH seqs AS MATERIALIZED (
+      SELECT list(event_type ORDER BY ts, event_id) AS wl
+      FROM events GROUP BY user_id
+    ),
+    pre AS (
+      SELECT CASE WHEN pidx > 0 THEN wl[1:pidx-1] ELSE wl END AS pr,
+             (pidx > 0) AS conv
+      FROM (SELECT COALESCE(list_position(wl, 'purchase'), 0) AS pidx, wl
+            FROM seqs)
+    ),
+    um AS (
+      SELECT (CASE WHEN list_contains(pr, 'click') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(pr, 'error') THEN 2 ELSE 0 END)
+           + (CASE WHEN list_contains(pr, 'signup') THEN 4 ELSE 0 END)
+           + (CASE WHEN list_contains(pr, 'view') THEN 8 ELSE 0 END)
+               AS mask,
+             conv
+      FROM pre
+    ),
+    masks AS MATERIALIZED (
+      SELECT mask,
+             CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS convs
+      FROM um GROUP BY mask
+    ),
+    vs AS MATERIALIZED (
+      SELECT s.S, CAST(COALESCE(SUM(m.convs), 0) AS BIGINT) AS v
+      FROM range(0, 16) s(S) LEFT JOIN masks m ON (m.mask | s.S) = s.S
+      GROUP BY s.S
+    ),
+    wt(k, w) AS (VALUES (0, 6), (1, 2), (2, 2), (3, 6)),
+    ch(name, b) AS (VALUES ('click', 1), ('error', 2), ('signup', 4),
+                           ('view', 8)),
+    sh AS (
+      SELECT ch.name AS channel,
+             CAST(SUM(wt.w * (va.v - vb.v)) AS BIGINT) AS phi24
+      FROM ch
+      JOIN range(0, 16) s(S) ON (s.S & ch.b) = 0
+      JOIN wt ON wt.k = ((s.S & 1) + ((s.S >> 1) & 1) + ((s.S >> 2) & 1)
+                         + ((s.S >> 3) & 1))
+      JOIN vs va ON va.S = (s.S | ch.b)
+      JOIN vs vb ON vb.S = s.S
+      GROUP BY ch.name
+    ),
+    tots AS (SELECT CAST(SUM(phi24) AS BIGINT) AS tp FROM sh),
+    vf AS (SELECT v AS v_full FROM vs WHERE S = 15),
+    ve AS (SELECT v AS v_none FROM vs WHERE S = 0)
+    SELECT channel, phi24, v_full, v_none,
+           CAST(CASE WHEN tp > 0 THEN (1000000 * phi24) // tp ELSE 0 END
+                AS BIGINT) AS attribution_ppm
+    FROM sh, tots, vf, ve ORDER BY channel
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Exact Shapley-value attribution (Shapley 1953; Zhao et
+    al., 'Shapley Value Methods for Attribution Modeling in Online
+    Advertising', 2018) — the game-theoretic sibling of
+    ``markov_attribution_removal``: coalition value v(S) = conversions
+    among users whose pre-purchase channel set ⊆ S, and each channel's
+    credit is its average marginal contribution over all coalition
+    orders.  φ is published ×4! (``phi24``) so every quantity stays an
+    exact BIGINT — no factorial division — and the efficiency axiom
+    becomes an exact integer law: Σ phi24 = 24·(v(full) − v(∅)).
+
+    Distributed/model split (the attribution-family pattern): the
+    corpus-scale work is ONE user-keyed aggregate building each user's
+    touched-channel bitmask + conversion flag; the coalition table is
+    2^|channels| = 16 integers, so the subset sums and the 32-term
+    Shapley sum run driver-side in exact Python ints and the oracle
+    replays them with integer bit arithmetic.  ``v_none`` (conversions
+    with no prior channel touch) is the direct-conversion base no
+    channel may claim."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    types = F.transform(F.col("evs"), lambda x: x["event_type"])
+    s = seqs.select(
+        types.alias("tl"), F.array_position(types, "purchase").alias("pidx")
+    )
+    prefix = F.when(
+        F.col("pidx") > 0,
+        F.slice(F.col("tl"), 1, (F.col("pidx") - 1).cast("int")),
+    ).otherwise(F.col("tl"))
+    mask = None
+    for i, ch in enumerate(_ATTR_CHANNELS):
+        bit = F.when(F.array_contains(prefix, ch), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        mask = bit if mask is None else mask + bit
+    um = s.select(
+        mask.alias("mask"), (F.col("pidx") > 0).alias("conv")
+    )
+    # coalition table: <= 16 rows, bounded by 2^|channels|
+    counts = {
+        r["mask"]: r["convs"]
+        for r in um.groupBy("mask")
+        .agg(F.sum(F.when(F.col("conv"), 1).otherwise(0)).alias("convs"))
+        .collect()
+    }
+    n = len(_ATTR_CHANNELS)
+    v = [
+        sum(c for m, c in counts.items() if (m | S) == S)
+        for S in range(1 << n)
+    ]
+    wt = {0: 6, 1: 2, 2: 2, 3: 6}  # k!(n-1-k)! for n=4
+    phi = {}
+    for i, ch in enumerate(_ATTR_CHANNELS):
+        b = 1 << i
+        phi[ch] = sum(
+            wt[bin(S).count("1")] * (v[S | b] - v[S])
+            for S in range(1 << n)
+            if (S & b) == 0
+        )
+    tp = sum(phi.values())
+    rows = [
+        (
+            ch,
+            phi[ch],
+            v[(1 << n) - 1],
+            v[0],
+            (1_000_000 * phi[ch]) // tp if tp > 0 else 0,
+        )
+        for ch in sorted(_ATTR_CHANNELS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, phi24 long, v_full long, v_none long, "
+        "attribution_ppm long",
     )
 
 

@@ -479,3 +479,21 @@ def test_markov_attribution_laws(spark, sf_dir):
     assert 1_000_000 - 4 < att_sum <= 1_000_000
     again = [tuple(r) for r in _run(spark, sf_dir, "markov_attribution_removal").collect()]
     assert [tuple(r) for r in rows] == again
+
+
+def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
+    """The Shapley efficiency axiom as an exact integer law:
+    sum(phi24) == 24 * (v(full) - v(empty)); plus monotone coalition
+    values and nonnegative credits."""
+    rows = _run(spark, sf_dir, "shapley_attribution").collect()
+    assert len(rows) == 4
+    v_full, v_none = rows[0].v_full, rows[0].v_none
+    assert 0 <= v_none <= v_full
+    assert sum(r.phi24 for r in rows) == 24 * (v_full - v_none)
+    att = 0
+    for r in rows:
+        assert r.phi24 >= 0  # v is monotone in S, so marginals are >= 0
+        assert (r.v_full, r.v_none) == (v_full, v_none)
+        att += r.attribution_ppm
+    if v_full > v_none:
+        assert 1_000_000 - 4 < att <= 1_000_000
