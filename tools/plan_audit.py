@@ -52,10 +52,10 @@ def main() -> int:
         "localCheckpoint — `link_graph_kcore`) surface only their FINAL "
         "job's nodes here; their per-round exchanges run inside the "
         "checkpoint jobs and are bounded by construction (see the "
-        "`ext/graph` docstrings). `markov_attribution_removal`'s row "
-        "reflects its returned local frame — the distributed "
-        "transition-counting job runs upstream of the bounded collect "
-        "(see its docstring).\n",
+        "`ext/graph` docstrings). `markov_attribution_removal`'s and "
+        "`shapley_attribution`'s rows reflect their returned local "
+        "frames — the distributed aggregation jobs run upstream of the "
+        "bounded collects (see their docstrings).\n",
         "| query | shuffles | bcast_join | smj | nested_loop | window "
         "| py_stage | codegen | oracle |",
         "|---|---|---|---|---|---|---|---|---|",
