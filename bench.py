@@ -221,6 +221,7 @@ HEADLINE = [
     "doc_sentiment_lexicon",
     "markov_attribution_removal",
     "shapley_attribution",
+    "user_churn_kaplan_meier",
 ]
 
 

@@ -238,7 +238,8 @@ def register(name: str, sql: Optional[str] = None):
 # audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
 # phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
-# markov_attribution_removal, shapley_attribution.
+# markov_attribution_removal, shapley_attribution,
+# user_churn_kaplan_meier.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12710,6 +12711,119 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "channel string, phi24 long, v_full long, v_none long, "
         "attribution_ppm long",
+    )
+
+
+_KM_CENSOR_US = 24 * 3600 * 1_000_000  # active in the final 24h = censored
+_KM_HOUR_US = 3600 * 1_000_000
+
+
+@register(
+    "user_churn_kaplan_meier",
+    sql=f"""
+    WITH RECURSIVE life AS MATERIALIZED (
+      SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // {_KM_HOUR_US} AS t,
+             (epoch_us(MAX(ts))
+              >= (SELECT epoch_us(MAX(ts)) FROM events)
+                 - {_KM_CENSOR_US}) AS censored
+      FROM events GROUP BY user_id
+    ),
+    dt AS MATERIALIZED (
+      SELECT t,
+             CAST(SUM(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d,
+             CAST(SUM(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM life GROUP BY t
+    ),
+    risk AS MATERIALIZED (
+      SELECT dt.t, dt.d, dt.c,
+             CAST((SELECT COUNT(*) FROM life WHERE life.t >= dt.t)
+                  AS BIGINT) AS n
+      FROM dt WHERE dt.d > 0
+    ),
+    rk AS MATERIALIZED (
+      SELECT t, d, c, n,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS r
+      FROM risk
+    ),
+    km AS (
+      SELECT r, t, d, c, n,
+             CAST((1000000 * (n - d)) // n AS BIGINT) AS s
+      FROM rk WHERE r = 1
+      UNION ALL
+      SELECT rk.r, rk.t, rk.d, rk.c, rk.n,
+             CAST((km.s * (rk.n - rk.d)) // rk.n AS BIGINT) AS s
+      FROM rk JOIN km ON rk.r = km.r + 1
+    )
+    SELECT t AS t_hours, n AS n_at_risk, d AS d_churned, c AS c_censored,
+           s AS survival_ppm
+    FROM km ORDER BY t_hours
+    """,
+)
+def user_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Kaplan–Meier survival estimation of user churn (Kaplan &
+    Meier, JASA 1958) — the retention curve with CORRECT censoring: a
+    user's lifetime is hours between first and last event, users still
+    active in the window's final 24h are right-censored (they didn't
+    churn — we just stopped watching), and S(t) multiplies the per-
+    event-time survival fractions (1 − d/n) over the risk set n of
+    users whose lifetime reached t.  Naive retention curves that treat
+    censored users as churned understate survival; KM is the standard
+    correction every churn/retention readout should use.
+
+    Exactness: lifetimes are integer-microsecond arithmetic floored to
+    hours (NOT ``datediff('hour')``, which counts boundary crossings
+    and diverges from a floored duration), and the survival product is
+    an integer ppm flooring recurrence — sequential by nature, but over
+    a frame bounded by the OBSERVATION CALENDAR (≤ hours in the
+    window), never the corpus.  So: one user-keyed aggregate at corpus
+    scale, a calendar-bounded collect (the attribution-family split),
+    the exact product in Python ints, and a recursive-CTE oracle that
+    replays the same flooring recurrence bit-exactly."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    mx = ev.agg(F.max("us").alias("__gmax"))
+    life = (
+        ev.groupBy("user_id")
+        .agg(F.min("us").alias("__lo"), F.max("us").alias("__hi"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor((F.col("__hi") - F.col("__lo")) / F.lit(_KM_HOUR_US))
+            .cast("long")
+            .alias("t"),
+            (
+                F.col("__hi") >= F.col("__gmax") - F.lit(_KM_CENSOR_US)
+            ).alias("censored"),
+        )
+    )
+    # (t, d, c) histogram is bounded by the observation calendar
+    # (<= hours in the window) — a documented bounded collect
+    hist = {
+        r["t"]: (r["d"], r["c"])
+        for r in life.groupBy("t")
+        .agg(
+            F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias("d"),
+            F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias("c"),
+        )
+        .collect()
+    }
+    total = sum(d + c for d, c in hist.values())
+    times = sorted(t for t, (d, _) in hist.items() if d > 0)
+    assert total > 0
+    rows = []
+    s = 1_000_000
+    for t in times:
+        # n = users whose lifetime reached t (suffix count over the
+        # histogram — exact, no float)
+        n = sum(dc + cc for tt, (dc, cc) in hist.items() if tt >= t)
+        d, c = hist[t]
+        s = (s * (n - d)) // n
+        rows.append((t, n, d, c, s))
+    return spark.createDataFrame(
+        rows,
+        "t_hours long, n_at_risk long, d_churned long, c_censored long, "
+        "survival_ppm long",
     )
 
 

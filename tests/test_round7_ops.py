@@ -497,3 +497,22 @@ def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
         att += r.attribution_ppm
     if v_full > v_none:
         assert 1_000_000 - 4 < att <= 1_000_000
+
+
+def test_kaplan_meier_laws(spark, sf_dir):
+    """KM invariants: survival is nonincreasing in (0, 1e6], the risk
+    set is nonincreasing over event times and at least the remaining
+    event mass, and every row has churners."""
+    rows = _run(spark, sf_dir, "user_churn_kaplan_meier").collect()
+    assert rows
+    prev_s, prev_n = 1_000_000, None
+    for i, r in enumerate(rows):
+        assert r.d_churned >= 1
+        assert r.n_at_risk >= r.d_churned
+        assert 0 <= r.survival_ppm <= prev_s
+        prev_s = r.survival_ppm
+        if prev_n is not None:
+            assert r.n_at_risk <= prev_n
+        prev_n = r.n_at_risk
+        # the risk set must cover everyone who churns at or after t
+        assert r.n_at_risk >= sum(x.d_churned for x in rows[i:])
