@@ -222,6 +222,7 @@ HEADLINE = [
     "markov_attribution_removal",
     "shapley_attribution",
     "user_churn_kaplan_meier",
+    "event_lag_correlation",
 ]
 
 

@@ -239,7 +239,7 @@ def register(name: str, sql: Optional[str] = None):
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
 # phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
 # markov_attribution_removal, shapley_attribution,
-# user_churn_kaplan_meier.
+# user_churn_kaplan_meier, event_lag_correlation.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12824,6 +12824,102 @@ def user_churn_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "t_hours long, n_at_risk long, d_churned long, c_censored long, "
         "survival_ppm long",
+    )
+
+
+_XCORR_MAX_LAG = 6
+
+
+@register(
+    "event_lag_correlation",
+    sql=f"""
+    WITH hc AS MATERIALIZED (
+      SELECT epoch_us(ts) // 3600000000 AS h,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM events GROUP BY 1
+    )
+    SELECT l.lag AS lag_hours,
+           CAST(COALESCE(SUM(x.a * y.b), 0) AS BIGINT) AS xcorr,
+           CAST((SELECT COUNT(*) FROM hc) AS BIGINT) AS n_hours,
+           CAST((SELECT SUM(a) FROM hc) AS BIGINT) AS total_a,
+           CAST((SELECT SUM(b) FROM hc) AS BIGINT) AS total_b
+    FROM range({-_XCORR_MAX_LAG}, {_XCORR_MAX_LAG + 1}) l(lag)
+    LEFT JOIN hc x ON TRUE
+    LEFT JOIN hc y ON y.h = x.h + l.lag
+    GROUP BY l.lag ORDER BY l.lag
+    """,
+)
+def event_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Lead–lag cross-correlation between two event-type time
+    series (the ops-analytics lead-indicator probe: does the error rate
+    lead purchase changes by k hours?): raw cross-products
+    xcorr(lag) = Σ_h a(h)·b(h+lag) over hourly counts of errors (a)
+    and purchases (b), for lags −6..6, published with the marginals
+    (n_hours, totals) an analyst needs to normalize into Pearson terms
+    downstream — kept as raw exact BIGSums here so the oracle is
+    bit-exact with no float covariance anywhere.
+
+    Scale shape: the ONLY corpus-scale work is one hour-keyed counting
+    aggregate (map-side combined); the lag products ride the
+    calendar-bounded hourly frame (|hours| rows regardless of corpus
+    size) exploded ×13 lags and self-joined on the shifted hour — a
+    keyed equi-join of two tiny frames.  Hour ids are integer-µs floor
+    division, identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    hc = (
+        ev.select(
+            F.floor(
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                / F.lit(3_600_000_000)
+            )
+            .cast("long")
+            .alias("h"),
+            "event_type",
+        )
+        .groupBy("h")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("a"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("b"),
+        )
+        .persist()
+    )
+    stats = F.broadcast(
+        hc.agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("a").alias("total_a"),
+            F.sum("b").alias("total_b"),
+        )
+    )
+    lags = spark.range(
+        -_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1
+    ).select(F.col("id").cast("long").alias("lag_hours"))
+    x = hc.select(F.col("h").alias("xh"), F.col("a"))
+    y = hc.select(F.col("h").alias("yh"), F.col("b"))
+    return (
+        lags.crossJoin(x)
+        .join(y, F.col("yh") == F.col("xh") + F.col("lag_hours"), "left")
+        .groupBy("lag_hours")
+        .agg(
+            F.coalesce(F.sum(F.col("a") * F.col("b")), F.lit(0))
+            .cast("long")
+            .alias("xcorr")
+        )
+        .crossJoin(stats)
+        .select(
+            "lag_hours",
+            "xcorr",
+            F.col("n_hours").cast("long").alias("n_hours"),
+            F.col("total_a").cast("long").alias("total_a"),
+            F.col("total_b").cast("long").alias("total_b"),
+        )
+        .orderBy("lag_hours")
     )
 
 

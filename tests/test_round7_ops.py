@@ -516,3 +516,14 @@ def test_kaplan_meier_laws(spark, sf_dir):
         prev_n = r.n_at_risk
         # the risk set must cover everyone who churns at or after t
         assert r.n_at_risk >= sum(x.d_churned for x in rows[i:])
+
+
+def test_event_lag_correlation_laws(spark, sf_dir):
+    """Cross-correlation invariants: 13 lags, symmetric marginals, and
+    xcorr bounded by total_a * max-hour-b (coarse but exact)."""
+    rows = _run(spark, sf_dir, "event_lag_correlation").collect()
+    assert [r.lag_hours for r in rows] == list(range(-6, 7))
+    n_hours, ta, tb = rows[0].n_hours, rows[0].total_a, rows[0].total_b
+    for r in rows:
+        assert (r.n_hours, r.total_a, r.total_b) == (n_hours, ta, tb)
+        assert 0 <= r.xcorr <= ta * tb
