@@ -47,7 +47,9 @@ def main() -> int:
         "stateful sessionization). `nested_loop` > 0 only for the "
         "scalar-subquery pattern — a crossJoin against a broadcast "
         "**1-row** aggregate (global min/max, global avg), which is "
-        "O(n·1); no query nested-loops two data-sized inputs. "
+        "O(n·1) — plus `event_lag_correlation`'s 13-row lag frame against "
+        "the calendar-bounded hourly counts, O(13·|hours|); no query "
+        "nested-loops two data-sized inputs. "
         "Iterative ops that truncate lineage per round (eager "
         "localCheckpoint — `link_graph_kcore`) surface only their FINAL "
         "job's nodes here; their per-round exchanges run inside the "
