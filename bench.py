@@ -223,6 +223,7 @@ HEADLINE = [
     "shapley_attribution",
     "user_churn_kaplan_meier",
     "event_lag_correlation",
+    "poisson_bootstrap_means",
 ]
 
 

@@ -239,7 +239,8 @@ def register(name: str, sql: Optional[str] = None):
 # image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
 # phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
 # markov_attribution_removal, shapley_attribution,
-# user_churn_kaplan_meier, event_lag_correlation.
+# user_churn_kaplan_meier, event_lag_correlation,
+# poisson_bootstrap_means.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -12920,6 +12921,104 @@ def event_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_b").cast("long").alias("total_b"),
         )
         .orderBy("lag_hours")
+    )
+
+
+# Poisson(1) CDF quantized to 2^32, as lexicographic 8-hex thresholds:
+# hash-prefix < t_k  <=>  u < CDF(k), so weights replay exactly on any
+# engine that can sha256 and compare strings. Weight capped at 4
+# (P(X>=5) ~ 3.7e-3 folds into the cap; same constant both engines).
+_BOOT_T = ("5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797")
+_BOOT_B = 32
+
+
+def _boot_weight_sql(b: int) -> str:
+    hx = (
+        f"substr(sha256('boot{b}:' || CAST(event_id AS VARCHAR)), 1, 8)"
+    )
+    return (
+        f"(CASE WHEN {hx} < '{_BOOT_T[0]}' THEN 0"
+        f" WHEN {hx} < '{_BOOT_T[1]}' THEN 1"
+        f" WHEN {hx} < '{_BOOT_T[2]}' THEN 2"
+        f" WHEN {hx} < '{_BOOT_T[3]}' THEN 3 ELSE 4 END)"
+    )
+
+
+def _boot_oracle_sql(n_reps: int) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{b}" for b in range(n_reps)
+    )
+    withs = ", ".join(
+        f"b{b} AS (SELECT {b} AS replicate,"
+        f" CAST(SUM({_boot_weight_sql(b)}) AS BIGINT) AS n_eff,"
+        f" CAST(SUM({_boot_weight_sql(b)}"
+        f"          * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" AS sum_cents FROM events)"
+        for b in range(n_reps)
+    )
+    return f"""
+    WITH {withs}
+    SELECT replicate, n_eff, sum_cents,
+           CAST((1000000 * sum_cents) // n_eff AS BIGINT) AS mean_ppm
+    FROM ({union}) ORDER BY replicate
+    """
+
+
+@register("poisson_bootstrap_means", sql=_boot_oracle_sql(_BOOT_B))
+def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Poisson bootstrap over the event value (Chamandy, Muralidharan
+    et al., 'Estimating uncertainty for massive data streams', Google
+    2012): uncertainty for a corpus-scale mean WITHOUT resampling the
+    data — each row contributes to replicate b with a Poisson(1) weight
+    derived from a sha256 hash of (b, event_id), so all 32 replicates
+    compute in ONE scan with 2·B conditional sums (map-side combined,
+    no explode, no shuffle growth), and the replicate spread estimates
+    the sampling distribution of the mean.
+
+    Exactness: weights come from lexicographic hash-prefix comparison
+    against the Poisson(1) CDF quantized to 2^32 (fixed hex constants —
+    no float RNG, no libm at query time; weight capped at 4, folding
+    P(X≥5)≈3.7e-3 into the cap identically on both engines); sums are
+    integer cents and the replicate mean is one floor division of
+    nonnegative BIGINTs.  Deterministic: same replicates every run, on
+    any engine.  At 100 TB a production run would materialize the
+    weight columns once next to the data; here they fold into the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    aggs = []
+    for b in range(_BOOT_B):
+        hx = F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(f"boot{b}:"), F.col("event_id").cast("string")
+                ),
+                256,
+            ),
+            1,
+            8,
+        )
+        w = (
+            F.when(hx < _BOOT_T[0], 0)
+            .when(hx < _BOOT_T[1], 1)
+            .when(hx < _BOOT_T[2], 2)
+            .when(hx < _BOOT_T[3], 3)
+            .otherwise(4)
+        )
+        aggs.append(F.sum(w).cast("long").alias(f"n{b}"))
+        aggs.append(F.sum(w * cents).cast("long").alias(f"s{b}"))
+    wide = ev.agg(*aggs)
+    stack = ", ".join(f"{b}L, n{b}, s{b}" for b in range(_BOOT_B))
+    return (
+        wide.selectExpr(
+            f"stack({_BOOT_B}, {stack}) AS (replicate, n_eff, sum_cents)"
+        )
+        .selectExpr(
+            "replicate",
+            "n_eff",
+            "sum_cents",
+            "CAST((1000000 * sum_cents) div n_eff AS BIGINT) AS mean_ppm",
+        )
+        .orderBy("replicate")
     )
 
 

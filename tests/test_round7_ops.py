@@ -527,3 +527,20 @@ def test_event_lag_correlation_laws(spark, sf_dir):
     for r in rows:
         assert (r.n_hours, r.total_a, r.total_b) == (n_hours, ta, tb)
         assert 0 <= r.xcorr <= ta * tb
+
+
+def test_poisson_bootstrap_laws(spark, sf_dir):
+    """Bootstrap invariants: 32 deterministic replicates, effective
+    sample sizes concentrated around n (Poisson(1) weights sum to ~n),
+    means consistent with the published integer sums."""
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "poisson_bootstrap_means").collect()
+    assert [r.replicate for r in rows] == list(range(32))
+    n = load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        # mean 1, variance ~1/n per weight: a 10-sigma envelope
+        assert abs(r.n_eff - n) < 10 * max(n, 1) ** 0.5 + 10, (r.n_eff, n)
+        assert r.mean_ppm == (1_000_000 * r.sum_cents) // r.n_eff
+    again = [tuple(r) for r in _run(spark, sf_dir, "poisson_bootstrap_means").collect()]
+    assert [tuple(r) for r in rows] == again
