@@ -224,6 +224,7 @@ HEADLINE = [
     "user_churn_kaplan_meier",
     "event_lag_correlation",
     "poisson_bootstrap_means",
+    "benford_first_digit_audit",
 ]
 
 

@@ -240,7 +240,7 @@ def register(name: str, sql: Optional[str] = None):
 # phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
 # markov_attribution_removal, shapley_attribution,
 # user_churn_kaplan_meier, event_lag_correlation,
-# poisson_bootstrap_means.
+# poisson_bootstrap_means, benford_first_digit_audit.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -13019,6 +13019,112 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum_cents) div n_eff AS BIGINT) AS mean_ppm",
         )
         .orderBy("replicate")
+    )
+
+
+# Benford P(d) = log10(1 + 1/d) as shared double literals: both engines
+# parse the same decimal into the same IEEE double, so n·p, the residual
+# and the chi-square contribution are chains of correctly-rounded ops on
+# identical inputs — deterministic cross-engine without libm at query time
+_BENFORD_P = (
+    "0.3010299956639812",
+    "0.17609125905568124",
+    "0.12493873660829992",
+    "0.09691001300805642",
+    "0.079181246047624818",
+    "0.066946789630613221",
+    "0.057991946977686733",
+    "0.051152522447381291",
+    "0.045757490560675143",
+)
+# leading digit of the integer cents via a magnitude CASE chain (cents
+# fits in 5 digits at every SF; extend the chain if values grow)
+_BENFORD_DIGIT_SQL = """(CASE WHEN c < 10 THEN c
+          WHEN c < 100 THEN c // 10
+          WHEN c < 1000 THEN c // 100
+          WHEN c < 10000 THEN c // 1000
+          WHEN c < 100000 THEN c // 10000
+          ELSE c // 100000 END)"""
+
+
+@register(
+    "benford_first_digit_audit",
+    sql=f"""
+    WITH c AS (
+        SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events
+        WHERE value > 0
+    ),
+    obs AS (
+        SELECT {_BENFORD_DIGIT_SQL} AS digit,
+               CAST(COUNT(*) AS BIGINT) AS observed
+        FROM c GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM obs),
+    exp AS (
+        SELECT * FROM (VALUES
+            {", ".join(
+                f"({d + 1}, CAST({p} AS DOUBLE))"
+                for d, p in enumerate(_BENFORD_P)
+            )}
+        ) t(digit, p)
+    )
+    SELECT exp.digit, COALESCE(obs.observed, 0) AS observed,
+           ROUND(n.n * exp.p, 6) AS expected,
+           ROUND(((COALESCE(obs.observed, 0) - (n.n * exp.p))
+                  * (COALESCE(obs.observed, 0) - (n.n * exp.p)))
+                 / (n.n * exp.p), 6) AS chi2_contrib
+    FROM exp LEFT JOIN obs ON obs.digit = exp.digit CROSS JOIN n
+    ORDER BY exp.digit
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Benford's-law first-digit audit (Benford 1938; Nigrini's
+    forensic-accounting test): observed leading-digit counts of the
+    event value against log10(1+1/d) expectations, with per-digit
+    chi-square contributions — the standard screen for fabricated or
+    truncated numeric columns in data-quality pipelines.
+
+    Exactness: the leading digit comes from INTEGER cents via a
+    magnitude CASE chain (no string formatting, no log10 at query
+    time); the nine Benford probabilities are shared decimal literals
+    that parse to identical IEEE doubles on both engines, so
+    n·p → residual → square → divide is a chain of correctly-rounded
+    ops on identical inputs and ROUND(·, 6) agrees exactly.  One
+    map-side-combined 9-group aggregate — a single scan at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    # the leading digit via the same magnitude CASE/div chain as the oracle
+    c = ev.select(cents.alias("c"))
+    d = (
+        F.when(F.col("c") < 10, F.col("c"))
+        .when(F.col("c") < 100, F.expr("c div 10"))
+        .when(F.col("c") < 1000, F.expr("c div 100"))
+        .when(F.col("c") < 10000, F.expr("c div 1000"))
+        .when(F.col("c") < 100000, F.expr("c div 10000"))
+        .otherwise(F.expr("c div 100000"))
+    )
+    obs = c.select(d.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    n = F.broadcast(obs.agg(F.sum("observed").cast("long").alias("n")))
+    exp = spark.createDataFrame(
+        [(i + 1, float(p)) for i, p in enumerate(_BENFORD_P)],
+        "digit long, p double",
+    )
+    e = F.coalesce(F.col("observed"), F.lit(0)).cast("long")
+    resid = e.cast("double") - (F.col("n") * F.col("p"))
+    return (
+        exp.join(obs, "digit", "left")
+        .crossJoin(n)
+        .select(
+            "digit",
+            e.alias("observed"),
+            F.round(F.col("n") * F.col("p"), 6).alias("expected"),
+            F.round((resid * resid) / (F.col("n") * F.col("p")), 6).alias(
+                "chi2_contrib"
+            ),
+        )
+        .orderBy("digit")
     )
 
 

@@ -544,3 +544,22 @@ def test_poisson_bootstrap_laws(spark, sf_dir):
         assert r.mean_ppm == (1_000_000 * r.sum_cents) // r.n_eff
     again = [tuple(r) for r in _run(spark, sf_dir, "poisson_bootstrap_means").collect()]
     assert [tuple(r) for r in rows] == again
+
+
+def test_benford_audit_laws(spark, sf_dir):
+    """Benford audit invariants: all nine digits present, observed sums
+    to the positive-value row count, expectations sum to ~n, chi2
+    contributions nonnegative."""
+    from dvh_airflow_kafka_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    rows = _run(spark, sf_dir, "benford_first_digit_audit").collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    n = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 0)
+        .count()
+    )
+    assert sum(r.observed for r in rows) == n
+    assert abs(sum(r.expected for r in rows) - n) < 1e-3
+    assert all(r.chi2_contrib >= 0 for r in rows)
