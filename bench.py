@@ -225,6 +225,7 @@ HEADLINE = [
     "event_lag_correlation",
     "poisson_bootstrap_means",
     "benford_first_digit_audit",
+    "wavelet_synopsis_topk",
 ]
 
 

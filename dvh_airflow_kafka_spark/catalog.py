@@ -240,7 +240,8 @@ def register(name: str, sql: Optional[str] = None):
 # phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
 # markov_attribution_removal, shapley_attribution,
 # user_churn_kaplan_meier, event_lag_correlation,
-# poisson_bootstrap_means, benford_first_digit_audit.
+# poisson_bootstrap_means, benford_first_digit_audit,
+# wavelet_synopsis_topk.
 # Moved rows-only → partial oracle this round (re-certify; the kernels
 # stage their output bytes and DuckDB replays the downstream pipeline —
 # see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
@@ -13125,6 +13126,106 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("digit")
+    )
+
+
+_WAVELET_LEVELS = 10  # series padded to 2^10 hourly buckets
+_WAVELET_TOPK = 50
+
+
+@register(
+    "wavelet_synopsis_topk",
+    sql=f"""
+    WITH hc AS MATERIALIZED (
+      SELECT CAST(epoch_us(ts) // 3600000000
+                  - (SELECT MIN(epoch_us(ts) // 3600000000) FROM events)
+             AS BIGINT) AS h,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    coef AS (
+      SELECT l.l AS level, hc.h >> ({_WAVELET_LEVELS} - l.l) AS pos,
+             CAST(SUM(CASE WHEN ((hc.h >> ({_WAVELET_LEVELS - 1} - l.l))
+                                 & 1) = 0
+                           THEN hc.c ELSE -hc.c END) AS BIGINT) AS coef
+      FROM hc JOIN range(0, {_WAVELET_LEVELS}) l(l) ON TRUE
+      GROUP BY 1, 2
+    ),
+    scaling AS (
+      SELECT -1 AS level, 0 AS pos, CAST(SUM(c) AS BIGINT) AS coef FROM hc
+    )
+    SELECT level, pos, coef FROM (
+      SELECT * FROM scaling UNION ALL SELECT * FROM coef
+    ) ORDER BY abs(coef) DESC, level, pos LIMIT {_WAVELET_TOPK}
+    """,
+)
+def wavelet_synopsis_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Haar wavelet synopsis of the hourly event-count series
+    (Matias, Vitter & Wang, 'Wavelet-based histograms for selectivity
+    estimation', SIGMOD'98): the top-50 UNNORMALIZED Haar coefficients
+    by magnitude — the classic compact synopsis that answers
+    approximate range-sums/range-counts with error bounded by the
+    dropped coefficients, and the multi-resolution decomposition
+    wavelet-based time-series similarity search indexes.
+
+    Unnormalized Haar (no √2 scaling — documented; reconstruction
+    divides by the dyadic support instead) keeps every coefficient an
+    exact BIGINT: detail(l, p) = Σ left-half counts − Σ right-half
+    counts over the dyadic range, computed for ALL levels in ONE
+    grouped aggregate via bit arithmetic on the hour index (pos =
+    h >> (L−l), sign = bit L−1−l) — no per-level passes, no recursion.
+    The corpus reduces to calendar-bounded hourly counts first, so the
+    transform costs one counting scan regardless of corpus size.
+    Ordering ties break on (level, pos) — deterministic cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    hours = ev.select(
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            / F.lit(3_600_000_000)
+        )
+        .cast("long")
+        .alias("h0")
+    )
+    h0min = F.broadcast(hours.agg(F.min("h0").alias("__m")))
+    hc = (
+        hours.crossJoin(h0min)
+        .select((F.col("h0") - F.col("__m")).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    levels = spark.range(0, _WAVELET_LEVELS).select(
+        F.col("id").cast("long").alias("level")
+    )
+    sign = (
+        F.expr(
+            f"shiftright(h, {_WAVELET_LEVELS - 1} - CAST(level AS INT)) & 1"
+        )
+        == 0
+    )
+    coef = (
+        hc.crossJoin(levels)
+        .groupBy(
+            "level",
+            F.expr(
+                f"shiftright(h, {_WAVELET_LEVELS} - CAST(level AS INT))"
+            ).alias("pos"),
+        )
+        .agg(
+            F.sum(F.when(sign, F.col("c")).otherwise(-F.col("c")))
+            .cast("long")
+            .alias("coef")
+        )
+    )
+    scaling = hc.agg(
+        F.lit(-1).cast("long").alias("level"),
+        F.lit(0).cast("long").alias("pos"),
+        F.sum("c").cast("long").alias("coef"),
+    )
+    return (
+        scaling.unionByName(coef)
+        .orderBy(F.abs(F.col("coef")).desc(), "level", "pos")
+        .limit(_WAVELET_TOPK)
     )
 
 

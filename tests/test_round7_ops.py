@@ -563,3 +563,20 @@ def test_benford_audit_laws(spark, sf_dir):
     assert sum(r.observed for r in rows) == n
     assert abs(sum(r.expected for r in rows) - n) < 1e-3
     assert all(r.chi2_contrib >= 0 for r in rows)
+
+
+def test_wavelet_synopsis_laws(spark, sf_dir):
+    """Haar invariants: the scaling coefficient equals the event count,
+    every detail position fits its level's dyadic range, and the top-k
+    is magnitude-ordered with deterministic tie-breaks."""
+    from dvh_airflow_kafka_spark.io import load_table
+
+    rows = _run(spark, sf_dir, "wavelet_synopsis_topk").collect()
+    assert rows[0].level == -1 and rows[0].pos == 0
+    assert rows[0].coef == load_table(spark, sf_dir, "events").count()
+    prev = abs(rows[0].coef)
+    for r in rows[1:]:
+        assert 0 <= r.level <= 9
+        assert 0 <= r.pos < (1 << r.level) if r.level > 0 else r.pos == 0
+        assert abs(r.coef) <= prev
+        prev = abs(r.coef)
