@@ -211,101 +211,80 @@ def register(name: str, sql: Optional[str] = None):
 # the driver's 50-query window each round to the queries that most need a
 # fresh row.  Entries not listed keep registration order after these.
 #
-# ROUND-7 ROTATION (executes the round-6 note): the first 42 entries are
-# every query without a green driver row after `CORRECTNESS_r06.json` —
-# the 41 round-6 additions registered after round 6's window was pinned,
-# plus `token_inverted_index` (its r6 row failed in the driver's pandas
-# compare on an unhashable array cell, NOT on values; postings are now a
-# comma-joined string on both engines).  `pq_encode_stats` got the same
-# array→string treatment preemptively.  Every query displaced from the
-# round-6 window holds a green r06 (or earlier) driver row and is
-# unchanged this round.  Remaining slots: round-7 additions.
-# ROUND-8 NOTE (next rotation): rotate any round-7 additions that missed
-# this 50-query window to the front, then re-certify whatever changed.
-# Registered after the window so far (verified vs oracles locally):
-# event_funnel_conversion, event_transition_matrix, dp_noisy_event_counts,
-# hive_partition_pruned_rollup, cross_split_ngram_novelty,
-# customer_entity_resolution, events_moving_stats, user_rate_window,
-# referential_integrity_audit, link_graph_communities,
-# doc_feature_hashing, mergeable_variance_stats,
-# streaming_partitioned_sink, quality_quantile_normalize,
-# ml_fold_assignment, streaming_late_data_audit, customer_ltv_running,
-# text_clean_normalize, hll_register_distinct, link_graph_hits,
-# link_graph_kcore, t_closeness_audit, loo_target_encoding,
-# cdc_batched_merge_apply, hybrid_rrf_fusion,
-# small_file_compaction_plan, zorder_layout_audit,
-# column_encoding_stats, events_ewma_forecast, partition_skew_planner,
-# audio_frame_energy, embedding_gram_matrix, join_cardinality_estimator,
-# image_tile_checksum, linear_probe_gd, kneser_ney_bigram_lm,
-# phrase_match_positional, timeseries_sax_pairs, doc_sentiment_lexicon,
-# markov_attribution_removal, shapley_attribution,
-# user_churn_kaplan_meier, event_lag_correlation,
-# poisson_bootstrap_means, benford_first_digit_audit,
-# wavelet_synopsis_topk.
-# Moved rows-only → partial oracle this round (re-certify; the kernels
-# stage their output bytes and DuckDB replays the downstream pipeline —
-# see _stage_frame): bpe_piece_vocab, minhash_near_dup, simhash_near_dup,
-# blob_simhash_near_dup, blob_cdc_chunk_dedup, bpe_tokenize_and_pack,
-# lsh_ann_topk, ivf_ann_topk, ivf_pq_ann_topk (bit-exact int replay),
-# doc_compression_ratio, bpe_encode_stats.
-# Still rows-only BY DESIGN (2): hll_mergeable_distinct (DataSketches
-# binary; hll_register_distinct is its fully-oracled counterpart) and
-# bpe_learn_merges_table (iterative data-dependent merge learning;
-# pytest-pinned against hand-computed merge sequences).
+# ROUND-8 ROTATION (executes the round-7 note + judge triage): after
+# `CORRECTNESS_r07.json` (50/50 green, 1 by-design `no_oracle` row),
+# 57 catalog names have never had a green driver row.  Excluding the 2
+# rows-only-BY-DESIGN names (they burn slots as `err=no_oracle`:
+# `bpe_learn_merges_table` — iterative data-dependent merge learning,
+# pytest-pinned; `hll_mergeable_distinct` — DataSketches binary, its
+# fully-oracled counterpart `hll_register_distinct` IS in this window),
+# that is 55 certifiable into a 50-slot window.  Priority per the round-7
+# verdict: the 46 never-certified round-7 additions first, then 4 of the
+# 9 staged-bytes oracle upgrades (rows-only -> partial oracle in round
+# 7d; their on-file driver status predates the upgrade).
+# ROUND-9 NOTE (next rotation): rotate to the front (a) the 5 staged
+# upgrades deferred from this window — blob_simhash_near_dup,
+# ivf_ann_topk, bpe_tokenize_and_pack, bpe_piece_vocab, bpe_encode_stats
+# — and (b) any query whose output/gate changed in round 8 after its
+# last green row (round 8 moved the oracle hash gate to exact integer
+# columns for token_frequency_profile and token_pmi_collocations; both
+# hold green r07 rows under the old gate and must re-certify).  Every
+# query displaced from this round-8 window holds a green r07-or-earlier
+# driver row and is unchanged.
 _CERTIFY_FIRST = [
-    # failed r6 driver compare on list cells — fixed, re-certify first
-    "token_inverted_index",
-    # never driver-certified: round-6 additions
-    "embedding_kmeans_assign",
-    "duplicate_span_removal",
-    "link_graph_pagerank",
-    "pq_encode_stats",
-    "weighted_priority_sample",
-    "pq_adc_recall",
-    "ivf_pq_ann_topk",
-    "incremental_near_dup_ingest",
-    "knn_label_accuracy",
-    "bpe_learn_merges_table",
-    "error_burst_range_join",
-    "bm25_topk_docs",
-    "hard_negative_mining",
-    "charlm_doc_quality",
-    "countmin_token_freq",
-    "csv_roundtrip_decode",
-    "blob_cdc_chunk_dedup",
-    "dsir_domain_selection",
-    "streaming_countmin_sketch",
-    "jaccard_prefix_filter_pairs",
-    "matryoshka_recall",
-    "privacy_erasure_cascade",
-    "time_decay_engagement",
-    "ab_experiment_lift",
-    "multi_topic_fan_in",
-    "streaming_static_enrichment",
-    "orc_roundtrip_decode",
-    "parquet_schema_evolution",
-    "events_anomaly_mad",
-    "winsorized_value_stats",
-    "source_drift_ks",
-    "ngram_containment_pairs",
-    "token_frequency_profile",
-    "quality_length_spearman",
-    "link_graph_triangles",
-    "l_diversity_audit",
-    "token_pmi_collocations",
-    "fixed_k_per_group_sample",
-    "events_cusum_drift",
-    "session_association_rules",
-    "streaming_left_outer_join",
-    # round-7 additions (registered this round)
-    "link_graph_reachability",
-    "scd2_point_in_time_join",
-    "source_boilerplate_fraction",
-    "url_canonical_dedup",
-    "purchase_attribution_touch",
-    "quality_classifier_vote",
-    "event_mix_chi2_drift",
-    "theta_sketch_overlap",
+    # never driver-certified: round-7 additions (local oracle gate green
+    # in tests/test_catalog_oracle.py; registration predates the r7 pin)
+    "event_funnel_conversion",
+    "event_transition_matrix",
+    "dp_noisy_event_counts",
+    "hive_partition_pruned_rollup",
+    "cross_split_ngram_novelty",
+    "customer_entity_resolution",
+    "events_moving_stats",
+    "user_rate_window",
+    "referential_integrity_audit",
+    "link_graph_communities",
+    "doc_feature_hashing",
+    "mergeable_variance_stats",
+    "streaming_partitioned_sink",
+    "quality_quantile_normalize",
+    "ml_fold_assignment",
+    "streaming_late_data_audit",
+    "customer_ltv_running",
+    "text_clean_normalize",
+    "hll_register_distinct",
+    "link_graph_hits",
+    "link_graph_kcore",
+    "t_closeness_audit",
+    "loo_target_encoding",
+    "hybrid_rrf_fusion",
+    "cdc_batched_merge_apply",
+    "small_file_compaction_plan",
+    "zorder_layout_audit",
+    "column_encoding_stats",
+    "events_ewma_forecast",
+    "partition_skew_planner",
+    "audio_frame_energy",
+    "embedding_gram_matrix",
+    "join_cardinality_estimator",
+    "image_tile_checksum",
+    "linear_probe_gd",
+    "kneser_ney_bigram_lm",
+    "phrase_match_positional",
+    "timeseries_sax_pairs",
+    "doc_sentiment_lexicon",
+    "markov_attribution_removal",
+    "shapley_attribution",
+    "user_churn_kaplan_meier",
+    "event_lag_correlation",
+    "poisson_bootstrap_means",
+    "benford_first_digit_audit",
+    "wavelet_synopsis_topk",
+    # staged-bytes oracle upgrades (round 7d) — first hash-gated rows
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "lsh_ann_topk",
+    "doc_compression_ratio",
 ]
 
 

@@ -50,28 +50,85 @@ def write_jdbc(
     writer.save()
 
 
+def kafka_writer_options(
+    bootstrap_servers: str,
+    topic: str,
+    ca_path: str | None = None,
+    cert_key_path: str | None = None,
+) -> dict[str, str]:
+    """S8 writer-option contract (reference src/kafka_target.py:57-78):
+    the reference's producer config is ``bootstrap.servers`` plus, off
+    localhost, SSL via PEM file paths from env. Spark's kafka sink takes
+    the same client config under a ``kafka.`` prefix; the PEM paths map
+    to the JVM client's PEM-typed stores (``ssl.truststore.location`` =
+    the reference's KAFKA_CA_PATH; ``ssl.keystore.location`` = one PEM
+    holding certificate + private key, the JVM merge of the reference's
+    separate KAFKA_CERTIFICATE_PATH / KAFKA_PRIVATE_KEY_PATH). Pinned by
+    tests/test_kafka_sink_contract.py — change shape there first."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "topic": topic,
+    }
+    if ca_path or cert_key_path:
+        opts["kafka.security.protocol"] = "SSL"
+        if ca_path:
+            opts["kafka.ssl.truststore.type"] = "PEM"
+            opts["kafka.ssl.truststore.location"] = ca_path
+        if cert_key_path:
+            opts["kafka.ssl.keystore.type"] = "PEM"
+            opts["kafka.ssl.keystore.location"] = cert_key_path
+    return opts
+
+
+def kafka_payload_confluent(
+    df: DataFrame,
+    value_schema_json: str,
+    schema_id: int,
+) -> DataFrame:
+    """S8 payload contract, jar-free: (key, value) binary columns exactly
+    as the reference produces them (src/kafka_target.py:80-90) — key =
+    uuid4 string serialized utf-8 (StringSerializer("utf_8") over
+    str(uuid4())), value = Confluent wire format (magic 0x00 + 4-byte
+    big-endian schema id + Avro body, what AvroSerializer emits). Avro
+    encoding runs in our Arrow-batched codec (sources/avro_codec.py), so
+    the payload plan needs no spark-avro jar; only the final
+    ``format("kafka").save()`` needs the kafka connector jar."""
+    from ..sources.avro_codec import avro_encode_from_json_udf
+    from ..sources.kafka import confluent_frame
+
+    body = avro_encode_from_json_udf(value_schema_json)(
+        F.to_json(F.struct(*df.columns))
+    )
+    return df.select(
+        F.encode(F.expr("uuid()"), "UTF-8").alias("key"),
+        confluent_frame(F.lit(schema_id), body).alias("value"),
+    )
+
+
 def write_kafka_avro(
     df: DataFrame,
     bootstrap_servers: str,
     topic: str,
     value_schema_json: str,
+    schema_id: int = 1,
+    ca_path: str | None = None,
+    cert_key_path: str | None = None,
 ) -> None:
-    """S8: Avro-encoded producer with uuid4 string keys (reference
-    src/kafka_target.py:55-63). Requires the spark-avro + kafka jars."""
-    try:
-        from pyspark.sql.avro.functions import to_avro
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("spark-avro not on classpath") from e
-    payload = df.select(
-        F.expr("uuid()").cast("binary").alias("key"),
-        to_avro(F.struct(*df.columns), value_schema_json).alias("value"),
-    )
-    (
-        payload.write.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("topic", topic)
-        .save()
-    )
+    """S8: Confluent-framed Avro producer with uuid4 string keys
+    (reference src/kafka_target.py:32-90). Payload build + options are
+    jar-free (contract-tested); the save itself requires the kafka
+    connector jar. Delivery semantics: Spark's kafka sink acks every
+    record per task before committing (the reference's per-batch
+    ``flush``, src/kafka_target.py:90); a failed task retries whole, so
+    downstream must tolerate at-least-once just as the reference's
+    console consumers do."""
+    payload = kafka_payload_confluent(df, value_schema_json, schema_id)
+    writer = payload.write.format("kafka")
+    for k, v in kafka_writer_options(
+        bootstrap_servers, topic, ca_path=ca_path, cert_key_path=cert_key_path
+    ).items():
+        writer = writer.option(k, v)
+    writer.save()
 
 
 def write_console(df: DataFrame, n: int = 20) -> None:
