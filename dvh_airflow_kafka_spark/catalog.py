@@ -7691,22 +7691,22 @@ def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, c, COUNT(*) AS m FROM freq GROUP BY source, c
     ), b AS (
         SELECT source, c, m,
-               SUM(m) OVER (PARTITION BY source ORDER BY c) AS hi,
-               CAST(floor(ln(c) * 1000000 + 0.5) AS BIGINT) AS q
+               SUM(m) OVER (PARTITION BY source ORDER BY c) AS hi
         FROM fm
     ), agg AS (
         SELECT source,
                CAST(SUM(m) AS BIGINT) AS vocab,
                CAST(SUM(c * m) AS BIGINT) AS total,
                CAST(SUM(c * m * (2 * hi - m + 1)) AS BIGINT) AS g2,
-               CAST(SUM(m * c * q) AS BIGINT) AS ent
+               CAST(SUM(m * c * c) AS BIGINT) AS coll
         FROM b GROUP BY source
     )
     SELECT source, vocab AS vocab_size, total AS total_tokens,
            ROUND(CAST(g2 - (vocab + 1) * total AS DOUBLE)
                  / CAST(vocab * total AS DOUBLE), 6) AS gini,
-           ROUND(ln(total) - CAST(ent AS DOUBLE) / total / 1000000, 6)
-               AS entropy_nats,
+           coll AS collision_sum,
+           CAST(coll AS DOUBLE) / (CAST(total AS DOUBLE) * total)
+               AS simpson_index,
            ROUND(CAST(vocab AS DOUBLE) / total, 6) AS type_token_ratio
     FROM agg
     """,
@@ -7714,24 +7714,24 @@ def ngram_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Per-source vocabulary concentration profile: Gini
     coefficient of the token-frequency distribution (how head-heavy the
-    vocabulary is — template/boilerplate sources score high), Shannon
-    entropy in nats (the corpus-diversity measure mixture recipes
-    balance on), and type-token ratio.  The trio a curation pipeline
-    reads before weighting a source into a pretraining mix.
+    vocabulary is — template/boilerplate sources score high), the
+    collision/Simpson index (Rényi-2 diversity: Σ(c/total)² — the
+    corpus-diversity measure mixture recipes balance on; Rényi-2
+    entropy in nats is ``-ln(simpson_index)``, left to the consumer),
+    and type-token ratio.  The trio a curation pipeline reads before
+    weighting a source into a pretraining mix.
 
-    The integer spine (vocab, totals, Gini's rank sum) is engine-exact:
-    the rank sum uses the tie-safe identity
+    Exactness: bit-exact BY CONSTRUCTION — every compared column is
+    either an exact BIGINT (vocab, total, collision_sum = Σ m·c²) or
+    correctly-rounded IEEE arithmetic over those exact integers in the
+    same association order in both engines (gini, simpson_index,
+    type_token_ratio).  The rank sum uses the tie-safe identity
     ``Σ 2i·x = Σ_f f·m_f·(lo_f+hi_f)`` over the counts-OF-counts frame
     (tokens sharing a frequency share a rank interval —
     ``ext/stats.keyed_rank_bounds``), so nothing is ever sorted
-    row-wise.  Entropy quantizes ``ln(freq)`` to integer micronats
-    before summing; that makes the SUM order-independent, but the
-    quantization itself rounds a libm ``ln`` that is not guaranteed
-    correctly rounded, so cross-engine equality is overwhelmingly
-    likely (a flip needs a 1-ulp disagreement landing exactly on a
-    0.5-micronat boundary), not mathematically absolute — the
-    summation-order hazard is what's eliminated, and the distinct
-    ``c`` values a flip could hit are bounded by max token frequency.
+    row-wise.  This replaced the earlier micronat-quantized Shannon
+    entropy whose cross-engine equality relied on libm ``ln`` and was
+    only probabilistic.
     The heavy passes are two combinable shuffles (token counts,
     counts-of-counts) whose outputs are bounded by vocabulary size,
     not corpus rows."""
@@ -7745,13 +7745,12 @@ def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = xstats.keyed_rank_bounds(
         freq.select("source", "c"), "source", "c"
     )
-    q = F.floor(F.log(F.col("c")) * 1000000 + F.lit(0.5)).cast("bigint")
     m = F.col("__cnt")
     agg = bounds.groupBy("source").agg(
         F.sum(m).alias("vocab"),
         F.sum(F.col("c") * m).alias("total"),
         F.sum(F.col("c") * m * (F.col("__lo") + F.col("__hi"))).alias("g2"),
-        F.sum(m * F.col("c") * q).alias("ent"),
+        F.sum(m * F.col("c") * F.col("c")).alias("coll"),
     )
     return agg.select(
         "source",
@@ -7762,11 +7761,11 @@ def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("vocab") * F.col("total")).cast("double"),
             6,
         ).alias("gini"),
-        F.round(
-            F.log(F.col("total").cast("double"))
-            - F.col("ent").cast("double") / F.col("total") / 1000000,
-            6,
-        ).alias("entropy_nats"),
+        F.col("coll").alias("collision_sum"),
+        (
+            F.col("coll").cast("double")
+            / (F.col("total").cast("double") * F.col("total"))
+        ).alias("simpson_index"),
         F.round(F.col("vocab").cast("double") / F.col("total"), 6).alias(
             "type_token_ratio"
         ),
@@ -8008,11 +8007,11 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
           JOIN uc ua ON ua.tok = split_part(bc.bigram, ' ', 1)
           JOIN uc ub ON ub.tok = split_part(bc.bigram, ' ', 2)
           WHERE bc.cab >= 5)
-    SELECT bigram, cab AS n_occurrences,
-           ROUND(ln((CAST(cab AS DOUBLE) * u * u)
-                    / (CAST(b AS DOUBLE) * ca * cb)), 6) AS pmi
+    SELECT bigram, cab AS n_occurrences, ca AS left_count, cb AS right_count,
+           (CAST(cab AS DOUBLE) * u * u) / (CAST(b AS DOUBLE) * ca * cb)
+               AS pmi_ratio
     FROM j, ut, bt
-    ORDER BY pmi DESC, bigram
+    ORDER BY pmi_ratio DESC, bigram
     LIMIT 50
     """,
 )
@@ -8028,15 +8027,19 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: two combinable counting shuffles (unigrams, bigrams) bounded
     by vocabulary, two vocabulary-keyed joins to attach marginals, and
     a top-k that runs as per-partition heads + one merge
-    (TakeOrderedAndProject — no global sort).  PMI's ln is a single
-    call on an identically-computed double ratio rounded to 6 places;
-    ties at the cut rank break on the bigram string.  The top-50 is
-    deterministic WITHIN an engine; cross-engine it additionally relies
-    on both libms rounding ``ln`` of the same double identically at the
-    6th decimal — a 1-ulp disagreement landing on a rounding boundary
-    could in principle flip a rank-50 tie, so the guarantee is
-    probabilistic (and has held across every driver run), not
-    absolute."""
+    (TakeOrderedAndProject — no global sort).
+
+    Exactness: bit-exact BY CONSTRUCTION.  ``ln`` is monotone, so
+    ranking by the PMI *ratio* ``cab·u²/(b·ca·cb)`` is the same order
+    as ranking by PMI itself — and the ratio is correctly-rounded IEEE
+    mul/div over exact integers evaluated in the same association order
+    in both engines, hence identical to the last bit (ties at the cut
+    rank break on the bigram string).  The emitted columns are the
+    integer spine (counts, marginals) plus that bit-exact ratio;
+    display PMI is ``ln(pmi_ratio)``, left to the consumer so no libm
+    call participates in the correctness gate.  This replaced the
+    earlier rounded-``ln`` output whose cross-engine equality was only
+    probabilistic."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(xtext.tokens(F.col("text")).alias("toks")).filter(
         F.size("toks") >= 2
@@ -8071,20 +8074,18 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("bigram"), " ")[1] == F.col("__t2"),
         )
     )
-    pmi = F.round(
-        F.log(
-            (F.col("cab").cast("double") * F.lit(u_total) * F.lit(u_total))
-            / (F.lit(float(b_total)) * F.col("ca") * F.col("cb"))
-        ),
-        6,
-    )
+    pmi_ratio = (
+        F.col("cab").cast("double") * F.lit(u_total) * F.lit(u_total)
+    ) / (F.lit(float(b_total)) * F.col("ca") * F.col("cb"))
     return (
         j.select(
             "bigram",
             F.col("cab").alias("n_occurrences"),
-            pmi.alias("pmi"),
+            F.col("ca").alias("left_count"),
+            F.col("cb").alias("right_count"),
+            pmi_ratio.alias("pmi_ratio"),
         )
-        .orderBy(F.desc("pmi"), "bigram")
+        .orderBy(F.desc("pmi_ratio"), "bigram")
         .limit(50)
     )
 
@@ -9368,7 +9369,40 @@ def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DP_SALT = "dp-lap-v1"
-_DP_B = 2.0  # Laplace scale = sensitivity 1 / epsilon 0.5
+_DP_B = 2.0  # noise scale = sensitivity 1 / epsilon 0.5
+
+
+def _dp_geometric_case_sql() -> str:
+    """Discrete-Laplace (two-sided geometric) inverse-CDF as a pure
+    integer CASE over the 32-bit uniform ``u32`` — the geometric
+    mechanism of Ghosh/Roughgarden/Sundararajan (SIAM J. Comput. 2012),
+    the integer-exact counterpart of Laplace noise.  P(K=k) ∝ α^|k|
+    with α = e^(-1/b); the cumulative thresholds are computed ONCE here
+    on the driver and injected as identical integer literals into both
+    the Spark expression and the DuckDB oracle, so each engine does only
+    integer comparisons — bit-exact by construction, no libm anywhere.
+    The table spans |k| ≤ 40: the discarded tail mass α^41·(…) is below
+    2^-32 and rounds into the outermost buckets."""
+    import math
+
+    alpha = math.exp(-1.0 / _DP_B)
+    k_max = 40
+    # P(K=k) = (1-alpha)/(1+alpha) * alpha^|k|
+    norm = (1.0 - alpha) / (1.0 + alpha)
+    cum = 0.0
+    thresholds: list[tuple[int, int]] = []  # (upper_exclusive_u32, k)
+    for k in range(-k_max, k_max + 1):
+        cum += norm * alpha ** abs(k)
+        thresholds.append((min(int(round(cum * 2**32)), 2**32), k))
+    # force the last bucket to absorb all remaining mass
+    thresholds[-1] = (2**32, k_max)
+    branches = " ".join(
+        f"WHEN u32 < {hi} THEN {k}" for hi, k in thresholds[:-1]
+    )
+    return f"CASE {branches} ELSE {thresholds[-1][1]} END"
+
+
+_DP_GEOM_CASE = _dp_geometric_case_sql()
 
 
 @register(
@@ -9387,29 +9421,27 @@ _DP_B = 2.0  # Laplace scale = sensitivity 1 / epsilon 0.5
         FROM g
     )
     SELECT event_type, day, n, u32,
-           ROUND(CAST(n AS DOUBLE) + CASE
-               WHEN (2 * u32 + 1) < 4294967296
-               THEN {_DP_B} * ln(CAST(2 * u32 + 1 AS DOUBLE)
-                                 / 4294967296.0)
-               ELSE -{_DP_B} * ln(CAST(8589934592 - (2 * u32 + 1)
-                                       AS DOUBLE) / 4294967296.0)
-           END, 6) AS noisy_count
+           CAST({_DP_GEOM_CASE} AS BIGINT) AS noise_k,
+           CAST(n + ({_DP_GEOM_CASE}) AS BIGINT) AS noisy_count
     FROM h
     """,
 )
 def dp_noisy_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Differentially-private daily event-count release: per
-    (event_type, day), true count + Laplace(b=2) noise via the inverse
-    CDF of a deterministic sha-derived uniform u = (2*h32+1)/2^33 — the
+    (event_type, day), true count + discrete-Laplace (two-sided
+    geometric, Ghosh/Roughgarden/Sundararajan 2012) noise with
+    α = e^(-1/2) — the integer-exact counterpart of Laplace(b=2) — via
+    the inverse CDF of a deterministic sha-derived 32-bit uniform: the
     seeded-noise shape a privacy-preserving stats release pipeline uses
     (salt = the release's secret seed).
 
-    Exactness: ``n`` and ``u32`` are integers compared exactly; both
-    engines feed ln() the SAME exact double (an integer over 2^32), so
-    ``noisy_count`` agrees to the last bit unless the two libm ln's
-    disagree by an ulp AND that ulp lands on the round-6 boundary
-    (probability ~1e-10 per group) — same documented probabilistic
-    class as the entropy/PMI profiles.
+    Exactness: bit-exact BY CONSTRUCTION — the inverse-CDF threshold
+    table is computed once on the driver (``_dp_geometric_case_sql``)
+    and injected as identical integer literals into both engines, so
+    every compared column (n, u32, noise_k, noisy_count) is pure
+    integer arithmetic; no libm call exists in either plan.  This
+    replaced the earlier continuous-Laplace ``ln`` form whose
+    cross-engine equality was only probabilistic.
 
     Scale: one map-side-combined aggregate; noise is a scan-fused
     Column expression on the collapsed (type, day) frame."""
@@ -9442,22 +9474,14 @@ def dp_noisy_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("u32")
     )
     h = g.select("event_type", "day", "n", u32)
-    v = F.lit(2) * F.col("u32") + F.lit(1)
-    noise = F.when(
-        v < F.lit(4294967296),
-        F.lit(_DP_B) * F.log(v.cast("double") / F.lit(4294967296.0)),
-    ).otherwise(
-        -F.lit(_DP_B)
-        * F.log(
-            (F.lit(8589934592) - v).cast("double") / F.lit(4294967296.0)
-        )
-    )
+    noise = F.expr(_DP_GEOM_CASE).cast("long")
     return h.select(
         "event_type",
         "day",
         "n",
         "u32",
-        F.round(F.col("n").cast("double") + noise, 6).alias("noisy_count"),
+        noise.alias("noise_k"),
+        (F.col("n") + noise).cast("long").alias("noisy_count"),
     )
 
 

@@ -40,14 +40,12 @@ def test_transition_matrix_normalizes(spark, sf_dir):
 
 
 def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
-    import math
-
     rows = _run(spark, sf_dir, "dp_noisy_event_counts").collect()
     assert rows
-    # |Laplace^-1(u)| <= b * ln(2^33) for the coarsest representable u
-    bound = 2.0 * math.log(2.0**33)
+    # discrete-Laplace inverse-CDF table spans |k| <= 40 by construction
     for r in rows:
-        assert abs(r.noisy_count - r.n) <= bound, (r.event_type, r.day)
+        assert abs(r.noise_k) <= 40, (r.event_type, r.day)
+        assert r.noisy_count == r.n + r.noise_k, (r.event_type, r.day)
     again = {
         (r.event_type, r.day): r.noisy_count
         for r in _run(spark, sf_dir, "dp_noisy_event_counts").collect()

@@ -165,7 +165,11 @@ def test_gini_and_spearman_catalog_laws(spark):
             for r in REGISTRY["token_frequency_profile"].fn(spark, tmp).collect()
         }
         assert out["u"]["gini"] == 0.0
-        assert abs(out["u"]["entropy_nats"] - math.log(4)) < 1e-5
+        # uniform over 4 types, 2 each: collision_sum = 4*2^2 = 16,
+        # Simpson = 16/64 = 1/4, so Renyi-2 entropy -ln(1/4) = ln(4)
+        assert out["u"]["collision_sum"] == 16
+        assert out["u"]["simpson_index"] == 0.25
+        assert abs(-math.log(out["u"]["simpson_index"]) - math.log(4)) < 1e-12
         assert out["u"]["vocab_size"] == 4 and out["u"]["total_tokens"] == 8
         # frequencies [1, 7]: G = (2·1·1 + 2·2·7 − 3·8) / (2·8) = 0.375
         assert out["s"]["gini"] == 0.375
