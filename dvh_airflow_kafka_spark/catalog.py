@@ -11061,8 +11061,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(COUNT(*) AS BIGINT) AS n_seg
           FROM j GROUP BY 1)
     SELECT j.o_orderkey, j.c_mktsegment, s.n_seg,
-           round(CAST(s.seg_cents - j.cents AS DOUBLE)
-                 / (100.0 * (s.n_seg - 1)), 6) AS loo_segment_mean
+           CASE WHEN s.n_seg > 1 THEN
+               round(CAST(s.seg_cents - j.cents AS DOUBLE)
+                     / (100.0 * (s.n_seg - 1)), 6)
+           END AS loo_segment_mean
     FROM j JOIN s USING (c_mktsegment)
     """,
 )
@@ -11097,10 +11099,16 @@ def loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "c_mktsegment",
         "n_seg",
-        F.round(
-            (F.col("seg_cents") - F.col("cents")).cast("double")
-            / (F.lit(100.0) * (F.col("n_seg") - 1)),
-            6,
+        # a single-order segment has no "others" to average — NULL, not a
+        # 0/0 artifact (mirrored CASE in the oracle; DuckDB's double 0/0
+        # behavior is engine-version-dependent)
+        F.when(
+            F.col("n_seg") > 1,
+            F.round(
+                (F.col("seg_cents") - F.col("cents")).cast("double")
+                / (F.lit(100.0) * (F.col("n_seg") - 1)),
+                6,
+            ),
         ).alias("loo_segment_mean"),
     )
 
@@ -11764,8 +11772,10 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.o_orderpriority, p.n_orders, p.actual_lines,
            CAST((p.n_orders * t.tl) // t.torders AS BIGINT) AS est_lines,
-           CAST(abs(p.actual_lines - (p.n_orders * t.tl) // t.torders)
-                * 1000000 // p.actual_lines AS BIGINT) AS err_ppm
+           CASE WHEN p.actual_lines > 0 THEN
+               CAST(abs(p.actual_lines - (p.n_orders * t.tl) // t.torders)
+                    * 1000000 // p.actual_lines AS BIGINT)
+           END AS err_ppm
     FROM p, t
     """,
 )
@@ -11804,13 +11814,16 @@ def join_cardinality_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "actual_lines",
         est.alias("est_lines"),
-        F.floor(
-            F.abs(F.col("actual_lines") - est)
-            * F.lit(1000000)
-            / F.col("actual_lines")
-        )
-        .cast("bigint")
-        .alias("err_ppm"),
+        # NULL (not a 0-division artifact) when a priority group's orders
+        # have no lineitems — mirrored CASE in the oracle
+        F.when(
+            F.col("actual_lines") > 0,
+            F.floor(
+                F.abs(F.col("actual_lines") - est)
+                * F.lit(1000000)
+                / F.col("actual_lines")
+            ).cast("bigint"),
+        ).alias("err_ppm"),
     )
 
 
@@ -13197,6 +13210,17 @@ def wavelet_synopsis_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .persist()
     )
+    # The bit-arithmetic decomposition assumes the series fits the 2^L
+    # dyadic frame; beyond it the SAME silent tiling would happen in
+    # both engines (the oracle shares the assumption), so guard here —
+    # a cheap scalar max on the already-collapsed hourly frame.
+    span = hc.agg(F.max("h")).first()[0]
+    if span is not None and span >= 2**_WAVELET_LEVELS:
+        raise ValueError(
+            f"wavelet_synopsis_topk: event window spans {span + 1} hours, "
+            f"beyond the 2^{_WAVELET_LEVELS}-bucket Haar frame; raise "
+            f"_WAVELET_LEVELS or pre-filter the window"
+        )
     levels = spark.range(0, _WAVELET_LEVELS).select(
         F.col("id").cast("long").alias("level")
     )

@@ -232,13 +232,22 @@ def label_propagation_fixed(
     label; isolated nodes keep their id. The (count DESC, label ASC)
     argmax is one ``max(struct(count, -label))`` — no window, no
     nondeterministic arbitrary pick, so the fixpoint replays exactly in
-    an unrolled SQL oracle.
+    an unrolled SQL oracle.  The ``-label`` negation requires NUMERIC
+    node ids (asserted below); string-labeled graphs must map ids to
+    longs first (``F.hash``/dense rank), or the tie-break would silently
+    misorder.
 
     Scale shape mirrors :func:`pagerank_fixed`: the undirected edge
     frame is persisted pre-hashed on ``src`` once; each iteration is one
     src-keyed join + two map-side-combined aggregates keyed on the
     destination. Per-iteration state is one (node, label) row per node.
     Returns ``(id_col, community)``."""
+    id_type = dict(nodes.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"label_propagation_fixed needs a numeric id column for its "
+            f"(count DESC, label ASC) tie-break; got {id_col}: {id_type}"
+        )
     und = (
         edges.select("src", "dst")
         .union(
@@ -304,7 +313,12 @@ def hits_fixed(
     full-universe densification (left-join + coalesce) happens exactly
     once, after the loop, instead of twice per iteration.  Returns
     ``(id_col, hub_score, auth_score)`` longs over the full node
-    universe (nodes with no in/out edges score 0)."""
+    universe (nodes with no in/out edges score 0).  ``iters`` must be
+    >= 1: the loop defines the auth frame, so a 0-iteration call has no
+    meaningful auth side (the pre-loop state is hub-only by
+    construction)."""
+    if iters < 1:
+        raise ValueError(f"hits_fixed needs iters >= 1, got {iters}")
     e_src = edges.repartition("src").persist()
     e_dst = edges.repartition("dst").persist()
     nodes_p = nodes.repartition(id_col).persist()

@@ -245,7 +245,14 @@ def keyed_dyadic_ewma(
     number them oldest-first (same exchange — both windows hash on the
     key), one aggregate — O(taps) rows per key past the first window
     and no sequential recurrence anywhere (the same unrolling family as
-    the CUSUM operator's reflection identity)."""
+    the CUSUM operator's reflection identity).
+
+    API CONTRACT: ``order_cols`` must be a TOTAL order within each key
+    group (append a unique tiebreaker column — the catalog caller
+    passes ``(ts, event_id)``).  ``row_number`` over a non-unique order
+    picks an arbitrary permutation of ties, so both the taps-window cut
+    and the dyadic weights would vary run to run and the bit-exact
+    contract above would not hold."""
     keys = _keys(key_cols)
     wdesc = Window.partitionBy(*keys).orderBy(
         *[F.col(c).desc() for c in order_cols]

@@ -208,6 +208,16 @@ def test_hits_one_iter_auth_is_indegree(spark):
     assert {k: v[0] for k, v in out.items()} == {0: 2, 1: 2, 2: 1, 3: 0}
 
 
+def test_hits_rejects_zero_iters_and_lpa_rejects_string_ids(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(3)], "id: long")
+    edges = spark.createDataFrame([(0, 1)], "src: long, dst: long")
+    with pytest.raises(ValueError, match="iters >= 1"):
+        xgraph.hits_fixed(nodes, edges, iters=0)
+    snodes = spark.createDataFrame([("a",), ("b",)], "id: string")
+    with pytest.raises(ValueError, match="numeric id"):
+        xgraph.label_propagation_fixed(snodes, edges)
+
+
 def test_hits_integer_growth_deterministic(spark):
     nodes = spark.createDataFrame([(i,) for i in range(6)], "id: long")
     edges = spark.createDataFrame(
