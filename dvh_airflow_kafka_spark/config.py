@@ -168,6 +168,10 @@ class TransformRuleSpec(BaseModel):
     dst: str
     fun: Optional[str] = None
     allow_undefined: bool = Field(False, alias="allow-undefined")
+    # F3 escape hatch: with `fun: str -> datetime-no`, also parse
+    # relative free-form dates ("2 days ago") against the run's frozen
+    # batch time (functions.registry.str_to_oslo_datetime_fuzzy)
+    fuzzy: bool = False
 
 
 class PipelineSpec(BaseModel):

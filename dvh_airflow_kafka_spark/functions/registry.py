@@ -73,14 +73,56 @@ _FUZZY_FORMATS = [
 _FUZZY_FORMATS += [f.replace("%B", "%b") for f in _FUZZY_FORMATS if "%B" in f]
 _ORDINAL_RE = re.compile(r"\b(\d{1,2})(st|nd|rd|th)\b", re.IGNORECASE)
 _WS_RE = re.compile(r"[\s,]+")
+# Relative (dateparser-grade) forms, valid ONLY with an explicit anchor:
+# "2 days ago", "in 3 hours", "yesterday", "now" …
+_REL_UNITS = {
+    "second": dt.timedelta(seconds=1),
+    "minute": dt.timedelta(minutes=1),
+    "hour": dt.timedelta(hours=1),
+    "day": dt.timedelta(days=1),
+    "week": dt.timedelta(weeks=1),
+}
+_REL_AGO_RE = re.compile(
+    r"^(?:a|an|\d+) (second|minute|hour|day|week)s? ago$"
+)
+_REL_IN_RE = re.compile(r"^in (?:a|an|\d+) (second|minute|hour|day|week)s?$")
 
 
-def fuzzy_parse_datetime(raw: Optional[str]) -> Optional[dt.datetime]:
+def _parse_relative(
+    s: str, anchor: dt.datetime
+) -> Optional[dt.datetime]:
+    """'2 days ago' / 'in 3 hours' / 'yesterday' … relative to ``anchor``
+    (the run's frozen batch time — NEVER wall-clock ``now``, so re-runs
+    stay idempotent). Mirrors the subset of ``dateparser`` the reference
+    exercises (src/transform.py:49-60) under dateparser's RELATIVE_BASE
+    setting."""
+    low = s.lower()
+    if low in ("now", "today"):
+        return anchor
+    if low == "yesterday":
+        return anchor - dt.timedelta(days=1)
+    if low == "tomorrow":
+        return anchor + dt.timedelta(days=1)
+    for rx, sign in ((_REL_AGO_RE, -1), (_REL_IN_RE, 1)):
+        m = rx.match(low)
+        if m:
+            head = low.split(" ")[1 if sign > 0 else 0]
+            n = 1 if head in ("a", "an") else int(head)
+            return anchor + sign * n * _REL_UNITS[m.group(1)]
+    return None
+
+
+def fuzzy_parse_datetime(
+    raw: Optional[str], anchor: Optional[dt.datetime] = None
+) -> Optional[dt.datetime]:
     """Driver/executor-side free-form parse: 'March 5th 2024',
     '5 Mar 2024 14:30', '03/05/2024'… -> naive datetime, else None.
-    Deterministic subset of the reference's ``dateparser`` behaviour
-    (relative forms like '5 days ago' are excluded — they depend on call
-    time and would break idempotent re-runs)."""
+    Deterministic subset of the reference's ``dateparser`` behaviour.
+    Relative forms ('5 days ago', 'yesterday') resolve ONLY when an
+    explicit ``anchor`` is passed (the ``fuzzy: true`` escape hatch,
+    anchored at the run's frozen batch time); without one they yield
+    None, because call-time-dependent parses would break idempotent
+    re-runs."""
     if raw is None:
         return None
     s = _WS_RE.sub(" ", _ORDINAL_RE.sub(r"\1", raw.strip()))
@@ -89,20 +131,32 @@ def fuzzy_parse_datetime(raw: Optional[str]) -> Optional[dt.datetime]:
             return dt.datetime.strptime(s, fmt)
         except ValueError:
             continue
+    if anchor is not None:
+        return _parse_relative(s, anchor)
     return None
 
 
-@F.pandas_udf(T.TimestampType())
-def _fuzzy_fill(fast: pd.Series, raw: pd.Series) -> pd.Series:
-    """(fast-parsed ts, raw str) -> ts with the Python fuzzy parse filling
-    ONLY the rows the codegen cascade missed. The Arrow round trip covers
-    all rows but the per-row Python work is bounded by the residual —
-    clean fixed-format data pays (almost) nothing."""
-    out = fast.copy()
-    miss = fast.isna() & raw.notna()
-    if miss.any():
-        out[miss] = raw[miss].map(fuzzy_parse_datetime)
-    return out
+def _make_fuzzy_fill(anchor: Optional[dt.datetime] = None):
+    """Build the Arrow-batched residual filler. (fast-parsed ts, raw str)
+    -> ts with the Python fuzzy parse filling ONLY the rows the codegen
+    cascade missed. The Arrow round trip covers all rows but the per-row
+    Python work is bounded by the residual — clean fixed-format data pays
+    (almost) nothing."""
+
+    @F.pandas_udf(T.TimestampType())
+    def _fuzzy_fill(fast: pd.Series, raw: pd.Series) -> pd.Series:
+        out = fast.copy()
+        miss = fast.isna() & raw.notna()
+        if miss.any():
+            out[miss] = raw[miss].map(
+                lambda v: fuzzy_parse_datetime(v, anchor)
+            )
+        return out
+
+    return _fuzzy_fill
+
+
+_fuzzy_fill = _make_fuzzy_fill(None)
 
 
 def str_to_oslo_datetime(c: Column) -> Column:
@@ -129,6 +183,35 @@ def str_to_oslo_datetime(c: Column) -> Column:
         F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
     )
     return F.from_utc_timestamp(_fuzzy_fill(parsed, s), OSLO)
+
+
+def str_to_oslo_datetime_fuzzy(anchor: dt.datetime):
+    """F3 escape hatch (``fuzzy: true`` in the transform DSL): the same
+    codegen cascade + residual pandas-UDF fill as
+    :func:`str_to_oslo_datetime`, but the fill ALSO resolves relative
+    forms ('2 days ago', 'yesterday', 'in 3 hours') against ``anchor`` —
+    the run's frozen batch time, so the parse is deterministic and
+    re-runs are idempotent (the reference's ``dateparser`` call,
+    src/transform.py:49-60, resolves them against wall-clock now, which
+    is exactly why this is opt-in rather than the default)."""
+    fill = _make_fuzzy_fill(anchor)
+
+    def _fn(c: Column) -> Column:
+        s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
+        parsed = F.coalesce(
+            F.try_to_timestamp(s),
+            F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+            F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
+            F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
+            F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
+            F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
+            F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
+            F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
+            F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
+        )
+        return F.from_utc_timestamp(fill(parsed, s), OSLO)
+
+    return _fn
 
 
 def epoch_s_to_oslo(c: Column) -> Column:

@@ -72,6 +72,11 @@ class Transform:
                 raise NotImplementedError(f"unsupported identifier `{r.src}`")
             if r.fun is not None and r.fun not in TRANSFORMS:
                 raise KeyError(f"unknown fun `{r.fun}` in rule for `{r.dst}`")
+            if r.fuzzy and r.fun != "str -> datetime-no":
+                raise ValueError(
+                    f"`fuzzy: true` only applies to `str -> datetime-no` "
+                    f"(rule for `{r.dst}` has fun `{r.fun}`)"
+                )
 
     def _compile_rule(self, df: DataFrame, rule: TransformRuleSpec) -> Column:
         if rule.src == BATCH_TIME_SRC:
@@ -84,6 +89,16 @@ class Transform:
                 return F.lit(None).alias(rule.dst)
             raise KeyError(f"path `{rule.src}` is undefined")
         col = F.col(".".join(f"`{p}`" for p in parts))
+        if rule.fuzzy:
+            # relative-date escape hatch, anchored at the frozen batch
+            # time so the parse is identical on every re-run
+            from dvh_airflow_kafka_spark.functions.registry import (
+                str_to_oslo_datetime_fuzzy,
+            )
+
+            return str_to_oslo_datetime_fuzzy(self.batch_time)(col).alias(
+                rule.dst
+            )
         fun = TRANSFORMS.get(rule.fun, None) if rule.fun else None
         if fun is not None:
             col = fun(col)

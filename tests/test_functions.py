@@ -111,6 +111,69 @@ def test_fuzzy_parse_is_deterministic_no_relative_forms():
     assert fns.fuzzy_parse_datetime("March 5th 2024") == dt.datetime(2024, 3, 5)
 
 
+_ANCHOR = dt.datetime(2024, 3, 15, 12, 0, 0)  # naive UTC batch time
+
+# dateparser's documented relative examples, pinned against _ANCHOR
+_RELATIVE_TABLE = {
+    "now": _ANCHOR,
+    "today": _ANCHOR,
+    "yesterday": dt.datetime(2024, 3, 14, 12, 0, 0),
+    "tomorrow": dt.datetime(2024, 3, 16, 12, 0, 0),
+    "2 days ago": dt.datetime(2024, 3, 13, 12, 0, 0),
+    "1 hour ago": dt.datetime(2024, 3, 15, 11, 0, 0),
+    "an hour ago": dt.datetime(2024, 3, 15, 11, 0, 0),
+    "30 minutes ago": dt.datetime(2024, 3, 15, 11, 30, 0),
+    "3 weeks ago": dt.datetime(2024, 2, 23, 12, 0, 0),
+    "in 3 hours": dt.datetime(2024, 3, 15, 15, 0, 0),
+    "In 2 Days": dt.datetime(2024, 3, 17, 12, 0, 0),  # case-insensitive
+    "still not a date": None,
+    "days ago": None,  # missing count never guesses
+}
+
+
+def test_fuzzy_parse_relative_with_anchor_matrix():
+    for raw, expect in _RELATIVE_TABLE.items():
+        assert fns.fuzzy_parse_datetime(raw, _ANCHOR) == expect, raw
+    # fixed formats still parse identically with an anchor present
+    assert fns.fuzzy_parse_datetime("March 5th 2024", _ANCHOR) == dt.datetime(
+        2024, 3, 5
+    )
+
+
+def test_str_to_oslo_datetime_fuzzy_column_and_dsl(spark):
+    """The `fuzzy: true` escape hatch end-to-end: the column factory
+    resolves relative forms against the anchor (then shifts to Oslo wall
+    clock, +1 CET in March), and the transform DSL wires the flag to the
+    frozen batch time — twice, to prove idempotence."""
+    fn = fns.str_to_oslo_datetime_fuzzy(_ANCHOR)
+    assert _eval1(spark, fn(F.lit("2 days ago")), v=0) == dt.datetime(
+        2024, 3, 13, 13, 0, 0
+    )
+    assert _eval1(spark, fn(F.lit("2024-03-05 10:00:00")), v=0) == dt.datetime(
+        2024, 3, 5, 11, 0, 0
+    )
+    assert _eval1(spark, fn(F.lit("gibberish")), v=0) is None
+
+    from dvh_airflow_kafka_spark.plans.transform_dsl import Transform
+
+    t = Transform(
+        [{"src": "raw", "dst": "ts", "fun": "str -> datetime-no", "fuzzy": True}],
+        batch_time=_ANCHOR,
+    )
+    df = spark.createDataFrame([("yesterday",), ("03/05/2024",)], "raw string")
+    got = {r.ts for r in t.apply(df).collect()}
+    assert got == {
+        dt.datetime(2024, 3, 14, 13, 0, 0),
+        dt.datetime(2024, 3, 5, 1, 0, 0),
+    }
+    assert got == {r.ts for r in t.apply(df).collect()}  # idempotent
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fuzzy"):
+        Transform([{"src": "x", "dst": "y", "fun": "bool -> int", "fuzzy": True}])
+
+
 def test_redact_pii_planted(spark):
     from dvh_airflow_kafka_spark.ext.text import pii_counts, redact_pii
 
