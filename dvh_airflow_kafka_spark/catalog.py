@@ -214,10 +214,10 @@ def register(name: str, sql: Optional[str] = None):
 # ROUND-8 ROTATION (executes the round-7 note + judge triage): after
 # `CORRECTNESS_r07.json` (50/50 green, 1 by-design `no_oracle` row),
 # 57 catalog names have never had a green driver row.  Excluding the 2
-# rows-only-BY-DESIGN names (they burn slots as `err=no_oracle`:
+# then-rows-only names (they burn slots as `err=no_oracle`:
 # `bpe_learn_merges_table` — iterative data-dependent merge learning,
-# pytest-pinned; `hll_mergeable_distinct` — DataSketches binary, its
-# fully-oracled counterpart `hll_register_distinct` IS in this window),
+# pytest-pinned, still rows-only BY DESIGN; `hll_mergeable_distinct` —
+# upgraded to a staged partial oracle later in round 8, queued below),
 # that is 55 certifiable into a 50-slot window.  Priority per the round-7
 # verdict: the 46 never-certified round-7 additions first, then 4 of the
 # 9 staged-bytes oracle upgrades (rows-only -> partial oracle in round
@@ -225,12 +225,14 @@ def register(name: str, sql: Optional[str] = None):
 # ROUND-9 NOTE (next rotation): rotate to the front (a) the 5 staged
 # upgrades deferred from this window — blob_simhash_near_dup,
 # ivf_ann_topk, bpe_tokenize_and_pack, bpe_piece_vocab, bpe_encode_stats
-# — and (b) any query whose output/gate changed in round 8 after its
-# last green row (round 8 moved the oracle hash gate to exact integer
-# columns for token_frequency_profile and token_pmi_collocations; both
-# hold green r07 rows under the old gate and must re-certify).  Every
-# query displaced from this round-8 window holds a green r07-or-earlier
-# driver row and is unchanged.
+# — plus hll_mergeable_distinct (staged-estimates partial oracle landed
+# round 8, never hash-certified), and (b) any query whose output/gate
+# changed in round 8 after its last green row: token_frequency_profile
+# and token_pmi_collocations (hash gate moved to exact integer/ratio
+# columns) — both hold green r07 rows under the old gate and must
+# re-certify.  That is 8 queued names; the remaining ~42 slots free for
+# round-9 additions.  Every query displaced from this round-8 window
+# holds a green r07-or-earlier driver row and is unchanged.
 _CERTIFY_FIRST = [
     # never driver-certified: round-7 additions (local oracle gate green
     # in tests/test_catalog_oracle.py; registration predates the r7 pin)
@@ -3499,13 +3501,40 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_mergeable_distinct", sql=None)
+_HLL_EST_PATH = f"/tmp/dvh_hll_estimates_{__import__('os').getpid()}.parquet"
+
+
+@register(
+    "hll_mergeable_distinct",
+    sql=f"""
+    WITH staged AS (
+        SELECT grain, estimated_users
+        FROM read_parquet('{_HLL_EST_PATH}/*.parquet')
+    ), exact AS (
+        SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+                   AS grain,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events GROUP BY 1
+    )
+    SELECT e.grain, e.exact_users, s.estimated_users
+    FROM exact e JOIN staged s USING (grain)
+    UNION ALL
+    SELECT s.grain, CAST(NULL AS BIGINT) AS exact_users, s.estimated_users
+    FROM staged s WHERE s.grain = '__all_days__'
+    """,
+)
 def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] Mergeable distinct-count sketches (rows-only: the HLL
-    binary is Apache-DataSketches-specific, so no cross-engine oracle —
-    the semantics are pytest-pinned instead: merge-of-sketches ==
-    sketch-of-union EXACTLY, and estimates sit within the configured
-    error of the exact counts). This is the re-aggregatable-state
+    """[EXT] Mergeable distinct-count sketches. STAGED PARTIAL oracle
+    (same class as the minhash/BPE kernels): the HLL binary is
+    Apache-DataSketches-specific, so the estimates themselves cannot be
+    recomputed in DuckDB — the query stages its per-grain estimates at
+    call time, and the oracle independently recomputes every
+    ``exact_users`` with COUNT(DISTINCT), joins the staged estimates by
+    grain, and rebuilds the merged row. The hash gate therefore proves
+    the grain set, the exact counts, and the estimate column's stable
+    replay; the estimate↔exact error bound and the merge law
+    (merge-of-sketches == sketch-of-union EXACTLY) stay pytest-pinned
+    (tests/test_sketch_zorder.py). This is the re-aggregatable-state
     pattern exact COUNT(DISTINCT) cannot give: per-day user sketches
     are tiny fixed-size states that roll up to any coarser grain
     WITHOUT rescanning the log — the shape incremental dashboards run
@@ -3531,7 +3560,11 @@ def hll_mergeable_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_users"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimated_users"),
     )
-    return per_day.unionByName(merged)
+    out = per_day.unionByName(merged)
+    _stage_frame(
+        out.select("grain", "estimated_users"), _HLL_EST_PATH, sf_dir
+    )
+    return out
 
 
 @register(
@@ -8370,9 +8403,20 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _write(src: str) -> None:
-        # one-job ts-ranged staging: three files, disjoint increasing ts
-        # ranges, mtime-ordered — nothing arrives behind the watermark
-        _staged_range_write(ev, src, 3, "ts")
+        # one-job ts-ranged staging: disjoint increasing ts ranges,
+        # mtime-ordered — nothing arrives behind the watermark.  The
+        # batch COUNT scales with volume (>=3, ~50k rows per batch) so
+        # per-batch state stays bounded by the 30-minute watermark
+        # window over a bounded slice, never by corpus size — the
+        # micro-batch-sizing knob (maxFilesPerTrigger) a production
+        # stream turns; evidenced by tools/scaling_probe.py stream mode
+        # (loj max_state_rows flat as events replicate 4x).  At sf<=0.1
+        # this stays exactly 3 batches, the certified drain shape.
+        stats = ev.agg(
+            F.count(F.lit(1)).alias("n"), F.max("ts").alias("mx")
+        ).collect()[0]
+        n_batches = max(3, -(-int(stats["n"]) // 50_000))
+        _staged_range_write(ev, src, n_batches, "ts")
         # Sentinels must reach BOTH input streams: the join's effective
         # watermark is the MINIMUM across its watermarked inputs
         # (multipleWatermarkPolicy=min), so advancing only one side
@@ -8381,7 +8425,7 @@ def streaming_left_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         # max+1d−30min > every real ts, and processing batch s2 under
         # that watermark evicts all real-data state, emitting the outer
         # tail; s2's own unmatched rows are the filtered sentinels.
-        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        max_ts = stats["mx"]
         for i in range(1, 3):
             sent = spark.createDataFrame(
                 [

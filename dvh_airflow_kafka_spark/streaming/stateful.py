@@ -192,6 +192,35 @@ def _parse_minutes(spec: str) -> float:
     return {"second": n / 60, "minute": n, "hour": n * 60}[unit.rstrip("s")]
 
 
+# Observability for the scaling probe (tools/scaling_probe.py stream
+# mode): after every drain, the per-batch state-store row counts of the
+# LAST drained query.  Proves state-boundedness claims ("countmin grid
+# flat, interval-join state ∝ watermark window") from the engine's own
+# progress metrics instead of asserting them in prose.
+LAST_DRAIN_STATS: dict = {}
+
+
+def _record_drain_stats(q) -> None:
+    try:
+        progress = q.recentProgress
+        state_rows = []
+        for p in progress:
+            ops = p.get("stateOperators") or []
+            state_rows.append(
+                sum(int(op.get("numRowsTotal", 0)) for op in ops)
+            )
+        LAST_DRAIN_STATS.clear()
+        LAST_DRAIN_STATS.update(
+            {
+                "n_batches": len(progress),
+                "state_rows_per_batch": state_rows,
+                "max_state_rows": max(state_rows, default=0),
+            }
+        )
+    except Exception:  # metrics must never fail a drain
+        LAST_DRAIN_STATS.clear()
+
+
 def drain_to_memory(
     spark: SparkSession,
     stream: DataFrame,
@@ -225,6 +254,7 @@ def drain_to_memory(
             .start()
         )
         q.awaitTermination()
+        _record_drain_stats(q)
     finally:
         # restore only after termination: the stream thread clones the
         # session state lazily, so flipping back right after start()
@@ -560,6 +590,7 @@ def drain_to_memory_complete(
             .start()
         )
         q.awaitTermination()
+        _record_drain_stats(q)
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -707,7 +707,101 @@ def probe_retrieval(max_factor: int = 4) -> None:
     spark.stop()
 
 
+def probe_stream(max_factor: int = 4) -> None:
+    """Scaling curves + STATE-STORE evidence for the streaming drains —
+    the three heaviest bench rows. Events replicate with disjoint
+    400-day time shifts (corpus growth over time, the real 100 TB
+    shape), so the boundedness claims become measurable predictions:
+
+    - ``streaming_countmin_sketch``: state is the fixed depth×256
+      counter grid + top-k heads — max_state_rows must stay FLAT as the
+      corpus grows (it is a function of the sketch shape, not rows).
+    - ``streaming_left_outer_join``: state holds only rows within the
+      30-minute interval of the advancing watermark plus the pending
+      outer tail — per-batch state must track per-batch window density,
+      not corpus size.
+    - ``streaming_late_data_audit``: watermarked window aggregate —
+      state ∝ open windows inside the watermark, not total rows.
+
+    Each run reads the engine's own ``stateOperators.numRowsTotal``
+    progress metrics (captured by ``drain_to_memory``'s
+    ``LAST_DRAIN_STATS``), not a prose argument."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.session import get_spark
+    from dvh_airflow_kafka_spark.streaming import stateful
+
+    queries = (
+        ("streaming_countmin_sketch", "countmin"),
+        ("streaming_left_outer_join", "loj"),
+        ("streaming_late_data_audit", "late"),
+    )
+    spark = get_spark("scaling_probe_stream")
+    ev_base = load_table(spark, "/root/testdata/sf0.1", "events")
+    doc_base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    n_ev = ev_base.count()
+    # warm codegen/classloading once so factor-1 measures the engine
+    for q, _ in queries:
+        REGISTRY[q].fn(spark, "/root/testdata/sf0.1").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    tmp = tempfile.mkdtemp(prefix="scale_stream_")
+    out = []
+    for factor in sorted({f for f in (1, 2, max_factor) if f <= max_factor}):
+        sf_dir = os.path.join(tmp, f"x{factor}")
+        ev = ev_base
+        for i in range(1, factor):
+            ev = ev.unionByName(
+                ev_base.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * 10_000_000)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {400 * i} DAYS")
+                )
+            )
+        ev.write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "events.parquet")
+        )
+        # countmin streams the documents table — replicate with distinct
+        # doc ids (token distribution repeats; the sketch grid must not
+        # care either way)
+        docs = doc_base
+        for i in range(1, factor):
+            docs = docs.unionByName(
+                doc_base.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+            )
+        docs.write.mode("overwrite").parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        row = {"factor": factor, "events": n_ev * factor}
+        for q, key in queries:
+            t0 = time.time()
+            REGISTRY[q].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[f"{key}_sec"] = round(time.time() - t0, 2)
+            stats = dict(stateful.LAST_DRAIN_STATS)
+            row[f"{key}_max_state_rows"] = stats.get("max_state_rows")
+            row[f"{key}_batches"] = stats.get("n_batches")
+        out.append(row)
+        print(f"# stream x{factor}: {row}", file=sys.stderr)
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"metric": "stream_scaling", "runs": out}))
+    spark.stop()
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "stream":
+        probe_stream(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+        raise SystemExit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "retrieval":
         probe_retrieval(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
         raise SystemExit(0)
