@@ -174,6 +174,40 @@ class TransformRuleSpec(BaseModel):
     fuzzy: bool = False
 
 
+_ENV_REF_RE = __import__("re").compile(r"^\$\{([A-Z][A-Z0-9_]*)\}$")
+
+
+def resolve_env_refs(options: dict[str, str]) -> dict[str, str]:
+    """The secrets-indirection CONTRACT (engine side of the reference's
+    secret-manager flow, src/config.py:10-41: a secret JSON payload is
+    loaded into ``os.environ`` by the DEPLOYMENT layer, then config reads
+    env): an option value written exactly ``${ENV_NAME}`` resolves from
+    ``os.environ`` at spec-load time.  Committed YAML therefore never
+    holds credentials — it names the variable the deployment layer must
+    populate (from whatever secret store it uses; fetching is out of
+    engine scope on purpose, secret-store SDKs are deployment concerns).
+    Unset variables fail LOUDLY here, at config load, not deep inside a
+    JDBC/Kafka connection attempt.  Literal values (no ``${...}`` form)
+    pass through verbatim."""
+    import os
+
+    out: dict[str, str] = {}
+    for k, v in options.items():
+        m = _ENV_REF_RE.match(v) if isinstance(v, str) else None
+        if m:
+            name = m.group(1)
+            if name not in os.environ:
+                raise KeyError(
+                    f"option `{k}` references ${{{name}}} but the "
+                    f"environment variable is not set — the deployment "
+                    f"layer must inject it before loading the pipeline"
+                )
+            out[k] = os.environ[name]
+        else:
+            out[k] = v
+    return out
+
+
 class PipelineSpec(BaseModel):
     """Full pipeline: one source, one sink, ordered transform rules
     (reference src/mapping.py:10-47 — strictly one-source/one-target)."""
@@ -185,8 +219,13 @@ class PipelineSpec(BaseModel):
     @classmethod
     def from_yaml(cls, text: str) -> "PipelineSpec":
         raw = yaml.safe_load(text)
-        return cls(
+        spec = cls(
             source=SourceSpec.model_validate(raw["source"]),
             target=SinkSpec.model_validate(raw["target"]),
             transform=[TransformRuleSpec.model_validate(r) for r in raw["transform"]],
         )
+        # env-var indirection for secret-bearing option maps (see
+        # resolve_env_refs) — applied once, at load
+        spec.source.kafka_options = resolve_env_refs(spec.source.kafka_options)
+        spec.target.options = resolve_env_refs(spec.target.options)
+        return spec

@@ -657,6 +657,32 @@ def test_kafka_options_yaml_roundtrip():
     assert spec2.source.kafka_options == spec.source.kafka_options
 
 
+def test_env_ref_indirection_contract(monkeypatch):
+    """${ENV} option values resolve from os.environ at load (the engine
+    side of the reference's secret-manager→env flow, src/config.py:10-41);
+    unset variables fail loudly AT LOAD, and literals pass verbatim."""
+    from dvh_airflow_kafka_spark.config import resolve_env_refs
+
+    yaml_text = _SECURE_KAFKA_YAML.replace(
+        "kafka.ssl.keystore.password: hunter2",
+        "kafka.ssl.keystore.password: ${KEYSTORE_PASSWORD}",
+    )
+    monkeypatch.setenv("KEYSTORE_PASSWORD", "s3cret")
+    spec = PipelineSpec.from_yaml(yaml_text)
+    assert spec.source.kafka_options["kafka.ssl.keystore.password"] == "s3cret"
+    assert spec.source.kafka_options["security.protocol"] == "SSL"  # literal
+
+    monkeypatch.delenv("KEYSTORE_PASSWORD")
+    with pytest.raises(KeyError, match="KEYSTORE_PASSWORD"):
+        PipelineSpec.from_yaml(yaml_text)
+
+    # non-anchored / lowercase forms are literals, never expanded
+    assert resolve_env_refs({"a": "x${HOME}y", "b": "${lower}"}) == {
+        "a": "x${HOME}y",
+        "b": "${lower}",
+    }
+
+
 def test_kafka_options_land_on_reader():
     from dvh_airflow_kafka_spark.sources.kafka import _apply_kafka_options
 
