@@ -54,7 +54,8 @@ def main() -> int:
         "localCheckpoint — `link_graph_kcore`) surface only their FINAL "
         "job's nodes here; their per-round exchanges run inside the "
         "checkpoint jobs and are bounded by construction (see the "
-        "`ext/graph` docstrings). `markov_attribution_removal`'s and "
+        "`ext/graph` docstrings). `markov_attribution_removal`'s, "
+        "`user_churn_kaplan_meier`'s and "
         "`shapley_attribution`'s rows reflect their returned local "
         "frames — the distributed aggregation jobs run upstream of the "
         "bounded collects (see their docstrings).\n",
