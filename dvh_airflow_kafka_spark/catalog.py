@@ -9103,12 +9103,18 @@ def event_mix_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention as the entropy/char-LM family).  The contingency table
     is one map-side-combined shuffle; marginals are broadcast-sized."""
     ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint: the contingency table feeds BOTH marginals, the
+    # scalar total and the term join — without materialization each
+    # consumer re-scans events and re-runs the counting shuffle (4 full
+    # passes; measured 12 exchanges in the executed plan, 3 of them this
+    # recomputation). The table itself is |cohorts|x|types| rows.
     o = (
         ev.select(
             (F.col("user_id") % 10).alias("cohort"), "event_type"
         )
         .groupBy("cohort", "event_type")
         .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
     )
     rt = o.groupBy("cohort").agg(F.sum("o").alias("r"))
     ct = o.groupBy("event_type").agg(F.sum("o").alias("c"))
@@ -9310,7 +9316,11 @@ def event_funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (filtered) fact — build sides are per-user MIN frames, orders of
     magnitude smaller than the fact, all joins user-keyed equi-joins.
     The funnel never materializes per-event pairs, so the plan is three
-    keyed exchanges regardless of fan-out."""
+    keyed exchanges regardless of fan-out.  The per-stage MIN frames are
+    localCheckpoint'ed: each feeds both the NEXT stage's join and its
+    own stage-count aggregate, and without materialization the second
+    consumer re-runs the whole upstream chain (the executed plan showed
+    11 exchanges, most of them v/c recomputation)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
@@ -9318,6 +9328,7 @@ def event_funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -9325,6 +9336,7 @@ def event_funnel_conversion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t0"))
         .groupBy("user_id", "t0")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

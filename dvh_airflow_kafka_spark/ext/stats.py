@@ -155,7 +155,12 @@ def keyed_median_mad(
     exactly and any engine's 0.5-interpolating median agrees bit-for-bit.
     """
     keys = _keys(key_cols)
-    med = keyed_median(df, keys, val_col, "__med")
+    # localCheckpoint: the median frame (one row per key) feeds both the
+    # deviation pass and the final stats join; without materialization
+    # the second consumer re-runs the whole counting pass over the fact
+    med = keyed_median(df, keys, val_col, "__med").localCheckpoint(
+        eager=False
+    )
     dev = df.join(med, keys).select(
         *keys,
         F.abs(

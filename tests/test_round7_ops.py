@@ -39,6 +39,37 @@ def test_transition_matrix_normalizes(spark, sf_dir):
         assert 1_000_000 - len(by_cur) < tot <= 1_000_000, (cur, tot)
 
 
+def test_dp_geometric_table_laws():
+    """The driver-precomputed inverse-CDF table must be a valid discrete
+    Laplace: thresholds strictly increasing to exactly 2^32, bucket
+    widths proportional to alpha^|k| (ratio alpha between adjacent |k|),
+    and symmetric around k=0 to within quantization."""
+    import math
+    import re as _re
+
+    from dvh_airflow_kafka_spark.catalog import _DP_B, _DP_GEOM_CASE
+
+    pairs = [
+        (int(u), int(k))
+        for u, k in _re.findall(r"WHEN u32 < (\d+) THEN (-?\d+)", _DP_GEOM_CASE)
+    ]
+    ks = [k for _, k in pairs] + [int(_DP_GEOM_CASE.rsplit("ELSE", 1)[1].split()[0])]
+    uppers = [u for u, _ in pairs] + [2**32]
+    assert ks == list(range(-40, 41))
+    assert uppers[-1] == 2**32
+    assert all(a < b for a, b in zip(uppers, uppers[1:]))
+    widths = {
+        k: hi - lo for k, lo, hi in zip(ks, [0] + uppers[:-1], uppers)
+    }
+    alpha = math.exp(-1.0 / _DP_B)
+    # geometric decay and symmetry; tolerance is the +-1 integer
+    # quantization on each bucket boundary, relative to bucket width
+    for k in range(0, 30):
+        tol = 1e-4 + 3.0 / widths[k]
+        assert abs(widths[k + 1] / widths[k] - alpha) < tol, k
+        assert abs(widths[-k] - widths[k]) <= 2, k  # rounding only
+
+
 def test_dp_noise_bounded_and_deterministic(spark, sf_dir):
     rows = _run(spark, sf_dir, "dp_noisy_event_counts").collect()
     assert rows
