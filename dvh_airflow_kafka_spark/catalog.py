@@ -4606,9 +4606,17 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated pairs, not on the raw log; at 100 TB the raw-event
     dedup dominates and everything downstream is |users|·|days|-sized."""
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).distinct()
+    # localCheckpoint: the deduplicated (user, day) frame feeds both the
+    # contribution explode and the calendar-day semi-join side — without
+    # it the raw-log scan + dedup shuffle runs twice
+    ud = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     # each (user, day) pair contributes to buckets d .. d+6; the pair's
     # own day (bucket == d) doubles as the DAU membership, so ONE
     # aggregate yields both measures — no second scan, no dau⋈rolling
@@ -6342,7 +6350,10 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=False)
+    # (localCheckpoint: the per-doc tf frame feeds both the corpus-stats
+    # aggregate and the scoring scan — without it each consumer
+    # re-tokenizes every document)
     stats = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -7853,11 +7864,15 @@ def quality_length_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dvh_airflow_kafka_spark.ext import stats as xstats
 
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: the (lang, x, y) signal frame feeds both rank
+    # passes, the count and the final join — four consumers, each of
+    # which would otherwise re-tokenize every document; the frame itself
+    # is three narrow columns
     base = docs.select(
         "lang",
         F.col("n_chars").cast("bigint").alias("x"),
         F.size(xtext.tokens(F.col("text"))).cast("bigint").alias("y"),
-    )
+    ).localCheckpoint(eager=False)
     bx = xstats.keyed_rank_bounds(base.select("lang", "x"), "lang", "x").select(
         "lang", "x", (F.col("__lo") + F.col("__hi")).alias("a2")
     )
@@ -8302,11 +8317,18 @@ def session_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the basket count attach by broadcast-sized joins.  Every metric
     divides exact BIGINT counts, rounded identically in both engines."""
     ev = load_table(spark, sf_dir, "events")
-    b = ev.select(
-        "user_id",
-        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
-        "event_type",
-    ).distinct()
+    # localCheckpoint: the distinct basket frame feeds the basket count,
+    # the marginals and BOTH sides of the self-join — four consumers,
+    # each otherwise re-running the events scan + distinct shuffle
+    b = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_baskets = b.select("user_id", "day").distinct().count()
     m = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
     l, r = b.alias("l"), b.alias("r")
@@ -11062,11 +11084,19 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour(F.col("ts")).cast("int").alias("hour"),
         F.floor(F.col("value") / 100).cast("long").alias("band"),
     )
-    gv = b.groupBy("event_type", "day", "hour", "band").agg(
-        F.count(F.lit(1)).cast("long").alias("c_gv")
+    # localCheckpoints: the contingency frame (groups x bands) feeds the
+    # group marginal AND the TVD join; the marginal feeds the TVD join
+    # AND the final projection — both are bounded frames whose upstream
+    # scan+shuffle would otherwise re-run per consumer
+    gv = (
+        b.groupBy("event_type", "day", "hour", "band")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_gv"))
+        .localCheckpoint(eager=False)
     )
-    g = gv.groupBy("event_type", "day", "hour").agg(
-        F.sum("c_gv").cast("long").alias("n_g")
+    g = (
+        gv.groupBy("event_type", "day", "hour")
+        .agg(F.sum("c_gv").cast("long").alias("n_g"))
+        .localCheckpoint(eager=False)
     )
     v = b.groupBy("band").agg(F.count(F.lit(1)).cast("long").alias("c_v"))
     tot = b.agg(F.count(F.lit(1)).cast("long").alias("__n"))
@@ -11261,7 +11291,10 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    )
+    ).localCheckpoint(eager=False)
+    # (localCheckpoint: the per-doc tf frame feeds both the corpus-stats
+    # aggregate and the scoring scan — without it each consumer
+    # re-tokenizes every document)
     stats = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
