@@ -11291,10 +11291,12 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.filter(toks, _term_eq(t))).cast("long").alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
-    ).localCheckpoint(eager=False)
-    # (localCheckpoint: the per-doc tf frame feeds both the corpus-stats
-    # aggregate and the scoring scan — without it each consumer
-    # re-tokenizes every document)
+    )
+    # NOTE: deliberately NOT localCheckpoint'ed (unlike bm25_topk_docs'
+    # twin frame): checkpointing erases size statistics, and this
+    # query's downstream 50-row rank frames then lose their broadcast
+    # plans to sort-merge joins — measured 2x slower. The second
+    # tokenization pass is the cheaper trade here.
     stats = d.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
