@@ -93,6 +93,41 @@ def test_payload_keys_are_uuid4_utf8(spark):
         assert parsed.version == 4
 
 
+def test_payload_roundtrip_property(spark):
+    """Property (driver-side batches through the SAME Arrow UDF kernel):
+    for arbitrary records and schema ids, decode(strip_frame(value))
+    inverts the payload encode exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**62), max_value=2**62),
+                st.none() | st.text(max_size=12),
+            ),
+            min_size=1,
+            max_size=6,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(rows, sid):
+        df = spark.createDataFrame(rows, "event_id long, kind string")
+        got = kafka_payload_confluent(df, json.dumps(SCHEMA), sid).collect()
+        decoded = []
+        for r in got:
+            v = bytes(r.value)
+            magic, got_sid = struct.unpack(">bL", v[:5])
+            assert (magic, got_sid) == (0, sid)
+            decoded.append(decode_record(SCHEMA, v[5:]))
+        assert sorted(
+            (d["event_id"], d["kind"]) for d in decoded
+        ) == sorted(rows)
+
+    check()
+
+
 def test_write_kafka_avro_emits_pinned_options(spark, monkeypatch):
     """End-to-end drift pin: intercept DataFrameWriter at the boundary and
     assert write_kafka_avro wires format/options/payload exactly as the
