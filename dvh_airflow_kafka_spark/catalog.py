@@ -211,82 +211,83 @@ def register(name: str, sql: Optional[str] = None):
 # the driver's 50-query window each round to the queries that most need a
 # fresh row.  Entries not listed keep registration order after these.
 #
-# ROUND-8 ROTATION (executes the round-7 note + judge triage): after
-# `CORRECTNESS_r07.json` (50/50 green, 1 by-design `no_oracle` row),
-# 57 catalog names have never had a green driver row.  Excluding the 2
-# then-rows-only names (they burn slots as `err=no_oracle`:
-# `bpe_learn_merges_table` — iterative data-dependent merge learning,
-# pytest-pinned, still rows-only BY DESIGN; `hll_mergeable_distinct` —
-# upgraded to a staged partial oracle later in round 8, queued below),
-# that is 55 certifiable into a 50-slot window.  Priority per the round-7
-# verdict: the 46 never-certified round-7 additions first, then 4 of the
-# 9 staged-bytes oracle upgrades (rows-only -> partial oracle in round
-# 7d; their on-file driver status predates the upgrade).
-# ROUND-9 NOTE (next rotation): rotate to the front (a) the 5 staged
-# upgrades deferred from this window — blob_simhash_near_dup,
-# ivf_ann_topk, bpe_tokenize_and_pack, bpe_piece_vocab, bpe_encode_stats
-# — plus hll_mergeable_distinct (staged-estimates partial oracle landed
-# round 8, never hash-certified), and (b) any query whose output/gate
-# changed in round 8 after its last green row: token_frequency_profile
-# and token_pmi_collocations (hash gate moved to exact integer/ratio
-# columns) — both hold green r07 rows under the old gate and must
-# re-certify.  That is 8 queued names; the remaining ~42 slots free for
-# round-9 additions.  Every query displaced from this round-8 window
-# holds a green r07-or-earlier driver row and is unchanged.
+# ROUND-9 ROTATION (executes the round-8 ROUND-9 NOTE + judge ask):
+# after `CORRECTNESS_r08.json` (50/50 hash-green), cumulative driver
+# coverage is 227/234.  This window certifies, in order:
+#   (a) the 8 queued names — 5 staged-oracle upgrades deferred from the
+#       round-8 window (blob_simhash_near_dup, ivf_ann_topk,
+#       bpe_tokenize_and_pack, bpe_piece_vocab, bpe_encode_stats),
+#       hll_mergeable_distinct (staged-estimates partial oracle landed
+#       round 8, never hash-certified), and the 2 re-gated token queries
+#       whose green r07 rows predate their round-8 hash-gate change
+#       (token_frequency_profile, token_pmi_collocations);
+#   (b) round-9 catalog additions (never certified);
+#   (c) staleness refresh — the oldest green certs (round-4 rows, 4+
+#       rounds old) whose implementing files (catalog.py,
+#       functions/registry.py, sources/envelope.py, sinks) churned in
+#       rounds 7-8, oldest first.
+# Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
+# OUT of the window (tests/test_certify_window.py pins this).
+# ROUND-10 NOTE (next rotation): certify any round-9 additions that
+# missed this window, then continue the staleness refresh with the
+# round-4/5 certs displaced from this window's tail (see git history of
+# this list) and the round-5 batch (tpch_q6..q22, events_asof_join,
+# events_value_percentiles, events_session_window, user_event_pivot,
+# ...) — oldest first.  Every name displaced from this round-9 window
+# holds a green r08-or-earlier driver row and is unchanged since.
 _CERTIFY_FIRST = [
-    # never driver-certified: round-7 additions (local oracle gate green
-    # in tests/test_catalog_oracle.py; registration predates the r7 pin)
-    "event_funnel_conversion",
-    "event_transition_matrix",
-    "dp_noisy_event_counts",
-    "hive_partition_pruned_rollup",
-    "cross_split_ngram_novelty",
-    "customer_entity_resolution",
-    "events_moving_stats",
-    "user_rate_window",
-    "referential_integrity_audit",
-    "link_graph_communities",
-    "doc_feature_hashing",
-    "mergeable_variance_stats",
-    "streaming_partitioned_sink",
-    "quality_quantile_normalize",
-    "ml_fold_assignment",
-    "streaming_late_data_audit",
-    "customer_ltv_running",
-    "text_clean_normalize",
-    "hll_register_distinct",
-    "link_graph_hits",
-    "link_graph_kcore",
-    "t_closeness_audit",
-    "loo_target_encoding",
-    "hybrid_rrf_fusion",
-    "cdc_batched_merge_apply",
-    "small_file_compaction_plan",
-    "zorder_layout_audit",
-    "column_encoding_stats",
-    "events_ewma_forecast",
-    "partition_skew_planner",
-    "audio_frame_energy",
-    "embedding_gram_matrix",
-    "join_cardinality_estimator",
-    "image_tile_checksum",
-    "linear_probe_gd",
-    "kneser_ney_bigram_lm",
-    "phrase_match_positional",
-    "timeseries_sax_pairs",
-    "doc_sentiment_lexicon",
-    "markov_attribution_removal",
-    "shapley_attribution",
-    "user_churn_kaplan_meier",
-    "event_lag_correlation",
-    "poisson_bootstrap_means",
-    "benford_first_digit_audit",
-    "wavelet_synopsis_topk",
-    # staged-bytes oracle upgrades (round 7d) — first hash-gated rows
-    "minhash_near_dup",
-    "simhash_near_dup",
-    "lsh_ann_topk",
-    "doc_compression_ratio",
+    # (a) queued: staged-oracle upgrades + re-gated token queries
+    "blob_simhash_near_dup",
+    "ivf_ann_topk",
+    "bpe_tokenize_and_pack",
+    "bpe_piece_vocab",
+    "bpe_encode_stats",
+    "hll_mergeable_distinct",
+    "token_frequency_profile",
+    "token_pmi_collocations",
+    # (c) staleness refresh: round-4 certs, oldest first
+    "envelope_projection",
+    "payload_flag_fields",
+    "payload_drop_fields",
+    "message_allow_filter",
+    "privacy_scrub_k6",
+    "delta_watermark",
+    "fn_str_code",
+    "fn_epoch_to_oslo",
+    "fn_str_parse_datetime",
+    "fn_bool_to_int",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_topk_orders",
+    "tpch_q5_regional_revenue",
+    "tpch_q10_returned_items",
+    "events_topk_per_user",
+    "revenue_rollup",
+    "signup_no_purchase",
+    "dedup_exact_survivors",
+    "text_token_counts",
+    "text_quality",
+    "text_lang_id",
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "embedding_near_dup_pairs",
+    "string_schema_envelope",
+    "process_summary",
+    "events_sessionization",
+    "corpus_curation_pipeline",
+    "blob_fingerprint",
+    "blob_mime_stats",
+    "blob_exact_dedup",
+    "avro_confluent_framing",
+    "avro_binary_roundtrip",
+    "text_repetition_stats",
+    "text_pii_redaction",
+    "avro_envelope_schema_id",
+    "wav_decode_metadata",
+    "documents_pack_shards",
+    "embedding_int8_recall",
+    "ann_recall_at_k",
+    "tpch_q4_order_priority",
 ]
 
 
