@@ -7779,7 +7779,16 @@ def token_frequency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     only probabilistic.
     The heavy passes are two combinable shuffles (token counts,
     counts-of-counts) whose outputs are bounded by vocabulary size,
-    not corpus rows."""
+    not corpus rows.
+
+    Exactness preconditions: Spark sums BIGINT with silent int64
+    wraparound while DuckDB aggregates in HUGEINT, so the engines agree
+    only while Σ m·c² < 2^63 (collision_sum) — per source, that allows
+    e.g. a trillion-token vocabulary with max token frequency ~3e9 —
+    and the simpson/type-token doubles are bit-exact only while
+    total < 2^53 (exact integer→double conversion).  Far beyond any
+    per-source corpus this pipeline targets, but a >2^63 Σ m·c² needs
+    the sum lifted to decimal(38,0) in both engines."""
     from dvh_airflow_kafka_spark.ext import stats as xstats
 
     docs = load_table(spark, sf_dir, "documents")
@@ -9460,8 +9469,12 @@ def _dp_geometric_case_sql() -> str:
     on the driver and injected as identical integer literals into both
     the Spark expression and the DuckDB oracle, so each engine does only
     integer comparisons — bit-exact by construction, no libm anywhere.
-    The table spans |k| ≤ 40: the discarded tail mass α^41·(…) is below
-    2^-32 and rounds into the outermost buckets."""
+    The table spans |k| ≤ 40: the discarded tail mass per side,
+    norm·α^41/(1-α) ≈ 7.8e-10 (about 3.3 units in the 2^-32 grid, i.e.
+    < 2^-30), folds into the outermost buckets — the two extreme |k|=40
+    buckets carry ~3 ppb extra mass each, which only clips noise beyond
+    ±40 counts and leaves cross-engine equality untouched (both engines
+    evaluate the same literals)."""
     import math
 
     alpha = math.exp(-1.0 / _DP_B)

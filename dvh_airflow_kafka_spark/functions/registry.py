@@ -159,6 +159,24 @@ def _make_fuzzy_fill(anchor: Optional[dt.datetime] = None):
 _fuzzy_fill = _make_fuzzy_fill(None)
 
 
+def _parse_cascade(s: Column) -> Column:
+    """Shared codegen ``try_to_timestamp`` cascade for F3 — the single
+    source of truth for the fixed-format list, used by both
+    :func:`str_to_oslo_datetime` and :func:`str_to_oslo_datetime_fuzzy`
+    so the two paths cannot drift when a format is added."""
+    return F.coalesce(
+        F.try_to_timestamp(s),  # ISO-ish: yyyy-MM-dd HH:mm:ss[.S]
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
+        F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
+        F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
+    )
+
+
 def str_to_oslo_datetime(c: Column) -> Column:
     """``str -> datetime-no`` (reference src/transform.py:49-60).
 
@@ -171,18 +189,7 @@ def str_to_oslo_datetime(c: Column) -> Column:
     ``_adjust_timezone`` does the same to naive inputs).
     """
     s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
-    parsed = F.coalesce(
-        F.try_to_timestamp(s),  # ISO-ish: yyyy-MM-dd HH:mm:ss[.S]
-        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
-        F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
-        F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
-    )
-    return F.from_utc_timestamp(_fuzzy_fill(parsed, s), OSLO)
+    return F.from_utc_timestamp(_fuzzy_fill(_parse_cascade(s), s), OSLO)
 
 
 def str_to_oslo_datetime_fuzzy(anchor: dt.datetime):
@@ -198,18 +205,7 @@ def str_to_oslo_datetime_fuzzy(anchor: dt.datetime):
 
     def _fn(c: Column) -> Column:
         s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
-        parsed = F.coalesce(
-            F.try_to_timestamp(s),
-            F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-            F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
-            F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
-            F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
-            F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
-            F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
-            F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
-            F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
-        )
-        return F.from_utc_timestamp(fill(parsed, s), OSLO)
+        return F.from_utc_timestamp(fill(_parse_cascade(s), s), OSLO)
 
     return _fn
 

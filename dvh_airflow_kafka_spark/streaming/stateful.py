@@ -199,6 +199,21 @@ def _parse_minutes(spec: str) -> float:
 # progress metrics instead of asserting them in prose.
 LAST_DRAIN_STATS: dict = {}
 
+# q.recentProgress is a ring buffer capped by
+# spark.sql.streaming.numRecentProgressUpdates (default 100); a drain
+# with more micro-batches than that would silently under-report
+# n_batches/max_state_rows in the scaling probe.  The drains raise the
+# cap before start(); keep it comfortably above the volume-scaled
+# batch count (ceil(n/50k)) at any input the probe stages.
+_PROGRESS_BUFFER = 10_000
+
+
+def _raise_progress_cap(spark: SparkSession) -> None:
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(_PROGRESS_BUFFER),
+    )
+
 
 def _record_drain_stats(q) -> None:
     try:
@@ -244,6 +259,7 @@ def drain_to_memory(
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    _raise_progress_cap(spark)
     try:
         q = (
             stream.writeStream.format("memory")
@@ -580,6 +596,7 @@ def drain_to_memory_complete(
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    _raise_progress_cap(spark)
     try:
         q = (
             stream.writeStream.format("memory")
