@@ -84,6 +84,8 @@ def kafka_payload_confluent(
     df: DataFrame,
     value_schema_json: str,
     schema_id: int,
+    key=None,
+    value_cols: list[str] | None = None,
 ) -> DataFrame:
     """S8 payload contract, jar-free: (key, value) binary columns exactly
     as the reference produces them (src/kafka_target.py:80-90) — key =
@@ -92,15 +94,25 @@ def kafka_payload_confluent(
     big-endian schema id + Avro body, what AvroSerializer emits). Avro
     encoding runs in our Arrow-batched codec (sources/avro_codec.py), so
     the payload plan needs no spark-avro jar; only the final
-    ``format("kafka").save()`` needs the kafka connector jar."""
+    ``format("kafka").save()`` needs the kafka connector jar.
+
+    ``key`` (a binary Column) overrides the reference's random uuid4 key
+    — the idempotent-produce mode: a deterministic key (e.g. the source
+    log position) makes a crash-replayed epoch emit byte-identical
+    records, so a compacted topic or any keyed consumer dedups the
+    replay and at-least-once delivery becomes exactly-once effects (the
+    producer-side twin of the J1 sink anti-join). The reference cannot
+    do this: its uuid4 keys make every replay a new record."""
     from ..sources.avro_codec import avro_encode_from_json_udf
     from ..sources.kafka import confluent_frame
 
+    value_cols = value_cols if value_cols is not None else df.columns
     body = avro_encode_from_json_udf(value_schema_json)(
-        F.to_json(F.struct(*df.columns))
+        F.to_json(F.struct(*value_cols))
     )
+    key_col = F.encode(F.expr("uuid()"), "UTF-8") if key is None else key
     return df.select(
-        F.encode(F.expr("uuid()"), "UTF-8").alias("key"),
+        key_col.alias("key"),
         confluent_frame(F.lit(schema_id), body).alias("value"),
     )
 

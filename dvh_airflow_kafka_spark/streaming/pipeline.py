@@ -253,3 +253,130 @@ def run_streaming_pipeline(
             f"(FAIL_ON_NON_CRITICAL_ERROR policy, reference src/main.py:65-66)"
         )
     return run
+
+
+def run_streaming_produce(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    value_schema_json: str,
+    *,
+    schema_id: int = 1,
+    produce: Optional[Callable[[DataFrame, int], None]] = None,
+    bootstrap_servers: Optional[str] = None,
+    topic: Optional[str] = None,
+    transform_rules: Optional[list] = None,
+    batch_time: Optional[dt.datetime] = None,
+    key_codec: str = "utf-8",
+    message_filters: Optional[Sequence[AllowRule]] = None,
+    max_files_per_trigger: int = 1,
+    fail_after_batches: Optional[int] = None,
+) -> StreamingRun:
+    """S8 producer spine: drain the log through envelope + transform and
+    PRODUCE each micro-batch as Confluent-framed Avro (key, value) pairs
+    — the streaming twin of ``sinks.writers.write_kafka_avro`` and the
+    producer-side counterpart of ``run_streaming_pipeline``'s J1 sink
+    (reference src/kafka_target.py:32-90 driven by the consumer loop,
+    src/kafka_source.py:362-423).
+
+    Exactly-once contract: foreachBatch gives at-least-once produce (a
+    crash after produce but before the epoch commit replays the batch).
+    Unlike the reference's uuid4 keys — which turn every replay into new
+    records — the payload here is keyed DETERMINISTICALLY by source log
+    position (topic-partition-offset utf-8), so a replayed epoch emits
+    byte-identical records: a compacted topic or keyed downstream
+    dedups them and the pipeline achieves exactly-once effects. Pinned
+    by tests/test_streaming.py (produce twin of the crash/replay law).
+
+    ``produce`` is the delivery seam: ``(payload_df, epoch_id) -> None``.
+    The default sends through Spark's kafka sink (needs the connector
+    jar + ``bootstrap_servers``/``topic``); tests inject a capturing
+    seam — same plan, jar-free.
+
+    ``fail_after_batches`` injects the worst-case crash: the Nth batch
+    produces, then raises before its epoch commits (the mirror of the
+    consumer pipeline's fault seam).
+    """
+    from dvh_airflow_kafka_spark.sinks.writers import (
+        kafka_payload_confluent,
+        kafka_writer_options,
+    )
+
+    if produce is None:
+        if not (bootstrap_servers and topic):
+            raise ValueError(
+                "default kafka produce needs bootstrap_servers and topic"
+            )
+
+        def produce(payload: DataFrame, epoch_id: int) -> None:
+            writer = payload.write.format("kafka")
+            for k, v in kafka_writer_options(bootstrap_servers, topic).items():
+                writer = writer.option(k, v)
+            writer.save()
+
+    schema = spark.read.parquet(source_dir).schema
+    transform = (
+        Transform(transform_rules, batch_time=batch_time) if transform_rules else None
+    )
+    run = StreamingRun()
+    run.summary.committed_to_producer_count = 0
+
+    def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            run.summary.empty_count += 1
+            return
+        kafka_frame = (
+            batch_df
+            if KAFKA_COLUMNS.issubset(set(batch_df.columns))
+            else events_as_kafka_frame(batch_df)
+        )
+        env = with_envelope(
+            kafka_frame, key_codec=key_codec, message_filters=message_filters
+        )
+        # deterministic producer key = source log position, computed on
+        # the envelope BEFORE the transform projection so rules are free
+        # to drop the position columns from the value; key + value fields
+        # stay one narrow Catalyst projection (zero shuffle)
+        det_key = F.encode(
+            F.concat_ws(
+                "-",
+                F.col("kafka_topic"),
+                F.col("kafka_partition").cast("string"),
+                F.col("kafka_offset").cast("string"),
+            ),
+            "UTF-8",
+        )
+        value_exprs = (
+            transform.columns(env)
+            if transform is not None
+            else [F.col(c) for c in env.columns]
+        )
+        out = env.select(det_key.alias("__key"), *value_exprs)
+        payload = kafka_payload_confluent(
+            out,
+            value_schema_json,
+            schema_id,
+            key=F.col("__key"),
+            value_cols=[c for c in out.columns if c != "__key"],
+        )
+        run.summary.event_count += n
+        run.summary.non_empty_count += n
+        produce(payload, epoch_id)
+        run.batches += 1
+        if fail_after_batches is not None and run.batches >= fail_after_batches:
+            # produced but NOT committed: this epoch replays on restart
+            raise RuntimeError("injected failure after produce")
+        run.summary.committed_to_producer_count += n
+
+    query = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(source_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return run

@@ -298,3 +298,82 @@ def test_error_predicate_null_rows_are_not_dropped(spark, tmp_path):
     # the NULL-value row survived to the sink
     assert out.count() == 2
     assert run.summary.event_count == 3
+
+
+def test_produce_crash_replay_emits_byte_identical_frames(spark, source_dir, tmp_path):
+    """S8 producer twin of the crash/replay law: the complete streaming
+    pipeline drains into a captured produce seam (the monkeypatched
+    ``save()``); a batch that PRODUCED but crashed before its epoch
+    committed replays on restart and must emit byte-identical (key,
+    value) frames — deterministic log-position keys, so a keyed consumer
+    dedups the replay and delivery is exactly-once in effects
+    (reference src/kafka_target.py:32-90 can't do this: uuid4 keys)."""
+    import json
+
+    from dvh_airflow_kafka_spark.streaming import run_streaming_produce
+
+    value_schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Out",
+            "fields": [
+                {"name": "offset", "type": "long"},
+                {"name": "hash", "type": ["null", "string"], "default": None},
+                {"name": "message", "type": ["null", "string"], "default": None},
+            ],
+        }
+    )
+    rules = [
+        {"src": "kafka_offset", "dst": "offset"},
+        {"src": "kafka_hash", "dst": "hash"},
+        {"src": "kafka_message", "dst": "message"},
+    ]
+    captured: dict[int, list[list[tuple[bytes, bytes]]]] = {}
+
+    def capture(payload, epoch_id):
+        frames = sorted(
+            (bytes(r.key), bytes(r.value)) for r in payload.collect()
+        )
+        captured.setdefault(int(epoch_id), []).append(frames)
+
+    ckpt = str(tmp_path / "ckpt")
+    with pytest.raises(Exception, match="injected failure"):
+        run_streaming_produce(
+            spark,
+            source_dir,
+            ckpt,
+            value_schema,
+            produce=capture,
+            transform_rules=rules,
+            fail_after_batches=2,
+        )
+    resumed = run_streaming_produce(
+        spark, source_dir, ckpt, value_schema, produce=capture, transform_rules=rules
+    )
+    # exactly one epoch was produced twice, and its replay is
+    # byte-identical to the first attempt
+    replayed = [e for e, attempts in captured.items() if len(attempts) > 1]
+    assert len(replayed) == 1
+    assert captured[replayed[0]][0] == captured[replayed[0]][1]
+    assert len(captured[replayed[0]][0]) > 0
+    # keyed dedup over the last attempt per epoch = every source record
+    # exactly once, no cross-epoch duplicates
+    final: dict[bytes, bytes] = {}
+    for _, attempts in sorted(captured.items()):
+        for k, v in attempts[-1]:
+            assert k not in final
+            final[k] = v
+    total = spark.read.parquet(source_dir).count()
+    assert len(final) == total
+    assert resumed.summary.committed_to_producer_count > 0
+    # frames are real Confluent wire format carrying the transformed row
+    import struct as _struct
+
+    from dvh_airflow_kafka_spark.sources.avro_codec import decode_record
+
+    k, v = next(iter(final.items()))
+    topic, part, off = k.decode("utf-8").rsplit("-", 2)
+    magic, sid = _struct.unpack(">bL", v[:5])
+    assert magic == 0 and sid == 1
+    rec = decode_record(json.loads(value_schema), v[5:])
+    assert rec["offset"] == int(off)
