@@ -1,0 +1,88 @@
+"""Streaming state-boundedness probe, promoted into CI: a state-leak
+regression in the drained stateful queries must fail loudly, not wait
+for a manual ``tools/scaling_probe.py stream`` run.
+
+Invariants (measured from the engine's own ``stateOperators.numRowsTotal``
+via ``stateful.LAST_DRAIN_STATS``, never prose):
+
+- ``streaming_countmin_sketch``: state is the fixed depth×256 counter
+  grid + top-k heads — a function of the sketch SHAPE. It must be
+  byte-for-byte FLAT when the corpus doubles, and equal to the pinned
+  grid size.
+- ``streaming_late_data_audit``: watermarked window aggregate — state
+  is bounded by the open windows inside the watermark horizon, so
+  doubling the corpus by REPLAYING the same time range (the worst case
+  for a leak: every window sees 2× traffic) must leave max state rows
+  exactly flat.
+
+Budget: ~60s at sf0.001 staging (set SCALE_PROBE_STREAM=0 to skip).
+The full multi-factor curve at sf0.1 stays in the manual probe tool.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.streaming import stateful
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SCALE_PROBE_STREAM", "1") == "0",
+    reason="stream scale probe disabled via SCALE_PROBE_STREAM=0",
+)
+
+# The pinned countmin state size: depth(4) × width(256) grid rows + the
+# driver-side top-k heads tracked in the same store. Measured 117 at
+# every corpus factor (SCALE.md); a different value means the sketch
+# state started depending on data volume — a leak.
+COUNTMIN_STATE_ROWS = 117
+
+
+def _stage(spark, sf_dir, out_dir, factor: int) -> None:
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    ev_all, docs_all = ev, docs
+    for i in range(1, factor):
+        # same time range replayed with fresh ids: every window sees
+        # factor× the rows — the worst case for state leaks
+        ev_all = ev_all.unionByName(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * 10_000_000))
+        )
+        docs_all = docs_all.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        )
+    ev_all.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    docs_all.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+
+def _drain_state(spark, name: str, sf_dir: str) -> int:
+    REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    stats = dict(stateful.LAST_DRAIN_STATS)
+    assert stats, f"{name}: drain recorded no progress stats"
+    return int(stats["max_state_rows"])
+
+
+def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
+    states: dict[str, dict[int, int]] = {"countmin": {}, "late": {}}
+    for factor in (1, 2):
+        staged = str(tmp_path / f"x{factor}")
+        _stage(spark, sf_dir, staged, factor)
+        states["countmin"][factor] = _drain_state(
+            spark, "streaming_countmin_sketch", staged
+        )
+        states["late"][factor] = _drain_state(
+            spark, "streaming_late_data_audit", staged
+        )
+    # FLAT: doubling the corpus must not move max state rows at all
+    assert states["countmin"][1] == states["countmin"][2], states
+    assert states["late"][1] == states["late"][2], states
+    # countmin state is a function of the sketch shape alone
+    assert states["countmin"][1] == COUNTMIN_STATE_ROWS, states
+    # the window aggregate holds real (nonzero) but bounded state
+    assert 0 < states["late"][1], states
