@@ -1416,6 +1416,69 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _translit_sql(expr: str) -> str:
+    """DuckDB mirror of ``xtext.translit_casefold``: a nested replace()
+    chain generated from the SAME ``TRANSLIT_MAP`` constant, innermost
+    replacement first — identical application order."""
+    out = f"lower({expr})"
+    for a, b in xtext.TRANSLIT_MAP:
+        out = f"replace({out}, '{a}', '{b}')"
+    return out
+
+
+@register(
+    "crosslingual_translit_dedup",
+    sql=f"""
+    WITH n AS (
+        SELECT doc_id, lang,
+               sha256(regexp_replace({_translit_sql("text")},
+                                     '[^a-z0-9]', '', 'g')) AS fp
+        FROM documents
+    )
+    SELECT doc_id, lang, substr(fp, 1, 16) AS fp16,
+           CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS group_n,
+           doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS is_survivor
+    FROM n
+    """,
+)
+def crosslingual_translit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Cross-lingual exact dedup: documents are fingerprinted on
+    their TRANSLITERATED casefold (``xtext.translit_casefold`` — the
+    reference F2 Æ/Ø/Å mapping, src/transform.py:33-46, generalized to
+    a curation normalizer), so alternate spellings of the same content
+    across orthographies ("smørbrød" / "smoerbroed" / "smörbröd")
+    collapse into one dup group before shingle-level dedup ever runs —
+    the cheap first pass of multilingual corpus dedup.  Output: per-doc
+    fingerprint prefix, dup-group size, and the min-doc_id survivor
+    flag.  Plan: one zero-UDF normalization map + ONE fp-keyed shuffle
+    (window count/min share a single partitioning) — no join, no
+    all-pairs work; at 100 TB this is the same shape as
+    ``dedup_exact_survivors``.  Transliteration law (spellings
+    converge) is pinned on synthetic Norwegian/German strings in
+    tests/test_dedup_quality.py; the driver oracle hash-verifies the
+    full fingerprint→group→survivor pipeline on the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.sha2(
+        F.regexp_replace(
+            xtext.translit_casefold(F.col("text")), r"[^a-z0-9]", ""
+        ),
+        256,
+    )
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", "lang", fp.alias("fp"))
+        .select(
+            "doc_id",
+            "lang",
+            F.substring("fp", 1, 16).alias("fp16"),
+            F.count(F.lit(1)).over(w).alias("group_n"),
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias(
+                "is_survivor"
+            ),
+        )
+    )
+
+
 @register(
     "embedding_topk_cosine",
     sql="""
@@ -12089,6 +12152,168 @@ def linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats.unpersist()
     return spark.createDataFrame(
         out, "iter int, b0 long, b1 long, b2 long, b3 long, sse long"
+    )
+
+
+_LOGREG_ITERS = 3
+_LOGREG_SHIFT = 26  # learning rate 2^-26 (sim-checked stable at sf0.01..0.1)
+_LOGREG_K = 20  # probability fixed point: 1.0 == 2^20
+_LOGREG_THR = 0.75  # weak-label teacher threshold on the quality score
+
+
+def _logreg_oracle_sql(iters: int, shift: int) -> str:
+    """Unrolled hard-sigmoid logistic-regression iterations as nested
+    CTEs — the SQL mirror of the driver loop in ``quality_logreg_gd``
+    (same unroll style as ``_gd_oracle_sql``; every iteration's integer
+    weights are exact)."""
+    full = 1 << _LOGREG_K
+    half = full >> 1
+    feat = f"""
+    WITH {_qscore_ctes("documents")}, f AS (
+        SELECT t.doc_id,
+               CAST(least(t.n_words, 255) AS BIGINT) AS x1,
+               CAST(least(t.sw, 255) AS BIGINT) AS x2,
+               CAST(least(floor(t.n_chars / 16), 255) AS BIGINT) AS x3,
+               CASE WHEN q.quality >= {_LOGREG_THR}
+                    THEN CAST({full} AS BIGINT) ELSE CAST(0 AS BIGINT)
+               END AS yfull
+        FROM t JOIN q USING (doc_id)
+    ), w0 AS (
+        SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1,
+               CAST(0 AS BIGINT) AS b2, CAST(0 AS BIGINT) AS b3
+    )"""
+    parts = [feat]
+    for t in range(1, iters + 1):
+        margin = "(w.b0 + w.b1 * f.x1 + w.b2 * f.x2 + w.b3 * f.x3)"
+        p = f"greatest(0, least({full}, {half} + ({margin} >> 2)))"
+        r = f"({p} - f.yfull)"
+        parts.append(
+            f"""
+    , g{t} AS (
+        SELECT CAST(SUM({r}) AS BIGINT) AS g0,
+               CAST(SUM({r} * f.x1) AS BIGINT) AS g1,
+               CAST(SUM({r} * f.x2) AS BIGINT) AS g2,
+               CAST(SUM({r} * f.x3) AS BIGINT) AS g3,
+               CAST(SUM({r} * {r}) AS BIGINT) AS brier,
+               CAST(SUM(CASE WHEN {p} >= {half} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pos_pred
+        FROM f, w{t - 1} w
+    ), w{t} AS (
+        SELECT w.b0 - (g.g0 >> {shift}) AS b0,
+               w.b1 - (g.g1 >> {shift}) AS b1,
+               w.b2 - (g.g2 >> {shift}) AS b2,
+               w.b3 - (g.g3 >> {shift}) AS b3
+        FROM w{t - 1} w, g{t} g
+    )"""
+        )
+    selects = [
+        f"SELECT CAST({t} AS INT) AS iter, w{t}.b0, w{t}.b1, w{t}.b2,"
+        f" w{t}.b3, g{t}.brier, g{t}.n_pos_pred FROM w{t}, g{t}"
+        for t in range(1, iters + 1)
+    ]
+    parts.append("\n    " + "\n    UNION ALL ".join(selects))
+    return "".join(parts)
+
+
+@register("quality_logreg_gd", sql=_logreg_oracle_sql(_LOGREG_ITERS, _LOGREG_SHIFT))
+def quality_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distributed quality-CLASSIFIER training, bit-exact: the
+    fastText-quality-filter shape — a binary linear classifier fit by
+    full-batch gradient descent against a weak teacher label (quality
+    score ≥ 0.75, the cheap-heuristic rule a curation pipeline
+    distills into a fast student model; fastText's wiki-vs-crawl weak
+    labels play the same role).  The logistic sigmoid is the HARD
+    sigmoid ``clamp(0.5 + m/4, 0, 1)`` — the standard quantized-training
+    surrogate — in 2^-20 fixed point, so each iteration is pure integer
+    arithmetic: margin = w·x, p = clamp(2^19 + (m >> 2), 0, 2^20),
+    residual r = p − y·2^20, gradient = Σ r·x, update w −= g >> 26
+    (arithmetic shift, floor semantics identical on both engines).
+    Extends ``linear_probe_gd`` (regression) to classification on the
+    same "one map-side-combined aggregate per iteration, O(d) driver
+    state" machinery; the oracle unrolls identical iterations as CTEs.
+
+    Output per iteration: post-update weights, pre-update Brier loss
+    (Σ r² — strictly decreasing, the pytest law) and the positive
+    prediction count.
+
+    Exactness preconditions (same family as ``token_frequency_profile``):
+    |r| ≤ 2^20 and x ≤ 255 keep every gradient sum < 2^63 up to ~3e13
+    docs, but Σ r² < 2^63 needs N < 2^23 ≈ 8.4M rows — far above any
+    per-run training sample (a 100 TB pipeline trains its quality
+    student on a bounded sample), noted here because Spark's BIGINT SUM
+    wraps silently while DuckDB lifts to HUGEINT.
+
+    Scale: features cached once; each iteration shuffles only
+    |partitions|·(d+3) partial sums; hard-sigmoid saturation bounds
+    every residual, so the trajectory cannot diverge regardless of
+    corpus size."""
+    full = 1 << _LOGREG_K
+    half = full >> 1
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = xtext.token_count_ws(F.col("text")).cast("bigint")
+    sw = xtext.stopword_hits(
+        F.col("text"), xtext.LANG_STOPWORDS["en"]
+    ).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    feats = docs.select(
+        F.least(n_tokens, F.lit(255)).alias("x1"),
+        F.least(sw, F.lit(255)).alias("x2"),
+        F.least(F.floor(n_chars / 16).cast("bigint"), F.lit(255)).alias(
+            "x3"
+        ),
+        F.when(
+            xtext.quality_score(F.col("text")) >= F.lit(_LOGREG_THR),
+            F.lit(full).cast("bigint"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("yfull"),
+    ).persist()
+    try:
+        w = [0, 0, 0, 0]
+        out = []
+        for t in range(1, _LOGREG_ITERS + 1):
+            margin = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                + F.lit(w[3]) * F.col("x3")
+            )
+            p = F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(
+                    F.lit(full).cast("bigint"),
+                    F.lit(half) + F.shiftright(margin, 2),
+                ),
+            )
+            r = p - F.col("yfull")
+            row = feats.agg(
+                F.sum(r).alias("g0"),
+                F.sum(r * F.col("x1")).alias("g1"),
+                F.sum(r * F.col("x2")).alias("g2"),
+                F.sum(r * F.col("x3")).alias("g3"),
+                F.sum(r * r).alias("brier"),
+                F.sum(
+                    F.when(p >= F.lit(half), F.lit(1)).otherwise(F.lit(0))
+                ).alias("n_pos_pred"),
+            ).first()
+            w = [w[j] - (int(row[j]) >> _LOGREG_SHIFT) for j in range(4)]
+            out.append(
+                (
+                    t,
+                    w[0],
+                    w[1],
+                    w[2],
+                    w[3],
+                    int(row["brier"]),
+                    int(row["n_pos_pred"]),
+                )
+            )
+    finally:
+        feats.unpersist()
+    return spark.createDataFrame(
+        out,
+        "iter int, b0 long, b1 long, b2 long, b3 long, brier long,"
+        " n_pos_pred long",
     )
 
 

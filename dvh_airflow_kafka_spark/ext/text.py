@@ -111,6 +111,50 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(text.cast("string")), r"[^a-z0-9]", "")
 
 
+# Ordered Latin transliteration table — the reference's F2 Æ/Ø/Å code
+# mapping (src/transform.py:33-46) generalized to a corpus-curation
+# normalizer: digraph expansions for the Scandinavian vowels, German
+# umlauts/eszett, and bare accent stripping for the common French/
+# Spanish diacritics. Applied AFTER lowercasing, in this exact order;
+# the DuckDB oracle chain is generated from this same constant, so the
+# two engines cannot drift.
+TRANSLIT_MAP: tuple[tuple[str, str], ...] = (
+    ("æ", "ae"),
+    ("ø", "oe"),
+    ("å", "aa"),
+    ("ä", "ae"),
+    ("ö", "oe"),
+    ("ü", "ue"),
+    ("ß", "ss"),
+    ("é", "e"),
+    ("è", "e"),
+    ("ê", "e"),
+    ("ë", "e"),
+    ("à", "a"),
+    ("â", "a"),
+    ("î", "i"),
+    ("ï", "i"),
+    ("ô", "o"),
+    ("ù", "u"),
+    ("û", "u"),
+    ("ç", "c"),
+    ("ñ", "n"),
+)
+
+
+def translit_casefold(text: Column) -> Column:
+    """Casefold + deterministic Latin transliteration: lowercase, then
+    the ordered ``TRANSLIT_MAP`` replacements. Different-language
+    spellings of the same content ("Æble smørbrød", "AEble
+    smoerbroed", "Äble smörbröd") converge to one canonical byte
+    string, which makes downstream exact/shingle dedup cross-lingual.
+    Pure string codegen (no UDF) — a zero-shuffle map at any scale."""
+    y = F.lower(text.cast("string"))
+    for a, b in TRANSLIT_MAP:
+        y = F.replace(y, F.lit(a), F.lit(b))
+    return y
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: sha256 hex of the normalized text. Documents
     that differ only in spacing/punctuation/case collide — the standard

@@ -185,3 +185,43 @@ def test_prefix_filter_jaccard_is_lossless_and_prunes(spark, sf_dir):
         (F.size("s") - F.ceil(F.lit(0.5) * F.size("s")) + 1).cast("long").alias("p")
     ).agg(F.sum("p")).first()[0]
     assert prefix_rows < full_rows
+
+
+def test_translit_casefold_converges_cross_lingual_spellings(spark):
+    """Transliteration law: alternate orthographies of the same content
+    normalize to one byte string (the reference F2 Æ/Ø/Å mapping
+    generalized), so cross-lingual exact dedup groups them."""
+    from dvh_airflow_kafka_spark.ext.text import translit_casefold
+
+    rows = [
+        (1, "Æble SMØRBRØD på vei"),      # Norwegian
+        (2, "aeble smoerbroed paa vei"),   # ASCII digraph spelling
+        (3, "Äble smörbröd på vei"),       # Swedish/German umlauts
+        (4, "Grüße straße"),               # German
+        (5, "gruesse strasse"),            # ASCII spelling
+        (6, "café crème übermäßig"),       # mixed accents
+        (7, "cafe creme uebermaessig"),
+        (8, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.norm
+        for r in df.select(
+            "id", translit_casefold(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5]
+    assert got[6] == got[7]
+    assert got[8] not in {got[1], got[4], got[6]}
+    # idempotent: normalizing a normalized string is a no-op
+    again = {
+        r.id: r.norm2
+        for r in df.select(
+            "id",
+            translit_casefold(
+                translit_casefold(F.col("text"))
+            ).alias("norm2"),
+        ).collect()
+    }
+    assert again == got

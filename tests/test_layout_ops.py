@@ -223,3 +223,23 @@ def test_gd_loss_decreases_and_weights_bounded(spark, sf_dir):
         _run(spark, sf_dir, "linear_probe_gd").collect(), key=lambda r: r.iter
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_logreg_loss_decreases_and_saturation_bounds(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "quality_logreg_gd").collect(),
+        key=lambda r: r.iter,
+    )
+    assert [r.iter for r in rows] == [1, 2, 3]
+    # pre-update Brier loss is strictly decreasing across iterations
+    assert rows[0].brier > rows[1].brier > rows[2].brier
+    # hard-sigmoid saturation: every residual is bounded by the fixed
+    # point, so brier <= N * 2^40
+    n = rows[0].n_pos_pred  # iter-1 margin is 0 -> p = 0.5 -> all positive
+    assert rows[0].brier <= n * (1 << 40)
+    # deterministic rerun (frozen fixed-point trajectory)
+    again = sorted(
+        _run(spark, sf_dir, "quality_logreg_gd").collect(),
+        key=lambda r: r.iter,
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
