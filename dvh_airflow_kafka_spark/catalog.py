@@ -2232,6 +2232,326 @@ def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # winnowing window (consecutive grams)
+_WINNOW_MIN_SHARED = 2  # pair threshold on shared fingerprints
+_WINNOW_MAX_DF = 64  # stop-fingerprint cap (doc frequency)
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS wl FROM documents
+    ), h AS (
+        SELECT doc_id,
+               CASE WHEN len(wl) >= {_WINNOW_K}
+                    THEN list_transform(range(1, len(wl) - {_WINNOW_K} + 2),
+                         i -> ('0x' || substr(sha256(
+                                  wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]
+                              ), 1, 8))::BIGINT)
+                    ELSE [] END AS hs
+        FROM d
+    ), fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   CASE WHEN len(hs) >= {_WINNOW_W}
+                        THEN list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                             j -> list_min(hs[j : j + {_WINNOW_W} - 1]))
+                        ELSE [list_min(hs)] END)) AS f
+        FROM h WHERE len(hs) > 0
+    ), kept AS (
+        SELECT f FROM fp GROUP BY f
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {_WINNOW_MAX_DF}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN kept USING (f) JOIN fp b USING (f)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    """,
+)
+def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): 3-token grams are integer-hashed
+    (sha-256 prefix, the engine-portable idiom of
+    ``ml_fold_assignment``), every window of 4 consecutive gram hashes
+    selects its MINIMUM, and the distinct selected values form the
+    document's fingerprint sketch — winnowing guarantees any shared run
+    of ≥ k+w−1 tokens yields at least one shared fingerprint, so
+    partial plagiarism/boilerplate overlap is caught with ~2/(w+1) of
+    the grams stored.  Pairs sharing ≥ 2 fingerprints are reported with
+    their shared count.
+
+    The min is taken by VALUE (position-free), so the sketch is a set
+    and the whole pipeline is SQL-expressible; fingerprints appearing
+    in > 64 documents are stop-fingerprints (dropped BEFORE the
+    pair join — the same DF cap as ``ngram_jaccard_pairs``, part of the
+    operator contract and mirrored in the oracle), which bounds every
+    join bucket at corpus scale.
+
+    Plan: gram-hash + window-min is one zero-UDF generate stage; the
+    candidate join is inverted-index shaped (fingerprint-keyed shuffle,
+    bucket size ≤ 64), never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    k, w = _WINNOW_K, _WINNOW_W
+    toks = xtext.tokens(F.col("text"))
+
+    def gram_hash(i):
+        gram = F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        )
+        return F.conv(F.substring(F.sha2(gram, 256), 1, 8), 16, 10).cast(
+            "long"
+        )
+
+    hs = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - k + 1), gram_hash
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    mins = F.when(
+        F.size("hs") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("hs") - w + 1),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, F.lit(w))),
+        ),
+    ).otherwise(F.array(F.array_min("hs")))
+    fp = (
+        docs.select("doc_id", hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
+    )
+    kept = fp.groupBy("f").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).filter(
+        (F.col("df") >= 2) & (F.col("df") <= _WINNOW_MAX_DF)
+    )
+    a = fp.join(kept.select("f"), "f")
+    b = fp.withColumnRenamed("doc_id", "doc_id_b")
+    return (
+        a.join(b, "f")
+        .filter(F.col("doc_id") < F.col("doc_id_b"))
+        .groupBy(
+            F.col("doc_id").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+
+
+_PASSAGE_W = 10  # tokens per non-overlapping passage window
+
+
+@register(
+    "passage_window_dedup",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS wl FROM documents
+    ), w AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, len(wl) // {_PASSAGE_W}),
+                      i -> sha256(array_to_string(
+                          wl[i * {_PASSAGE_W} + 1 : i * {_PASSAGE_W} + {_PASSAGE_W}],
+                          ' ')))) AS h
+        FROM d
+    ), hd AS (
+        SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM w GROUP BY h
+    ), per AS (
+        SELECT w.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN hd.n_docs >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows
+        FROM w JOIN hd USING (h) GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_windows, 0) AS n_windows,
+           COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN per.n_windows > 0
+                THEN CAST(per.n_dup_windows AS DOUBLE) / per.n_windows
+                ELSE 0.0 END AS dup_fraction
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+)
+def passage_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] PASSAGE-level cross-document dedup readout (the CCNet /
+    RefinedWeb sub-document pass that doc-level dedup misses): each
+    document splits into non-overlapping ``_PASSAGE_W``(=10)-token
+    passage windows, every window is content-hashed, and a window is
+    "duplicated" when
+    its hash occurs in ≥2 DISTINCT documents.  Per-doc output: window
+    count, cross-doc duplicated window count, and the dup fraction a
+    curation pipeline thresholds to strip boilerplate-heavy documents
+    whose doc-level fingerprint is unique.
+
+    Plan: tokenize+window+hash is one zero-UDF generate stage (~n/10
+    rows per doc), then ONE hash-keyed shuffle for the distinct-doc
+    counts and one hash-keyed join back — no pairwise comparison
+    anywhere, so at 100 TB the cost is two keyed exchanges over the
+    window table, same shape as exact dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _PASSAGE_W
+    toks = xtext.tokens(F.col("text"))
+    n_wins = F.floor(F.size(toks) / w).cast("int")
+    # guard: Spark's sequence(0, -1) DESCENDS instead of yielding empty,
+    # so zero-window docs need an explicit empty array
+    windows = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda i: F.sha2(
+                F.array_join(F.slice(toks, i * w + 1, F.lit(w)), " "), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = docs.select("doc_id", F.explode(windows).alias("h"))
+    hd = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per = (
+        wins.join(hd, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("n_dup_windows"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.col("n_dup_windows").cast("double") / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )
+
+
+_DRIFT_COS = """round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))),
+                     6)"""
+
+
+@register(
+    "embedding_drift_recall",
+    sql=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id < 40 AND vec_id % 2 = 1),
+    tp AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {_DRIFT_COS} AS cosine
+        FROM q, v c WHERE c.vec_id <> q.query_id
+    ), truth AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM tp QUALIFY rnk <= 5
+    ), sp AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {_DRIFT_COS} AS cosine
+        FROM q, v c WHERE c.vec_id % 2 = 0
+    ), stale AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM sp QUALIFY rnk <= 5
+    ), ov AS (
+        SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM truth t JOIN stale s USING (query_id, neighbor_id)
+        GROUP BY t.query_id
+    ), tk AS (
+        SELECT query_id, MIN(cosine) AS truth_kth_cosine
+        FROM truth GROUP BY query_id
+    ), sk AS (
+        SELECT query_id, MIN(cosine) AS stale_kth_cosine
+        FROM stale GROUP BY query_id
+    )
+    SELECT q.query_id, CAST(5 AS BIGINT) AS k,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) / 5.0 AS recall_at_k,
+           tk.truth_kth_cosine, sk.stale_kth_cosine
+    FROM q
+    LEFT JOIN ov ON ov.query_id = q.query_id
+    LEFT JOIN tk ON tk.query_id = q.query_id
+    LEFT JOIN sk ON sk.query_id = q.query_id
+    """,
+)
+def embedding_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Embedding-index DRIFT audit — recall-over-time: new-arrival
+    query vectors (odd ids, the post-snapshot generation) are answered
+    from a STALE index snapshot (even ids, the pre-refresh corpus half)
+    and from the full corpus; per query the audit reports how many of
+    the true top-5 the stale index still finds (n_overlap / recall@5)
+    and how far its serving radius degraded (the rank-5 cosine of each
+    answer set, MIN over rounded values — order-independent, so
+    bit-exact cross-engine).  This is the freshness probe a production
+    vector store runs to decide WHEN re-indexing is worth the cost: a
+    recall cliff or a widening kth-cosine gap says the un-indexed
+    arrivals changed the neighborhood structure.
+
+    Plan: two ``brute_force_topk`` linear scans (query matrix broadcast
+    in the UDF closure, ONE corpus pass each, lossless per-batch
+    prune), then joins over the tiny (queries × k) frames — the corpus
+    is never collected or self-joined; at 100 TB the scans cost two
+    reads and the audit frames stay driver-small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") < 40) & (F.col("vec_id") % 2 == 1))
+    stale_corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    truth = xsim.brute_force_topk(emb, queries, k=5)
+    stale = xsim.brute_force_topk(stale_corpus, queries, k=5)
+    ov = (
+        truth.join(
+            stale.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    tk = truth.groupBy("query_id").agg(
+        F.min("cosine").alias("truth_kth_cosine")
+    )
+    sk = stale.groupBy("query_id").agg(
+        F.min("cosine").alias("stale_kth_cosine")
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(ov, "query_id", "left")
+        .join(tk, "query_id", "left")
+        .join(sk, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_k"
+            ),
+            "truth_kth_cosine",
+            "stale_kth_cosine",
+        )
+    )
+
+
 # Rows-only entries (non-SQL-expressible: seeded-hash LSH internals)
 
 
@@ -4908,6 +5228,103 @@ def _qscore_ctes(src: str) -> str:
 
 
 _QSCORE_CTE = "\n    WITH " + _qscore_ctes("documents") + "\n"
+
+
+_QUALITY_WEAK_THR = 0.75  # weak-label teacher threshold on the quality score
+
+
+@register(
+    "quality_classifier_auc",
+    sql=f"""
+    WITH {{QSCORE}}, s AS (
+        SELECT d.source,
+               CAST(t.n_words AS BIGINT) AS x,
+               CASE WHEN q.quality >= {_QUALITY_WEAK_THR} THEN 1 ELSE 0 END AS y
+        FROM t JOIN q USING (doc_id) JOIN documents d USING (doc_id)
+    ), g AS (
+        SELECT source, x, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(y) AS BIGINT) AS pos
+        FROM s GROUP BY source, x
+    ), r AS (
+        SELECT source, cnt, pos,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY x) AS hi
+        FROM g
+    ), a AS (
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(pos * (2 * hi - cnt + 1)) AS BIGINT) AS r2
+        FROM r GROUP BY source
+    )
+    SELECT source, n_pos, n - n_pos AS n_neg,
+           r2 - n_pos * (n_pos + 1) AS auc_num2,
+           CASE WHEN n_pos > 0 AND n - n_pos > 0
+                THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / (2.0 * n_pos * (n - n_pos))
+           END AS auc
+    FROM a
+    """.replace("{QSCORE}", _qscore_ctes("documents")),
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] EXACT ROC-AUC of a quality scorer, per source — the eval
+    half of the quality-filter loop (``quality_logreg_gd`` trains the
+    student; this measures how well a candidate feature ranks the weak
+    teacher label before you spend training on it).  AUC is computed by
+    the tie-adjusted Mann–Whitney rank-sum identity: with per-(source,
+    score) counts and the tie group's 1-based rank interval [lo, hi],
+    2·Σ midranks over positives = Σ pos_g·(lo_g+hi_g) = Σ pos_g·(2·hi_g
+    − cnt_g + 1), so auc_num2 = that sum − n_pos·(n_pos+1) and AUC =
+    auc_num2 / (2·n_pos·n_neg) — every intermediate an exact BIGINT
+    (the ``quality_length_spearman`` / ``token_frequency_profile`` rank
+    identity family), the final division one exact-integer→double op.
+    NULL (not 0.5) when a source has a degenerate class split.
+
+    Score under audit: the token count. Label: quality ≥ 0.75.
+
+    Plan: one combinable (source, score) counts shuffle, a keyed
+    cumulative window over the tiny tie-group frame, one per-source
+    aggregate — never a row-wise sort of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        xtext.token_count_ws(F.col("text")).cast("bigint").alias("x"),
+        F.when(
+            xtext.quality_score(F.col("text")) >= F.lit(_QUALITY_WEAK_THR),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("y"),
+    )
+    g = s.groupBy("source", "x").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w = Window.partitionBy("source").orderBy("x")
+    r = g.select(
+        "source",
+        "cnt",
+        "pos",
+        F.sum("cnt").over(w).alias("hi"),
+    )
+    a = r.groupBy("source").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("hi") - F.col("cnt") + 1)
+        ).alias("r2"),
+    )
+    num2 = F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    n_neg = F.col("n") - F.col("n_pos")
+    return a.select(
+        "source",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        num2.cast("long").alias("auc_num2"),
+        F.when(
+            (F.col("n_pos") > 0) & (n_neg > 0),
+            num2.cast("double") / (F.lit(2.0) * F.col("n_pos") * n_neg),
+        ).alias("auc"),
+    )
+
 
 
 @register(
@@ -12158,7 +12575,7 @@ def linear_probe_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LOGREG_ITERS = 3
 _LOGREG_SHIFT = 26  # learning rate 2^-26 (sim-checked stable at sf0.01..0.1)
 _LOGREG_K = 20  # probability fixed point: 1.0 == 2^20
-_LOGREG_THR = 0.75  # weak-label teacher threshold on the quality score
+_LOGREG_THR = _QUALITY_WEAK_THR  # shared weak-label teacher threshold
 
 
 def _logreg_oracle_sql(iters: int, shift: int) -> str:
