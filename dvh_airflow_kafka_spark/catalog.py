@@ -228,12 +228,13 @@ def register(name: str, sql: Optional[str] = None):
 #       rounds 7-8, oldest first.
 # Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
 # OUT of the window (tests/test_certify_window.py pins this).
-# ROUND-10 NOTE (next rotation): certify any round-9 additions that
-# missed this window, then continue the staleness refresh with the
-# round-4/5 certs displaced from this window's tail (see git history of
-# this list) and the round-5 batch (tpch_q6..q22, events_asof_join,
-# events_value_percentiles, events_session_window, user_event_pivot,
-# ...) — oldest first.  Every name displaced from this round-9 window
+# ROUND-10 NOTE (next rotation): continue the staleness refresh with
+# the six round-4 certs displaced from this window's tail to make room
+# for the round-9 additions (text_repetition_stats, wav_decode_metadata,
+# documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
+# tpch_q4_order_priority) and then the round-5 batch (tpch_q6..q22,
+# events_asof_join, events_value_percentiles, events_session_window,
+# user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
 # holds a green r08-or-earlier driver row and is unchanged since.
 _CERTIFY_FIRST = [
     # (a) queued: staged-oracle upgrades + re-gated token queries
@@ -245,6 +246,14 @@ _CERTIFY_FIRST = [
     "hll_mergeable_distinct",
     "token_frequency_profile",
     "token_pmi_collocations",
+    # (b) round-9 additions (never certified; verified green locally
+    # at sf0.001 + sf0.01 before pinning)
+    "quality_logreg_gd",
+    "crosslingual_translit_dedup",
+    "embedding_drift_recall",
+    "passage_window_dedup",
+    "winnowing_fingerprint_pairs",
+    "quality_classifier_auc",
     # (c) staleness refresh: round-4 certs, oldest first
     "envelope_projection",
     "payload_flag_fields",
@@ -280,14 +289,8 @@ _CERTIFY_FIRST = [
     "blob_exact_dedup",
     "avro_confluent_framing",
     "avro_binary_roundtrip",
-    "text_repetition_stats",
     "text_pii_redaction",
     "avro_envelope_schema_id",
-    "wav_decode_metadata",
-    "documents_pack_shards",
-    "embedding_int8_recall",
-    "ann_recall_at_k",
-    "tpch_q4_order_priority",
 ]
 
 
