@@ -226,6 +226,15 @@ HEADLINE = [
     "poisson_bootstrap_means",
     "benford_first_digit_audit",
     "wavelet_synopsis_topk",
+    # round-9 additions (append-only, same comparability rule)
+    "quality_logreg_gd",
+    "crosslingual_translit_dedup",
+    "embedding_drift_recall",
+    "passage_window_dedup",
+    "winnowing_fingerprint_pairs",
+    "quality_classifier_auc",
+    "embedding_sign_quant_recall",
+    "code_switch_audit",
 ]
 
 

@@ -232,7 +232,8 @@ def register(name: str, sql: Optional[str] = None):
 # the six round-4 certs displaced from this window's tail to make room
 # for the round-9 additions (text_repetition_stats, wav_decode_metadata,
 # documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
-# tpch_q4_order_priority) and then the round-5 batch (tpch_q6..q22,
+# tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs)
+# and then the round-5 batch (tpch_q6..q22,
 # events_asof_join, events_value_percentiles, events_session_window,
 # user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
 # holds a green r08-or-earlier driver row and is unchanged since.
@@ -254,6 +255,8 @@ _CERTIFY_FIRST = [
     "passage_window_dedup",
     "winnowing_fingerprint_pairs",
     "quality_classifier_auc",
+    "embedding_sign_quant_recall",
+    "code_switch_audit",
     # (c) staleness refresh: round-4 certs, oldest first
     "envelope_projection",
     "payload_flag_fields",
@@ -279,7 +282,6 @@ _CERTIFY_FIRST = [
     "doc_fingerprint",
     "ngram_jaccard_pairs",
     "embedding_topk_cosine",
-    "embedding_near_dup_pairs",
     "string_schema_envelope",
     "process_summary",
     "events_sessionization",
@@ -289,7 +291,6 @@ _CERTIFY_FIRST = [
     "blob_exact_dedup",
     "avro_confluent_framing",
     "avro_binary_roundtrip",
-    "text_pii_redaction",
     "avro_envelope_schema_id",
 ]
 
@@ -2551,6 +2552,185 @@ def embedding_drift_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "truth_kth_cosine",
             "stale_kth_cosine",
+        )
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in xtext.LANG_STOPWORDS[lang])
+    return (
+        r"CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),"
+        f" w -> list_contains([{words}], w))) AS BIGINT)"
+    )
+
+
+@register(
+    "code_switch_audit",
+    sql=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {", ".join(f"{_lang_hits_sql(lg)} AS h_{lg}" for lg in sorted(xtext.LANG_STOPWORDS))}
+        FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_sort([
+                   {", ".join(f"{{'nh': -h_{lg}, 'lang': '{lg}', 'hits': h_{lg}}}" for lg in sorted(xtext.LANG_STOPWORDS))}
+               ]) AS e
+        FROM h
+    )
+    SELECT doc_id,
+           e[1].lang AS top_lang, e[1].hits AS top_hits,
+           e[2].lang AS second_lang, e[2].hits AS second_hits,
+           (e[2].hits >= 2 AND 2 * e[2].hits >= e[1].hits) AS is_mixed
+    FROM s
+    """,
+)
+def code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Code-switching / mixed-language detection: per document the
+    top-2 languages by stopword hits (the ``lang_id`` evidence, kept
+    instead of argmax-collapsed) and a mixed flag when the runner-up
+    holds ≥2 hits and ≥half the leader's — the curation gate that
+    routes mixed-language documents away from monolingual training
+    buckets (single-label lang-id silently mislabels them).  Ordering
+    is exact: languages sort by (hits desc, lang asc) via an integer
+    struct sort, identical in both engines.
+
+    Plan: a zero-shuffle, zero-UDF scan-fused projection (stopword
+    filters + one 4-element array sort per row)."""
+    docs = load_table(spark, sf_dir, "documents")
+    entries = [
+        F.struct(
+            (-xtext.stopword_hits(F.col("text"), words).cast("long")).alias(
+                "nh"
+            ),
+            F.lit(lang).alias("lang"),
+            xtext.stopword_hits(F.col("text"), words)
+            .cast("long")
+            .alias("hits"),
+        )
+        for lang, words in sorted(xtext.LANG_STOPWORDS.items())
+    ]
+    e = F.sort_array(F.array(*entries))
+    return docs.select("doc_id", e.alias("e")).select(
+        "doc_id",
+        F.col("e")[0]["lang"].alias("top_lang"),
+        F.col("e")[0]["hits"].alias("top_hits"),
+        F.col("e")[1]["lang"].alias("second_lang"),
+        F.col("e")[1]["hits"].alias("second_hits"),
+        (
+            (F.col("e")[1]["hits"] >= 2)
+            & (F.lit(2) * F.col("e")[1]["hits"] >= F.col("e")[0]["hits"])
+        ).alias("is_mixed"),
+    )
+
+
+@register(
+    "embedding_sign_quant_recall",
+    sql=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bits AS (
+        SELECT vec_id, i, e[i + 1] > 0 AS b
+        FROM v, (SELECT unnest(range(64)) AS i)
+    ), codes AS (
+        SELECT vec_id,
+               bit_or(CASE WHEN b AND i < 32
+                           THEN (1::BIGINT << i) ELSE 0 END) AS lo,
+               bit_or(CASE WHEN b AND i >= 32
+                           THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY vec_id
+    ), qc AS (
+        SELECT vec_id AS query_id, lo AS qlo, hi AS qhi
+        FROM codes WHERE vec_id < 10
+    ), ham AS (
+        SELECT qc.query_id, c.vec_id AS neighbor_id,
+               bit_count(xor(qc.qlo, c.lo)) + bit_count(xor(qc.qhi, c.hi))
+                   AS hamming
+        FROM qc JOIN codes c ON c.vec_id <> qc.query_id
+    ), hr AS (
+        SELECT query_id, neighbor_id, hamming,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS rnk
+        FROM ham QUALIFY rnk <= 5
+    ), q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    tp AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, {_DRIFT_COS} AS cosine
+        FROM q, v c WHERE c.vec_id <> q.query_id
+    ), truth AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM tp QUALIFY rnk <= 5
+    ), ov AS (
+        SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM truth t JOIN hr USING (query_id, neighbor_id)
+        GROUP BY t.query_id
+    ), hk AS (
+        SELECT query_id, CAST(MAX(hamming) AS BIGINT) AS hamming_kth
+        FROM hr GROUP BY query_id
+    )
+    SELECT qc.query_id, CAST(5 AS BIGINT) AS k,
+           COALESCE(ov.n_overlap, 0) AS n_overlap,
+           COALESCE(ov.n_overlap, 0) / 5.0 AS recall_at_k,
+           hk.hamming_kth
+    FROM qc
+    LEFT JOIN ov ON ov.query_id = qc.query_id
+    LEFT JOIN hk ON hk.query_id = qc.query_id
+    """,
+)
+def embedding_sign_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] 1-BIT embedding quantization recall — the extreme point of
+    the compression/recall family (int8 → PQ/ADC → this): every vector
+    collapses to its 64 sign bits (two int32-range words,
+    ``xsim.sign_codes``), candidate ranking is pure popcount-of-XOR
+    Hamming distance (``xsim.hamming_topk``), and the audit reports
+    per-query overlap of Hamming top-5 with exact cosine top-5 plus the
+    serving radius (rank-5 Hamming).  Unlike SRP-LSH the code is the
+    DATA's own signs — no seeded hyperplanes — so the entire pipeline
+    including tie-breaks is SQL-expressible and hash-certified.
+
+    At 100 TB: codes are a 64× reduction built in a zero-UDF projection;
+    the scan ranks 16 bytes/vector with two popcounts — memory-bandwidth
+    bound, the reason binary quantization is the standard first-stage
+    filter in production vector stores (rerank survivors with full
+    vectors = the ``truth`` side here).
+
+    Plan: sign-code projection (no shuffle) → ONE linear corpus scan
+    with query codes in the closure → tiny per-query window; the exact
+    side is ``brute_force_topk``'s identical shape; joins touch only
+    (queries × k) frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = xsim.sign_codes(emb)
+    qcodes = codes.filter(F.col("vec_id") < 10)
+    ham = xsim.hamming_topk(codes, qcodes, k=5)
+    truth = xsim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    ov = (
+        truth.join(
+            ham.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    hk = ham.groupBy("query_id").agg(
+        F.max("hamming").cast("long").alias("hamming_kth")
+    )
+    return (
+        qcodes.select(F.col("vec_id").alias("query_id"))
+        .join(ov, "query_id", "left")
+        .join(hk, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(5).cast("long").alias("k"),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("long")
+            .alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) / F.lit(5.0)).alias(
+                "recall_at_k"
+            ),
+            "hamming_kth",
         )
     )
 

@@ -1543,3 +1543,120 @@ def quantized_gram_matrix(
             F.sum("n_vecs").alias("n_vecs"),
         )
     )
+
+
+def sign_codes(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """1-bit (sign) embedding quantization: bit i set iff component i
+    is strictly positive.  64 dims pack into TWO int32-range BIGINT
+    halves (``code_lo`` = dims 0..31, ``code_hi`` = dims 32..63) —
+    never one 64-bit word, because bit 63's weight is LONG_MIN and both
+    engines reject/overflow ``1 << 63``; two half-words keep every
+    value positive and the oracle SQL identical.  A zero-shuffle,
+    zero-UDF projection: 64× compression of the corpus before any
+    distance work."""
+    assert dim <= 64
+
+    def half(lo_bit: int, hi_bit: int) -> Column:
+        # bits are disjoint, so SUM == OR — and unlike a folded
+        # `when(c, acc|bit).otherwise(acc)` accumulator (which repeats
+        # `acc` twice per step and grows the expression tree 2^dim), a
+        # flat sum of per-bit CASE terms stays linear in dim
+        terms = [
+            F.when(
+                F.element_at(F.col(vec_col), i + 1) > 0,
+                F.lit(1 << (i - lo_bit)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lo_bit, hi_bit)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return emb.select(
+        F.col(id_col),
+        half(0, min(dim, 32)).alias("code_lo"),
+        (
+            half(32, dim) if dim > 32 else F.lit(0).cast("long")
+        ).alias("code_hi"),
+    )
+
+
+def _popcount64(a: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for nonnegative int64 values (numpy < 2.0 has
+    no bitwise_count)."""
+    flat = a.astype(np.uint64).reshape(-1)
+    bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1)
+    return bits.sum(axis=1).reshape(a.shape)
+
+
+def hamming_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by Hamming distance over sign codes, self-matches
+    excluded. Same plan shape as ``brute_force_topk``: the bounded
+    query codes ride in the UDF closure, ONE linear scan of the corpus
+    codes, lossless per-batch prune (hamming asc, id asc — the final
+    ordering), tiny final window. Output: (query_id, neighbor_id,
+    hamming, rank)."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    rows = query_codes.select(id_col, "code_lo", "code_hi").collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_lo = np.array([r[1] for r in rows], dtype=np.int64)
+    q_hi = np.array([r[2] for r in rows], dtype=np.int64)
+    nq = len(q_ids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("hamming", T.IntegerType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            lo = pdf["code_lo"].to_numpy(dtype=np.int64)
+            hi = pdf["code_hi"].to_numpy(dtype=np.int64)
+            h = _popcount64(lo[:, None] ^ q_lo[None, :]) + _popcount64(
+                hi[:, None] ^ q_hi[None, :]
+            )
+            frames = []
+            for j in range(nq):
+                keep = np.nonzero(ids != q_ids[j])[0]
+                if keep.size == 0:
+                    continue
+                col = h[keep, j]
+                order = np.lexsort((ids[keep], col))[:k]
+                sel = keep[order]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": ids[sel],
+                            "hamming": col[order].astype(np.int32),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pruned = ensure_parallelism(codes).mapInPandas(scan, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc()
+    )
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -55,8 +55,9 @@ def main() -> int:
         "job's nodes here; their per-round exchanges run inside the "
         "checkpoint jobs and are bounded by construction (see the "
         "`ext/graph` docstrings). `markov_attribution_removal`'s, "
-        "`user_churn_kaplan_meier`'s and "
-        "`shapley_attribution`'s rows reflect their returned local "
+        "`user_churn_kaplan_meier`'s, `shapley_attribution`'s and the "
+        "GD trainers' (`linear_probe_gd`, `quality_logreg_gd`) rows "
+        "reflect their returned local "
         "frames — the distributed aggregation jobs run upstream of the "
         "bounded collects (see their docstrings).\n",
         "| query | shuffles | bcast_join | smj | nested_loop | window "
