@@ -235,6 +235,7 @@ HEADLINE = [
     "quality_classifier_auc",
     "embedding_sign_quant_recall",
     "code_switch_audit",
+    "dup_provenance_matrix",
 ]
 
 

@@ -232,8 +232,8 @@ def register(name: str, sql: Optional[str] = None):
 # the six round-4 certs displaced from this window's tail to make room
 # for the round-9 additions (text_repetition_stats, wav_decode_metadata,
 # documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
-# tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs)
-# and then the round-5 batch (tpch_q6..q22,
+# tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs,
+# blob_exact_dedup) and then the round-5 batch (tpch_q6..q22,
 # events_asof_join, events_value_percentiles, events_session_window,
 # user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
 # holds a green r08-or-earlier driver row and is unchanged since.
@@ -257,6 +257,7 @@ _CERTIFY_FIRST = [
     "quality_classifier_auc",
     "embedding_sign_quant_recall",
     "code_switch_audit",
+    "dup_provenance_matrix",
     # (c) staleness refresh: round-4 certs, oldest first
     "envelope_projection",
     "payload_flag_fields",
@@ -288,7 +289,6 @@ _CERTIFY_FIRST = [
     "corpus_curation_pipeline",
     "blob_fingerprint",
     "blob_mime_stats",
-    "blob_exact_dedup",
     "avro_confluent_framing",
     "avro_binary_roundtrip",
     "avro_envelope_schema_id",
@@ -1138,6 +1138,101 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return xdedup.exact_dedup_survivors(docs, ["text"], "doc_id").select(
         "content_hash", "survivor_id", "n_copies"
+    )
+
+
+_PASSAGE_W = 10  # tokens per non-overlapping passage window
+
+
+@register(
+    "dup_provenance_matrix",
+    sql=f"""
+    WITH d AS (
+        SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS wl
+        FROM documents
+    ), w AS (
+        SELECT source,
+               unnest(list_transform(range(0, len(wl) // {_PASSAGE_W}),
+                      i -> sha256(array_to_string(
+                          wl[i * {_PASSAGE_W} + 1 : i * {_PASSAGE_W} + {_PASSAGE_W}],
+                          ' ')))) AS h
+        FROM d
+    ), g AS (
+        SELECT h, source, CAST(COUNT(*) AS BIGINT) AS c
+        FROM w GROUP BY h, source
+    ), grp AS (SELECT h FROM g GROUP BY h HAVING SUM(c) >= 2)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.source = b.source
+                         THEN a.c * (a.c - 1) / 2
+                         ELSE a.c * b.c END) AS BIGINT) AS n_dup_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_groups
+    FROM g a
+    JOIN grp USING (h)
+    JOIN g b ON a.h = b.h AND a.source <= b.source
+    WHERE NOT (a.source = b.source AND a.c < 2)
+    GROUP BY a.source, b.source
+    """,
+)
+def dup_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Duplication PROVENANCE matrix — which sources copy from
+    which: every duplicated 10-token passage window (the
+    ``passage_window_dedup`` unit — doc-level hashes are too coarse to
+    localize boilerplate) attributes its implied duplicate pairs to a
+    (source_a ≤ source_b) cell — cnt_a·cnt_b cross-source pairs,
+    C(cnt_a, 2) within a source — and the cells are summed.  The
+    readout a curation team uses to decide WHERE dedup pressure comes
+    from (mirror sites, cross-posted feeds, intra-source re-crawls and
+    templated boilerplate) before spending on near-dup passes.
+
+    Exact combinatorics over per-(window-hash, source) counts: the
+    corpus is windowed+hashed in one generate stage (one keyed
+    shuffle), the pair arithmetic runs on the counts frame bounded by
+    (dup groups × sources present), and the self-join is keyed on the
+    window hash with bucket size ≤ |sources| — no row-level pair is
+    ever materialized, so the plan is safe at any corpus scale.  The
+    pair terms are exact-integer-valued doubles summed below 2^53 —
+    order-independent, bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _PASSAGE_W
+    toks = xtext.tokens(F.col("text"))
+    n_wins = F.floor(F.size(toks) / w).cast("int")
+    windows = F.when(
+        n_wins > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_wins - 1),
+            lambda i: F.sha2(
+                F.array_join(F.slice(toks, i * w + 1, F.lit(w)), " "), 256
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        docs.select("source", F.explode(windows).alias("h"))
+        .groupBy("h", "source")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grp = (
+        g.groupBy("h")
+        .agg(F.sum("c").alias("tot"))
+        .filter(F.col("tot") >= 2)
+        .select("h")
+    )
+    a = g.join(grp, "h").select(
+        "h", F.col("source").alias("source_a"), F.col("c").alias("ca")
+    )
+    b = g.select(
+        "h", F.col("source").alias("source_b"), F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "h").filter(
+        (F.col("source_a") <= F.col("source_b"))
+        & ~((F.col("source_a") == F.col("source_b")) & (F.col("ca") < 2))
+    )
+    n_pairs = F.when(
+        F.col("source_a") == F.col("source_b"),
+        F.col("ca") * (F.col("ca") - 1) / 2,
+    ).otherwise(F.col("ca") * F.col("cb"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum(n_pairs).cast("long").alias("n_dup_pairs"),
+        F.count(F.lit(1)).alias("n_groups"),
     )
 
 
@@ -2349,8 +2444,6 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
 
-
-_PASSAGE_W = 10  # tokens per non-overlapping passage window
 
 
 @register(
