@@ -1205,10 +1205,20 @@ def dup_provenance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # localCheckpoint: the counts frame feeds THREE consumers (the
+    # dup-group filter and both join sides) — without materialization
+    # each re-runs the corpus window+hash scan (measured: 10 exchanges /
+    # 3 corpus scans -> 2 exchanges / 1 scan; warm wall flat at sf0.1
+    # where the corpus is tiny, but at 100 TB the scan count IS the
+    # cost). Joins stayed broadcast after the checkpoint (AQE re-plans
+    # at runtime), so the erased-statistics hazard (the
+    # hybrid_rrf_fusion lesson) does not bite here — measured, not
+    # assumed.
     g = (
         docs.select("source", F.explode(windows).alias("h"))
         .groupBy("h", "source")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     grp = (
         g.groupBy("h")
@@ -2395,36 +2405,54 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket size ≤ 64), never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     k, w = _WINNOW_K, _WINNOW_W
-    toks = xtext.tokens(F.col("text"))
-
-    def gram_hash(i):
-        gram = F.concat_ws(
+    # Build gram hashes on EXPLODED token rows with lead(), not inside
+    # an array lambda: higher-order-function bodies run interpreted per
+    # element (measured ~50µs/gram — 13s for 260k grams at sf0.1, twice
+    # when the array is referenced twice), while the row form keeps
+    # sha2/conv inside whole-stage codegen and runs in milliseconds.
+    # All three window specs share (doc_id, pos) partitioning, so
+    # Catalyst plans ONE exchange + sort for the lot.
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(xtext.tokens(F.col("text"))).alias("pos", "w1"),
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("pos")
+    grams = tok.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_tok"),
+        F.concat_ws(
             " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
-        )
-        return F.conv(F.substring(F.sha2(gram, 256), 1, 8), 16, 10).cast(
-            "long"
-        )
-
-    hs = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - k + 1), gram_hash
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    mins = F.when(
-        F.size("hs") >= w,
-        F.transform(
-            F.sequence(F.lit(1), F.size("hs") - w + 1),
-            lambda j: F.array_min(F.slice(F.col("hs"), j, F.lit(w))),
-        ),
-    ).otherwise(F.array(F.array_min("hs")))
+            F.col("w1"),
+            F.lead("w1", 1).over(wlead),
+            F.lead("w1", 2).over(wlead),
+        ).alias("gram"),
+    ).filter(F.col("pos") <= F.col("n_tok") - k)
+    h = F.conv(F.substring(F.sha2(F.col("gram"), 256), 1, 8), 16, 10).cast(
+        "long"
+    )
+    grams = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("n_tok") - k + 1).alias("n"),
+        h.alias("h"),
+    )
+    # winnowing: min over each window of w consecutive gram hashes; a
+    # doc with fewer than w grams keeps pos 0 only — the frame truncates
+    # at the array end, so its single window is the whole-gram min
+    wspec = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    # localCheckpoint: the fingerprint frame feeds THREE consumers (the
+    # DF-cap aggregate and both sides of the pair join); without it each
+    # re-runs the corpus tokenize+hash+window scan. Same measured
+    # pattern as dup_provenance_matrix — joins stay AQE-planned.
     fp = (
-        docs.select("doc_id", hs.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .select("doc_id", F.explode(F.array_distinct(mins)).alias("f"))
+        grams.withColumn("minh", F.min("h").over(wspec))
+        .filter(F.col("pos") <= F.greatest(F.lit(0), F.col("n") - w))
+        .select("doc_id", F.col("minh").alias("f"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     kept = fp.groupBy("f").agg(
         F.countDistinct("doc_id").alias("df")
@@ -2508,7 +2536,12 @@ def passage_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    wins = docs.select("doc_id", F.explode(windows).alias("h"))
+    # localCheckpoint: the window table feeds both the doc-frequency
+    # aggregate and the join back — one corpus tokenize+hash scan
+    # instead of two (the dup_provenance_matrix measurement)
+    wins = docs.select(
+        "doc_id", F.explode(windows).alias("h")
+    ).localCheckpoint(eager=False)
     hd = wins.groupBy("h").agg(
         F.countDistinct("doc_id").alias("n_docs")
     )
