@@ -236,6 +236,8 @@ HEADLINE = [
     "embedding_sign_quant_recall",
     "code_switch_audit",
     "dup_provenance_matrix",
+    "ddsketch_value_quantiles",
+    "multi_vector_maxsim",
 ]
 
 

@@ -233,7 +233,8 @@ def register(name: str, sql: Optional[str] = None):
 # for the round-9 additions (text_repetition_stats, wav_decode_metadata,
 # documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
 # tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs,
-# blob_exact_dedup) and then the round-5 batch (tpch_q6..q22,
+# blob_exact_dedup, blob_fingerprint, blob_mime_stats) and then the
+# round-5 batch (tpch_q6..q22,
 # events_asof_join, events_value_percentiles, events_session_window,
 # user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
 # holds a green r08-or-earlier driver row and is unchanged since.
@@ -258,6 +259,8 @@ _CERTIFY_FIRST = [
     "embedding_sign_quant_recall",
     "code_switch_audit",
     "dup_provenance_matrix",
+    "ddsketch_value_quantiles",
+    "multi_vector_maxsim",
     # (c) staleness refresh: round-4 certs, oldest first
     "envelope_projection",
     "payload_flag_fields",
@@ -287,8 +290,6 @@ _CERTIFY_FIRST = [
     "process_summary",
     "events_sessionization",
     "corpus_curation_pipeline",
-    "blob_fingerprint",
-    "blob_mime_stats",
     "avro_confluent_framing",
     "avro_binary_roundtrip",
     "avro_envelope_schema_id",
@@ -2341,6 +2342,133 @@ def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DDSKETCH_QS = (50, 90, 99)  # reported percentiles
+
+
+@register(
+    "ddsketch_value_quantiles",
+    sql=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM events
+    ), bk AS (
+        SELECT event_type,
+               CAST(length(bin(vm)) - 1 AS BIGINT) AS b,
+               CAST((vm >> greatest(length(bin(vm)) - 1 - 4, 0)) & 15
+                    AS BIGINT) AS s
+        FROM v WHERE vm >= 1
+    ), c AS (
+        SELECT event_type, b, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bk GROUP BY event_type, b, s
+    ), cum AS (
+        SELECT event_type, b, s, c,
+               CAST(CASE WHEN b >= 4 THEN (s + 17) << (b - 4)
+                         ELSE s + 1 END AS BIGINT) AS hi,
+               CAST(SUM(c) OVER (PARTITION BY event_type
+                                 ORDER BY b, s) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM c
+    ), q AS (
+        SELECT unnest([{", ".join(str(q) for q in _DDSKETCH_QS)}]) AS q_pct
+    ), hit AS (
+        SELECT cum.event_type, q.q_pct, cum.n, cum.b, cum.s,
+               cum.hi AS value_micro_hi, cum.cum,
+               row_number() OVER (PARTITION BY cum.event_type, q.q_pct
+                                  ORDER BY cum.b, cum.s) AS rn
+        FROM cum, q
+        WHERE cum.cum >= floor((q.q_pct * cum.n + 99) / 100)
+    )
+    SELECT event_type, q_pct, n, b, s, value_micro_hi, cum
+    FROM hit WHERE rn = 1
+    """,
+)
+def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MERGEABLE log-bucketed quantile sketch (the DDSketch /
+    HDR-histogram family, Masson et al. VLDB'19): values quantize to
+    integer micro-units, bucket = (floor(log2 v) via binary-string
+    length — no libm, exact on both engines; 16 linear sub-buckets per
+    octave ≈ 3% relative error), and per-key bucket COUNTS are the
+    sketch — a few hundred integers per key that merge by addition
+    across partitions, shards, days, or clusters.  The readout walks
+    the cumulative histogram to the smallest bucket covering rank
+    ceil(q·n/100) and reports its exact upper boundary.
+
+    The scale contrast this row exists to show: exact percentiles
+    (``events_value_percentiles``) need a rank pass per readout, while
+    this state is O(buckets) per key, streams through a single
+    map-side-combinable aggregate, and yesterday's sketch + today's
+    sketch = this week's sketch — the shape monitoring systems actually
+    deploy at 100 TB.  Every step is integer arithmetic; the oracle
+    replays it bit-for-bit.
+
+    Plan: ONE (key, bucket) counts shuffle; the cumulative walk and the
+    3-percentile readout run on the bounded bucket frame (≤ ~16·30
+    rows per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    vm = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    b = (F.length(F.bin(F.col("vm"))) - 1).cast("long")
+    bk = (
+        ev.select("event_type", vm.alias("vm"))
+        .filter(F.col("vm") >= 1)
+        .select(
+            "event_type",
+            b.alias("b"),
+            # column-valued shift distance needs the SQL form; the
+            # DataFrame shiftright() binds numBits as a Python int only
+            F.expr(
+                "shiftright(vm, cast(greatest(length(bin(vm)) - 5, 0)"
+                " as int)) & 15"
+            ).alias("s"),
+        )
+    )
+    c = bk.groupBy("event_type", "b", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.partitionBy("event_type").orderBy("b", "s")
+    wn = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type",
+        "b",
+        "s",
+        "c",
+        F.when(
+            F.col("b") >= 4,
+            F.expr("shiftleft(s + 17, cast(b - 4 as int))"),
+        )
+        .otherwise(F.col("s") + 1)
+        .alias("hi"),
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in _DDSKETCH_QS], "q_pct int"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("cum")
+            >= F.floor((F.col("q_pct") * F.col("n") + 99) / 100)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "q_pct").orderBy("b", "s")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return hit.select(
+        "event_type",
+        "q_pct",
+        "n",
+        "b",
+        "s",
+        F.col("hi").cast("long").alias("value_micro_hi"),
+        "cum",
+    )
+
+
 _WINNOW_K = 3  # tokens per gram
 _WINNOW_W = 4  # winnowing window (consecutive grams)
 _WINNOW_MIN_SHARED = 2  # pair threshold on shared fingerprints
@@ -2858,6 +2986,73 @@ def embedding_sign_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "hamming_kth",
         )
+    )
+
+
+@register(
+    "multi_vector_maxsim",
+    sql="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+               vec_id // 8 AS grp
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS qid, grp AS qg, e AS qe FROM v WHERE vec_id < 16
+    ), p AS (
+        SELECT q.qg, q.qid, c.grp AS cg,
+               MAX(CAST(floor(list_dot_product(qe, e)
+                       / (sqrt(list_dot_product(qe, qe))
+                          * sqrt(list_dot_product(e, e)))
+                       * 1000000 + 0.5) AS BIGINT)) AS m
+        FROM q JOIN v c ON c.grp <> q.qg
+        GROUP BY q.qg, q.qid, c.grp
+    ), sc AS (
+        SELECT qg AS query_group, cg AS cand_group,
+               CAST(SUM(m) AS BIGINT) AS score_micro
+        FROM p GROUP BY qg, cg
+    )
+    SELECT query_group, cand_group, score_micro,
+           CAST(row_number() OVER (PARTITION BY query_group
+                                   ORDER BY score_micro DESC, cand_group)
+                AS BIGINT) AS rank
+    FROM sc QUALIFY rank <= 5
+    """,
+)
+def multi_vector_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Late-interaction retrieval (ColBERT MaxSim, Khattab &
+    Zaharia SIGIR'20): documents and queries are GROUPS of token
+    vectors (8 consecutive vec_ids form one multi-vector doc), and the
+    relevance of candidate D to query Q is Σ_{q∈Q} max_{d∈D} cos(q, d)
+    — each query token finds its best-matching doc token, no pooling
+    collapse.  Scores are exact integer micro-units (floor half-up of
+    each max), so ranking and the oracle replay are bit-exact; top-5
+    candidate groups per query group, ties by group id.
+
+    Plan: the query token matrix rides in the kernel closure
+    (``xsim.maxsim_token_maxes``); the corpus streams through ONE
+    mapInPandas scan that reduces each Arrow batch to (group, token)
+    partial maxima — a 16·N pair frame never exists — then one keyed
+    max + one keyed sum + a tiny per-query window.  At 100 TB this is
+    a single linear pass, the same shape production late-interaction
+    engines use for first-stage scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 16)
+    maxes = xsim.maxsim_token_maxes(emb, queries, group_size=8)
+    sc = (
+        maxes.withColumn(
+            "query_group", F.floor(F.col("q_id") / 8).cast("long")
+        )
+        .filter(F.col("cand_group") != F.col("query_group"))
+        .groupBy("query_group", "cand_group")
+        .agg(F.sum("m").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_group").orderBy(
+        F.col("score_micro").desc(), F.col("cand_group").asc()
+    )
+    return (
+        sc.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_group", "cand_group", "score_micro", "rank")
     )
 
 

@@ -1660,3 +1660,65 @@ def hamming_topk(
     return pruned.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def maxsim_token_maxes(
+    emb: DataFrame,
+    query_vecs: DataFrame,
+    group_size: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) building block: for every
+    (candidate group, query token) pair, the MAXIMUM token-level cosine
+    in exact integer micro-units (floor(cos·1e6 + 0.5)).  Groups are
+    ``id // group_size`` — the multi-vector "document".  Per-batch
+    maxima are combined with one (group, token) max aggregate, so the
+    corpus streams through ONE linear scan with the query token matrix
+    in the closure; nothing quadratic in corpus size is materialized
+    (16·N pair rows never exist — each Arrow batch reduces to
+    ≤ groups_in_batch × n_query_tokens rows before leaving the
+    worker)."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    rows = query_vecs.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in rows], dtype=np.int64)
+    q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    nq = len(q_ids)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cand_group", T.LongType()),
+            T.StructField("q_id", T.LongType()),
+            T.StructField("m", T.LongType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            X = _vstack(pdf[vec_col])
+            xn = np.linalg.norm(X, axis=1)
+            den = np.outer(np.where(xn == 0.0, 1.0, xn), q_norm)
+            # the oracle's formula order: dot / (|x|·|q|), then the
+            # exact half-up micro quantization
+            m = np.floor((X @ q_mat.T) / den * 1e6 + 0.5).astype(np.int64)
+            groups = ids // group_size
+            frame = pd.DataFrame(
+                {
+                    "cand_group": np.repeat(groups, nq),
+                    "q_id": np.tile(q_ids, len(ids)),
+                    "m": m.reshape(-1),
+                }
+            )
+            yield frame.groupby(
+                ["cand_group", "q_id"], as_index=False
+            ).max()
+
+    partial = ensure_parallelism(emb).mapInPandas(scan, schema=out_schema)
+    return partial.groupBy("cand_group", "q_id").agg(
+        F.max("m").alias("m")
+    )
