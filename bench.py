@@ -238,6 +238,7 @@ HEADLINE = [
     "dup_provenance_matrix",
     "ddsketch_value_quantiles",
     "multi_vector_maxsim",
+    "streaming_ddsketch_quantiles",
 ]
 
 

@@ -233,8 +233,8 @@ def register(name: str, sql: Optional[str] = None):
 # for the round-9 additions (text_repetition_stats, wav_decode_metadata,
 # documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
 # tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs,
-# blob_exact_dedup, blob_fingerprint, blob_mime_stats) and then the
-# round-5 batch (tpch_q6..q22,
+# blob_exact_dedup, blob_fingerprint, blob_mime_stats, doc_fingerprint)
+# and then the round-5 batch (tpch_q6..q22,
 # events_asof_join, events_value_percentiles, events_session_window,
 # user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
 # holds a green r08-or-earlier driver row and is unchanged since.
@@ -261,6 +261,7 @@ _CERTIFY_FIRST = [
     "dup_provenance_matrix",
     "ddsketch_value_quantiles",
     "multi_vector_maxsim",
+    "streaming_ddsketch_quantiles",
     # (c) staleness refresh: round-4 certs, oldest first
     "envelope_projection",
     "payload_flag_fields",
@@ -283,7 +284,6 @@ _CERTIFY_FIRST = [
     "text_token_counts",
     "text_quality",
     "text_lang_id",
-    "doc_fingerprint",
     "ngram_jaccard_pairs",
     "embedding_topk_cosine",
     "string_schema_envelope",
@@ -2344,10 +2344,7 @@ def ann_recall_at_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DDSKETCH_QS = (50, 90, 99)  # reported percentiles
 
-
-@register(
-    "ddsketch_value_quantiles",
-    sql=f"""
+_DDSKETCH_SQL = f"""
     WITH v AS (
         SELECT event_type,
                CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS vm
@@ -2381,34 +2378,15 @@ _DDSKETCH_QS = (50, 90, 99)  # reported percentiles
     )
     SELECT event_type, q_pct, n, b, s, value_micro_hi, cum
     FROM hit WHERE rn = 1
-    """,
-)
-def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[EXT] MERGEABLE log-bucketed quantile sketch (the DDSketch /
-    HDR-histogram family, Masson et al. VLDB'19): values quantize to
-    integer micro-units, bucket = (floor(log2 v) via binary-string
-    length — no libm, exact on both engines; 16 linear sub-buckets per
-    octave ≈ 3% relative error), and per-key bucket COUNTS are the
-    sketch — a few hundred integers per key that merge by addition
-    across partitions, shards, days, or clusters.  The readout walks
-    the cumulative histogram to the smallest bucket covering rank
-    ceil(q·n/100) and reports its exact upper boundary.
+    """
 
-    The scale contrast this row exists to show: exact percentiles
-    (``events_value_percentiles``) need a rank pass per readout, while
-    this state is O(buckets) per key, streams through a single
-    map-side-combinable aggregate, and yesterday's sketch + today's
-    sketch = this week's sketch — the shape monitoring systems actually
-    deploy at 100 TB.  Every step is integer arithmetic; the oracle
-    replays it bit-for-bit.
 
-    Plan: ONE (key, bucket) counts shuffle; the cumulative walk and the
-    3-percentile readout run on the bounded bucket frame (≤ ~16·30
-    rows per key)."""
-    ev = load_table(spark, sf_dir, "events")
+def _ddsketch_buckets(ev: DataFrame) -> DataFrame:
+    """(event_type, b, s) bucket rows — the stateless projection shared
+    by the batch sketch and its streaming twin."""
     vm = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
     b = (F.length(F.bin(F.col("vm"))) - 1).cast("long")
-    bk = (
+    return (
         ev.select("event_type", vm.alias("vm"))
         .filter(F.col("vm") >= 1)
         .select(
@@ -2422,9 +2400,11 @@ def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    c = bk.groupBy("event_type", "b", "s").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+
+
+def _ddsketch_report(spark: SparkSession, c: DataFrame) -> DataFrame:
+    """Cumulative walk + percentile readout over a (event_type, b, s, c)
+    bucket-counts frame (bounded: ≤ ~16·30 rows per key)."""
     wc = Window.partitionBy("event_type").orderBy("b", "s")
     wn = Window.partitionBy("event_type")
     cum = c.select(
@@ -2441,9 +2421,7 @@ def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(wc).alias("cum"),
         F.sum("c").over(wn).alias("n"),
     )
-    qs = spark.createDataFrame(
-        [(q,) for q in _DDSKETCH_QS], "q_pct int"
-    )
+    qs = spark.createDataFrame([(q,) for q in _DDSKETCH_QS], "q_pct int")
     hit = (
         cum.crossJoin(F.broadcast(qs))
         .filter(
@@ -2467,6 +2445,85 @@ def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hi").cast("long").alias("value_micro_hi"),
         "cum",
     )
+
+
+@register("ddsketch_value_quantiles", sql=_DDSKETCH_SQL)
+def ddsketch_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] MERGEABLE log-bucketed quantile sketch (the DDSketch /
+    HDR-histogram family, Masson et al. VLDB'19): values quantize to
+    integer micro-units, bucket = (floor(log2 v) via binary-string
+    length — no libm, exact on both engines; 16 linear sub-buckets per
+    octave ≈ 3% relative error), and per-key bucket COUNTS are the
+    sketch — a few hundred integers per key that merge by addition
+    across partitions, shards, days, or clusters.  The readout walks
+    the cumulative histogram to the smallest bucket covering rank
+    ceil(q·n/100) and reports its exact upper boundary.
+
+    The scale contrast this row exists to show: exact percentiles
+    (``events_value_percentiles``) need a rank pass per readout, while
+    this state is O(buckets) per key, streams through a single
+    map-side-combinable aggregate, and yesterday's sketch + today's
+    sketch = this week's sketch — the shape monitoring systems actually
+    deploy at 100 TB.  Every step is integer arithmetic; the oracle
+    replays it bit-for-bit.  The streaming twin
+    (``streaming_ddsketch_quantiles``) maintains the same counts as
+    state and shares this oracle verbatim.
+
+    Plan: ONE (key, bucket) counts shuffle; the cumulative walk and the
+    3-percentile readout run on the bounded bucket frame (≤ ~16·30
+    rows per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = _ddsketch_buckets(ev).groupBy("event_type", "b", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return _ddsketch_report(spark, c)
+
+
+@register("streaming_ddsketch_quantiles", sql=_DDSKETCH_SQL)
+def streaming_ddsketch_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] The DDSketch MAINTAINED AS STREAMING STATE: events drain
+    through a file stream in 4 micro-batches and the sketch is an
+    unwatermarked streaming groupBy over (event_type, bucket) — the
+    state store holds exactly the bounded bucket-count grid, like
+    ``streaming_countmin_sketch``'s counter grid.  Bucket counts merge
+    by addition across micro-batches, so the complete-mode final
+    snapshot equals the batch sketch EXACTLY and this query shares
+    ``ddsketch_value_quantiles``'s DuckDB oracle verbatim — a
+    cross-engine hash proof that streaming quantile-sketch state
+    matches a batch engine.  At 100 TB ingest this is the permanently
+    resident latency/size-distribution monitor: O(buckets) state
+    forever, no watermark, no eviction."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory_complete,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; bucket counts are a mergeable
+        # elementwise sum, so batch composition is irrelevant
+        _staged_range_write(ev, src, 4)
+
+    src = _staged_stream_src("stream_dds", sf_dir, _write)
+    ckpt = tempfile.mkdtemp(prefix="stream_dds_ckpt_")
+    name = f"stream_dds_{uuid.uuid4().hex[:8]}"
+    counts = (
+        _ddsketch_buckets(read_event_stream(spark, src))
+        .groupBy("event_type", "b", "s")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sketch = drain_to_memory_complete(
+        spark, counts, name, ckpt, shuffle_partitions=8
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return _ddsketch_report(spark, sketch)
 
 
 _WINNOW_K = 3  # tokens per gram
