@@ -48,7 +48,9 @@ def main() -> int:
         "scalar-subquery pattern — a crossJoin against a broadcast "
         "**1-row** aggregate (global min/max, global avg), which is "
         "O(n·1) — plus `event_lag_correlation`'s 13-row lag frame against "
-        "the calendar-bounded hourly counts, O(13·|hours|); no query "
+        "the calendar-bounded hourly counts, O(13·|hours|), and the "
+        "ddsketch readouts' 3-row percentile frame against the bounded "
+        "bucket histogram; no query "
         "nested-loops two data-sized inputs. "
         "Iterative ops that truncate lineage per round (eager "
         "localCheckpoint — `link_graph_kcore`) surface only their FINAL "
