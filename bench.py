@@ -239,6 +239,8 @@ HEADLINE = [
     "ddsketch_value_quantiles",
     "multi_vector_maxsim",
     "streaming_ddsketch_quantiles",
+    "tokenizer_fertility_by_lang",
+    "hll_cumulative_user_curve",
 ]
 
 

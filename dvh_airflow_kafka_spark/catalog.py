@@ -233,8 +233,8 @@ def register(name: str, sql: Optional[str] = None):
 # for the round-9 additions (text_repetition_stats, wav_decode_metadata,
 # documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
 # tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs,
-# blob_exact_dedup, blob_fingerprint, blob_mime_stats, doc_fingerprint)
-# and then the round-5 batch (tpch_q6..q22,
+# blob_exact_dedup, blob_fingerprint, blob_mime_stats, doc_fingerprint,
+# ngram_jaccard_pairs, embedding_topk_cosine) and then the round-5 batch (tpch_q6..q22,
 # events_asof_join, events_value_percentiles, events_session_window,
 # user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
 # holds a green r08-or-earlier driver row and is unchanged since.
@@ -262,6 +262,8 @@ _CERTIFY_FIRST = [
     "ddsketch_value_quantiles",
     "multi_vector_maxsim",
     "streaming_ddsketch_quantiles",
+    "tokenizer_fertility_by_lang",
+    "hll_cumulative_user_curve",
     # (c) staleness refresh: round-4 certs, oldest first
     "envelope_projection",
     "payload_flag_fields",
@@ -284,8 +286,6 @@ _CERTIFY_FIRST = [
     "text_token_counts",
     "text_quality",
     "text_lang_id",
-    "ngram_jaccard_pairs",
-    "embedding_topk_cosine",
     "string_schema_envelope",
     "process_summary",
     "events_sessionization",
@@ -11852,6 +11852,203 @@ def hll_register_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "event_type").select(
         "event_type",
         "n_exact",
+        "n_nonzero_regs",
+        F.round(est_expr, 4).alias("hll_estimate"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    sql=r"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+               AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+               AS BIGINT) AS bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+                AS DOUBLE)
+               / SUM(len(regexp_extract_all(text, '\S+')))
+               AS fertility,
+           CAST(SUM(length(text)) AS DOUBLE)
+               / SUM(len(regexp_extract_all(text, '\w+|[^\w\s]')))
+               AS chars_per_token
+    FROM documents GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] Tokenizer FERTILITY audit per language: BPE-ish pieces per
+    whitespace word and characters per piece — the compression-equity
+    readout multilingual pipelines run before fixing a tokenizer (a
+    language whose fertility is 2x pays 2x the sequence length for the
+    same content; the BLOOM tokenizer report documented exactly this
+    audit).  Exact integer sums; the two ratios are single
+    exact-int->double divisions.  One map-side-combined shuffle over a
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(xtext.token_count_ws(F.col("text")))
+        .cast("long")
+        .alias("ws_tokens"),
+        F.sum(xtext.token_count_bpe(F.col("text")))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+    )
+    return a.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        (F.col("bpe_tokens").cast("double") / F.col("ws_tokens")).alias(
+            "fertility"
+        ),
+        (F.col("n_chars").cast("double") / F.col("bpe_tokens")).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+@register(
+    "hll_cumulative_user_curve",
+    sql=f"""
+    WITH h AS (
+        SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+                   AS day,
+               ('0x' || substr(sha256('{_HLL_SALT}|'
+                                      || CAST(user_id AS VARCHAR)), 1, 8)
+               )::BIGINT AS u
+        FROM events
+    ), r AS (
+        SELECT day, u // {_HLL_REM} AS bucket,
+               CASE WHEN (u % {_HLL_REM}) = 0 THEN 25
+                    ELSE 25 - length(bin(u % {_HLL_REM})) END AS rho
+        FROM h
+    ), p AS (
+        SELECT day, bucket, MAX(rho) AS p_rho FROM r GROUP BY day, bucket
+    ), days AS (SELECT DISTINCT day FROM p
+    ), cr AS (
+        SELECT d.day, p.bucket, MAX(p.p_rho) AS m_rho
+        FROM days d JOIN p ON p.day <= d.day
+        GROUP BY d.day, p.bucket
+    ), est AS (
+        SELECT day, COUNT(*) AS n_nonzero,
+               SUM(power(2.0, -m_rho)) AS s_nz
+        FROM cr GROUP BY day
+    ), fd AS (
+        SELECT user_id,
+               MIN(strftime(CAST(date_trunc('day', ts) AS DATE),
+                            '%Y-%m-%d')) AS f
+        FROM events GROUP BY user_id
+    ), ex AS (
+        SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_exact_cum
+        FROM days d JOIN fd ON fd.f <= d.day
+        GROUP BY d.day
+    ), raw AS (
+        SELECT e.day, e.n_nonzero,
+               (0.7213 / (1 + 1.079 / {_HLL_M}.0))
+                   * {_HLL_M}.0 * {_HLL_M}.0
+                   / (e.s_nz + ({_HLL_M} - e.n_nonzero) * 1.0) AS re
+        FROM est e
+    )
+    SELECT r.day,
+           ex.n_exact_cum,
+           CAST(r.n_nonzero AS BIGINT) AS n_nonzero_regs,
+           ROUND(CASE WHEN r.re <= 2.5 * {_HLL_M}
+                       AND r.n_nonzero < {_HLL_M}
+                      THEN {_HLL_M}.0 * ln({_HLL_M}.0
+                               / ({_HLL_M} - r.n_nonzero))
+                      ELSE r.re END, 4) AS hll_estimate
+    FROM raw r JOIN ex ON ex.day = r.day
+    """,
+)
+def hll_cumulative_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Distinct-user GROWTH CURVE from mergeable HLL state: per
+    day, the estimate over registers max-merged across ALL days up to
+    it — the "how fast is the audience/corpus growing" readout that a
+    stored per-day sketch answers WITHOUT ever rescanning history
+    (yesterday's registers + today's = the curve point; recomputing
+    exact distincts per cumulative window rescans everything).  Exact
+    cumulative distincts ride along for calibration (first-seen-day per
+    user, then a bounded triangular day-join — never a per-user
+    window).
+
+    Same register construction and estimator as
+    ``hll_register_distinct`` (sha-derived hashes, length(bin()) ranks,
+    dyadic 2^-rho sums — exact in both engines); the prefix merge is a
+    triangular day-join over the BOUNDED per-day register frame
+    (<= days*m rows, constants), not over events.
+
+    Scale: one (day, bucket) shuffle over the corpus, then
+    constant-size frames; the sketch-over-time table is exactly what a
+    100 TB ingest keeps resident per tenant."""
+    ev = load_table(spark, sf_dir, "events")
+    u = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(_HLL_SALT + "|"), F.col("user_id").cast("string")
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rem = u % _HLL_REM
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    r = ev.select(
+        day.alias("day"),
+        (u / _HLL_REM).cast("long").alias("bucket"),
+        F.when(rem == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin(rem)))
+        .alias("rho"),
+    )
+    p = r.groupBy("day", "bucket").agg(F.max("rho").alias("p_rho"))
+    days = p.select("day").distinct()
+    cr = (
+        days.alias("d")
+        .join(p.alias("p"), F.col("p.day") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"), F.col("p.bucket"))
+        .agg(F.max("p.p_rho").alias("m_rho"))
+    )
+    est = cr.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("s_nz"),
+    )
+    fd = ev.select(day.alias("f"), "user_id").groupBy("user_id").agg(
+        F.min("f").alias("f")
+    )
+    ex = (
+        days.alias("d")
+        .join(fd, F.col("f") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_cum"))
+    )
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    raw = F.lit(alpha * _HLL_M * _HLL_M) / (
+        F.col("s_nz")
+        + (F.lit(_HLL_M) - F.col("n_nonzero_regs")) * F.lit(1.0)
+    )
+    lc = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M))
+        / (F.lit(_HLL_M) - F.col("n_nonzero_regs")).cast("double")
+    )
+    est_expr = F.when(
+        (raw <= F.lit(2.5 * _HLL_M))
+        & (F.col("n_nonzero_regs") < F.lit(_HLL_M)),
+        lc,
+    ).otherwise(raw)
+    return est.join(ex, "day").select(
+        "day",
+        "n_exact_cum",
         "n_nonzero_regs",
         F.round(est_expr, 4).alias("hll_estimate"),
     )
