@@ -11945,9 +11945,11 @@ def tokenizer_fertility_by_lang(
                MIN(strftime(CAST(date_trunc('day', ts) AS DATE),
                             '%Y-%m-%d')) AS f
         FROM events GROUP BY user_id
+    ), fdc AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM fd GROUP BY f
     ), ex AS (
-        SELECT d.day, CAST(COUNT(*) AS BIGINT) AS n_exact_cum
-        FROM days d JOIN fd ON fd.f <= d.day
+        SELECT d.day, CAST(SUM(fdc.c) AS BIGINT) AS n_exact_cum
+        FROM days d JOIN fdc ON fdc.f <= d.day
         GROUP BY d.day
     ), raw AS (
         SELECT e.day, e.n_nonzero,
@@ -12026,11 +12028,15 @@ def hll_cumulative_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     fd = ev.select(day.alias("f"), "user_id").groupBy("user_id").agg(
         F.min("f").alias("f")
     )
+    # collapse users -> per-first-day counts BEFORE the triangular join:
+    # days x per-day-counts is |days|^2 rows (constants) where
+    # days x users would re-walk the user table once per day
+    fdc = fd.groupBy("f").agg(F.count(F.lit(1)).alias("c"))
     ex = (
         days.alias("d")
-        .join(fd, F.col("f") <= F.col("d.day"))
+        .join(F.broadcast(fdc), F.col("f") <= F.col("d.day"))
         .groupBy(F.col("d.day").alias("day"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_cum"))
+        .agg(F.sum("c").cast("long").alias("n_exact_cum"))
     )
     alpha = 0.7213 / (1 + 1.079 / _HLL_M)
     raw = F.lit(alpha * _HLL_M * _HLL_M) / (
@@ -12046,7 +12052,7 @@ def hll_cumulative_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_nonzero_regs") < F.lit(_HLL_M)),
         lc,
     ).otherwise(raw)
-    return est.join(ex, "day").select(
+    return est.join(F.broadcast(ex), "day").select(
         "day",
         "n_exact_cum",
         "n_nonzero_regs",
