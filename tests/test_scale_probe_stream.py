@@ -15,8 +15,9 @@ via ``stateful.LAST_DRAIN_STATS``, never prose):
   for a leak: every window sees 2× traffic) must leave max state rows
   exactly flat.
 
-Budget: ~60s at sf0.001 staging (set SCALE_PROBE_STREAM=0 to skip).
-The full multi-factor curve at sf0.1 stays in the manual probe tool.
+Budget: ~60s at sf0.001 staging on a quiet machine (to ~3min under
+neighbor CPU steal; set SCALE_PROBE_STREAM=0 to skip).  The full
+multi-factor curve at sf0.1 stays in the manual probe tool.
 """
 
 from __future__ import annotations
@@ -69,7 +70,11 @@ def _drain_state(spark, name: str, sf_dir: str) -> int:
 
 
 def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
-    states: dict[str, dict[int, int]] = {"countmin": {}, "late": {}}
+    states: dict[str, dict[int, int]] = {
+        "countmin": {},
+        "late": {},
+        "ddsketch": {},
+    }
     for factor in (1, 2):
         staged = str(tmp_path / f"x{factor}")
         _stage(spark, sf_dir, staged, factor)
@@ -79,10 +84,17 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         states["late"][factor] = _drain_state(
             spark, "streaming_late_data_audit", staged
         )
+        states["ddsketch"][factor] = _drain_state(
+            spark, "streaming_ddsketch_quantiles", staged
+        )
     # FLAT: doubling the corpus must not move max state rows at all
     assert states["countmin"][1] == states["countmin"][2], states
     assert states["late"][1] == states["late"][2], states
+    # the ddsketch state is the occupied (event_type, bucket) grid — a
+    # function of the VALUE DISTRIBUTION, never of row volume
+    assert states["ddsketch"][1] == states["ddsketch"][2], states
     # countmin state is a function of the sketch shape alone
     assert states["countmin"][1] == COUNTMIN_STATE_ROWS, states
     # the window aggregate holds real (nonzero) but bounded state
     assert 0 < states["late"][1], states
+    assert 0 < states["ddsketch"][1], states
