@@ -3057,9 +3057,16 @@ def embedding_sign_quant_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT vec_id AS qid, grp AS qg, e AS qe FROM v WHERE vec_id < 16
     ), p AS (
         SELECT q.qg, q.qid, c.grp AS cg,
+               -- zero-norm vectors score 0, not NaN: each norm factor is
+               -- CASE-guarded to 1 exactly like the Spark kernel's
+               -- np.where(norm == 0, 1, norm) on both sides
                MAX(CAST(floor(list_dot_product(qe, e)
-                       / (sqrt(list_dot_product(qe, qe))
-                          * sqrt(list_dot_product(e, e)))
+                       / ((CASE WHEN sqrt(list_dot_product(qe, qe)) = 0
+                                THEN 1 ELSE sqrt(list_dot_product(qe, qe))
+                           END)
+                          * (CASE WHEN sqrt(list_dot_product(e, e)) = 0
+                                  THEN 1 ELSE sqrt(list_dot_product(e, e))
+                             END))
                        * 1000000 + 0.5) AS BIGINT)) AS m
         FROM q JOIN v c ON c.grp <> q.qg
         GROUP BY q.qg, q.qid, c.grp

@@ -1684,7 +1684,11 @@ def maxsim_token_maxes(
     rows = query_vecs.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in rows], dtype=np.int64)
     q_mat = np.vstack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    # zero-norm guard on BOTH sides of the cosine (mirrors _normalize and
+    # the oracle's CASE-guarded denominators): a zero query token scores
+    # exactly 0 against everything instead of NaN.
     q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = np.where(q_norm == 0.0, 1.0, q_norm)
     nq = len(q_ids)
 
     out_schema = T.StructType(

@@ -208,11 +208,23 @@ LAST_DRAIN_STATS: dict = {}
 _PROGRESS_BUFFER = 10_000
 
 
-def _raise_progress_cap(spark: SparkSession) -> None:
-    spark.conf.set(
-        "spark.sql.streaming.numRecentProgressUpdates",
-        str(_PROGRESS_BUFFER),
-    )
+_PROGRESS_CAP_KEY = "spark.sql.streaming.numRecentProgressUpdates"
+
+
+def _raise_progress_cap(spark: SparkSession) -> str | None:
+    """Raise the progress ring-buffer cap and return the previous value
+    (None if unset) so the drain can restore it — the cap must not leak
+    to everything after the drain on the shared session."""
+    old = spark.conf.get(_PROGRESS_CAP_KEY, None)
+    spark.conf.set(_PROGRESS_CAP_KEY, str(_PROGRESS_BUFFER))
+    return old
+
+
+def _restore_progress_cap(spark: SparkSession, old: str | None) -> None:
+    if old is None:
+        spark.conf.unset(_PROGRESS_CAP_KEY)
+    else:
+        spark.conf.set(_PROGRESS_CAP_KEY, old)
 
 
 def _record_drain_stats(q) -> None:
@@ -259,7 +271,7 @@ def drain_to_memory(
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    _raise_progress_cap(spark)
+    old_cap = _raise_progress_cap(spark)
     try:
         q = (
             stream.writeStream.format("memory")
@@ -277,6 +289,7 @@ def drain_to_memory(
         # could race it into the restored value
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+        _restore_progress_cap(spark, old_cap)
     return spark.table(name)
 
 
@@ -596,7 +609,7 @@ def drain_to_memory_complete(
     old = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    _raise_progress_cap(spark)
+    old_cap = _raise_progress_cap(spark)
     try:
         q = (
             stream.writeStream.format("memory")
@@ -611,4 +624,5 @@ def drain_to_memory_complete(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+        _restore_progress_cap(spark, old_cap)
     return spark.table(name)
