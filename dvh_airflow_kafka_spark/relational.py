@@ -32,7 +32,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dvh_airflow_kafka_spark.catalog import register
+# _core, not the catalog package: relational is imported from inside the
+# package's own initialization (q11_layout), so the package namespace is
+# not yet populated at this point.
+from dvh_airflow_kafka_spark.catalog._core import register
 from dvh_airflow_kafka_spark.ext.profile import label_centroids, profile_table
 from dvh_airflow_kafka_spark.ext.sampling import (
     hash_split,
