@@ -195,88 +195,80 @@ def register(name: str, sql: Optional[str] = None):
 # the driver's 50-query window each round to the queries that most need a
 # fresh row.  Entries not listed keep registration order after these.
 #
-# ROUND-9 ROTATION (executes the round-8 ROUND-9 NOTE + judge ask):
-# after `CORRECTNESS_r08.json` (50/50 hash-green), cumulative driver
-# coverage is 227/234.  This window certifies, in order:
-#   (a) the 8 queued names — 5 staged-oracle upgrades deferred from the
-#       round-8 window (blob_simhash_near_dup, ivf_ann_topk,
-#       bpe_tokenize_and_pack, bpe_piece_vocab, bpe_encode_stats),
-#       hll_mergeable_distinct (staged-estimates partial oracle landed
-#       round 8, never hash-certified), and the 2 re-gated token queries
-#       whose green r07 rows predate their round-8 hash-gate change
-#       (token_frequency_profile, token_pmi_collocations);
-#   (b) round-9 catalog additions (never certified);
-#   (c) staleness refresh — the oldest green certs (round-4 rows, 4+
-#       rounds old) whose implementing files (catalog.py,
-#       functions/registry.py, sources/envelope.py, sinks) churned in
-#       rounds 7-8, oldest first.
+# ROUND-10 ROTATION (executes the round-9 ROUND-10 NOTE + judge ask):
+# after `CORRECTNESS_r09.json` (50/50 hash-green), cumulative driver
+# coverage is 247/248; cert ages are 13 queries on round-4 rows, 42 on
+# round-5.  This window certifies, in order:
+#   (a) the 4 round-10 additions (never certified; verified green
+#       locally at sf0.001 + sf0.01 before pinning);
+#   (b) ALL 13 remaining round-4 certs — after this round nothing in
+#       the catalog holds a row older than round 5;
+#   (c) the first 33 of the 42 round-5 certs, in their r05 row order
+#       (TPC-H q4/q6..q22 batch, then the events/analytics batch).
 # Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
 # OUT of the window (tests/test_certify_window.py pins this).
-# ROUND-10 NOTE (next rotation): continue the staleness refresh with
-# the six round-4 certs displaced from this window's tail to make room
-# for the round-9 additions (text_repetition_stats, wav_decode_metadata,
-# documents_pack_shards, embedding_int8_recall, ann_recall_at_k,
-# tpch_q4_order_priority, text_pii_redaction, embedding_near_dup_pairs,
-# blob_exact_dedup, blob_fingerprint, blob_mime_stats, doc_fingerprint,
-# ngram_jaccard_pairs, embedding_topk_cosine) and then the round-5 batch (tpch_q6..q22,
-# events_asof_join, events_value_percentiles, events_session_window,
-# user_event_pivot, ...) — oldest first.  Every name displaced from this round-9 window
-# holds a green r08-or-earlier driver row and is unchanged since.
+# ROUND-11 NOTE (next rotation): finish the round-5 refresh with the 9
+# deferred names (split_contamination_pairs, tpch_q9_product_profit,
+# tpch_q20_potential_promotion, corpus_global_shuffle,
+# domain_mixture_sample, lang_token_stats, dedup_survivor_priority,
+# pretraining_shard_recipe, duplicated_ngram_spans), then start the
+# round-6 batch (45 names) oldest first.  Every name displaced from
+# this round-10 window holds a green r09-or-earlier driver row and is
+# unchanged since.
 _CERTIFY_FIRST = [
-    # (a) queued: staged-oracle upgrades + re-gated token queries
-    "blob_simhash_near_dup",
-    "ivf_ann_topk",
-    "bpe_tokenize_and_pack",
-    "bpe_piece_vocab",
-    "bpe_encode_stats",
-    "hll_mergeable_distinct",
-    "token_frequency_profile",
-    "token_pmi_collocations",
-    # (b) round-9 additions (never certified; verified green locally
-    # at sf0.001 + sf0.01 before pinning)
-    "quality_logreg_gd",
-    "crosslingual_translit_dedup",
-    "embedding_drift_recall",
-    "passage_window_dedup",
-    "winnowing_fingerprint_pairs",
-    "quality_classifier_auc",
-    "embedding_sign_quant_recall",
-    "code_switch_audit",
-    "dup_provenance_matrix",
-    "ddsketch_value_quantiles",
-    "multi_vector_maxsim",
-    "streaming_ddsketch_quantiles",
-    "tokenizer_fertility_by_lang",
-    "hll_cumulative_user_curve",
-    # (c) staleness refresh: round-4 certs, oldest first
-    "envelope_projection",
-    "payload_flag_fields",
-    "payload_drop_fields",
-    "message_allow_filter",
-    "privacy_scrub_k6",
-    "delta_watermark",
-    "fn_str_code",
-    "fn_epoch_to_oslo",
-    "fn_str_parse_datetime",
-    "fn_bool_to_int",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_topk_orders",
-    "tpch_q5_regional_revenue",
-    "tpch_q10_returned_items",
-    "events_topk_per_user",
-    "revenue_rollup",
-    "signup_no_purchase",
-    "dedup_exact_survivors",
-    "text_token_counts",
-    "text_quality",
-    "text_lang_id",
-    "string_schema_envelope",
-    "process_summary",
-    "events_sessionization",
-    "corpus_curation_pipeline",
-    "avro_confluent_framing",
-    "avro_binary_roundtrip",
-    "avro_envelope_schema_id",
+    # (a) round-10 additions
+    "neardup_survivor_pipeline",
+    "unicode_nfc_audit",
+    "decontamination_capstone",
+    "streaming_frequent_tokens",
+    # (b) staleness refresh: the last 13 round-4 certs
+    "doc_fingerprint",
+    "ngram_jaccard_pairs",
+    "embedding_topk_cosine",
+    "embedding_near_dup_pairs",
+    "blob_fingerprint",
+    "blob_mime_stats",
+    "blob_exact_dedup",
+    "text_repetition_stats",
+    "text_pii_redaction",
+    "wav_decode_metadata",
+    "documents_pack_shards",
+    "embedding_int8_recall",
+    "ann_recall_at_k",
+    # (c) staleness refresh: round-5 certs, r05 row order (first 33)
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q12_priority_lines",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q2_best_supplier",
+    "tpch_q15_top_supplier",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunct_revenue",
+    "tpch_q21_late_sole_supplier",
+    "tpch_q22_idle_customers",
+    "events_asof_join",
+    "events_value_percentiles",
+    "events_session_window",
+    "user_event_pivot",
+    "customer_acctbal_deciles",
+    "events_value_histogram",
+    "user_retention_cohorts",
+    "purchasers_without_errors",
+    "signup_to_purchase_funnel",
+    "revenue_cube",
+    "salted_segment_revenue",
+    "table_profile_events",
+    "embedding_label_centroids",
+    "documents_train_test_split",
+    "events_stratified_sample",
+    "lang_balanced_sample",
+    "doc_tfidf_top_terms",
+    "ngram_dedup_clusters",
 ]
 
 

@@ -1,0 +1,452 @@
+"""Round-10 widening: end-to-end composition capstones + the Misra-Gries
+streaming twin.
+
+The primitives all exist elsewhere in the catalog; these queries compose
+them the way a curation team actually runs them — whole recipes as ONE
+lazy plan with one oracle, following ``pretraining_shard_recipe``'s
+pattern:
+
+- ``neardup_survivor_pipeline`` — the full Lee et al. (ACL'22) dedup
+  recipe: near-dup clusters -> best-copy survivor per cluster -> exact
+  duplicate-span removal among the survivors.
+- ``unicode_nfc_audit`` — NFC/NFKC normalization drift by source over a
+  deterministically injected non-ASCII corpus.
+- ``decontamination_capstone`` — benchmark decontamination as a
+  remove-and-report pass over the train split.
+- ``streaming_frequent_tokens`` — the batch Misra-Gries heavy-hitter
+  sketch maintained as per-shard streaming state
+  (``applyInPandasWithState``), sharing the batch oracle verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.ext import dedup as xdedup
+from dvh_airflow_kafka_spark.ext import text as xtext
+from dvh_airflow_kafka_spark.ext.sampling import hash_split, sql_bucket_predicate
+from dvh_airflow_kafka_spark.io import ensure_parallelism, load_table
+
+from dvh_airflow_kafka_spark.catalog._core import (
+    REGISTRY,
+    _staged_range_write,
+    _staged_stream_src,
+    register,
+)
+
+# --------------------------------------------------------------------------
+# Shared oracle fragments: the word list + distinct 3-gram shingle + exact
+# Jaccard>=0.2 pair CTEs, verbatim the ``ngram_dedup_clusters`` /
+# ``split_contamination_pairs`` convention (ext/dedup.ngram_jaccard_pairs).
+# --------------------------------------------------------------------------
+_SHINGLE_PAIR_CTES = r"""
+    w AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' '
+                                            || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, unnest(s) AS g FROM sh
+    ), shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes na ON na.doc_id = id_a
+        JOIN sizes nb ON nb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    )"""
+
+
+@register(
+    "neardup_survivor_pipeline",
+    sql=rf"""
+    WITH RECURSIVE {_SHINGLE_PAIR_CTES},
+    edges AS (
+        SELECT id_a AS s, id_b AS d FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(node, lbl) AS (
+        SELECT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.node
+    ), clus AS (
+        SELECT node AS doc_id, MIN(lbl) AS cluster_id
+        FROM reach GROUP BY node
+    ), lab AS (
+        SELECT w.doc_id, COALESCE(c.cluster_id, w.doc_id) AS cluster_id,
+               len(w.wl) AS n_tokens
+        FROM w LEFT JOIN clus c ON c.doc_id = w.doc_id
+    ), ranked AS (
+        SELECT doc_id, cluster_id, n_tokens,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id ASC) AS rn
+        FROM lab
+    ), surv AS (
+        SELECT doc_id, cluster_id, n_tokens FROM ranked WHERE rn = 1
+    ), sw AS (
+        SELECT w.doc_id, w.wl FROM w JOIN surv ON surv.doc_id = w.doc_id
+    ), gi AS (
+        SELECT doc_id, wl, unnest(range(1, len(wl) - 6)) AS i
+        FROM sw WHERE len(wl) >= 8
+    ), g AS (
+        SELECT doc_id, i,
+               wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' || wl[i+3]
+               || ' ' || wl[i+4] || ' ' || wl[i+5] || ' ' || wl[i+6]
+               || ' ' || wl[i+7] AS gram
+        FROM gi
+    ), dup AS (
+        SELECT gram, MIN(doc_id) AS keeper
+        FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT g.doc_id, unnest(range(g.i, g.i + 8)) AS p
+            FROM g JOIN dup USING (gram) WHERE g.doc_id <> dup.keeper) cv
+    ), tp AS (
+        SELECT doc_id, wl, unnest(range(1, len(wl) + 1)) AS p FROM sw
+    ), toks AS (SELECT doc_id, p, wl[p] AS tok FROM tp
+    ), kept AS (
+        SELECT t.doc_id, t.p, t.tok
+        FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.p = cov.p
+        WHERE cov.p IS NULL
+    ), ka AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               sha256(array_to_string(list(tok ORDER BY p), ' '))
+                   AS cleaned_sha
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.cluster_id, 1 AS survivor,
+           CAST(s.n_tokens AS INT) AS n_tokens,
+           CAST(s.n_tokens - COALESCE(ka.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(ka.cleaned_sha, sha256('')) AS cleaned_sha
+    FROM surv s LEFT JOIN ka ON ka.doc_id = s.doc_id
+    UNION ALL
+    SELECT r.doc_id, r.cluster_id, 0 AS survivor,
+           CAST(r.n_tokens AS INT) AS n_tokens,
+           CAST(r.n_tokens AS INT) AS n_removed,
+           sha256('') AS cleaned_sha
+    FROM ranked r WHERE r.rn > 1
+    """,
+)
+def neardup_survivor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone: the COMPLETE Lee et al. (ACL'22) dedup recipe as
+    one lazy plan — (1) exact 3-gram Jaccard>=0.2 near-dup pairs
+    (inverted index, never all-pairs), (2) transitive clusters
+    (distributed min-label components), (3) best-copy survivor per
+    cluster by (most tokens, lowest id), (4) exact duplicate 8-gram SPAN
+    removal among the survivors.  One row per original document: kept
+    survivors carry their span-cleaned sha, dropped members record their
+    full token count as removed.  This is the pipeline
+    ``ngram_dedup_clusters`` + ``dedup_survivor_priority`` +
+    ``duplicate_span_removal`` demonstrate piecewise, composed the way a
+    curation run executes it; the oracle replays all four stages
+    including the recursive-CTE closure.
+
+    Scale: every exchange is keyed (shingle, pair, cluster, gram,
+    (doc,pos)); the component loop is the only iteration and works on
+    the label frame (eagerly checkpointed per round). The survivor
+    window partitions by cluster_id — never global."""
+    from dvh_airflow_kafka_spark.ext.components import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = ensure_parallelism(docs.select("doc_id", "text")).withColumn(
+        "n_tokens", F.size(xtext.tokens(F.col("text")))
+    )
+    pairs = xdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.2
+    ).select("id_a", "id_b")
+    clusters = dedup_clusters(pairs)
+    lab = base.join(clusters, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    ranked = lab.withColumn("rn", F.row_number().over(w))
+    surv = ranked.filter(F.col("rn") == 1)
+    cleaned = xdedup.remove_duplicate_spans(
+        surv.select("doc_id", "text"), "doc_id", "text", ngram=8
+    )
+    surv_out = surv.select("doc_id", "cluster_id").join(cleaned, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        F.lit(1).alias("survivor"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "cleaned_sha",
+    )
+    dropped = ranked.filter(F.col("rn") > 1).select(
+        "doc_id",
+        "cluster_id",
+        F.lit(0).alias("survivor"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_tokens").cast("int").alias("n_removed"),
+        F.sha2(F.lit(""), 256).alias("cleaned_sha"),
+    )
+    return surv_out.unionAll(dropped)
+
+
+@register(
+    "unicode_nfc_audit",
+    sql="""
+    WITH inj AS (
+        SELECT doc_id, source, doc_id % 3 AS inject_class,
+               CASE WHEN doc_id % 3 = 0
+                    THEN replace(text, 'e', 'e' || chr(769))
+                    WHEN doc_id % 3 = 1
+                    THEN replace(text, 'f', chr(64257))
+                    ELSE text END AS itext
+        FROM documents
+    ), n AS (
+        SELECT source, inject_class, itext,
+               nfc_normalize(itext) AS nfc_t,
+               -- closed-world NFKC: the corpus is ASCII + the two
+               -- injected codepoints, where NFKC = fold the U+FB01
+               -- ligature to 'fi', then canonical-compose (= NFC)
+               nfc_normalize(replace(itext, chr(64257), 'fi')) AS nfkc_t
+        FROM inj
+    )
+    SELECT source, CAST(inject_class AS BIGINT) AS inject_class,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN nfc_t <> itext THEN 1 ELSE 0 END) AS BIGINT)
+               AS nfc_drift_docs,
+           CAST(SUM(length(itext) - length(nfc_t)) AS BIGINT)
+               AS nfc_chars_saved,
+           CAST(SUM(CASE WHEN nfkc_t <> itext THEN 1 ELSE 0 END) AS BIGINT)
+               AS nfkc_drift_docs,
+           CAST(SUM(length(nfkc_t) - length(itext)) AS BIGINT)
+               AS nfkc_chars_delta
+    FROM n GROUP BY source, inject_class
+    """,
+)
+def unicode_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Unicode normalization audit — the crawl-hygiene pass
+    ``text_clean_normalize`` does NOT cover: per (source, injected
+    class), how many documents change under NFC / NFKC and by how many
+    codepoints.  Un-normalized crawl text makes codepoint-equivalent
+    spellings fingerprint as distinct documents, silently deflating
+    every hash-keyed dedup upstream.
+
+    The synthetic corpus is pure ASCII (no drift to measure), so the
+    query deterministically injects the two canonical offenders first:
+    class 0 (doc_id%3==0) gets every 'e' decomposed to 'e'+U+0301
+    (NFC-composable), class 1 gets every 'f' turned into the U+FB01
+    ligature (NFKC-foldable, NFC-stable), class 2 stays clean.  Spark
+    normalizes with the real ``unicodedata`` kernel
+    (``ext/text.unicode_normalize_udf`` — Arrow-batched, linear scan);
+    the oracle checks NFC against DuckDB's independent ``nfc_normalize``
+    (utf8proc) and NFKC against the closed-world fold documented in the
+    SQL.  All drift metrics are exact integers.
+
+    Scale: injection + length arithmetic are codegen expressions; the
+    normalization is one Arrow pass; the rollup is a map-side-combined
+    aggregate on (source, class)."""
+    nfc = xtext.unicode_normalize_udf("NFC")
+    nfkc = xtext.unicode_normalize_udf("NFKC")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    cls = F.col("doc_id") % 3
+    inj = docs.select(
+        "source",
+        cls.cast("bigint").alias("inject_class"),
+        F.when(cls == 0, F.replace(F.col("text"), F.lit("e"), F.lit("é")))
+        .when(cls == 1, F.replace(F.col("text"), F.lit("f"), F.lit("ﬁ")))
+        .otherwise(F.col("text"))
+        .alias("itext"),
+    )
+    n = inj.select(
+        "source",
+        "inject_class",
+        "itext",
+        nfc(F.col("itext")).alias("nfc_t"),
+        nfkc(F.col("itext")).alias("nfkc_t"),
+    )
+    drift = lambda a, b: F.sum((F.col(a) != F.col(b)).cast("int")).cast("bigint")
+    return n.groupBy("source", "inject_class").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        drift("nfc_t", "itext").alias("nfc_drift_docs"),
+        F.sum(F.length("itext") - F.length("nfc_t"))
+        .cast("bigint")
+        .alias("nfc_chars_saved"),
+        drift("nfkc_t", "itext").alias("nfkc_drift_docs"),
+        F.sum(F.length("nfkc_t") - F.length("itext"))
+        .cast("bigint")
+        .alias("nfkc_chars_delta"),
+    )
+
+
+@register(
+    "decontamination_capstone",
+    sql=rf"""
+    WITH {_SHINGLE_PAIR_CTES},
+    split AS (
+        SELECT doc_id,
+               CASE WHEN {sql_bucket_predicate('doc_id', 0.8)}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ), xpair AS (
+        SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+        FROM pairs p
+        JOIN split sa ON sa.doc_id = p.id_a
+        JOIN split sb ON sb.doc_id = p.id_b
+        WHERE sa.split <> sb.split
+    ), contam AS (
+        SELECT DISTINCT CASE WHEN split_a = 'train' THEN id_a ELSE id_b END
+                   AS doc_id
+        FROM xpair
+    ), tr AS (
+        SELECT d.source,
+               len(regexp_extract_all(d.text, '\S+')) AS n_tokens,
+               CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_contam
+        FROM documents d
+        JOIN split s ON s.doc_id = d.doc_id AND s.split = 'train'
+        LEFT JOIN contam c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           COUNT(*) AS n_train,
+           CAST(SUM(is_contam) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - SUM(is_contam) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS train_tokens,
+           CAST(SUM(CASE WHEN is_contam = 1 THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_removed
+    FROM tr GROUP BY source
+    """,
+)
+def decontamination_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone: benchmark decontamination as the REMOVE-AND-REPORT
+    pass eval owners actually run — every train-split document
+    near-duplicating (3-gram Jaccard>=0.2) ANY test-split document is
+    dropped from the training corpus, and the report shows the per-source
+    cost: documents and tokens removed vs kept.  Composes
+    ``split_contamination_pairs``'s detector (same split salt, same
+    shingle convention) with the removal roll-up —
+    ``cross_split_ngram_novelty`` is the after-the-fact coverage metric
+    for what survives.
+
+    Scale: the pair detector is the inverted-index join (shingle-keyed);
+    the removal is one broadcast-able distinct contaminated-id set
+    anti-joined into the train scan; the report is a map-side-combined
+    per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = xdedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", ngram=3, threshold=0.2
+    ).select("id_a", "id_b")
+    split = hash_split(docs.select("doc_id"), "doc_id", train_frac=0.8)
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    contam = (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    tr = (
+        docs.join(split.filter(F.col("split") == "train"), "doc_id")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .select(
+            "source",
+            F.size(xtext.tokens(F.col("text"))).alias("n_tokens"),
+            F.coalesce(F.col("__c"), F.lit(0)).alias("is_contam"),
+        )
+    )
+    return tr.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum("is_contam").cast("bigint").alias("n_removed"),
+        (F.count(F.lit(1)) - F.sum("is_contam"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("train_tokens"),
+        F.sum(F.when(F.col("is_contam") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_removed"),
+    )
+
+
+_MG_K = 64
+_MG_SHARDS = 8
+
+
+@register(
+    "streaming_frequent_tokens",
+    # Shares the batch Misra-Gries oracle VERBATIM (same exact heavy-
+    # hitter output, threshold N/64) — the ddsketch/countmin twin device.
+    sql=REGISTRY["frequent_tokens_bounded_state"].sql,
+)
+def streaming_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The Misra-Gries heavy-hitter sketch MAINTAINED AS STREAMING
+    STATE: documents drain through a file stream in 4 micro-batches,
+    sharded by doc_id into 8 groups; each shard resumes its k=64-counter
+    MG summary from the state store every batch
+    (``streaming/stateful.mg_candidates_with_state`` — the SAME
+    decrement-counter kernel as the batch pass, fed incrementally) and
+    emits its current candidates.  The distinct union of emissions is a
+    provable superset of every token with global frequency > N/64
+    (per-shard pigeonhole, see the operator docstring), and the exact
+    verify pass (``ext/sketch.verify_candidate_counts``) then matches
+    the batch query bit-for-bit — so this query shares
+    ``frequent_tokens_bounded_state``'s DuckDB oracle verbatim: a
+    cross-engine hash proof that resumable streaming sketch state equals
+    the batch sketch equals a full groupBy.
+
+    At 100 TB ingest this is the resident vocabulary-drift monitor:
+    state is O(k) per shard FOREVER (8x64 counters here), immune to the
+    unbounded token domain that makes a streaming groupBy(token) state
+    grow without bound.  The state-flatness CI probe pins this
+    (``tests/test_scale_probe_stream.py``)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.ext.sketch import verify_candidate_counts
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory_update,
+        mg_candidates_with_state,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; MG state resumes across batches and
+        # the verify pass is batch-composition-free, so hash/round-robin
+        # slicing is fine
+        _staged_range_write(docs, src, 4)
+
+    src = _staged_stream_src("stream_mg", sf_dir, _write)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select((F.col("doc_id") % _MG_SHARDS).alias("shard"), "text")
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_mg_ckpt_")
+    name = f"stream_mg_{uuid.uuid4().hex[:8]}"
+    emitted = drain_to_memory_update(
+        spark,
+        mg_candidates_with_state(stream, k=_MG_K),
+        name,
+        ckpt,
+        shuffle_partitions=_MG_SHARDS,
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    candidates = emitted.select("token").distinct()
+    slim = ensure_parallelism(docs.select(F.col("text").alias("__text")))
+    return verify_candidate_counts(slim, candidates, k_state=_MG_K)

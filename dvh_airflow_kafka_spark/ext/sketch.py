@@ -41,27 +41,35 @@ from pyspark.sql import functions as F
 _JAVA_NONSPACE = re.compile(r"[^ \t\n\x0b\f\r]+")
 
 
+def _mg_feed(counters: dict, texts, k: int) -> None:
+    """Feed texts through a Misra-Gries counter dict in place (the
+    decrement-all step keeps ``len(counters) <= k``). Shared by the
+    per-partition batch pass and the per-shard streaming state update —
+    the streaming twin IS this loop resumed from the state store."""
+    for text in texts:
+        if not text:
+            continue
+        for tok in _JAVA_NONSPACE.findall(text):
+            if tok in counters:
+                counters[tok] += 1
+            elif len(counters) < k:
+                counters[tok] = 1
+            else:
+                # decrement-all: drop every counter by one
+                dead = []
+                for t in counters:
+                    counters[t] -= 1
+                    if counters[t] == 0:
+                        dead.append(t)
+                for t in dead:
+                    del counters[t]
+
+
 def _misra_gries_partition(texts: Iterator[pd.DataFrame], k: int):
     """Per-partition Misra-Gries over whitespace tokens of ``__text``."""
     counters: dict[str, int] = {}
     for pdf in texts:
-        for text in pdf["__text"]:
-            if not text:
-                continue
-            for tok in _JAVA_NONSPACE.findall(text):
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < k:
-                    counters[tok] = 1
-                else:
-                    # decrement-all: drop every counter by one
-                    dead = []
-                    for t in counters:
-                        counters[t] -= 1
-                        if counters[t] == 0:
-                            dead.append(t)
-                    for t in dead:
-                        del counters[t]
+        _mg_feed(counters, pdf["__text"], k)
     if counters:
         yield pd.DataFrame({"token": list(counters.keys())})
 
@@ -86,6 +94,20 @@ def frequent_tokens(
         )
         .distinct()
     )
+    return verify_candidate_counts(slim, candidates, k_state=k_state)
+
+
+def verify_candidate_counts(
+    slim: DataFrame, candidates: DataFrame, *, k_state: int
+) -> DataFrame:
+    """Exact verify pass shared by the batch sketch and its streaming
+    twin: count ONLY the candidate tokens (broadcast semi-join on the
+    explode — the shuffle carries candidates, not the vocabulary) and
+    keep those with global frequency > N/k_state.  ``slim`` must be a
+    one-column ``__text`` frame; ``candidates`` a (token) superset of
+    every heavy hitter (the Misra-Gries guarantee)."""
+    from dvh_airflow_kafka_spark.ext.text import tokens
+
     toks = slim.select(F.explode(tokens(F.col("__text"))).alias("token"))
     total = toks.agg(F.count(F.lit(1)).alias("__N"))
     counts = (

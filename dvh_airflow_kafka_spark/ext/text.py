@@ -501,6 +501,36 @@ def deflate_len_udf(level: int = 6):
     return comp_len
 
 
+def unicode_normalize_udf(form: str = "NFC"):
+    """Arrow-batched pandas UDF: Unicode normalization of the text via
+    ``unicodedata.normalize`` — the crawl-hygiene step that collapses
+    byte-distinct/codepoint-equivalent spellings (decomposed accents,
+    compatibility ligatures, width variants) before any hash-keyed dedup
+    sees them; without it, 'e'+U+0301 and U+00E9 fingerprint as two
+    different documents.  Python IS the kernel here (Spark has no
+    normalization builtin); one linear scan, no shuffle, no state.
+
+    Cross-engine note: the NFC form is independently checkable against
+    DuckDB's ``nfc_normalize`` (utf8proc) — canonical composition for
+    the Latin ranges has been stable across Unicode versions for both
+    libraries.  NFKC has no DuckDB builtin; oracles verify it over a
+    CLOSED injected compatibility-character set (see
+    ``catalog.unicode_nfc_audit``).
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"not a Unicode normalization form: {form}")
+
+    @F.pandas_udf(T.StringType())
+    def norm(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: unicodedata.normalize(form, t) if t is not None else None
+        )
+
+    return norm
+
+
 # Explicit character classes for cleaning — NOT shorthand \s: Java regex
 # (Spark) includes \x0B in \s while RE2 (the DuckDB oracle) does not, so
 # shorthand classes silently diverge across engines.

@@ -538,6 +538,85 @@ _RUNNING_TOTALS_STATE = T.StructType(
 )
 
 
+# --------------------------------------------------------------------------
+# Streaming Misra-Gries heavy-hitter candidates (custom stateful op #3)
+# --------------------------------------------------------------------------
+
+MG_OUTPUT = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("token", T.StringType()),
+    ]
+)
+
+# Per-shard state: the Misra-Gries counter dict as two parallel arrays —
+# bounded at k entries by the decrement-all rule, REGARDLESS of how many
+# distinct tokens the shard's stream carries.
+MG_STATE = T.StructType(
+    [
+        T.StructField("toks", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_mg_updater(k: int):
+    """Build the applyInPandasWithState function: resume the shard's
+    Misra-Gries counters from the state store, feed the batch's texts
+    through the same decrement-counter loop the batch sketch uses
+    (``ext/sketch._mg_feed``), store the updated counters, and emit the
+    current candidate tokens (<= k rows per shard per batch)."""
+    from dvh_airflow_kafka_spark.ext.sketch import _mg_feed
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            toks, counts = state.get
+            counters = dict(zip(toks, counts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            _mg_feed(counters, pdf["text"], k)
+        state.update((list(counters.keys()), [int(c) for c in counters.values()]))
+        if counters:
+            yield pd.DataFrame(
+                {"shard": shard, "token": list(counters.keys())}
+            )
+
+    return update
+
+
+def mg_candidates_with_state(stream: DataFrame, *, k: int = 64) -> DataFrame:
+    """Streaming Misra-Gries candidate maintenance: the incoming document
+    stream is sharded (``shard`` column must exist), each shard holds one
+    k-counter MG summary in the state store across micro-batches, and
+    every batch emits the shard's current candidate set (update mode).
+
+    Guarantee (same pigeonhole as the batch two-pass sketch): a token
+    with GLOBAL frequency > N/k must exceed n_shard/k on at least one
+    shard, and per-shard MG retains every such token — so the union of
+    emitted candidates over the drain is a superset of every global
+    heavy hitter, and an exact verify pass over the same corpus
+    (``ext/sketch.verify_candidate_counts``) makes the output exact.
+    State is O(k) per shard FOREVER — the property that keeps a
+    heavy-hitter monitor resident against an unbounded stream."""
+    return (
+        stream.select("shard", "text")
+        .groupBy("shard")
+        .applyInPandasWithState(
+            _make_mg_updater(k),
+            outputStructType=MG_OUTPUT,
+            stateStructType=MG_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_totals_with_state(stream: DataFrame) -> DataFrame:
     """Per-user lifetime (count, cent-sum) maintained in a ValueState via
     Spark 4's ``transformWithStateInPandas`` — the successor API to
@@ -590,6 +669,42 @@ def running_totals_with_state(stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def drain_to_memory_update(
+    spark: SparkSession,
+    stream: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    *,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Update-mode drain: the memory sink APPENDS every micro-batch's
+    emitted rows, so the returned table holds the full emission history —
+    the reader applies whatever per-key reduction the query's semantics
+    call for (distinct for candidate supersets, max-per-key for running
+    totals).  ``shuffle_partitions`` right-sizes state partitions exactly
+    as in ``drain_to_memory``."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    old_cap = _raise_progress_cap(spark)
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _record_drain_stats(q)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        _restore_progress_cap(spark, old_cap)
+    return spark.table(name)
 
 
 def drain_to_memory_complete(

@@ -42,6 +42,12 @@ pytestmark = pytest.mark.skipif(
 # state started depending on data volume — a leak.
 COUNTMIN_STATE_ROWS = 117
 
+# The pinned Misra-Gries state-store size: one state row per shard (the
+# shard's whole <=64-counter summary is ONE stored tuple), so 8 — at any
+# corpus volume.  The probe asserting the k-bound INSIDE the tuple lives
+# in tests/test_streaming_mg.py (emitted candidates per shard per batch).
+MG_STATE_ROWS = 8
+
 
 def _stage(spark, sf_dir, out_dir, factor: int) -> None:
     ev = load_table(spark, sf_dir, "events")
@@ -74,6 +80,7 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         "countmin": {},
         "late": {},
         "ddsketch": {},
+        "mg": {},
     }
     for factor in (1, 2):
         staged = str(tmp_path / f"x{factor}")
@@ -87,6 +94,9 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         states["ddsketch"][factor] = _drain_state(
             spark, "streaming_ddsketch_quantiles", staged
         )
+        states["mg"][factor] = _drain_state(
+            spark, "streaming_frequent_tokens", staged
+        )
     # FLAT: doubling the corpus must not move max state rows at all
     assert states["countmin"][1] == states["countmin"][2], states
     assert states["late"][1] == states["late"][2], states
@@ -95,6 +105,10 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
     assert states["ddsketch"][1] == states["ddsketch"][2], states
     # countmin state is a function of the sketch shape alone
     assert states["countmin"][1] == COUNTMIN_STATE_ROWS, states
+    # Misra-Gries state-store rows = one row per shard (each row holds
+    # the shard's <=k-counter summary), a function of the SHARDING alone
+    # — flat and equal to the pinned shard count at any volume
+    assert states["mg"][1] == states["mg"][2] == MG_STATE_ROWS, states
     # the window aggregate holds real (nonzero) but bounded state
     assert 0 < states["late"][1], states
     assert 0 < states["ddsketch"][1], states
