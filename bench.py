@@ -248,6 +248,12 @@ HEADLINE = [
     "streaming_ddsketch_quantiles",
     "tokenizer_fertility_by_lang",
     "hll_cumulative_user_curve",
+    # round-10 additions
+    "neardup_survivor_pipeline",
+    "unicode_nfc_audit",
+    "decontamination_capstone",
+    "streaming_frequent_tokens",
+    "streaming_hll_registers",
 ]
 
 

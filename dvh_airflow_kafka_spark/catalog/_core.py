@@ -30,7 +30,7 @@ BATCH_TIME = dt.datetime(2025, 6, 1, 12, 0, 0)
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # --------------------------------------------------------------------------
-# Streaming-source staging cache.  The six streaming catalog queries drive
+# Streaming-source staging cache.  The streaming catalog queries drive
 # REAL file-source drains, which needs the input table restaged as ordered
 # parquet files in a local dir.  The staged copy is a pure function of
 # (query kind, sf_dir) and immutable once written, so it is cached for the
@@ -125,7 +125,16 @@ def _staged_range_write(
         else df.repartition(n)
     )
     part.write.parquet(src)
-    base = time.time()
+    # Stamp strictly in the PAST (now - n - 10 .. now - 10): a caller
+    # that APPENDS more files afterward (watermark sentinels) gives them
+    # real current mtimes, which must sort strictly AFTER every ranged
+    # file in _staged_stream_src's ns re-sort.  The old future-dated
+    # base (time.time() + i) raced the append: a sentinel written within
+    # ~n seconds could land BETWEEN ranged stamps, get scheduled before
+    # the last data batch, and late-drop that whole range (the
+    # streaming_left_outer_join flake — Spark 139 vs oracle 202 rows
+    # under concurrent load, ~1-in-3 full-suite runs).
+    base = time.time() - n - 10
     for i, p in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
         os.utime(p, (base + i, base + i))
 
@@ -199,28 +208,40 @@ def register(name: str, sql: Optional[str] = None):
 # after `CORRECTNESS_r09.json` (50/50 hash-green), cumulative driver
 # coverage is 247/248; cert ages are 13 queries on round-4 rows, 42 on
 # round-5.  This window certifies, in order:
-#   (a) the 4 round-10 additions (never certified; verified green
-#       locally at sf0.001 + sf0.01 before pinning);
+#   (a) the 5 round-10 additions (never certified; verified green
+#       locally at sf0.001 + sf0.01 before pinning) + 2 round-10
+#       implementation churns needing fresh rows (hll_register_distinct
+#       refactored onto ext/sketch kernels; streaming_left_outer_join's
+#       staging mtime race fixed + ngram_dedup_clusters' CC loop
+#       right-sized, both at the head of their groups);
 #   (b) ALL 13 remaining round-4 certs — after this round nothing in
 #       the catalog holds a row older than round 5;
-#   (c) the first 33 of the 42 round-5 certs, in their r05 row order
-#       (TPC-H q4/q6..q22 batch, then the events/analytics batch).
+#   (c) the first 30 of the 42 round-5 certs, in their r05 row order
+#       (TPC-H q4/q6..q22 batch, then the events/analytics batch),
+#       plus ngram_dedup_clusters (churned: CC shuffle right-sizing).
 # Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
 # OUT of the window (tests/test_certify_window.py pins this).
-# ROUND-11 NOTE (next rotation): finish the round-5 refresh with the 9
-# deferred names (split_contamination_pairs, tpch_q9_product_profit,
-# tpch_q20_potential_promotion, corpus_global_shuffle,
-# domain_mixture_sample, lang_token_stats, dedup_survivor_priority,
-# pretraining_shard_recipe, duplicated_ngram_spans), then start the
-# round-6 batch (45 names) oldest first.  Every name displaced from
+# ROUND-11 NOTE (next rotation): finish the round-5 refresh with the
+# 12 deferred names (events_stratified_sample, lang_balanced_sample,
+# doc_tfidf_top_terms, split_contamination_pairs,
+# tpch_q9_product_profit, tpch_q20_potential_promotion,
+# corpus_global_shuffle, domain_mixture_sample, lang_token_stats,
+# dedup_survivor_priority, pretraining_shard_recipe,
+# duplicated_ngram_spans), then start the round-6 batch (45 names)
+# oldest first.  Every name displaced from
 # this round-10 window holds a green r09-or-earlier driver row and is
 # unchanged since.
 _CERTIFY_FIRST = [
-    # (a) round-10 additions
+    # (a) round-10 additions + queries whose implementation churned
+    # this round (HLL batch refactored onto the shared ext/sketch
+    # kernels; the LOJ drain's staging race fixed)
     "neardup_survivor_pipeline",
     "unicode_nfc_audit",
     "decontamination_capstone",
     "streaming_frequent_tokens",
+    "streaming_hll_registers",
+    "hll_register_distinct",
+    "streaming_left_outer_join",
     # (b) staleness refresh: the last 13 round-4 certs
     "doc_fingerprint",
     "ngram_jaccard_pairs",
@@ -265,9 +286,6 @@ _CERTIFY_FIRST = [
     "table_profile_events",
     "embedding_label_centroids",
     "documents_train_test_split",
-    "events_stratified_sample",
-    "lang_balanced_sample",
-    "doc_tfidf_top_terms",
     "ngram_dedup_clusters",
 ]
 

@@ -1405,11 +1405,15 @@ def doc_compression_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_HLL_SALT = "hll-v1"
 # p=8: 256 registers, 24-bit remainder; alpha_256 * m^2 with
-# alpha_m = 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007)
-_HLL_M = 256
-_HLL_REM = 16777216  # 2^24
+# alpha_m = 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007).  Single
+# source of truth is ext/sketch (the kernels the Spark side runs);
+# these aliases keep the oracle SQL below in lockstep with them.
+from dvh_airflow_kafka_spark.ext.sketch import (  # noqa: E402
+    HLL_M as _HLL_M,
+    HLL_REM as _HLL_REM,
+    HLL_SALT as _HLL_SALT,
+)
 
 
 @register(
@@ -1476,31 +1480,23 @@ def hll_register_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine — the sketch you keep resident per tenant/day and
     fold over any grouping without rescanning (estimate error ~1.04/√m
     ≈ 6.5% at m=256)."""
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        hll_bucket_rho,
+        hll_estimate_report,
+    )
+
     ev = load_table(spark, sf_dir, "events")
-    u = F.conv(
-        F.substring(
-            F.sha2(
-                F.concat(
-                    F.lit(_HLL_SALT + "|"), F.col("user_id").cast("string")
-                ),
-                256,
-            ),
-            1,
-            8,
+    # register projection + estimator live in ext/sketch (round-10
+    # refactor) so the streaming twin (streaming_hll_registers) shares
+    # them — twin equality by construction, not parallel maintenance
+    r = hll_bucket_rho(
+        ev.withColumn(
+            "day",
+            F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"),
         ),
-        16,
-        10,
-    ).cast("long")
-    rem = u % _HLL_REM
-    r = ev.select(
         "event_type",
-        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
-            "day"
-        ),
-        (u / _HLL_REM).cast("long").alias("bucket"),
-        F.when(rem == 0, F.lit(25))
-        .otherwise(F.lit(25) - F.length(F.bin(rem)))
-        .alias("rho"),
+        "day",
+        elem_col="user_id",
     )
     partials = r.groupBy("event_type", "day", "bucket").agg(
         F.max("rho").alias("p_rho")
@@ -1508,35 +1504,10 @@ def hll_register_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = partials.groupBy("event_type", "bucket").agg(
         F.max("p_rho").alias("m_rho")
     )
-    est = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_nonzero_regs"),
-        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("s_nz"),
-    )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
-    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
-    raw = F.lit(alpha * _HLL_M * _HLL_M) / (
-        F.col("s_nz")
-        + (F.lit(_HLL_M) - F.col("n_nonzero_regs")) * F.lit(1.0)
-    )
-    # linear counting below 2.5m (Flajolet et al. §4): the raw estimator
-    # is biased when most registers are empty
-    lc = F.lit(float(_HLL_M)) * F.log(
-        F.lit(float(_HLL_M))
-        / (F.lit(_HLL_M) - F.col("n_nonzero_regs")).cast("double")
-    )
-    est_expr = F.when(
-        (raw <= F.lit(2.5 * _HLL_M))
-        & (F.col("n_nonzero_regs") < F.lit(_HLL_M)),
-        lc,
-    ).otherwise(raw)
-    return est.join(exact, "event_type").select(
-        "event_type",
-        "n_exact",
-        "n_nonzero_regs",
-        F.round(est_expr, 4).alias("hll_estimate"),
-    )
+    return hll_estimate_report(regs, exact)
 
 
 @register(

@@ -16,6 +16,9 @@ pattern:
 - ``streaming_frequent_tokens`` — the batch Misra-Gries heavy-hitter
   sketch maintained as per-shard streaming state
   (``applyInPandasWithState``), sharing the batch oracle verbatim.
+- ``streaming_hll_registers`` — the HyperLogLog register grid as
+  streaming groupBy-max state, sharing ``hll_register_distinct``'s
+  oracle verbatim via the shared ``ext/sketch`` kernels.
 """
 
 from __future__ import annotations
@@ -164,14 +167,26 @@ def neardup_survivor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = xdedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", ngram=3, threshold=0.2
     ).select("id_a", "id_b")
-    clusters = dedup_clusters(pairs)
+    # 8 partitions for the label loop: near-dup graphs are hundreds of
+    # edges at any sf; see connected_components' docstring
+    clusters = dedup_clusters(pairs, shuffle_partitions=8)
     lab = base.join(clusters, "doc_id", "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", "doc_id")
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_tokens").desc(), F.col("doc_id").asc()
     )
-    ranked = lab.withColumn("rn", F.row_number().over(w))
+    # localCheckpoint: `ranked` is one bounded row per document and
+    # feeds three consumers (the span remover's internal gram/token
+    # builds, the survivor join, the dropped branch); without
+    # materialization each re-runs the tokenize+join+window upstream
+    # (A/B at sf0.1, 3 runs each: ~8.9s warm -> ~6.4s).  Downstream
+    # joins are gram- and doc-keyed merges between similar-sized frames
+    # (no broadcast to lose), so the erased-statistics hazard does not
+    # bite — measured, not assumed.
+    ranked = lab.withColumn("rn", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     surv = ranked.filter(F.col("rn") == 1)
     cleaned = xdedup.remove_duplicate_spans(
         surv.select("doc_id", "text"), "doc_id", "text", ngram=8
@@ -450,3 +465,68 @@ def streaming_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = emitted.select("token").distinct()
     slim = ensure_parallelism(docs.select(F.col("text").alias("__text")))
     return verify_candidate_counts(slim, candidates, k_state=_MG_K)
+
+
+@register(
+    "streaming_hll_registers",
+    # Shares the hand-rolled HyperLogLog oracle VERBATIM — the fourth
+    # batch/streaming twin family (quantile, frequency-grid,
+    # heavy-hitter, now mergeable-distinct).
+    sql=REGISTRY["hll_register_distinct"].sql,
+)
+def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The HyperLogLog register grid MAINTAINED AS STREAMING STATE:
+    events drain through a file stream in 4 micro-batches and the sketch
+    is an unwatermarked streaming groupBy over (event_type, bucket)
+    keeping MAX(rho) — register maxima merge by max across micro-batches
+    (the same max-merge law ``hll_register_distinct`` proves across
+    days), so the complete-mode final snapshot equals the batch register
+    grid EXACTLY and the estimator readout reproduces the batch query
+    bit-for-bit: this query shares its DuckDB oracle verbatim.  State is
+    O(m=256) registers per event type FOREVER — the resident
+    distinct-users monitor at 100 TB ingest, beside the ddsketch
+    (quantiles), count-min (frequencies) and Misra-Gries (heavy-hitter)
+    twins; flatness CI-pinned in tests/test_scale_probe_stream.py.
+
+    The register projection and estimator are the shared
+    ``ext/sketch.hll_bucket_rho`` / ``hll_estimate_report`` kernels the
+    batch query also uses — twin equality is by construction, not by
+    parallel maintenance of two codepaths."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        hll_bucket_rho,
+        hll_estimate_report,
+    )
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory_complete,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; register maxima are a mergeable
+        # elementwise max, so batch composition is irrelevant
+        _staged_range_write(ev, src, 4)
+
+    src = _staged_stream_src("stream_hll", sf_dir, _write)
+    ckpt = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    regs = (
+        hll_bucket_rho(
+            read_event_stream(spark, src), "event_type", elem_col="user_id"
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    snapshot = drain_to_memory_complete(
+        spark, regs, name, ckpt, shuffle_partitions=8
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_exact")
+    )
+    return hll_estimate_report(snapshot, exact)

@@ -34,9 +34,36 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min node
-    id reachable. Undirectedness is enforced by symmetrising the input."""
+    id reachable. Undirectedness is enforced by symmetrising the input.
+
+    ``shuffle_partitions`` right-sizes the per-round exchanges exactly
+    like the streaming drains do for state stores: each label-propagation
+    round is several tiny stages over the label frame, and when that
+    frame is far below a-partition-per-core (near-dup clusters: hundreds
+    of edges), 32-task stages are pure scheduler overhead — measured
+    3.7s -> ~1s on a 477-node graph at 8 partitions.  Leave ``None`` for
+    graphs that actually fill the cluster; the conf is saved/restored
+    around the loop and only affects plans created inside it (the
+    returned frame is already materialized by its final checkpoint)."""
+    spark = edges.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        return _cc_loop(edges, src, dst, max_iter)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _cc_loop(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -93,12 +120,18 @@ def connected_components(
 
 
 def dedup_clusters(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    *,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs → (doc_id, cluster_id) with cluster_id = the
     minimum doc_id of the transitive cluster — the canonical survivor
     every other member would dedup against."""
-    cc = connected_components(pairs, src=id_a, dst=id_b)
+    cc = connected_components(
+        pairs, src=id_a, dst=id_b, shuffle_partitions=shuffle_partitions
+    )
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

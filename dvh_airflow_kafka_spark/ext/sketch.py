@@ -262,3 +262,79 @@ def kmv_estimate(kmins: Column, k: int) -> Column:
             4,
         )
     )
+
+
+# ===========================================================================
+# HyperLogLog register kernel (Flajolet et al. 2007) — shared by the batch
+# query (catalog hll_register_distinct) and its streaming twin
+# (streaming_hll_registers), so twin equality is by construction.  p=8:
+# 256 registers, 24-bit remainder, rho = rank of first set bit computed via
+# length(bin(x)) — exact integers in both engines; the estimator's float
+# terms (2^-rho, alpha·m²/S) are exact dyadics whose summation order
+# cannot matter.
+# ===========================================================================
+
+HLL_SALT = "hll-v1"
+HLL_M = 256
+HLL_REM = 16777216  # 2^24
+
+
+def hll_bucket_rho(
+    df: DataFrame, *group_cols: str, elem_col: str
+) -> DataFrame:
+    """(group_cols..., bucket, rho) rows — the stateless register
+    projection: sha-derived 32-bit hash, top 8 bits bucket, rho =
+    25 - bitlength(24-bit remainder) (25 for a zero remainder)."""
+    u = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(HLL_SALT + "|"), F.col(elem_col).cast("string")
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    rem = u % HLL_REM
+    return df.select(
+        *group_cols,
+        (u / HLL_REM).cast("long").alias("bucket"),
+        F.when(rem == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin(rem)))
+        .alias("rho"),
+    )
+
+
+def hll_estimate_report(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Estimator readout over a (event_type, bucket, m_rho) register
+    frame joined with the exact audit column: raw alpha·m²/(S + zeros),
+    switching to linear counting m·ln(m/zeros) below 2.5m (Flajolet
+    §4)."""
+    est = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero_regs"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rho"))).alias("s_nz"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    raw = F.lit(alpha * HLL_M * HLL_M) / (
+        F.col("s_nz")
+        + (F.lit(HLL_M) - F.col("n_nonzero_regs")) * F.lit(1.0)
+    )
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M))
+        / (F.lit(HLL_M) - F.col("n_nonzero_regs")).cast("double")
+    )
+    est_expr = F.when(
+        (raw <= F.lit(2.5 * HLL_M))
+        & (F.col("n_nonzero_regs") < F.lit(HLL_M)),
+        lc,
+    ).otherwise(raw)
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_exact",
+        "n_nonzero_regs",
+        F.round(est_expr, 4).alias("hll_estimate"),
+    )

@@ -1155,7 +1155,7 @@ def ngram_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = xdedup.ngram_jaccard_pairs(docs, "doc_id", "text", ngram=3, threshold=0.2)
-    return dedup_clusters(pairs.select("id_a", "id_b"))
+    return dedup_clusters(pairs.select("id_a", "id_b"), shuffle_partitions=8)
 
 
 @register(

@@ -58,6 +58,13 @@ def test_streaming_mg_matches_batch_twin_and_bounds_emissions(spark, sf_dir):
     assert len(batch) > 0
 
 
+def test_streaming_hll_matches_batch_twin(spark, sf_dir):
+    batch = REGISTRY["hll_register_distinct"].fn(spark, sf_dir).collect()
+    stream = REGISTRY["streaming_hll_registers"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0
+
+
 def test_mg_updater_emits_at_most_k_per_shard_per_batch():
     # drive the applyInPandasWithState updater directly with a fake state
     import pandas as pd

@@ -81,10 +81,14 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         "late": {},
         "ddsketch": {},
         "mg": {},
+        "hll": {},
     }
     for factor in (1, 2):
         staged = str(tmp_path / f"x{factor}")
         _stage(spark, sf_dir, staged, factor)
+        states["hll"][factor] = _drain_state(
+            spark, "streaming_hll_registers", staged
+        )
         states["countmin"][factor] = _drain_state(
             spark, "streaming_countmin_sketch", staged
         )
@@ -109,6 +113,11 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
     # the shard's <=k-counter summary), a function of the SHARDING alone
     # — flat and equal to the pinned shard count at any volume
     assert states["mg"][1] == states["mg"][2] == MG_STATE_ROWS, states
+    # HLL state = occupied (event_type, bucket) registers — a function
+    # of the distinct-user HASHES, never of row volume (the replication
+    # replays the same user ids), and bounded by 5 types x 256 buckets
+    assert states["hll"][1] == states["hll"][2], states
+    assert 0 < states["hll"][1] <= 5 * 256, states
     # the window aggregate holds real (nonzero) but bounded state
     assert 0 < states["late"][1], states
     assert 0 < states["ddsketch"][1], states
