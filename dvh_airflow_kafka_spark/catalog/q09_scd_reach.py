@@ -762,7 +762,12 @@ def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-member group moves k values per partition, never its rows.
     sha256-prefix hashing makes build, merge and estimate replay
     bit-identically in the oracle; the one double division is the
-    documented probabilistic class, rounded to 4."""
+    documented probabilistic class, rounded to 4.
+
+    Build and readout are the shared ``ext/sketch.kmv_sketch`` /
+    ``theta_overlap_report`` kernels the streaming twin
+    (``streaming_kmv_minima``) also uses — twin equality is by
+    construction, not by parallel maintenance of two codepaths."""
     from dvh_airflow_kafka_spark.ext import sketch as xsketch
 
     ev = load_table(spark, sf_dir, "events")
@@ -770,55 +775,6 @@ def theta_sketch_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     km = xsketch.kmv_sketch(du, "event_type", "user_id", _KMV_K)
-    a = km.select(F.col("event_type").alias("event_a"), F.col("kmins").alias("ka"))
-    b = km.select(F.col("event_type").alias("event_b"), F.col("kmins").alias("kb"))
-    u_lit = F.lit(xsketch.KMV_UNIVERSE)
-    pairs = a.join(b, F.col("event_a") < F.col("event_b")).select(
-        "event_a",
-        "event_b",
-        "ka",
-        "kb",
-        F.least(
-            F.coalesce(F.try_element_at("ka", F.lit(_KMV_K)), u_lit),
-            F.coalesce(F.try_element_at("kb", F.lit(_KMV_K)), u_lit),
-        ).alias("theta"),
-    )
-    theta = F.col("theta")
-    est = pairs.select(
-        "event_a",
-        "event_b",
-        "theta",
-        F.size(
-            F.filter(
-                F.array_intersect("ka", "kb"), lambda x: x < theta
-            )
-        )
-        .cast("bigint")
-        .alias("n_common_below"),
-    )
-    da = du.select(F.col("event_type").alias("event_a"), "user_id")
-    db = du.select(F.col("event_type").alias("event_b"), "user_id")
-    ex = (
-        da.join(db, "user_id")
-        .filter(F.col("event_a") < F.col("event_b"))
-        .groupBy("event_a", "event_b")
-        .agg(F.count(F.lit(1)).alias("exact_common"))
-    )
-    return est.join(ex, ["event_a", "event_b"], "left").select(
-        "event_a",
-        "event_b",
-        "n_common_below",
-        F.round(
-            (
-                F.col("n_common_below").cast("double")
-                * F.lit(float(xsketch.KMV_UNIVERSE))
-            )
-            / theta.cast("double"),
-            4,
-        ).alias("est_common"),
-        F.coalesce(F.col("exact_common"), F.lit(0).cast("bigint")).alias(
-            "exact_common"
-        ),
-    )
+    return xsketch.theta_overlap_report(km, du, _KMV_K)
 
 

@@ -19,6 +19,13 @@ pattern:
 - ``streaming_hll_registers`` — the HyperLogLog register grid as
   streaming groupBy-max state, sharing ``hll_register_distinct``'s
   oracle verbatim via the shared ``ext/sketch`` kernels.
+- ``streaming_kmv_minima`` — the KMV/theta k-minimum-values sketch as
+  per-group ``applyInPandasWithState`` streaming state, sharing
+  ``theta_sketch_overlap``'s oracle verbatim via the shared
+  ``ext/sketch.kmv_hash`` / ``theta_overlap_report`` kernels.
+- ``curation_funnel_attrition`` — the stage-by-stage per-source
+  attrition report (quality gate -> exact dedup -> near-dup drop) as
+  ONE lazy plan with one aggregate.
 """
 
 from __future__ import annotations
@@ -530,3 +537,249 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
     return hll_estimate_report(snapshot, exact)
+
+
+@register(
+    "streaming_kmv_minima",
+    # Shares the theta/KMV sketch oracle VERBATIM — the fifth
+    # batch/streaming twin family (quantile, frequency-grid,
+    # heavy-hitter, mergeable-distinct, now mergeable-overlap).
+    sql=REGISTRY["theta_sketch_overlap"].sql,
+)
+def streaming_kmv_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The KMV/theta k-minimum-values sketch MAINTAINED AS
+    STREAMING STATE: events drain through a file stream in 4
+    micro-batches; each event type's k=64 smallest distinct user hashes
+    live in the state store across batches
+    (``streaming/stateful.kmv_minima_with_state``), merged per batch by
+    k-min-of-union — the textbook KMV merge, whose telescoping equals
+    the batch ``ext/sketch.kmv_sketch`` output EXACTLY regardless of
+    batch composition (minima only improve; a discarded hash is
+    permanently outranked).  The final per-type snapshot feeds the SAME
+    ``ext/sketch.theta_overlap_report`` readout the batch query uses, so
+    this query shares ``theta_sketch_overlap``'s DuckDB oracle verbatim:
+    a cross-engine hash proof that resumable streaming sketch state
+    equals the batch sketch equals the replayed oracle.
+
+    Hashing stays JVM-side (``kmv_hash`` sha256-prefix BEFORE the
+    stateful operator); Python only merges bounded long arrays.  State
+    is O(k)=64 longs per event type FOREVER — the resident
+    audience-overlap monitor at 100 TB ingest, beside the ddsketch
+    (quantiles), count-min (frequencies), Misra-Gries (heavy-hitter) and
+    HLL (distinct) twins; flatness CI-pinned in
+    tests/test_scale_probe_stream.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.catalog.q09_scd_reach import _KMV_K
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        kmv_hash,
+        theta_overlap_report,
+    )
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory_update,
+        kmv_minima_with_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; k-min-of-union is a mergeable,
+        # order-free reduction, so batch composition is irrelevant
+        _staged_range_write(ev, src, 4)
+
+    src = _staged_stream_src("stream_kmv", sf_dir, _write)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            F.col("event_type").alias("g"),
+            kmv_hash(F.col("user_id")).alias("h"),
+        )
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_kmv_ckpt_")
+    name = f"stream_kmv_{uuid.uuid4().hex[:8]}"
+    emitted = drain_to_memory_update(
+        spark,
+        kmv_minima_with_state(stream, k=_KMV_K),
+        name,
+        ckpt,
+        shuffle_partitions=8,
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # update-mode emission history -> each group's LATEST snapshot (the
+    # seq counter is monotone per group; the window partitions by group)
+    w = Window.partitionBy("g").orderBy(F.col("seq").desc())
+    km = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("g").alias("event_type"), "kmins")
+    )
+    du = ev.distinct().localCheckpoint(eager=False)
+    return theta_overlap_report(km, du, _KMV_K)
+
+
+@register(
+    "curation_funnel_attrition",
+    sql=r"""
+    WITH t AS (
+        SELECT doc_id, source, text,
+               CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                   AS n_tokens,
+               CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+                   AS n_words,
+               CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+                    w -> list_contains(['the','a','and','of','to','in','is',
+                                        'that','for','with'], w)))
+                    AS DOUBLE) AS sw,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(length(regexp_replace(text, '[\w\s]', '', 'g'))
+                    AS DOUBLE) AS n_punct
+        FROM documents
+    ), qd AS (
+        -- the quality expression is _QUALITY_SQL's, verbatim
+        SELECT *,
+               (least(1.0, n_words / 50.0) * 0.4
+                + (1.0 - least(1.0, (CASE WHEN n_chars > 0
+                       THEN n_punct / n_chars ELSE 0.0 END) * 4.0)) * 0.3
+                + least(1.0, (CASE WHEN n_words > 0
+                       THEN sw / n_words ELSE 0.0 END) * 5.0) * 0.3
+               ) AS quality
+        FROM t
+    ), g1 AS (
+        SELECT doc_id, text FROM qd WHERE quality >= 0.5
+    ), ek AS (
+        SELECT MIN(doc_id) AS doc_id FROM g1 GROUP BY sha256(text)
+    ), g2 AS (
+        SELECT g1.doc_id, g1.text FROM g1 JOIN ek USING (doc_id)
+    ), w2 AS (
+        SELECT doc_id, regexp_extract_all(text, '\S+') AS wl FROM g2
+    ), sh2 AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' '
+                                            || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w2
+    ), inv2 AS (
+        SELECT doc_id, unnest(s) AS g FROM sh2
+    ), shared2 AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), sizes2 AS (
+        SELECT doc_id, len(s) AS n FROM sh2
+    ), dropped AS (
+        SELECT DISTINCT id_b AS doc_id
+        FROM shared2
+        JOIN sizes2 na ON na.doc_id = id_a
+        JOIN sizes2 nb ON nb.doc_id = id_b
+        WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    ), sm AS (
+        SELECT qd.source, qd.n_tokens,
+               CASE WHEN g2.doc_id IS NOT NULL AND dr.doc_id IS NULL THEN 3
+                    WHEN g2.doc_id IS NOT NULL THEN 2
+                    WHEN g1.doc_id IS NOT NULL THEN 1
+                    ELSE 0 END AS stage_max
+        FROM qd
+        LEFT JOIN g1 ON g1.doc_id = qd.doc_id
+        LEFT JOIN g2 ON g2.doc_id = qd.doc_id
+        LEFT JOIN dropped dr ON dr.doc_id = qd.doc_id
+    ), expl AS (
+        SELECT source, n_tokens, unnest(range(0, stage_max + 1)) AS stage
+        FROM sm
+    )
+    SELECT source, CAST(stage AS BIGINT) AS stage,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM expl GROUP BY source, stage
+    """,
+)
+def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] Capstone: the stage-by-stage ATTRITION REPORT a curation team
+    reads before every training run — per (source, stage), how many
+    documents and tokens survive into each gate of the standard funnel:
+
+      stage 0  raw corpus
+      stage 1  quality gate (the ``text_quality`` heuristic, score >= 0.5
+               — same ``ext/text.quality_score`` kernel, same formula as
+               the certified ``_QUALITY_SQL``)
+      stage 2  exact dedup (min-doc_id survivor per sha256(text), the
+               ``dedup_exact_survivors`` rule, applied among stage-1
+               survivors)
+      stage 3  near-dup drop (3-gram Jaccard >= 0.2 against any LOWER-id
+               stage-2 survivor drops the higher id — the documented
+               greedy pairwise rule; the transitive-cluster variant is
+               ``neardup_survivor_pipeline``)
+
+    One lazy plan, ONE report aggregate: each document gets its highest
+    surviving stage, is exploded into one row per stage it reaches
+    (≤ 4), and the rollup groups by (source, stage) — so n_docs/n_tokens
+    are monotonically non-increasing in stage per source by
+    construction.
+
+    Scale: the quality gate is codegen expressions; exact dedup is one
+    hash-keyed shuffle; the near-dup detector is the inverted-index join
+    (``ext/dedup.ngram_jaccard_pairs``, shingle-keyed, never all-pairs)
+    over the already-thinned stage-2 survivors; the report explodes ≤ 4
+    rows per doc into one map-side-combined aggregate.  The per-doc base
+    frame is localCheckpointed once and feeds every gate."""
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+    )
+    # localCheckpoint: the bounded per-doc frame feeds the quality gate,
+    # the exact-dedup join, the near-dup detector AND the final rollup —
+    # without materialization each consumer re-scans + re-scores the
+    # corpus (4 full passes at 100 TB)
+    base = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        xtext.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
+        xtext.quality_score(F.col("text")).alias("quality"),
+    ).localCheckpoint(eager=False)
+    s1 = base.filter(F.col("quality") >= 0.5)
+    keep = (
+        s1.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep, "doc_id")
+    pairs = xdedup.ngram_jaccard_pairs(
+        s2.select("doc_id", "text"), "doc_id", "text", ngram=3, threshold=0.2
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__d", F.lit(1))
+    )
+    flags = (
+        base.join(
+            s1.select("doc_id").withColumn("__s1", F.lit(1)), "doc_id", "left"
+        )
+        .join(
+            s2.select("doc_id").withColumn("__s2", F.lit(1)), "doc_id", "left"
+        )
+        .join(F.broadcast(dropped), "doc_id", "left")
+    )
+    stage_max = (
+        F.when(F.col("__s2").isNotNull() & F.col("__d").isNull(), F.lit(3))
+        .when(F.col("__s2").isNotNull(), F.lit(2))
+        .when(F.col("__s1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    expl = flags.select(
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), stage_max)).alias("stage"),
+    )
+    return expl.groupBy("source", F.col("stage").cast("bigint").alias("stage")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

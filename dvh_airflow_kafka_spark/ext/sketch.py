@@ -264,6 +264,76 @@ def kmv_estimate(kmins: Column, k: int) -> Column:
     )
 
 
+def theta_overlap_report(km: DataFrame, du: DataFrame, k: int) -> DataFrame:
+    """Theta/KMV set-overlap READOUT, shared by the batch query (catalog
+    ``theta_sketch_overlap``) and its streaming twin
+    (``streaming_kmv_minima``) so twin equality holds by construction —
+    the same device as ``hll_bucket_rho``/``hll_estimate_report``.
+
+    ``km`` holds one sketch row per group: (event_type, kmins) with
+    ``kmins`` the ascending k smallest distinct element hashes.  ``du``
+    is the DISTINCT (event_type, user_id) frame for the exact audit
+    column.  Per type pair (a < b): theta = min of the two k-th minima
+    (universe max when a side is unsaturated), the intersection estimate
+    |common hashes < theta| · U / theta, and the exact common count.
+
+    Scale: ``km`` is sketch-sized (one row per group, ≤ k longs each),
+    so the pair join is a crossJoin against a broadcast constant-size
+    frame — the sanctioned scalar-frame pattern, never data×data; the
+    exact audit join is the only data-sized exchange and is user-keyed.
+    """
+    a = km.select(F.col("event_type").alias("event_a"), F.col("kmins").alias("ka"))
+    b = km.select(F.col("event_type").alias("event_b"), F.col("kmins").alias("kb"))
+    u_lit = F.lit(KMV_UNIVERSE)
+    pairs = a.join(b, F.col("event_a") < F.col("event_b")).select(
+        "event_a",
+        "event_b",
+        "ka",
+        "kb",
+        F.least(
+            F.coalesce(F.try_element_at("ka", F.lit(k)), u_lit),
+            F.coalesce(F.try_element_at("kb", F.lit(k)), u_lit),
+        ).alias("theta"),
+    )
+    theta = F.col("theta")
+    est = pairs.select(
+        "event_a",
+        "event_b",
+        "theta",
+        F.size(
+            F.filter(
+                F.array_intersect("ka", "kb"), lambda x: x < theta
+            )
+        )
+        .cast("bigint")
+        .alias("n_common_below"),
+    )
+    da = du.select(F.col("event_type").alias("event_a"), "user_id")
+    db = du.select(F.col("event_type").alias("event_b"), "user_id")
+    ex = (
+        da.join(db, "user_id")
+        .filter(F.col("event_a") < F.col("event_b"))
+        .groupBy("event_a", "event_b")
+        .agg(F.count(F.lit(1)).alias("exact_common"))
+    )
+    return est.join(ex, ["event_a", "event_b"], "left").select(
+        "event_a",
+        "event_b",
+        "n_common_below",
+        F.round(
+            (
+                F.col("n_common_below").cast("double")
+                * F.lit(float(KMV_UNIVERSE))
+            )
+            / theta.cast("double"),
+            4,
+        ).alias("est_common"),
+        F.coalesce(F.col("exact_common"), F.lit(0).cast("bigint")).alias(
+            "exact_common"
+        ),
+    )
+
+
 # ===========================================================================
 # HyperLogLog register kernel (Flajolet et al. 2007) — shared by the batch
 # query (catalog hll_register_distinct) and its streaming twin

@@ -617,6 +617,89 @@ def mg_candidates_with_state(stream: DataFrame, *, k: int = 64) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Streaming KMV/theta k-minimum-values sketch (custom stateful op #4)
+# --------------------------------------------------------------------------
+
+KMV_OUTPUT = T.StructType(
+    [
+        T.StructField("g", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("kmins", T.ArrayType(T.LongType())),
+    ]
+)
+
+# Per-group state: the k smallest distinct element hashes seen so far
+# (ascending) plus a batch sequence number so the reader can pick each
+# group's LATEST snapshot out of the update-mode emission history.
+KMV_STATE = T.StructType(
+    [
+        T.StructField("seq", T.LongType()),
+        T.StructField("kmins", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_kmv_updater(k: int):
+    """Build the applyInPandasWithState function: resume the group's
+    retained k-minima from the state store, union the micro-batch's
+    hashes in (set semantics — duplicate elements collapse exactly as
+    the batch sketch's DISTINCT does), keep the k smallest, and emit the
+    current snapshot (one row per group per batch)."""
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        if state.exists:
+            seq, kept = state.get
+            minima = set(int(h) for h in kept)
+        else:
+            seq, minima = 0, set()
+        for pdf in pdfs:
+            minima.update(int(h) for h in pdf["h"])
+        merged = sorted(minima)[:k]
+        seq = int(seq) + 1
+        state.update((seq, merged))
+        yield pd.DataFrame({"g": [g], "seq": [seq], "kmins": [merged]})
+
+    return update
+
+
+def kmv_minima_with_state(stream: DataFrame, *, k: int = 64) -> DataFrame:
+    """Streaming KMV/theta sketch maintenance: the incoming stream carries
+    (g, h) — group key and the 60-bit element hash, computed JVM-side
+    with ``ext/sketch.kmv_hash`` BEFORE this operator so Python never
+    hashes — and each group holds its k smallest distinct hashes in the
+    state store across micro-batches, emitting the current snapshot
+    every batch (update mode).
+
+    Correctness (standard KMV mergeability, Bar-Yossef et al. RANDOM'02):
+    a hash discarded from the retained set was outranked by ≥ k smaller
+    hashes, and minima only improve — so it can never re-enter the global
+    k-min, and k-min(state ∪ batch) per batch telescopes to the exact
+    k-min over the whole stream regardless of batch composition.  The
+    final snapshot therefore equals the batch ``kmv_sketch`` output
+    bit-for-bit.
+
+    State is O(k) longs per group FOREVER — the resident audience-overlap
+    monitor at 100 TB ingest, immune to the unbounded element domain that
+    makes a streaming groupBy(element) grow without bound."""
+    return (
+        stream.select("g", "h")
+        .groupBy("g")
+        .applyInPandasWithState(
+            _make_kmv_updater(k),
+            outputStructType=KMV_OUTPUT,
+            stateStructType=KMV_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_totals_with_state(stream: DataFrame) -> DataFrame:
     """Per-user lifetime (count, cent-sum) maintained in a ValueState via
     Spark 4's ``transformWithStateInPandas`` — the successor API to

@@ -65,6 +65,88 @@ def test_streaming_hll_matches_batch_twin(spark, sf_dir):
     assert len(batch) > 0
 
 
+def test_streaming_kmv_matches_batch_twin(spark, sf_dir):
+    batch = REGISTRY["theta_sketch_overlap"].fn(spark, sf_dir).collect()
+    stream = REGISTRY["streaming_kmv_minima"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0
+
+
+def test_kmv_updater_chunked_equals_single_pass():
+    # the streaming-state law: k-min-of-union resumed across batch
+    # boundaries telescopes to the k-min over the concatenation — and a
+    # hash discarded in an early batch never re-enters
+    import pandas as pd
+
+    from dvh_airflow_kafka_spark.streaming.stateful import _make_kmv_updater
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    hashes = [((h * 2654435761) % 997) for h in range(300)]  # dups included
+    k = 16
+    expect = sorted(set(hashes))[:k]
+
+    upd = _make_kmv_updater(k)
+    one = FakeState()
+    list(upd(("g",), iter([pd.DataFrame({"h": hashes})]), one))
+    chunked = FakeState()
+    for lo in range(0, 300, 37):
+        out = list(
+            upd(("g",), iter([pd.DataFrame({"h": hashes[lo : lo + 37]})]), chunked)
+        )
+        assert len(out) == 1 and len(out[0]) == 1  # one snapshot row/batch
+        assert len(out[0]["kmins"][0]) <= k
+    assert one._v[1] == chunked._v[1] == expect
+    # seq is the per-batch monotone snapshot counter the reader keys on
+    assert chunked._v[0] == len(range(0, 300, 37)) and one._v[0] == 1
+
+
+def test_curation_funnel_monotone_attrition(spark, sf_dir):
+    from dvh_airflow_kafka_spark.io import load_table
+
+    from dvh_airflow_kafka_spark.ext.text import token_count_ws
+
+    rows = REGISTRY["curation_funnel_attrition"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    raw = {
+        (r["source"],): (r["n"], r["t"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count_ws(F.col("text"))).alias("t"),
+        )
+        .collect()
+    }
+    by_src: dict[str, dict[int, tuple]] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], {})[int(r["stage"])] = (
+            r["n_docs"],
+            r["n_tokens"],
+        )
+    assert by_src
+    for src, stages in by_src.items():
+        # stage 0 covers the whole per-source corpus
+        assert stages[0][0] == raw[(src,)][0], (src, stages)
+        # docs and tokens are monotonically non-increasing in stage
+        for s in range(1, 4):
+            prev = stages.get(s - 1, (0, 0))
+            cur = stages.get(s, (0, 0))
+            assert cur[0] <= prev[0] and cur[1] <= prev[1], (src, stages)
+
+
 def test_mg_updater_emits_at_most_k_per_shard_per_batch():
     # drive the applyInPandasWithState updater directly with a fake state
     import pandas as pd

@@ -82,6 +82,7 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         "ddsketch": {},
         "mg": {},
         "hll": {},
+        "kmv": {},
     }
     for factor in (1, 2):
         staged = str(tmp_path / f"x{factor}")
@@ -101,6 +102,9 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         states["mg"][factor] = _drain_state(
             spark, "streaming_frequent_tokens", staged
         )
+        states["kmv"][factor] = _drain_state(
+            spark, "streaming_kmv_minima", staged
+        )
     # FLAT: doubling the corpus must not move max state rows at all
     assert states["countmin"][1] == states["countmin"][2], states
     assert states["late"][1] == states["late"][2], states
@@ -118,6 +122,12 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
     # replays the same user ids), and bounded by 5 types x 256 buckets
     assert states["hll"][1] == states["hll"][2], states
     assert 0 < states["hll"][1] <= 5 * 256, states
+    # KMV state-store rows = one row per event type (the whole k-min
+    # array is ONE stored tuple) — flat at any volume and bounded by the
+    # event-type domain; the replication replays the same user ids, so
+    # even the retained hash VALUES are identical across factors
+    assert states["kmv"][1] == states["kmv"][2], states
+    assert 0 < states["kmv"][1] <= 5, states
     # the window aggregate holds real (nonzero) but bounded state
     assert 0 < states["late"][1], states
     assert 0 < states["ddsketch"][1], states
