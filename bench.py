@@ -254,6 +254,8 @@ HEADLINE = [
     "decontamination_capstone",
     "streaming_frequent_tokens",
     "streaming_hll_registers",
+    "streaming_kmv_minima",
+    "curation_funnel_attrition",
 ]
 
 
