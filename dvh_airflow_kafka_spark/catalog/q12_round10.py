@@ -722,21 +722,24 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     are monotonically non-increasing in stage per source by
     construction.
 
-    Scale: the quality gate is codegen expressions; exact dedup is one
-    hash-keyed shuffle; the near-dup detector is the inverted-index join
-    (``ext/dedup.ngram_jaccard_pairs``, shingle-keyed, never all-pairs)
-    over the already-thinned stage-2 survivors; the report explodes ≤ 4
-    rows per doc into one map-side-combined aggregate.  The per-doc base
-    frame is localCheckpointed once and feeds every gate."""
+    Scale: the quality gate is a codegen expression on the checkpointed
+    base frame — NO join (only the exact-dedup keeper set and the
+    near-dup drop set are joined back, the keeper set doc_id-keyed, the
+    drop set broadcast: one data-sized join total); exact dedup is one
+    map-side-combined (hash → min id) aggregate; the near-dup detector
+    is the inverted-index join (``ext/dedup.ngram_jaccard_pairs``,
+    shingle-keyed, never all-pairs) over the already-thinned stage-2
+    survivors; the report explodes ≤ 4 rows per doc into one
+    map-side-combined aggregate."""
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select(
             "doc_id", "source", "text"
         )
     )
-    # localCheckpoint: the bounded per-doc frame feeds the quality gate,
-    # the exact-dedup join, the near-dup detector AND the final rollup —
-    # without materialization each consumer re-scans + re-scores the
-    # corpus (4 full passes at 100 TB)
+    # localCheckpoint: the bounded per-doc frame feeds the keeper
+    # aggregate, the flagged join, the near-dup detector AND the final
+    # rollup — without materialization each consumer re-scans +
+    # re-scores the corpus (4 full passes at 100 TB)
     base = docs.select(
         "doc_id",
         "source",
@@ -744,34 +747,37 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         xtext.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens"),
         xtext.quality_score(F.col("text")).alias("quality"),
     ).localCheckpoint(eager=False)
-    s1 = base.filter(F.col("quality") >= 0.5)
+    pass_q = F.col("quality") >= 0.5
     keep = (
-        s1.groupBy(F.sha2(F.col("text"), 256).alias("__h"))
+        base.filter(pass_q)
+        .groupBy(F.sha2(F.col("text"), 256).alias("__h"))
         .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        .select("doc_id", F.lit(1).alias("__k"))
     )
-    s2 = s1.join(keep, "doc_id")
+    # localCheckpoint: flagged feeds the pair detector and the rollup;
+    # without it the keeper aggregate + join re-run per consumer
+    flagged = (
+        base.join(keep, "doc_id", "left")
+        .withColumn("keep_exact", pass_q & F.col("__k").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     pairs = xdedup.ngram_jaccard_pairs(
-        s2.select("doc_id", "text"), "doc_id", "text", ngram=3, threshold=0.2
+        flagged.filter(F.col("keep_exact")).select("doc_id", "text"),
+        "doc_id",
+        "text",
+        ngram=3,
+        threshold=0.2,
     )
     dropped = (
         pairs.select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("__d", F.lit(1))
     )
-    flags = (
-        base.join(
-            s1.select("doc_id").withColumn("__s1", F.lit(1)), "doc_id", "left"
-        )
-        .join(
-            s2.select("doc_id").withColumn("__s2", F.lit(1)), "doc_id", "left"
-        )
-        .join(F.broadcast(dropped), "doc_id", "left")
-    )
+    flags = flagged.join(F.broadcast(dropped), "doc_id", "left")
     stage_max = (
-        F.when(F.col("__s2").isNotNull() & F.col("__d").isNull(), F.lit(3))
-        .when(F.col("__s2").isNotNull(), F.lit(2))
-        .when(F.col("__s1").isNotNull(), F.lit(1))
+        F.when(F.col("keep_exact") & F.col("__d").isNull(), F.lit(3))
+        .when(F.col("keep_exact"), F.lit(2))
+        .when(pass_q, F.lit(1))
         .otherwise(F.lit(0))
     )
     expl = flags.select(
