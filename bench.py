@@ -256,6 +256,7 @@ HEADLINE = [
     "streaming_hll_registers",
     "streaming_kmv_minima",
     "curation_funnel_attrition",
+    "streaming_bloom_bits",
 ]
 
 

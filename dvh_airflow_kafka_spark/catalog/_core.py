@@ -208,29 +208,31 @@ def register(name: str, sql: Optional[str] = None):
 # after `CORRECTNESS_r09.json` (50/50 hash-green), cumulative driver
 # coverage is 247/248; cert ages are 13 queries on round-4 rows, 42 on
 # round-5.  This window certifies, in order:
-#   (a) the 7 round-10 additions (never certified; verified green
-#       locally at sf0.001 + sf0.01 before pinning) + 3 round-10
-#       implementation churns needing fresh rows (hll_register_distinct
-#       and theta_sketch_overlap refactored onto shared ext/sketch
-#       kernels for their streaming twins; streaming_left_outer_join's
-#       staging mtime race fixed + ngram_dedup_clusters' CC loop
-#       right-sized, both at the head of their groups);
+#   (a) the 8 round-10 additions (never certified; verified green
+#       locally at sf0.001 + sf0.01 before pinning) + 4 round-10
+#       implementation churns needing fresh rows (hll_register_distinct,
+#       theta_sketch_overlap and bloom_dedup_insert refactored onto
+#       shared ext kernels for their streaming twins;
+#       streaming_left_outer_join's staging mtime race fixed +
+#       ngram_dedup_clusters' CC loop right-sized, both at the head of
+#       their groups);
 #   (b) ALL 13 remaining round-4 certs — after this round nothing in
 #       the catalog holds a row older than round 5;
-#   (c) the first 27 of the 42 round-5 certs, in their r05 row order
+#   (c) the first 25 of the 42 round-5 certs, in their r05 row order
 #       (TPC-H q4/q6..q22 batch, then the events/analytics batch),
 #       plus ngram_dedup_clusters (churned: CC shuffle right-sizing).
 # Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
 # OUT of the window (tests/test_certify_window.py pins this).
 # ROUND-11 NOTE (next rotation): finish the round-5 refresh with the
-# 15 deferred names (events_stratified_sample, lang_balanced_sample,
+# 17 deferred names (events_stratified_sample, lang_balanced_sample,
 # doc_tfidf_top_terms, split_contamination_pairs,
 # tpch_q9_product_profit, tpch_q20_potential_promotion,
 # corpus_global_shuffle, domain_mixture_sample, lang_token_stats,
 # dedup_survivor_priority, pretraining_shard_recipe,
 # duplicated_ngram_spans, table_profile_events,
-# embedding_label_centroids, documents_train_test_split), then start
-# the round-6 batch (45 names) oldest first.  Every name displaced from
+# embedding_label_centroids, documents_train_test_split, revenue_cube,
+# salted_segment_revenue), then start the round-6 batch (45 names)
+# oldest first.  Every name displaced from
 # this round-10 window holds a green r09-or-earlier driver row and is
 # unchanged since.
 _CERTIFY_FIRST = [
@@ -247,6 +249,8 @@ _CERTIFY_FIRST = [
     "streaming_kmv_minima",
     "curation_funnel_attrition",
     "theta_sketch_overlap",
+    "streaming_bloom_bits",
+    "bloom_dedup_insert",
     # (b) staleness refresh: the last 13 round-4 certs
     "doc_fingerprint",
     "ngram_jaccard_pairs",
@@ -286,8 +290,6 @@ _CERTIFY_FIRST = [
     "user_retention_cohorts",
     "purchasers_without_errors",
     "signup_to_purchase_funnel",
-    "revenue_cube",
-    "salted_segment_revenue",
     "ngram_dedup_clusters",
 ]
 

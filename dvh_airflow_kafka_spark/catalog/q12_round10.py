@@ -26,6 +26,10 @@ pattern:
 - ``curation_funnel_attrition`` — the stage-by-stage per-source
   attrition report (quality gate -> exact dedup -> near-dup drop) as
   ONE lazy plan with one aggregate.
+- ``streaming_bloom_bits`` — the Bloom filter's set-bit frame as
+  unwatermarked streaming groupBy state (union-merged), sharing
+  ``bloom_dedup_insert``'s oracle verbatim via the shared
+  ``ext/bloom.bloom_positions`` / ``bloom_dedup_with_bits`` kernels.
 """
 
 from __future__ import annotations
@@ -789,3 +793,75 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+@register(
+    "streaming_bloom_bits",
+    # Shares the Bloom-fast-path dedup oracle VERBATIM — the sixth
+    # batch/streaming twin family (quantile, frequency-grid,
+    # heavy-hitter, mergeable-distinct, mergeable-overlap, now
+    # mergeable-membership).
+    sql=REGISTRY["bloom_dedup_insert"].sql,
+)
+def streaming_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The Bloom filter's set-bit frame MAINTAINED AS STREAMING
+    STATE: the sink keyset (even event_ids) drains through a file
+    stream in 4 micro-batches; each key's k=2 bit positions are
+    computed JVM-side (``ext/bloom.bloom_positions`` — xxhash64
+    codegen, no UDF) and the filter is an unwatermarked streaming
+    groupBy over ``pos`` — set bits merge by UNION across micro-batches
+    (the Bloom OR-merge law), so the complete-mode final snapshot
+    equals the batch ``build_bloom`` frame EXACTLY (twin law pinned in
+    pytest), and feeding it to the shared
+    ``ext/bloom.bloom_dedup_with_bits`` readout reproduces
+    ``bloom_dedup_insert`` bit-for-bit: this query shares its DuckDB
+    ``NOT EXISTS`` oracle verbatim.
+
+    State is one row per OCCUPIED bit — a function of the sink's
+    distinct KEY SET (≤ min(k·|keys|, m=2^22) rows), never of row
+    volume: replaying the same sink twice leaves the state byte-flat
+    (CI-pinned in tests/test_scale_probe_stream.py with a same-id
+    duplicated corpus — the membership-family analogue of the other
+    five twins' flatness laws).  At 100 TB ingest this is the resident
+    sink-key membership filter the J1 dedup insert probes before paying
+    the exact anti-join."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dvh_airflow_kafka_spark.ext.bloom import (
+        bloom_dedup_with_bits,
+        bloom_positions,
+    )
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_to_memory_complete,
+        read_event_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "props"
+    )
+    sink = events.filter(F.col("event_id") % 2 == 0).select("event_id")
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; set bits merge by union, so batch
+        # composition is irrelevant
+        _staged_range_write(sink, src, 4)
+
+    src = _staged_stream_src("stream_bloom", sf_dir, _write)
+    key = F.concat_ws("\x1f", F.col("event_id").cast("string"))
+    regs = (
+        read_event_stream(spark, src)
+        .select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = tempfile.mkdtemp(prefix="stream_bloom_ckpt_")
+    name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
+    snapshot = drain_to_memory_complete(
+        spark, regs, name, ckpt, shuffle_partitions=8
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    bits = snapshot.select("pos")
+    batch = events.filter(F.col("event_id") < 2000)
+    return bloom_dedup_with_bits(batch, sink, bits, ["event_id"])

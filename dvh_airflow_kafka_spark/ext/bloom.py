@@ -89,6 +89,35 @@ def bloom_partition(
     return out.withColumn("bloom_maybe", maybe).drop(*drop)
 
 
+def bloom_dedup_with_bits(
+    batch: DataFrame,
+    sink: DataFrame,
+    bits: DataFrame,
+    key_cols: list[str],
+    *,
+    num_bits: int = NUM_BITS,
+    seeds: tuple[int, ...] = SEEDS,
+) -> DataFrame:
+    """The probe + residual-anti-join READOUT of ``bloom_dedup``, taking
+    a prebuilt ``(pos)`` bits frame — shared by the batch query (which
+    builds the bits with ``build_bloom``) and the streaming twin
+    (``streaming_bloom_bits``, which maintains the same set-bit frame as
+    streaming state), so twin equality holds by construction.  The union
+    is EXACTLY ``batch ANTI JOIN sink`` for ANY superset of the sink's
+    true bit positions — extra set bits only shrink the fast path, never
+    change the answer; the exact-equality twin law is pinned in pytest
+    on the bits frame itself."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    flagged = bloom_partition(batch, key, bits, num_bits=num_bits, seeds=seeds)
+    definite_new = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
+    verified_new = (
+        flagged.filter(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+        .join(sink.select(*key_cols), key_cols, "left_anti")
+    )
+    return definite_new.unionByName(verified_new)
+
+
 def bloom_dedup(
     batch: DataFrame,
     sink: DataFrame,
@@ -104,11 +133,6 @@ def bloom_dedup(
     never changes the answer."""
     key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
     bits = build_bloom(sink, key, num_bits=num_bits, seeds=seeds)
-    flagged = bloom_partition(batch, key, bits, num_bits=num_bits, seeds=seeds)
-    definite_new = flagged.filter(~F.col("bloom_maybe")).drop("bloom_maybe")
-    verified_new = (
-        flagged.filter(F.col("bloom_maybe"))
-        .drop("bloom_maybe")
-        .join(sink.select(*key_cols), key_cols, "left_anti")
+    return bloom_dedup_with_bits(
+        batch, sink, bits, key_cols, num_bits=num_bits, seeds=seeds
     )
-    return definite_new.unionByName(verified_new)

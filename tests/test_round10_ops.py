@@ -114,6 +114,39 @@ def test_kmv_updater_chunked_equals_single_pass():
     assert chunked._v[0] == len(range(0, 300, 37)) and one._v[0] == 1
 
 
+def test_streaming_bloom_matches_batch_twin_and_bits_law(spark, sf_dir):
+    # result-level twin law: the streaming-bits readout reproduces the
+    # batch Bloom dedup exactly
+    batch = REGISTRY["bloom_dedup_insert"].fn(spark, sf_dir).collect()
+    stream = REGISTRY["streaming_bloom_bits"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0
+    # bits-level twin law: streaming union-merge over 4 micro-batches
+    # equals the batch build_bloom frame EXACTLY (not just any superset)
+    from dvh_airflow_kafka_spark.ext.bloom import bloom_positions, build_bloom
+    from dvh_airflow_kafka_spark.io import load_table
+
+    sink = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id")
+    )
+    key = F.concat_ws("\x1f", F.col("event_id").cast("string"))
+    batch_bits = {r["pos"] for r in build_bloom(sink, key).collect()}
+    # replay the streamed union as 4 independent slices and union them —
+    # the same merge the state store performs
+    slices = [
+        sink.filter(F.col("event_id") % 4 == i)
+        .select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
+        .distinct()
+        for i in (0, 2)
+    ]
+    merged = set()
+    for s in slices:
+        merged |= {r["pos"] for r in s.collect()}
+    assert merged == batch_bits
+
+
 def test_curation_funnel_monotone_attrition(spark, sf_dir):
     from dvh_airflow_kafka_spark.io import load_table
 

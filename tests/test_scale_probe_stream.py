@@ -83,6 +83,7 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         "mg": {},
         "hll": {},
         "kmv": {},
+        "bloom": {},
     }
     for factor in (1, 2):
         staged = str(tmp_path / f"x{factor}")
@@ -104,6 +105,19 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
         )
         states["kmv"][factor] = _drain_state(
             spark, "streaming_kmv_minima", staged
+        )
+        # membership-family staging: duplicate ROWS with the SAME ids —
+        # Bloom state is a function of the distinct key SET, so volume
+        # replay must leave the occupied-bit count byte-flat (fresh-id
+        # replication would legitimately grow it toward m)
+        ev = load_table(spark, sf_dir, "events")
+        ev_dup = ev
+        for _ in range(1, factor):
+            ev_dup = ev_dup.unionByName(ev)
+        bstage = str(tmp_path / f"bloom_x{factor}")
+        ev_dup.write.mode("overwrite").parquet(f"{bstage}/events.parquet")
+        states["bloom"][factor] = _drain_state(
+            spark, "streaming_bloom_bits", bstage
         )
     # FLAT: doubling the corpus must not move max state rows at all
     assert states["countmin"][1] == states["countmin"][2], states
@@ -128,6 +142,10 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
     # even the retained hash VALUES are identical across factors
     assert states["kmv"][1] == states["kmv"][2], states
     assert 0 < states["kmv"][1] <= 5, states
+    # Bloom state-store rows = occupied set bits, a function of the
+    # sink's distinct KEY SET (<= k per key), never of row volume
+    assert states["bloom"][1] == states["bloom"][2], states
+    assert 0 < states["bloom"][1], states
     # the window aggregate holds real (nonzero) but bounded state
     assert 0 < states["late"][1], states
     assert 0 < states["ddsketch"][1], states
