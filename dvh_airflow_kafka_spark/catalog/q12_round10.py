@@ -358,24 +358,28 @@ def decontamination_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     for what survives.
 
     Scale: the pair detector is the inverted-index join (shingle-keyed);
-    the removal is one broadcast-able distinct contaminated-id set
-    anti-joined into the train scan; the report is a map-side-combined
-    per-source aggregate."""
+    the removal is one distinct contaminated-id set joined back into the
+    train scan — id-keyed, NOT broadcast-hinted: the contaminated set is
+    proportional to the cross-split near-dup rate (AQE picks broadcast
+    at fixture scale, a keyed shuffle at corpus scale).  The split
+    labels are a pure hash expression computed on each side rather than
+    a corpus-sized join.  The report is a map-side-combined per-source
+    aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = xdedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", ngram=3, threshold=0.2
     ).select("id_a", "id_b")
-    split = hash_split(docs.select("doc_id"), "doc_id", train_frac=0.8)
-    sa = split.select(
-        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    # split labels are a pure hash expression of the id (hash_split) —
+    # computed directly on the pair frame and on the train scan, never
+    # materialized as a corpus-sized join side
+    xp = hash_split(pairs, "id_a", train_frac=0.8).withColumnRenamed(
+        "split", "split_a"
     )
-    sb = split.select(
-        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    xp = hash_split(xp, "id_b", train_frac=0.8).withColumnRenamed(
+        "split", "split_b"
     )
     contam = (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
+        xp.filter(F.col("split_a") != F.col("split_b"))
         .select(
             F.when(F.col("split_a") == "train", F.col("id_a"))
             .otherwise(F.col("id_b"))
@@ -385,8 +389,9 @@ def decontamination_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__c", F.lit(1))
     )
     tr = (
-        docs.join(split.filter(F.col("split") == "train"), "doc_id")
-        .join(F.broadcast(contam), "doc_id", "left")
+        hash_split(docs, "doc_id", train_frac=0.8)
+        .filter(F.col("split") == "train")
+        .join(contam, "doc_id", "left")
         .select(
             "source",
             F.size(xtext.tokens(F.col("text"))).alias("n_tokens"),
@@ -437,14 +442,11 @@ def streaming_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded token domain that makes a streaming groupBy(token) state
     grow without bound.  The state-flatness CI probe pins this
     (``tests/test_scale_probe_stream.py``)."""
-    import shutil
-    import tempfile
-    import uuid
-
     from dvh_airflow_kafka_spark.ext.sketch import verify_candidate_counts
     from dvh_airflow_kafka_spark.streaming.stateful import (
-        drain_to_memory_update,
+        drain_with_checkpoint,
         mg_candidates_with_state,
+        read_event_stream,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -456,23 +458,16 @@ def streaming_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged_range_write(docs, src, 4)
 
     src = _staged_stream_src("stream_mg", sf_dir, _write)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .select((F.col("doc_id") % _MG_SHARDS).alias("shard"), "text")
+    stream = read_event_stream(spark, src).select(
+        (F.col("doc_id") % _MG_SHARDS).alias("shard"), "text"
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_mg_ckpt_")
-    name = f"stream_mg_{uuid.uuid4().hex[:8]}"
-    emitted = drain_to_memory_update(
+    emitted = drain_with_checkpoint(
         spark,
         mg_candidates_with_state(stream, k=_MG_K),
-        name,
-        ckpt,
+        mode="update",
+        prefix="stream_mg",
         shuffle_partitions=_MG_SHARDS,
     )
-    shutil.rmtree(ckpt, ignore_errors=True)
     candidates = emitted.select("token").distinct()
     slim = ensure_parallelism(docs.select(F.col("text").alias("__text")))
     return verify_candidate_counts(slim, candidates, k_state=_MG_K)
@@ -503,16 +498,12 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ext/sketch.hll_bucket_rho`` / ``hll_estimate_report`` kernels the
     batch query also uses — twin equality is by construction, not by
     parallel maintenance of two codepaths."""
-    import shutil
-    import tempfile
-    import uuid
-
     from dvh_airflow_kafka_spark.ext.sketch import (
         hll_bucket_rho,
         hll_estimate_report,
     )
     from dvh_airflow_kafka_spark.streaming.stateful import (
-        drain_to_memory_complete,
+        drain_with_checkpoint,
         read_event_stream,
     )
 
@@ -524,8 +515,6 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged_range_write(ev, src, 4)
 
     src = _staged_stream_src("stream_hll", sf_dir, _write)
-    ckpt = tempfile.mkdtemp(prefix="stream_hll_ckpt_")
-    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
     regs = (
         hll_bucket_rho(
             read_event_stream(spark, src), "event_type", elem_col="user_id"
@@ -533,10 +522,9 @@ def streaming_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.max("rho").alias("m_rho"))
     )
-    snapshot = drain_to_memory_complete(
-        spark, regs, name, ckpt, shuffle_partitions=8
+    snapshot = drain_with_checkpoint(
+        spark, regs, mode="complete", prefix="stream_hll", shuffle_partitions=8
     )
-    shutil.rmtree(ckpt, ignore_errors=True)
     exact = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").cast("long").alias("n_exact")
     )
@@ -572,18 +560,15 @@ def streaming_kmv_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantiles), count-min (frequencies), Misra-Gries (heavy-hitter) and
     HLL (distinct) twins; flatness CI-pinned in
     tests/test_scale_probe_stream.py."""
-    import shutil
-    import tempfile
-    import uuid
-
     from dvh_airflow_kafka_spark.catalog.q09_scd_reach import _KMV_K
     from dvh_airflow_kafka_spark.ext.sketch import (
         kmv_hash,
         theta_overlap_report,
     )
     from dvh_airflow_kafka_spark.streaming.stateful import (
-        drain_to_memory_update,
+        drain_with_checkpoint,
         kmv_minima_with_state,
+        read_event_stream,
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
@@ -594,26 +579,17 @@ def streaming_kmv_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged_range_write(ev, src, 4)
 
     src = _staged_stream_src("stream_kmv", sf_dir, _write)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .select(
-            F.col("event_type").alias("g"),
-            kmv_hash(F.col("user_id")).alias("h"),
-        )
+    stream = read_event_stream(spark, src).select(
+        F.col("event_type").alias("g"),
+        kmv_hash(F.col("user_id")).alias("h"),
     )
-    ckpt = tempfile.mkdtemp(prefix="stream_kmv_ckpt_")
-    name = f"stream_kmv_{uuid.uuid4().hex[:8]}"
-    emitted = drain_to_memory_update(
+    emitted = drain_with_checkpoint(
         spark,
         kmv_minima_with_state(stream, k=_KMV_K),
-        name,
-        ckpt,
+        mode="update",
+        prefix="stream_kmv",
         shuffle_partitions=8,
     )
-    shutil.rmtree(ckpt, ignore_errors=True)
     # update-mode emission history -> each group's LATEST snapshot (the
     # seq counter is monotone per group; the window partitions by group)
     w = Window.partitionBy("g").orderBy(F.col("seq").desc())
@@ -728,8 +704,10 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the quality gate is a codegen expression on the checkpointed
     base frame — NO join (only the exact-dedup keeper set and the
-    near-dup drop set are joined back, the keeper set doc_id-keyed, the
-    drop set broadcast: one data-sized join total); exact dedup is one
+    near-dup drop set are joined back, both doc_id-keyed; neither is
+    broadcast-hinted because both are corpus-proportional — AQE picks
+    broadcast at fixture scale and a keyed shuffle at corpus scale);
+    exact dedup is one
     map-side-combined (hash → min id) aggregate; the near-dup detector
     is the inverted-index join (``ext/dedup.ngram_jaccard_pairs``,
     shingle-keyed, never all-pairs) over the already-thinned stage-2
@@ -777,7 +755,7 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__d", F.lit(1))
     )
-    flags = flagged.join(F.broadcast(dropped), "doc_id", "left")
+    flags = flagged.join(dropped, "doc_id", "left")
     stage_max = (
         F.when(F.col("keep_exact") & F.col("__d").isNull(), F.lit(3))
         .when(F.col("keep_exact"), F.lit(2))
@@ -793,6 +771,44 @@ def curation_funnel_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def _bloom_bits_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming half of ``streaming_bloom_bits``, exposed as a seam
+    so the pytest twin law can compare the DRAINED state snapshot
+    bit-for-bit against the batch ``build_bloom`` frame: stage the sink
+    keyset as 4 micro-batch files, stream each key's bit positions
+    (JVM-side xxhash64), and drain the unwatermarked groupBy(pos) to its
+    complete-mode snapshot.  Returns the one-column ``(pos)`` frame."""
+    from dvh_airflow_kafka_spark.ext.bloom import bloom_positions
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_with_checkpoint,
+        read_event_stream,
+    )
+
+    sink = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id")
+    )
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; set bits merge by union, so batch
+        # composition is irrelevant
+        _staged_range_write(sink, src, 4)
+
+    src = _staged_stream_src("stream_bloom", sf_dir, _write)
+    key = F.concat_ws("\x1f", F.col("event_id").cast("string"))
+    regs = (
+        read_event_stream(spark, src)
+        .select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
+        .groupBy("pos")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    snapshot = drain_with_checkpoint(
+        spark, regs, mode="complete", prefix="stream_bloom", shuffle_partitions=8
+    )
+    return snapshot.select("pos")
 
 
 @register(
@@ -825,43 +841,12 @@ def streaming_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     five twins' flatness laws).  At 100 TB ingest this is the resident
     sink-key membership filter the J1 dedup insert probes before paying
     the exact anti-join."""
-    import shutil
-    import tempfile
-    import uuid
-
-    from dvh_airflow_kafka_spark.ext.bloom import (
-        bloom_dedup_with_bits,
-        bloom_positions,
-    )
-    from dvh_airflow_kafka_spark.streaming.stateful import (
-        drain_to_memory_complete,
-        read_event_stream,
-    )
+    from dvh_airflow_kafka_spark.ext.bloom import bloom_dedup_with_bits
 
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "props"
     )
     sink = events.filter(F.col("event_id") % 2 == 0).select("event_id")
-
-    def _write(src: str) -> None:
-        # 4 files -> 4 micro-batches; set bits merge by union, so batch
-        # composition is irrelevant
-        _staged_range_write(sink, src, 4)
-
-    src = _staged_stream_src("stream_bloom", sf_dir, _write)
-    key = F.concat_ws("\x1f", F.col("event_id").cast("string"))
-    regs = (
-        read_event_stream(spark, src)
-        .select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
-        .groupBy("pos")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    ckpt = tempfile.mkdtemp(prefix="stream_bloom_ckpt_")
-    name = f"stream_bloom_{uuid.uuid4().hex[:8]}"
-    snapshot = drain_to_memory_complete(
-        spark, regs, name, ckpt, shuffle_partitions=8
-    )
-    shutil.rmtree(ckpt, ignore_errors=True)
-    bits = snapshot.select("pos")
+    bits = _bloom_bits_snapshot(spark, sf_dir)
     batch = events.filter(F.col("event_id") < 2000)
     return bloom_dedup_with_bits(batch, sink, bits, ["event_id"])

@@ -790,6 +790,36 @@ def drain_to_memory_update(
     return spark.table(name)
 
 
+def drain_with_checkpoint(
+    spark: SparkSession,
+    stream: DataFrame,
+    *,
+    mode: str,
+    prefix: str,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Managed-checkpoint drain shared by the catalog's streaming twins:
+    mkdtemp checkpoint + uuid-suffixed memory-sink name, drain in the
+    given output mode (``update`` or ``complete``), and remove the
+    checkpoint directory even when the drain raises — the
+    leak-on-exception fix lives here once instead of in every twin."""
+    import shutil
+    import tempfile
+    import uuid
+
+    ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    fn = {"update": drain_to_memory_update, "complete": drain_to_memory_complete}[
+        mode
+    ]
+    try:
+        return fn(
+            spark, stream, name, ckpt, shuffle_partitions=shuffle_partitions
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def drain_to_memory_complete(
     spark: SparkSession,
     stream: DataFrame,

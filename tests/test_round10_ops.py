@@ -121,9 +121,12 @@ def test_streaming_bloom_matches_batch_twin_and_bits_law(spark, sf_dir):
     stream = REGISTRY["streaming_bloom_bits"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
     assert len(batch) > 0
-    # bits-level twin law: streaming union-merge over 4 micro-batches
-    # equals the batch build_bloom frame EXACTLY (not just any superset)
-    from dvh_airflow_kafka_spark.ext.bloom import bloom_positions, build_bloom
+    # bits-level twin law: the DRAINED streaming state snapshot equals
+    # the batch build_bloom frame EXACTLY (not just any superset — extra
+    # set bits would be invisible to the result-level check above, since
+    # they only shrink the fast path)
+    from dvh_airflow_kafka_spark.catalog.q12_round10 import _bloom_bits_snapshot
+    from dvh_airflow_kafka_spark.ext.bloom import build_bloom
     from dvh_airflow_kafka_spark.io import load_table
 
     sink = (
@@ -133,18 +136,11 @@ def test_streaming_bloom_matches_batch_twin_and_bits_law(spark, sf_dir):
     )
     key = F.concat_ws("\x1f", F.col("event_id").cast("string"))
     batch_bits = {r["pos"] for r in build_bloom(sink, key).collect()}
-    # replay the streamed union as 4 independent slices and union them —
-    # the same merge the state store performs
-    slices = [
-        sink.filter(F.col("event_id") % 4 == i)
-        .select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
-        .distinct()
-        for i in (0, 2)
-    ]
-    merged = set()
-    for s in slices:
-        merged |= {r["pos"] for r in s.collect()}
-    assert merged == batch_bits
+    stream_bits = {
+        r["pos"] for r in _bloom_bits_snapshot(spark, sf_dir).collect()
+    }
+    assert stream_bits == batch_bits
+    assert len(batch_bits) > 0
 
 
 def test_curation_funnel_monotone_attrition(spark, sf_dir):
