@@ -554,7 +554,9 @@ def streaming_kmv_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch sketch equals the replayed oracle.
 
     Hashing stays JVM-side (``kmv_hash`` sha256-prefix BEFORE the
-    stateful operator); Python only merges bounded long arrays.  State
+    stateful operator); the Python merge truncates to the k smallest
+    after every Arrow chunk, so its working set is O(k + chunk), never
+    the micro-batch's distinct-hash count.  State
     is O(k)=64 longs per event type FOREVER — the resident
     audience-overlap monitor at 100 TB ingest, beside the ddsketch
     (quantiles), count-min (frequencies), Misra-Gries (heavy-hitter) and

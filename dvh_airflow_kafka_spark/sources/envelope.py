@@ -82,6 +82,7 @@ def with_envelope(
     schema_id: Optional[Column] = None,
     hash_bytes: Optional[Column] = None,
     filter_payload: Optional[Column] = None,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """S3/S5 + F9/F10: standard Kafka columns -> reference envelope.
 
@@ -102,6 +103,10 @@ def with_envelope(
     - ``schema_id`` (Avro mode) appends ``kafka_schema_id`` — the
       reference adds it to every Avro row (src/kafka_source.py:149);
       pass ``kafka.confluent_schema_id(F.col("value"))``.
+    - ``passthrough`` carries extra input columns (by name) beside the
+      envelope — downstream stages (k6 scrub on the person id, monitor
+      projections) need them without a re-join; still one narrow
+      projection.
     """
     message = (
         canonical_message if canonical_message is not None else F.col("value").cast("string")
@@ -128,17 +133,23 @@ def with_envelope(
     ]
     if schema_id is not None:
         cols.append(schema_id.cast("long").alias("kafka_schema_id"))
+    cols.extend(F.col(c) for c in passthrough)
     return kafka_df.select(*cols)
 
 
 def events_as_kafka_frame(
-    events: DataFrame, topic: str = "events", n_partitions: int = 2
+    events: DataFrame,
+    topic: str = "events",
+    n_partitions: int = 2,
+    passthrough: Sequence[str] = (),
 ) -> DataFrame:
     """Map the driver's ``events`` table onto the standard Kafka column
     set (FIXTURES.md F-1 mapping): ``event_id -> offset``, ``ts ->
     timestamp``, ``user_id -> key``, ``props -> value``. Partition id is
     derived deterministically as ``user_id % n_partitions`` (the reference
     tests produce with ``partition=i % 2``, test_integration.py:110-117).
+    ``passthrough`` keeps extra source columns beside the Kafka set (for
+    ``with_envelope(..., passthrough=...)`` to carry further).
     """
     return events.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
@@ -147,4 +158,5 @@ def events_as_kafka_frame(
         F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
         F.col("ts").alias("timestamp"),
+        *[F.col(c) for c in passthrough],
     )

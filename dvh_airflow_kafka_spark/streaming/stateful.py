@@ -642,10 +642,18 @@ KMV_STATE = T.StructType(
 
 def _make_kmv_updater(k: int):
     """Build the applyInPandasWithState function: resume the group's
-    retained k-minima from the state store, union the micro-batch's
-    hashes in (set semantics — duplicate elements collapse exactly as
-    the batch sketch's DISTINCT does), keep the k smallest, and emit the
-    current snapshot (one row per group per batch)."""
+    retained k-minima from the state store, fold each Arrow chunk of the
+    micro-batch in (set semantics — duplicate elements collapse exactly
+    as the batch sketch's DISTINCT does), keep the k smallest, and emit
+    the current snapshot (one row per group per batch).
+
+    The fold truncates to the k smallest after EVERY chunk, so the
+    Python working set stays O(k + chunk-distinct) — bounded by the
+    Arrow batch size, never by the micro-batch's total distinct-hash
+    count.  Truncating early is lossless: a hash outranked by ≥ k
+    smaller hashes within any prefix of the stream is outranked in every
+    superset (minima only improve), the same telescoping that makes the
+    cross-batch merge exact."""
 
     def update(
         key: Tuple[str],
@@ -659,7 +667,15 @@ def _make_kmv_updater(k: int):
         else:
             seq, minima = 0, set()
         for pdf in pdfs:
-            minima.update(int(h) for h in pdf["h"])
+            cutoff = max(minima) if len(minima) >= k else None
+            if cutoff is None:
+                minima.update(int(h) for h in pdf["h"])
+            else:
+                minima.update(
+                    h for h in (int(v) for v in pdf["h"]) if h < cutoff
+                )
+            if len(minima) > k:
+                minima = set(sorted(minima)[:k])
         merged = sorted(minima)[:k]
         seq = int(seq) + 1
         state.update((seq, merged))

@@ -167,8 +167,9 @@ def test_curation_funnel_monotone_attrition(spark, sf_dir):
         )
     assert by_src
     for src, stages in by_src.items():
-        # stage 0 covers the whole per-source corpus
+        # stage 0 covers the whole per-source corpus (docs AND tokens)
         assert stages[0][0] == raw[(src,)][0], (src, stages)
+        assert stages[0][1] == raw[(src,)][1], (src, stages)
         # docs and tokens are monotonically non-increasing in stage
         for s in range(1, 4):
             prev = stages.get(s - 1, (0, 0))
