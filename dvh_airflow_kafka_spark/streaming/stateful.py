@@ -716,6 +716,112 @@ def kmv_minima_with_state(stream: DataFrame, *, k: int = 64) -> DataFrame:
     )
 
 
+# Shingle-index probe emissions: one row per (incoming doc, existing
+# doc) pair sharing this shingle; sizes ride along so the readout never
+# re-joins the corpus.
+SHINGLE_PROBE_OUTPUT = T.StructType(
+    [
+        T.StructField("in_id", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("ex_id", T.LongType()),
+        T.StructField("n_ex", T.LongType()),
+    ]
+)
+
+# Per-shingle state: the EXISTING-corpus docs containing this shingle
+# (parallel id/size arrays) — the resident inverted bucket index.
+SHINGLE_INDEX_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sizes", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _make_shingle_probe_updater():
+    """applyInPandasWithState function for the directional ingest gate:
+    per shingle group, fold this batch's EXISTING rows into the state
+    index FIRST (two-pass over the Arrow chunks — probes are buffered,
+    so an incoming doc always sees every existing doc of its own batch,
+    matching the batch kernel's incoming-vs-ALL-existing join), then
+    emit one (in_id, n_in, ex_id, n_ex) row per (incoming probe,
+    indexed existing doc) pair."""
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, sizes = state.get
+            ex_ids = [int(x) for x in ids]
+            ex_sizes = [int(x) for x in sizes]
+        else:
+            ex_ids, ex_sizes = [], []
+        known = set(ex_ids)
+        probes: list = []
+        for pdf in pdfs:
+            ex_rows = pdf[~pdf["is_new"]]
+            for i, n in zip(ex_rows["doc_id"], ex_rows["n"]):
+                ii = int(i)
+                if ii not in known:
+                    known.add(ii)
+                    ex_ids.append(ii)
+                    ex_sizes.append(int(n))
+            inc = pdf[pdf["is_new"]]
+            probes.extend(
+                (int(i), int(n)) for i, n in zip(inc["doc_id"], inc["n"])
+            )
+        state.update((ex_ids, ex_sizes))
+        if probes and ex_ids:
+            k = len(ex_ids)
+            yield pd.DataFrame(
+                {
+                    "in_id": [p for p, _ in probes for _ in range(k)],
+                    "n_in": [n for _, n in probes for _ in range(k)],
+                    "ex_id": ex_ids * len(probes),
+                    "n_ex": ex_sizes * len(probes),
+                }
+            )
+
+    return update
+
+
+def shingle_index_probe_with_state(stream: DataFrame) -> DataFrame:
+    """The DIRECTIONAL near-dup ingest gate's candidate join as
+    streaming state (the ``ext/dedup.jaccard_ingest_gate`` candidate
+    stage, ST3 at similarity level): the state store holds the
+    EXISTING corpus's inverted shingle index — per shingle, the docs
+    containing it plus their distinct-shingle counts — and each
+    incoming micro-batch probes it, emitting the candidate (incoming,
+    existing) pairs whose shared-shingle counts the batch readout then
+    aggregates into exact Jaccard.
+
+    The input stream carries (g, doc_id, is_new, n): shingle,
+    document, side flag, and the doc's distinct-shingle count — all
+    projected JVM-side (tokens → n-grams → array_distinct → explode)
+    BEFORE this operator, so Python never tokenizes.
+
+    State growth is bounded by the EXISTING corpus's inverted index —
+    O(distinct shingles · docs-per-shingle), i.e. exactly the index a
+    batch gate would build, resident instead of rebuilt — and is
+    INDEPENDENT of ingest volume: probes write nothing
+    (tests/test_scale_probe_stream.py pins flatness under 2× incoming
+    replay).  The hot-shingle cap (``ext/dedup.drop_hot_shingles``)
+    bolts on upstream exactly as in batch when a corpus needs it."""
+    return (
+        stream.select("g", "doc_id", "is_new", "n")
+        .groupBy("g")
+        .applyInPandasWithState(
+            _make_shingle_probe_updater(),
+            outputStructType=SHINGLE_PROBE_OUTPUT,
+            stateStructType=SHINGLE_INDEX_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_totals_with_state(stream: DataFrame) -> DataFrame:
     """Per-user lifetime (count, cent-sum) maintained in a ValueState via
     Spark 4's ``transformWithStateInPandas`` — the successor API to
@@ -816,7 +922,7 @@ def drain_with_checkpoint(
 ) -> DataFrame:
     """Managed-checkpoint drain shared by the catalog's streaming twins:
     mkdtemp checkpoint + uuid-suffixed memory-sink name, drain in the
-    given output mode (``update`` or ``complete``), and remove the
+    given output mode (``append``, ``update`` or ``complete``), and remove the
     checkpoint directory even when the drain raises — the
     leak-on-exception fix lives here once instead of in every twin."""
     import shutil
@@ -825,9 +931,11 @@ def drain_with_checkpoint(
 
     ckpt = tempfile.mkdtemp(prefix=f"{prefix}_ckpt_")
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    fn = {"update": drain_to_memory_update, "complete": drain_to_memory_complete}[
-        mode
-    ]
+    fn = {
+        "append": drain_to_memory,
+        "update": drain_to_memory_update,
+        "complete": drain_to_memory_complete,
+    }[mode]
     try:
         return fn(
             spark, stream, name, ckpt, shuffle_partitions=shuffle_partitions

@@ -1,0 +1,191 @@
+"""Round-11 operator laws: the compositions in catalog/q13_round11.py
+plus the shingle-index streaming gate's updater semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.catalog import REGISTRY
+from dvh_airflow_kafka_spark.io import load_table
+
+
+class FakeState:
+    exists = False
+    hasTimedOut = False
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+# --------------------------------------------------------------------------
+# shingle-index probe updater (streaming_neardup_gate's stateful kernel)
+# --------------------------------------------------------------------------
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["doc_id", "is_new", "n"])
+
+
+def test_shingle_probe_updater_existing_first_within_batch():
+    # an incoming probe in an EARLIER Arrow chunk must still see an
+    # existing doc delivered in a LATER chunk of the same micro-batch
+    # (the batch kernel joins incoming vs ALL existing)
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        _make_shingle_probe_updater,
+    )
+
+    upd = _make_shingle_probe_updater()
+    state = FakeState()
+    out = list(
+        upd(
+            ("the quick brown",),
+            iter([_pdf([(100, True, 7)]), _pdf([(1, False, 9)])]),
+            state,
+        )
+    )
+    assert len(out) == 1
+    got = out[0]
+    assert list(got["in_id"]) == [100]
+    assert list(got["ex_id"]) == [1]
+    assert list(got["n_in"]) == [7] and list(got["n_ex"]) == [9]
+    assert state._v == ([1], [9])
+
+
+def test_shingle_probe_updater_probes_never_grow_state():
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        _make_shingle_probe_updater,
+    )
+
+    upd = _make_shingle_probe_updater()
+    state = FakeState()
+    # batch 1: two existing docs (one duplicated — the index dedupes)
+    list(
+        upd(
+            ("g",),
+            iter([_pdf([(1, False, 5), (2, False, 6), (1, False, 5)])]),
+            state,
+        )
+    )
+    assert state._v == ([1, 2], [5, 6])
+    # batch 2: probes only — state unchanged, full cross emission
+    out = list(upd(("g",), iter([_pdf([(10, True, 4), (15, True, 3)])]), state))
+    assert state._v == ([1, 2], [5, 6])
+    got = out[0]
+    assert sorted(zip(got["in_id"], got["ex_id"])) == [
+        (10, 1),
+        (10, 2),
+        (15, 1),
+        (15, 2),
+    ]
+
+
+def test_shingle_probe_updater_no_emission_without_index():
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        _make_shingle_probe_updater,
+    )
+
+    upd = _make_shingle_probe_updater()
+    state = FakeState()
+    out = list(upd(("g",), iter([_pdf([(10, True, 4)])]), state))
+    assert out == []  # nothing indexed for this shingle yet
+    assert state._v == ([], [])
+
+
+def test_streaming_gate_matches_batch_gate(spark, sf_dir):
+    batch = REGISTRY["incremental_near_dup_ingest"].fn(spark, sf_dir).collect()
+    stream = REGISTRY["streaming_neardup_gate"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0
+
+
+# --------------------------------------------------------------------------
+# mixture_rebalance_incremental
+# --------------------------------------------------------------------------
+
+
+def test_rebalance_merge_law_and_budget(spark, sf_dir):
+    from dvh_airflow_kafka_spark.catalog.q13_round11 import (
+        _REBALANCE_BUDGET,
+    )
+    from dvh_airflow_kafka_spark.ext.text import token_count_ws
+
+    rows = REGISTRY["mixture_rebalance_incremental"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    )
+    direct = {
+        r["source"]: (r["n"], r["t"])
+        for r in docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(token_count_ws(F.col("text"))).alias("t"),
+        )
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(direct)
+    for r in rows:
+        # merged partials equal the direct one-pass aggregate
+        assert (r["n_docs"], r["n_tokens"]) == direct[r["source"]], r
+        # the increment is a subset of the total
+        assert 0 <= r["inc_docs"] <= r["n_docs"]
+        assert 0 <= r["inc_tokens"] <= r["n_tokens"]
+        assert r["w_sqrt"] * r["w_sqrt"] <= r["n_tokens"]
+        assert (r["w_sqrt"] + 1) * (r["w_sqrt"] + 1) > r["n_tokens"]
+    # floor-division shares never oversubscribe the ppm pool / budget
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    assert sum(r["token_budget"] for r in rows) <= _REBALANCE_BUDGET
+
+
+# --------------------------------------------------------------------------
+# cross_snapshot_neardup
+# --------------------------------------------------------------------------
+
+
+def test_cross_snapshot_gate_covers_exactly_the_increment(spark, sf_dir):
+    rows = REGISTRY["cross_snapshot_neardup"].fn(spark, sf_dir).collect()
+    diff = {
+        r["doc_id"]: r["change_type"]
+        for r in REGISTRY["corpus_snapshot_diff"].fn(spark, sf_dir).collect()
+    }
+    ingestable = {k for k, v in diff.items() if v in ("added", "changed")}
+    assert {r["doc_id"] for r in rows} == ingestable
+    for r in rows:
+        assert r["change_type"] == diff[r["doc_id"]]
+        assert 0.0 <= r["max_jaccard"] <= 1.0
+        assert r["kept"] == int(r["max_jaccard"] < 0.5)
+
+
+# --------------------------------------------------------------------------
+# quality_drift_monitor
+# --------------------------------------------------------------------------
+
+
+def test_drift_monitor_week_pairs_and_chi2_per_week(spark, sf_dir):
+    import datetime as dt
+
+    rows = REGISTRY["quality_drift_monitor"].fn(spark, sf_dir).collect()
+    assert rows
+    by_week: dict[str, set] = {}
+    for r in rows:
+        d = dt.date.fromisoformat(r["week"])
+        assert d.weekday() == 0  # Monday-truncated weeks
+        assert r["n_prev"] > 0 and r["n_cur"] > 0
+        assert r["ks_num"] >= 0 and 0.0 <= r["ks_stat"] <= 1.0
+        by_week.setdefault(r["week"], set()).add(r["mix_chi2_micro"])
+    # the mix chi-square is a WEEK-level statistic: one value per week,
+    # repeated across that week's event-type rows
+    for wk, vals in by_week.items():
+        assert len(vals) == 1, (wk, vals)
+    # the first week has no predecessor -> it never appears as a pair
+    weeks = sorted(by_week)
+    assert "2024-01-01" not in weeks

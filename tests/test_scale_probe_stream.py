@@ -149,3 +149,30 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
     # the window aggregate holds real (nonzero) but bounded state
     assert 0 < states["late"][1], states
     assert 0 < states["ddsketch"][1], states
+
+
+def test_neardup_gate_state_function_of_existing_corpus_only(
+    spark, sf_dir, tmp_path
+):
+    """The streaming ingest gate's state is the EXISTING corpus's
+    inverted shingle index — incoming probes must write NOTHING.
+    Doubling the incoming side with fresh ids (1e6 ≡ 0 mod 5 keeps the
+    replicas on the incoming side) must leave max state rows exactly
+    flat; a moving value means probes leaked into the index."""
+    states: dict[int, int] = {}
+    docs = load_table(spark, sf_dir, "documents")
+    for factor in (1, 2):
+        staged_docs = docs
+        for i in range(1, factor):
+            staged_docs = staged_docs.unionByName(
+                docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+            )
+        out = str(tmp_path / f"gate_x{factor}")
+        staged_docs.write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
+        states[factor] = _drain_state(spark, "streaming_neardup_gate", out)
+    assert states[1] == states[2], states
+    assert states[1] > 0, states
