@@ -40,6 +40,11 @@ from dvh_airflow_kafka_spark.catalog._core import (
     _staged_stream_src,
     register,
 )
+from dvh_airflow_kafka_spark.ext.sketch import (
+    HLL_M as _HLL_M,
+    HLL_REM as _HLL_REM,
+    HLL_SALT as _HLL_SALT,
+)
 
 # --------------------------------------------------------------------------
 # mixture_rebalance_incremental
@@ -591,4 +596,344 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("mx"), F.lit(0.0)).alias("max_jaccard"),
         (F.coalesce(F.col("mx"), F.lit(0.0)) < 0.4).cast("int").alias("kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# streaming_ingest_capstone
+# --------------------------------------------------------------------------
+
+_INGEST_MG_K = 64
+
+# the flagship allow-filter rules (P3), shared with q01_reference
+from dvh_airflow_kafka_spark.catalog.q01_reference import (  # noqa: E402
+    _FLAGSHIP_FILTERS as _INGEST_FILTERS,
+)
+
+
+def _ingest_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kode-6/7 lookup, verbatim the certified ``privacy_scrub_k6``
+    fixture (FIXTURES.md F-5)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter((F.col("c_custkey") % 10) == 0).select(
+        F.col("c_custkey").alias("off_id"),
+        F.lit("1900-01-01").cast("date").alias("gyldig_fra_dato"),
+        F.when(F.col("c_custkey") <= 75, F.lit("2024-06-30"))
+        .otherwise(F.lit("9999-12-31"))
+        .cast("date")
+        .alias("gyldig_til_dato"),
+        F.when(F.col("c_custkey") <= 50, F.lit(6)).otherwise(F.lit(7)).alias(
+            "skjermet_kode"
+        ),
+    )
+
+
+@register(
+    "streaming_ingest_capstone",
+    sql=rf"""
+    WITH incoming AS (
+        SELECT * FROM events
+        UNION ALL SELECT * FROM events WHERE event_id < 400
+        UNION ALL SELECT * FROM events WHERE event_id < 100
+    ), ded AS (
+        SELECT DISTINCT event_id, ts, user_id, event_type, "value", props
+        FROM incoming
+    ), adm0 AS (
+        SELECT * FROM ded WHERE event_id % 3 <> 0
+    ), env AS (
+        SELECT CAST(user_id AS VARCHAR) AS kafka_key,
+               epoch_ms(ts) AS kafka_timestamp,
+               event_id AS kafka_offset,
+               CAST(user_id % 2 AS INT) AS kafka_partition,
+               'events' AS kafka_topic,
+               sha256(props) AS kafka_hash,
+               CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
+                    THEN props ELSE NULL END AS msg0,
+               user_id, ts, event_type, "value"
+        FROM adm0
+    ), lookup AS (
+        SELECT c_custkey AS off_id,
+               DATE '1900-01-01' AS f,
+               CASE WHEN c_custkey <= 75 THEN DATE '2024-06-30'
+                    ELSE DATE '9999-12-31' END AS t
+        FROM customer WHERE c_custkey % 10 = 0
+    ), adm AS (
+        SELECT e.*,
+               CASE WHEN l.off_id IS NOT NULL THEN NULL
+                    ELSE e.msg0 END AS kafka_message
+        FROM env e
+        LEFT JOIN lookup l ON e.user_id = l.off_id
+                          AND CAST(e.ts AS DATE) BETWEEN l.f AND l.t
+    ), s_total AS (
+        SELECT 'sink' AS section, 'total_rows' AS dim,
+               CAST((SELECT COUNT(*) FROM events WHERE event_id % 3 = 0)
+                    + (SELECT COUNT(*) FROM adm) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+    ), s_adm AS (
+        SELECT 'sink' AS section,
+               'admitted|p' || kafka_partition || '|null'
+                   || CASE WHEN kafka_message IS NULL
+                           THEN 1 ELSE 0 END AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        FROM adm GROUP BY kafka_partition, kafka_message IS NULL
+    ), h AS (
+        SELECT event_type,
+               ('0x' || substr(sha256('{_HLL_SALT}|'
+                                      || CAST(user_id AS VARCHAR)), 1, 8)
+               )::BIGINT AS u
+        FROM adm
+    ), r2 AS (
+        SELECT event_type, u // {_HLL_REM} AS bucket,
+               CASE WHEN (u % {_HLL_REM}) = 0 THEN 25
+                    ELSE 25 - length(bin(u % {_HLL_REM})) END AS rho
+        FROM h
+    ), regs AS (
+        SELECT event_type, bucket, MAX(rho) AS m_rho
+        FROM r2 GROUP BY 1, 2
+    ), est AS (
+        SELECT event_type,
+               COUNT(*) AS n_nonzero,
+               SUM(power(2.0, -m_rho)) AS s_nz
+        FROM regs GROUP BY event_type
+    ), hraw AS (
+        SELECT event_type, n_nonzero,
+               (0.7213 / (1 + 1.079 / {_HLL_M}.0))
+                   * {_HLL_M}.0 * {_HLL_M}.0
+                   / (s_nz + ({_HLL_M} - n_nonzero) * 1.0) AS re
+        FROM est
+    ), s_hll AS (
+        SELECT 'hll' AS section, event_type AS dim,
+               CAST(n_nonzero AS BIGINT) AS n,
+               ROUND(CASE WHEN re <= 2.5 * {_HLL_M}
+                           AND n_nonzero < {_HLL_M}
+                          THEN {_HLL_M}.0 * ln({_HLL_M}.0
+                                   / ({_HLL_M} - n_nonzero))
+                          ELSE re END, 4) AS x
+        FROM hraw
+    ), s_hllx AS (
+        SELECT 'hll_exact' AS section, event_type AS dim,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        FROM adm GROUP BY event_type
+    ), v AS (
+        SELECT event_type,
+               CAST(floor("value" * 1000000 + 0.5) AS BIGINT) AS vm
+        FROM adm
+    ), bk AS (
+        SELECT event_type,
+               CAST(length(bin(vm)) - 1 AS BIGINT) AS b,
+               CAST((vm >> greatest(length(bin(vm)) - 1 - 4, 0)) & 15
+                    AS BIGINT) AS s
+        FROM v WHERE vm >= 1
+    ), c AS (
+        SELECT event_type, b, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bk GROUP BY event_type, b, s
+    ), cum AS (
+        SELECT event_type, b, s, c,
+               CAST(CASE WHEN b >= 4 THEN (s + 17) << (b - 4)
+                         ELSE s + 1 END AS BIGINT) AS hi,
+               CAST(SUM(c) OVER (PARTITION BY event_type
+                                 ORDER BY b, s) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS nn
+        FROM c
+    ), q AS (SELECT unnest([50, 90, 99]) AS q_pct
+    ), hit AS (
+        SELECT cum.event_type, q.q_pct, cum.hi,
+               row_number() OVER (PARTITION BY cum.event_type, q.q_pct
+                                  ORDER BY cum.b, cum.s) AS rn
+        FROM cum, q
+        WHERE cum.cum >= floor((q.q_pct * cum.nn + 99) / 100)
+    ), s_dd AS (
+        SELECT 'ddsketch' AS section,
+               event_type || '|p' || q_pct AS dim,
+               CAST(hi AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        FROM hit WHERE rn = 1
+    ), s_mg AS (
+        SELECT 'mg_user' AS section,
+               CAST(user_id AS VARCHAR) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        FROM adm GROUP BY user_id
+        HAVING COUNT(*) * {_INGEST_MG_K} > (SELECT COUNT(*) FROM adm)
+    )
+    SELECT * FROM s_total
+    UNION ALL SELECT * FROM s_adm
+    UNION ALL SELECT * FROM s_hll
+    UNION ALL SELECT * FROM s_hllx
+    UNION ALL SELECT * FROM s_dd
+    UNION ALL SELECT * FROM s_mg
+    """,
+)
+def streaming_ingest_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] THE REFERENCE'S PRODUCTION DUTY AS ONE STREAMING PIPELINE
+    (VERDICT r10 item 3): the Kafka-shaped event log — including
+    re-delivered messages, the at-least-once reality S2 commits against
+    — drains through envelope (S3/S6/F9/F10) → allow-filter (P3) →
+    kode-6/7 scrub (P4/J2) → Bloom-gated J1 dedup against the sink →
+    per-batch committed sink writes (ST4 write-then-commit), with the
+    RESIDENT sketch monitors (HLL distinct-users, ddsketch value
+    quantiles, Misra-Gries heavy users) maintained over the admitted
+    rows in the SAME drain (``streaming/ingest.py``).  Reference spine:
+    src/mapping.py:35-47; dedup src/oracle_target.py:97-104.
+
+    The result is one operations report: final sink size, admitted-row
+    counts by (partition, payload-nulled), and the three monitor
+    readouts — hash-checked against a DuckDB oracle that replays the
+    ENTIRE duty relationally (distinct-union dedup + envelope CASE +
+    interval scrub join + the HLL/ddsketch/MG readout arithmetic of the
+    certified standalone queries).
+
+    Cross-engine equality rests on three merge laws, each pinned in
+    pytest: admitted rows are batch-composition-invariant (exact-copy
+    replays + key dedup); HLL register max-merge and ddsketch count
+    sum-merge over per-batch partials equal the one-pass sketches; and
+    the union of per-batch Misra-Gries candidate sets is a superset of
+    every global heavy hitter (if freq_i ≤ N_i/k in every batch then
+    Σfreq ≤ N/k — averaging), so the exact verify pass equals the
+    batch MG readout.
+
+    Scale: the dedup state is the m-bounded Bloom bit frame + the
+    sink's key index (probed only on bloom-positives); monitor state is
+    O(types·256) registers + O(types·buckets) counts + O(k) candidates
+    per batch partial; every per-batch artifact lands in an
+    idempotently-overwritten ``b{{batch_id}}`` dir BEFORE the
+    checkpoint commits, so crash/replay is byte-identical
+    (tests/test_round11_ops.py injects the worst-case tear)."""
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        hll_estimate_report,
+        verify_candidate_counts,
+    )
+    from dvh_airflow_kafka_spark.streaming.ingest import run_ingest_pipeline
+    from dvh_airflow_kafka_spark.streaming.stateful import read_event_stream
+    from dvh_airflow_kafka_spark.catalog.q03_curation import (
+        _ddsketch_buckets,  # noqa: F401  (partials written by ingest.py)
+        _ddsketch_report,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+    def _write(src: str) -> None:
+        # originals as 2 ranged files (stamped in the past), then the
+        # two exact-copy replay batches appended (current mtimes sort
+        # after) — 4 micro-batches; the admitted set is key-dedup'd so
+        # batch composition cannot change it
+        _staged_range_write(events, src, 2)
+        events.filter(F.col("event_id") < 400).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        events.filter(F.col("event_id") < 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    src = _staged_stream_src("stream_ingest", sf_dir, _write)
+    lookup = _ingest_lookup(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="ingest_cap_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_cap_ckpt_")
+    try:
+        dirs = run_ingest_pipeline(
+            spark,
+            read_event_stream(spark, src),
+            work_dir=work,
+            checkpoint_dir=ckpt,
+            initial_sink=events.filter(F.col("event_id") % 3 == 0),
+            lookup=lookup,
+            message_filters=_INGEST_FILTERS,
+            mg_k=_INGEST_MG_K,
+        )
+        init = spark.read.parquet(dirs.initial)
+        admitted = dirs.admitted(spark, init).localCheckpoint()
+
+        nul = F.lit(None).cast("double")
+
+        s_total = (
+            init.agg(F.count(F.lit(1)).alias("a"))
+            .crossJoin(admitted.agg(F.count(F.lit(1)).alias("b")))
+            .select(
+                F.lit("sink").alias("section"),
+                F.lit("total_rows").alias("dim"),
+                (F.col("a") + F.col("b")).cast("long").alias("n"),
+                nul.alias("x"),
+            )
+        )
+        s_adm = admitted.groupBy(
+            "kafka_partition", F.col("kafka_message").isNull().alias("__nl")
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit("sink").alias("section"),
+            F.concat(
+                F.lit("admitted|p"),
+                F.col("kafka_partition").cast("string"),
+                F.lit("|null"),
+                F.col("__nl").cast("int").cast("string"),
+            ).alias("dim"),
+            "n",
+            nul.alias("x"),
+        )
+        regs = (
+            dirs.partials(spark, dirs.hll)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+        )
+        exact = admitted.groupBy("event_type").agg(
+            F.count_distinct("user_id").cast("long").alias("n_exact")
+        )
+        hll = hll_estimate_report(regs, exact).localCheckpoint(eager=False)
+        s_hll = hll.select(
+            F.lit("hll").alias("section"),
+            F.col("event_type").alias("dim"),
+            F.col("n_nonzero_regs").cast("long").alias("n"),
+            F.col("hll_estimate").alias("x"),
+        )
+        s_hllx = hll.select(
+            F.lit("hll_exact").alias("section"),
+            F.col("event_type").alias("dim"),
+            F.col("n_exact").cast("long").alias("n"),
+            nul.alias("x"),
+        )
+        ddc = (
+            dirs.partials(spark, dirs.dd)
+            .groupBy("event_type", "b", "s")
+            .agg(F.sum("c").alias("c"))
+        )
+        s_dd = _ddsketch_report(spark, ddc).select(
+            F.lit("ddsketch").alias("section"),
+            F.concat(
+                F.col("event_type"),
+                F.lit("|p"),
+                F.col("q_pct").cast("string"),
+            ).alias("dim"),
+            F.col("value_micro_hi").cast("long").alias("n"),
+            nul.alias("x"),
+        )
+        candidates = dirs.partials(spark, dirs.mg).distinct()
+        slim = admitted.select(
+            F.col("user_id").cast("string").alias("__text")
+        )
+        s_mg = verify_candidate_counts(
+            slim, candidates, k_state=_INGEST_MG_K
+        ).select(
+            F.lit("mg_user").alias("section"),
+            F.col("token").alias("dim"),
+            F.col("n_occurrences").cast("long").alias("n"),
+            nul.alias("x"),
+        )
+        report = (
+            s_total.unionByName(s_adm)
+            .unionByName(s_hll)
+            .unionByName(s_hllx)
+            .unionByName(s_dd)
+            .unionByName(s_mg)
+        )
+        rows = report.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, dim string, n long, x double"
     )

@@ -1,0 +1,224 @@
+"""The reference's production duty as ONE resumable streaming pipeline.
+
+The reference job (src/mapping.py:35-47) is a loop: read a Kafka batch,
+deserialize + envelope it, allow-filter, scrub kode-6/7 persons, skip
+rows whose keys the Oracle table already holds, insert, commit offsets.
+This module runs that whole duty as a Structured Streaming drain with a
+``foreachBatch`` sink, engineered for the properties the reference gets
+from Oracle transactions:
+
+- **Write-then-commit ordering (ST4)**: every per-batch artifact (the
+  admitted rows, the Bloom bit increments, the monitor partials) is
+  written to a ``b{batch_id}`` directory with ``mode("overwrite")``
+  BEFORE the checkpoint commits the batch.  A crash between write and
+  commit replays the batch, which recomputes against exactly the
+  pre-batch state — dirs ``< batch_id`` — and overwrites its own
+  directories; a torn directory is therefore always rewritten before
+  any later batch can read it.  Replay is byte-idempotent.
+- **Bloom-gated J1 dedup**: the dedup state is the Bloom bit set of
+  every key ever admitted (initial sink + all prior batches), so a
+  replayed or duplicated message is rejected by k broadcast bit probes
+  without touching the sink; only bloom-positive rows pay the exact
+  key anti-join (``ext/bloom.bloom_dedup_with_bits``).  At 100 TB the
+  bit frame is bounded by m = NUM_BITS regardless of corpus size — the
+  resident key index the reference's ``NOT EXISTS`` probe becomes at
+  scale.
+- **Resident monitors in the same drain**: each batch also appends its
+  admitted rows' MERGEABLE sketch partials — HLL register maxima
+  (distinct users), ddsketch bucket counts (value quantiles), and
+  Misra-Gries candidate sets (heavy users).  Max-merge / sum-merge /
+  candidate-union + exact-verify over the partials reproduce the batch
+  sketches over the full admitted set exactly (see
+  ``catalog/q13_round11.streaming_ingest_capstone`` for the laws).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dvh_airflow_kafka_spark.config import AllowRule
+from dvh_airflow_kafka_spark.ext.bloom import bloom_dedup_with_bits, build_bloom
+from dvh_airflow_kafka_spark.ext.sketch import _misra_gries_partition, hll_bucket_rho
+from dvh_airflow_kafka_spark.operators import scrub_flagged_persons
+from dvh_airflow_kafka_spark.sources import events_as_kafka_frame, with_envelope
+
+# the envelope + passthrough columns every ingested row carries
+SINK_COLS = [
+    "kafka_key",
+    "kafka_timestamp",
+    "kafka_offset",
+    "kafka_partition",
+    "kafka_topic",
+    "kafka_hash",
+    "kafka_message",
+    "user_id",
+    "event_type",
+    "value",
+]
+
+
+def ingest_transform(
+    df: DataFrame,
+    lookup: DataFrame,
+    message_filters: Sequence[AllowRule],
+) -> DataFrame:
+    """The reference spine on an events-shaped frame: Kafka column
+    mapping -> envelope (S3/S6/F9/F10) -> allow-filter (P3) -> kode-6/7
+    scrub (P4/J2).  One narrow projection plus the broadcast lookup
+    join; used identically for the initial sink build and every
+    micro-batch, so batch and streaming can never drift."""
+    # the Kafka mapping claims the name ``value`` for the payload bytes;
+    # carry the numeric measure under a temporary name
+    src = df.withColumnRenamed("value", "event_value")
+    env = with_envelope(
+        events_as_kafka_frame(
+            src, passthrough=["user_id", "event_type", "event_value", "ts"]
+        ),
+        message_filters=message_filters,
+        passthrough=["user_id", "event_type", "event_value", "ts"],
+    )
+    scrubbed = scrub_flagged_persons(
+        env,
+        lookup,
+        person_id=F.col("user_id"),
+        event_ts=F.col("ts"),
+    )
+    return scrubbed.withColumnRenamed("event_value", "value").select(
+        *SINK_COLS
+    )
+
+
+def _batch_dirs(root: str, below: Optional[int] = None) -> list[str]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(root, "b*"))):
+        bid = int(os.path.basename(p)[1:])
+        if below is None or bid < below:
+            out.append(p)
+    return out
+
+
+def _read_union(
+    spark: SparkSession, paths: list[str], schema_like: DataFrame
+) -> DataFrame:
+    if not paths:
+        return spark.createDataFrame([], schema_like.schema)
+    return spark.read.schema(schema_like.schema).parquet(*paths)
+
+
+def _ingest_key(df: DataFrame) -> Column:
+    return F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in ("kafka_offset",)]
+    )
+
+
+class IngestDirs:
+    """Layout of one ingest run's working directory."""
+
+    def __init__(self, work_dir: str):
+        self.initial = os.path.join(work_dir, "initial")
+        self.initial_bits = os.path.join(work_dir, "initial_bits")
+        self.sink = os.path.join(work_dir, "sink")
+        self.bits = os.path.join(work_dir, "bits")
+        self.hll = os.path.join(work_dir, "hll")
+        self.dd = os.path.join(work_dir, "dd")
+        self.mg = os.path.join(work_dir, "mg")
+
+    def admitted(self, spark: SparkSession, schema_like: DataFrame) -> DataFrame:
+        return _read_union(spark, _batch_dirs(self.sink), schema_like)
+
+    def partials(self, spark: SparkSession, root: str) -> DataFrame:
+        """Union-read a monitor-partial root's per-batch dirs (explicit
+        paths — a ``b*`` glob read logs a scary-but-recovered
+        FileNotFoundException during Spark's path resolution)."""
+        paths = _batch_dirs(root)
+        return spark.read.parquet(*paths)
+
+
+def run_ingest_pipeline(
+    spark: SparkSession,
+    stream: DataFrame,
+    *,
+    work_dir: str,
+    checkpoint_dir: str,
+    initial_sink: DataFrame,
+    lookup: DataFrame,
+    message_filters: Sequence[AllowRule],
+    mg_k: int = 64,
+    fail_at_batch: Optional[int] = None,
+) -> IngestDirs:
+    """Drain ``stream`` (raw events-shaped rows) through the full
+    reference duty into ``work_dir`` (see module docstring).  The
+    initial sink is written once per work_dir (a restart with the same
+    dirs resumes from the checkpoint instead).  ``fail_at_batch``
+    injects a crash AFTER the batch's sink write but BEFORE its monitor
+    writes and checkpoint commit — the worst-case tear the replay law
+    must absorb (tests/test_round11_ops.py)."""
+    dirs = IngestDirs(work_dir)
+    lookup = lookup.localCheckpoint(eager=False)
+    if not os.path.isdir(dirs.initial):
+        init = ingest_transform(initial_sink, lookup, message_filters)
+        init.write.parquet(dirs.initial)
+        build_bloom(
+            spark.read.parquet(dirs.initial), _ingest_key(init)
+        ).write.parquet(dirs.initial_bits)
+    init_rows = spark.read.parquet(dirs.initial)
+    init_bits = spark.read.parquet(dirs.initial_bits)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        rows = ingest_transform(
+            batch_df, lookup, message_filters
+        ).dropDuplicates(["kafka_offset"])
+        prior_sink = init_rows.unionByName(
+            _read_union(sess, _batch_dirs(dirs.sink, batch_id), init_rows)
+        )
+        prior_bits = init_bits.unionByName(
+            _read_union(sess, _batch_dirs(dirs.bits, batch_id), init_bits)
+        ).distinct()
+        admitted = bloom_dedup_with_bits(
+            rows, prior_sink, prior_bits, ["kafka_offset"]
+        ).localCheckpoint()  # one compute; 4 artifact writes below
+        tag = f"b{batch_id:05d}"
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(dirs.sink, tag)
+        )
+        if fail_at_batch is not None and batch_id == fail_at_batch:
+            raise RuntimeError(
+                f"injected crash after sink write of batch {batch_id}"
+            )
+        build_bloom(admitted, _ingest_key(admitted)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dirs.bits, tag))
+        hll_bucket_rho(admitted, "event_type", elem_col="user_id").groupBy(
+            "event_type", "bucket"
+        ).agg(F.max("rho").alias("m_rho")).write.mode("overwrite").parquet(
+            os.path.join(dirs.hll, tag)
+        )
+        from dvh_airflow_kafka_spark.catalog.q03_curation import (
+            _ddsketch_buckets,
+        )
+
+        _ddsketch_buckets(admitted).groupBy("event_type", "b", "s").agg(
+            F.count(F.lit(1)).alias("c")
+        ).write.mode("overwrite").parquet(os.path.join(dirs.dd, tag))
+        admitted.select(
+            F.col("user_id").cast("string").alias("__text")
+        ).mapInPandas(
+            lambda it: _misra_gries_partition(it, mg_k), schema="token string"
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(dirs.mg, tag)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dirs

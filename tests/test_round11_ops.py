@@ -109,6 +109,146 @@ def test_streaming_gate_matches_batch_gate(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# streaming_ingest_capstone (streaming/ingest.py)
+# --------------------------------------------------------------------------
+
+
+def _run_ingest(spark, sf_dir, work, ckpt, fail_at_batch=None):
+    from dvh_airflow_kafka_spark.catalog._core import (
+        _staged_range_write,
+        _staged_stream_src,
+    )
+    from dvh_airflow_kafka_spark.catalog.q13_round11 import (
+        _INGEST_FILTERS,
+        _ingest_lookup,
+    )
+    from dvh_airflow_kafka_spark.io import load_table
+    from dvh_airflow_kafka_spark.streaming.ingest import run_ingest_pipeline
+    from dvh_airflow_kafka_spark.streaming.stateful import read_event_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+    def _write(src: str) -> None:
+        _staged_range_write(events, src, 2)
+        events.filter(F.col("event_id") < 400).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        events.filter(F.col("event_id") < 100).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    src = _staged_stream_src("stream_ingest", sf_dir, _write)
+    return run_ingest_pipeline(
+        spark,
+        read_event_stream(spark, src),
+        work_dir=work,
+        checkpoint_dir=ckpt,
+        initial_sink=events.filter(F.col("event_id") % 3 == 0),
+        lookup=_ingest_lookup(spark, sf_dir),
+        message_filters=_INGEST_FILTERS,
+        fail_at_batch=fail_at_batch,
+    )
+
+
+def _admitted_rows(spark, dirs):
+    init = spark.read.parquet(dirs.initial)
+    return sorted(map(tuple, dirs.admitted(spark, init).collect()))
+
+
+def test_ingest_crash_after_write_replays_byte_identical(
+    spark, sf_dir, tmp_path
+):
+    # ST4 write-then-commit: kill AFTER batch 2's sink write but BEFORE
+    # its monitor writes and checkpoint commit; the resumed run must
+    # converge to the clean run exactly (sink AND merged monitors)
+    clean = _run_ingest(
+        spark, sf_dir, str(tmp_path / "clean"), str(tmp_path / "clean_ck")
+    )
+    crash_work, crash_ck = str(tmp_path / "crash"), str(tmp_path / "crash_ck")
+    with pytest.raises(Exception, match="injected crash"):
+        _run_ingest(spark, sf_dir, crash_work, crash_ck, fail_at_batch=2)
+    resumed = _run_ingest(spark, sf_dir, crash_work, crash_ck)
+    assert _admitted_rows(spark, resumed) == _admitted_rows(spark, clean)
+    for attr in ("hll", "dd", "mg", "bits"):
+        a = resumed.partials(spark, getattr(resumed, attr))
+        b = clean.partials(spark, getattr(clean, attr))
+        assert sorted(map(tuple, a.distinct().collect())) == sorted(
+            map(tuple, b.distinct().collect())
+        ), attr
+
+
+def test_ingest_dedup_and_monitor_merge_laws(spark, sf_dir, tmp_path):
+    from dvh_airflow_kafka_spark.catalog.q03_curation import (
+        _ddsketch_buckets,
+    )
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        frequent_tokens,
+        hll_bucket_rho,
+    )
+
+    dirs = _run_ingest(
+        spark, sf_dir, str(tmp_path / "w"), str(tmp_path / "ck")
+    )
+    init = spark.read.parquet(dirs.initial)
+    admitted = dirs.admitted(spark, init)
+    ev = load_table(spark, sf_dir, "events")
+    # J1 exactness: admitted = every event id NOT in the initial sink,
+    # exactly once (replays and in-batch duplicates all rejected)
+    admitted_ids = sorted(
+        r["kafka_offset"] for r in admitted.select("kafka_offset").collect()
+    )
+    expect = sorted(
+        r["event_id"]
+        for r in ev.filter(F.col("event_id") % 3 != 0)
+        .select("event_id")
+        .collect()
+    )
+    assert admitted_ids == expect
+    # HLL max-merge over per-batch partials == one-pass registers
+    merged = (
+        dirs.partials(spark, dirs.hll)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    direct = (
+        hll_bucket_rho(admitted, "event_type", elem_col="user_id")
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # ddsketch sum-merge over per-batch partials == one-pass counts
+    dmerged = (
+        dirs.partials(spark, dirs.dd)
+        .groupBy("event_type", "b", "s")
+        .agg(F.sum("c").alias("c"))
+    )
+    ddirect = _ddsketch_buckets(admitted).groupBy("event_type", "b", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    assert sorted(map(tuple, dmerged.collect())) == sorted(
+        map(tuple, ddirect.collect())
+    )
+    # MG candidate-union + exact verify == one-pass exact heavy hitters
+    from dvh_airflow_kafka_spark.ext.sketch import verify_candidate_counts
+
+    cands = dirs.partials(spark, dirs.mg).distinct()
+    slim = admitted.select(F.col("user_id").cast("string").alias("__text"))
+    via_partials = verify_candidate_counts(slim, cands, k_state=64)
+    one_pass = frequent_tokens(
+        admitted.select(F.col("user_id").cast("string").alias("u")),
+        F.col("u"),
+        k_state=64,
+    )
+    assert sorted(map(tuple, via_partials.collect())) == sorted(
+        map(tuple, one_pass.collect())
+    )
+
+
+# --------------------------------------------------------------------------
 # mixture_rebalance_incremental
 # --------------------------------------------------------------------------
 
