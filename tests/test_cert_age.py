@@ -1,0 +1,65 @@
+"""The rotation window is GENERATED, not transcribed: the committed
+``_CERTIFY_FIRST`` must equal what ``tools/cert_age.py`` derives from
+the CORRECTNESS_r*.json history + REGISTRY + the committed churn list.
+Rounds 9 and 10 both shipped stale hand-maintained rotation narration
+(VERDICT r10 "What's wrong" #1); this pin makes that class of drift a
+CI failure."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from dvh_airflow_kafka_spark.catalog import _core  # noqa: E402
+from tools.cert_age import build_window, cert_ages  # noqa: E402
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+
+def test_committed_window_equals_generated():
+    ages = cert_ages(REPO)
+    rows_only = [n for n, q in _core.REGISTRY.items() if q.sql is None]
+    generated = build_window(
+        _core.REGISTRY, ages, _core._CERTIFY_CHURN, exclude=rows_only
+    )
+    assert list(_core._CERTIFY_FIRST) == generated
+
+
+def test_window_covers_every_new_query_and_the_stalest_cohort():
+    # independent of the generator: every never-certified oracled query
+    # gets a slot, and no certified query OUTSIDE the window is staler
+    # than the oldest refresh slot INSIDE it (churn picks excepted)
+    ages = cert_ages(REPO)
+    window = set(_core._CERTIFY_FIRST)
+    never = [
+        n
+        for n, q in _core.REGISTRY.items()
+        if q.sql is not None and n not in ages
+    ]
+    assert set(never) <= window, sorted(set(never) - window)
+    refresh_ages = [
+        ages[n][0]
+        for n in _core._CERTIFY_FIRST
+        if n in ages and n not in _core._CERTIFY_CHURN
+    ]
+    outside_min = min(
+        (
+            ages[n][0]
+            for n in _core.REGISTRY
+            if n in ages and n not in window
+        ),
+        default=None,
+    )
+    if refresh_ages and outside_min is not None:
+        assert max(refresh_ages) <= outside_min, (
+            max(refresh_ages),
+            outside_min,
+        )
+
+
+def test_churn_names_are_registered_and_oracled():
+    for n in _core._CERTIFY_CHURN:
+        assert n in _core.REGISTRY, n
+        assert _core.REGISTRY[n].sql is not None, n
