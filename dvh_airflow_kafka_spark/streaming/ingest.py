@@ -139,6 +139,23 @@ class IngestDirs:
         return spark.read.parquet(*paths)
 
 
+def stage_initial(
+    spark: SparkSession,
+    initial_sink: DataFrame,
+    lookup: DataFrame,
+    message_filters: Sequence[AllowRule],
+    rows_dir: str,
+    bits_dir: str,
+) -> None:
+    """Build the already-ingested sink (through the same transform the
+    stream runs) and its Bloom bit frame once, at the given paths."""
+    init = ingest_transform(initial_sink, lookup, message_filters)
+    init.write.parquet(rows_dir)
+    build_bloom(
+        spark.read.parquet(rows_dir), _ingest_key(init)
+    ).write.parquet(bits_dir)
+
+
 def run_ingest_pipeline(
     spark: SparkSession,
     stream: DataFrame,
@@ -150,22 +167,31 @@ def run_ingest_pipeline(
     message_filters: Sequence[AllowRule],
     mg_k: int = 64,
     fail_at_batch: Optional[int] = None,
+    shared_initial: Optional[tuple[str, str]] = None,
 ) -> IngestDirs:
     """Drain ``stream`` (raw events-shaped rows) through the full
     reference duty into ``work_dir`` (see module docstring).  The
     initial sink is written once per work_dir (a restart with the same
-    dirs resumes from the checkpoint instead).  ``fail_at_batch``
-    injects a crash AFTER the batch's sink write but BEFORE its monitor
-    writes and checkpoint commit — the worst-case tear the replay law
-    must absorb (tests/test_round11_ops.py)."""
+    dirs resumes from the checkpoint instead); ``shared_initial`` =
+    (initial_rows_dir, initial_bits_dir) points several runs at one
+    prebuilt copy instead (the sink is append-only relative to it, so
+    sharing is read-only safe).  ``fail_at_batch`` injects a crash
+    AFTER the batch's sink write but BEFORE its monitor writes and
+    checkpoint commit — the worst-case tear the replay law must absorb
+    (tests/test_round11_ops.py)."""
     dirs = IngestDirs(work_dir)
     lookup = lookup.localCheckpoint(eager=False)
+    if shared_initial is not None:
+        dirs.initial, dirs.initial_bits = shared_initial
     if not os.path.isdir(dirs.initial):
-        init = ingest_transform(initial_sink, lookup, message_filters)
-        init.write.parquet(dirs.initial)
-        build_bloom(
-            spark.read.parquet(dirs.initial), _ingest_key(init)
-        ).write.parquet(dirs.initial_bits)
+        stage_initial(
+            spark,
+            initial_sink,
+            lookup,
+            message_filters,
+            dirs.initial,
+            dirs.initial_bits,
+        )
     init_rows = spark.read.parquet(dirs.initial)
     init_bits = spark.read.parquet(dirs.initial_bits)
 

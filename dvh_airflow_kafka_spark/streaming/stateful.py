@@ -716,73 +716,130 @@ def kmv_minima_with_state(stream: DataFrame, *, k: int = 64) -> DataFrame:
     )
 
 
-# Shingle-index probe emissions: one row per (incoming doc, existing
-# doc) pair sharing this shingle; sizes ride along so the readout never
-# re-joins the corpus.
+# Shingle-index probe emissions: per (bucket micro-batch) the PARTIAL
+# shared-distinct-shingle count between an incoming and an existing doc
+# within this bucket; sizes ride along so the readout never re-joins
+# the corpus.  Σ c over buckets = the exact shared-shingle count.
 SHINGLE_PROBE_OUTPUT = T.StructType(
     [
         T.StructField("in_id", T.LongType()),
         T.StructField("n_in", T.LongType()),
         T.StructField("ex_id", T.LongType()),
         T.StructField("n_ex", T.LongType()),
+        T.StructField("c", T.LongType()),
     ]
 )
 
-# Per-shingle state: the EXISTING-corpus docs containing this shingle
-# (parallel id/size arrays) — the resident inverted bucket index.
+# Per-BUCKET state: the existing-corpus inverted index entries hashed
+# into this bucket.  Shingle strings are INTERNED — ``gs`` holds each
+# distinct shingle once, entries reference it by position (``gi``) —
+# because a hot shingle's doc list would otherwise repeat its string
+# per entry and dominate state (de)serialization.  Bucketing (vs one
+# group per shingle) bounds the per-batch Python invocation count at
+# the bucket fan-out — at sf0.1 the per-shingle form paid ~10^5 group
+# calls per micro-batch (~57s total); the bucketed form pays
+# ≤ SHINGLE_BUCKETS.
 SHINGLE_INDEX_STATE = T.StructType(
     [
+        T.StructField("gs", T.ArrayType(T.StringType())),
+        T.StructField("gi", T.ArrayType(T.IntegerType())),
         T.StructField("ids", T.ArrayType(T.LongType())),
         T.StructField("sizes", T.ArrayType(T.LongType())),
     ]
 )
 
+SHINGLE_BUCKETS = 64
+
 
 def _make_shingle_probe_updater():
     """applyInPandasWithState function for the directional ingest gate:
-    per shingle group, fold this batch's EXISTING rows into the state
-    index FIRST (two-pass over the Arrow chunks — probes are buffered,
-    so an incoming doc always sees every existing doc of its own batch,
-    matching the batch kernel's incoming-vs-ALL-existing join), then
-    emit one (in_id, n_in, ex_id, n_ex) row per (incoming probe,
-    indexed existing doc) pair."""
+    per shingle-hash bucket, fold this batch's EXISTING rows into the
+    bucket's inverted index FIRST (two-pass over the Arrow chunks —
+    probes are buffered, so an incoming doc always sees every existing
+    doc of its own batch, matching the batch kernel's
+    incoming-vs-ALL-existing join), then emit the PARTIAL shared-count
+    per (incoming, existing) candidate pair found in this bucket — a
+    vectorized pandas merge + groupby-size, no Python row loops.  The
+    state is written back only when new existing entries arrived —
+    probe-only batches never touch the store."""
 
     def update(
-        key: Tuple[str],
+        key: Tuple[int],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            ids, sizes = state.get
-            ex_ids = [int(x) for x in ids]
-            ex_sizes = [int(x) for x in sizes]
-        else:
-            ex_ids, ex_sizes = [], []
-        known = set(ex_ids)
-        probes: list = []
-        for pdf in pdfs:
-            ex_rows = pdf[~pdf["is_new"]]
-            for i, n in zip(ex_rows["doc_id"], ex_rows["n"]):
-                ii = int(i)
-                if ii not in known:
-                    known.add(ii)
-                    ex_ids.append(ii)
-                    ex_sizes.append(int(n))
-            inc = pdf[pdf["is_new"]]
-            probes.extend(
-                (int(i), int(n)) for i, n in zip(inc["doc_id"], inc["n"])
-            )
-        state.update((ex_ids, ex_sizes))
-        if probes and ex_ids:
-            k = len(ex_ids)
-            yield pd.DataFrame(
+            gs, gi, ids, sizes = state.get
+            gs = list(gs)
+            idx = pd.DataFrame(
                 {
-                    "in_id": [p for p, _ in probes for _ in range(k)],
-                    "n_in": [n for _, n in probes for _ in range(k)],
-                    "ex_id": ex_ids * len(probes),
-                    "n_ex": ex_sizes * len(probes),
+                    "g": pd.array(gi, dtype="int64"),
+                    "ex_id": pd.array(ids, dtype="int64"),
+                    "n_ex": pd.array(sizes, dtype="int64"),
                 }
             )
+            idx["g"] = pd.Series(gs, dtype="object").iloc[idx["g"]].values
+        else:
+            gs = []
+            idx = pd.DataFrame(
+                {"g": [], "ex_id": [], "n_ex": []}
+            ).astype({"ex_id": "int64", "n_ex": "int64"})
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        had_state = bool(state.exists)
+        wrote = False
+        ex_rows = batch[~batch["is_new"]]
+        if len(ex_rows):
+            new = ex_rows.rename(
+                columns={"doc_id": "ex_id", "n": "n_ex"}
+            )[["g", "ex_id", "n_ex"]].drop_duplicates(["g", "ex_id"])
+            if len(idx):
+                merged = new.merge(
+                    idx[["g", "ex_id"]],
+                    on=["g", "ex_id"],
+                    how="left",
+                    indicator=True,
+                )
+                new = merged[merged["_merge"] == "left_only"].drop(
+                    columns="_merge"
+                )
+            if len(new):
+                idx = pd.concat([idx, new], ignore_index=True)
+                intern = {g: i for i, g in enumerate(gs)}
+                for g in new["g"]:
+                    if g not in intern:
+                        intern[g] = len(gs)
+                        gs.append(g)
+                state.update(
+                    (
+                        gs,
+                        [int(intern[g]) for g in idx["g"]],
+                        [int(v) for v in idx["ex_id"]],
+                        [int(v) for v in idx["n_ex"]],
+                    )
+                )
+                wrote = True
+        if not had_state and not wrote:
+            state.update((gs, [], [], []))
+        inc = batch[batch["is_new"]]
+        if len(inc) and len(idx):
+            hits = inc.rename(columns={"doc_id": "in_id", "n": "n_in"})[
+                ["g", "in_id", "n_in"]
+            ].merge(idx, on="g")
+            if len(hits):
+                out = (
+                    hits.groupby(
+                        ["in_id", "n_in", "ex_id", "n_ex"], sort=False
+                    )
+                    .size()
+                    .rename("c")
+                    .reset_index()
+                )
+                yield out.astype("int64")
 
     return update
 
@@ -791,11 +848,11 @@ def shingle_index_probe_with_state(stream: DataFrame) -> DataFrame:
     """The DIRECTIONAL near-dup ingest gate's candidate join as
     streaming state (the ``ext/dedup.jaccard_ingest_gate`` candidate
     stage, ST3 at similarity level): the state store holds the
-    EXISTING corpus's inverted shingle index — per shingle, the docs
-    containing it plus their distinct-shingle counts — and each
-    incoming micro-batch probes it, emitting the candidate (incoming,
-    existing) pairs whose shared-shingle counts the batch readout then
-    aggregates into exact Jaccard.
+    EXISTING corpus's inverted shingle index — bucketed by shingle
+    hash; per bucket, the (shingle, doc, distinct-shingle-count)
+    entries — and each incoming micro-batch probes it, emitting partial
+    shared-shingle counts per candidate (incoming, existing) pair,
+    which the batch readout sums into exact Jaccard.
 
     The input stream carries (g, doc_id, is_new, n): shingle,
     document, side flag, and the doc's distinct-shingle count — all
@@ -805,13 +862,21 @@ def shingle_index_probe_with_state(stream: DataFrame) -> DataFrame:
     State growth is bounded by the EXISTING corpus's inverted index —
     O(distinct shingles · docs-per-shingle), i.e. exactly the index a
     batch gate would build, resident instead of rebuilt — and is
-    INDEPENDENT of ingest volume: probes write nothing
+    INDEPENDENT of ingest volume: probe-only batches never write state
     (tests/test_scale_probe_stream.py pins flatness under 2× incoming
     replay).  The hot-shingle cap (``ext/dedup.drop_hot_shingles``)
     bolts on upstream exactly as in batch when a corpus needs it."""
     return (
-        stream.select("g", "doc_id", "is_new", "n")
-        .groupBy("g")
+        stream.select(
+            F.pmod(F.xxhash64(F.lit("shbkt"), F.col("g")), F.lit(SHINGLE_BUCKETS))
+            .cast("int")
+            .alias("bkt"),
+            "g",
+            "doc_id",
+            "is_new",
+            "n",
+        )
+        .groupBy("bkt")
         .applyInPandasWithState(
             _make_shingle_probe_updater(),
             outputStructType=SHINGLE_PROBE_OUTPUT,

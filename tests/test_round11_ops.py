@@ -33,7 +33,7 @@ class FakeState:
 
 
 def _pdf(rows):
-    return pd.DataFrame(rows, columns=["doc_id", "is_new", "n"])
+    return pd.DataFrame(rows, columns=["g", "doc_id", "is_new", "n"])
 
 
 def test_shingle_probe_updater_existing_first_within_batch():
@@ -48,8 +48,13 @@ def test_shingle_probe_updater_existing_first_within_batch():
     state = FakeState()
     out = list(
         upd(
-            ("the quick brown",),
-            iter([_pdf([(100, True, 7)]), _pdf([(1, False, 9)])]),
+            (7,),
+            iter(
+                [
+                    _pdf([("the quick brown", 100, True, 7)]),
+                    _pdf([("the quick brown", 1, False, 9)]),
+                ]
+            ),
             state,
         )
     )
@@ -58,7 +63,8 @@ def test_shingle_probe_updater_existing_first_within_batch():
     assert list(got["in_id"]) == [100]
     assert list(got["ex_id"]) == [1]
     assert list(got["n_in"]) == [7] and list(got["n_ex"]) == [9]
-    assert state._v == ([1], [9])
+    assert list(got["c"]) == [1]
+    assert state._v == (["the quick brown"], [0], [1], [9])
 
 
 def test_shingle_probe_updater_probes_never_grow_state():
@@ -68,25 +74,55 @@ def test_shingle_probe_updater_probes_never_grow_state():
 
     upd = _make_shingle_probe_updater()
     state = FakeState()
-    # batch 1: two existing docs (one duplicated — the index dedupes)
+    # batch 1: two existing docs over two shingles of the same bucket
+    # (one entry duplicated — the index dedupes per (shingle, doc))
     list(
         upd(
-            ("g",),
-            iter([_pdf([(1, False, 5), (2, False, 6), (1, False, 5)])]),
+            (7,),
+            iter(
+                [
+                    _pdf(
+                        [
+                            ("ga", 1, False, 5),
+                            ("ga", 2, False, 6),
+                            ("gb", 1, False, 5),
+                            ("ga", 1, False, 5),
+                        ]
+                    )
+                ]
+            ),
             state,
         )
     )
-    assert state._v == ([1, 2], [5, 6])
-    # batch 2: probes only — state unchanged, full cross emission
-    out = list(upd(("g",), iter([_pdf([(10, True, 4), (15, True, 3)])]), state))
-    assert state._v == ([1, 2], [5, 6])
+    assert state._v == (["ga", "gb"], [0, 0, 1], [1, 2, 1], [5, 6, 5])
+    frozen = state._v
+    # batch 2: probes only — state not rewritten; partial counts
+    # aggregate ACROSS the bucket's shingles (doc 10 shares ga+gb with
+    # doc 1 -> c=2; only ga with doc 2 -> c=1)
+    out = list(
+        upd(
+            (7,),
+            iter(
+                [
+                    _pdf(
+                        [
+                            ("ga", 10, True, 4),
+                            ("gb", 10, True, 4),
+                            ("ga", 15, True, 3),
+                        ]
+                    )
+                ]
+            ),
+            state,
+        )
+    )
+    assert state._v is frozen  # probe-only batch never calls update()
     got = out[0]
-    assert sorted(zip(got["in_id"], got["ex_id"])) == [
-        (10, 1),
-        (10, 2),
-        (15, 1),
-        (15, 2),
-    ]
+    pairs = {
+        (i, e): c
+        for i, e, c in zip(got["in_id"], got["ex_id"], got["c"])
+    }
+    assert pairs == {(10, 1): 2, (10, 2): 1, (15, 1): 1, (15, 2): 1}
 
 
 def test_shingle_probe_updater_no_emission_without_index():
@@ -96,9 +132,9 @@ def test_shingle_probe_updater_no_emission_without_index():
 
     upd = _make_shingle_probe_updater()
     state = FakeState()
-    out = list(upd(("g",), iter([_pdf([(10, True, 4)])]), state))
-    assert out == []  # nothing indexed for this shingle yet
-    assert state._v == ([], [])
+    out = list(upd((7,), iter([_pdf([("ga", 10, True, 4)])]), state))
+    assert out == []  # nothing indexed for this bucket yet
+    assert state._v == ([], [], [], [])
 
 
 def test_streaming_gate_matches_batch_gate(spark, sf_dir):
@@ -114,13 +150,10 @@ def test_streaming_gate_matches_batch_gate(spark, sf_dir):
 
 
 def _run_ingest(spark, sf_dir, work, ckpt, fail_at_batch=None):
-    from dvh_airflow_kafka_spark.catalog._core import (
-        _staged_range_write,
-        _staged_stream_src,
-    )
     from dvh_airflow_kafka_spark.catalog.q13_round11 import (
         _INGEST_FILTERS,
         _ingest_lookup,
+        _ingest_staged_src,
     )
     from dvh_airflow_kafka_spark.io import load_table
     from dvh_airflow_kafka_spark.streaming.ingest import run_ingest_pipeline
@@ -129,20 +162,10 @@ def _run_ingest(spark, sf_dir, work, ckpt, fail_at_batch=None):
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
-
-    def _write(src: str) -> None:
-        _staged_range_write(events, src, 2)
-        events.filter(F.col("event_id") < 400).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        events.filter(F.col("event_id") < 100).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-
-    src = _staged_stream_src("stream_ingest", sf_dir, _write)
+    src = _ingest_staged_src(spark, sf_dir, events)
     return run_ingest_pipeline(
         spark,
-        read_event_stream(spark, src),
+        read_event_stream(spark, src, max_files_per_trigger=16),
         work_dir=work,
         checkpoint_dir=ckpt,
         initial_sink=events.filter(F.col("event_id") % 3 == 0),
@@ -160,15 +183,15 @@ def _admitted_rows(spark, dirs):
 def test_ingest_crash_after_write_replays_byte_identical(
     spark, sf_dir, tmp_path
 ):
-    # ST4 write-then-commit: kill AFTER batch 2's sink write but BEFORE
-    # its monitor writes and checkpoint commit; the resumed run must
-    # converge to the clean run exactly (sink AND merged monitors)
+    # ST4 write-then-commit: kill AFTER the replay batch's sink write
+    # but BEFORE its monitor writes and checkpoint commit; the resumed
+    # run must converge to the clean run exactly (sink AND monitors)
     clean = _run_ingest(
         spark, sf_dir, str(tmp_path / "clean"), str(tmp_path / "clean_ck")
     )
     crash_work, crash_ck = str(tmp_path / "crash"), str(tmp_path / "crash_ck")
     with pytest.raises(Exception, match="injected crash"):
-        _run_ingest(spark, sf_dir, crash_work, crash_ck, fail_at_batch=2)
+        _run_ingest(spark, sf_dir, crash_work, crash_ck, fail_at_batch=1)
     resumed = _run_ingest(spark, sf_dir, crash_work, crash_ck)
     assert _admitted_rows(spark, resumed) == _admitted_rows(spark, clean)
     for attr in ("hll", "dd", "mg", "bits"):

@@ -158,7 +158,11 @@ def test_neardup_gate_state_function_of_existing_corpus_only(
     inverted shingle index — incoming probes must write NOTHING.
     Doubling the incoming side with fresh ids (1e6 ≡ 0 mod 5 keeps the
     replicas on the incoming side) must leave max state rows exactly
-    flat; a moving value means probes leaked into the index."""
+    flat; a moving value means probes leaked into the index.  The row
+    metric counts occupied BUCKETS (the index is bucket-grouped with
+    the entries interned inside each bucket tuple); the content-level
+    probes-never-rewrite-state law is pinned per-updater in
+    tests/test_round11_ops.py."""
     states: dict[int, int] = {}
     docs = load_table(spark, sf_dir, "documents")
     for factor in (1, 2):
