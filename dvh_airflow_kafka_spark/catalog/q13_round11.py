@@ -303,6 +303,193 @@ def cross_snapshot_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# weekly_crawl_capstone
+# --------------------------------------------------------------------------
+
+
+@register(
+    "weekly_crawl_capstone",
+    sql=rf"""
+    WITH oldd AS (
+        SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 7
+    ), newd AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 9 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 13 <> 5
+    ), inc AS (
+        SELECT n.doc_id, n.source, n.text
+        FROM newd n LEFT JOIN oldd o ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL OR o.text <> n.text
+    ), exist AS (
+        SELECT n.doc_id, n.source, n.text
+        FROM newd n JOIN oldd o ON o.doc_id = n.doc_id AND o.text = n.text
+    ), comb AS (
+        SELECT doc_id, text, TRUE AS is_new FROM inc
+        UNION ALL
+        SELECT doc_id, text, FALSE FROM exist
+    ), w AS (
+        SELECT doc_id, is_new, regexp_extract_all(text, '\S+') AS wl
+        FROM comb
+    ), sh AS (
+        SELECT doc_id, is_new,
+               list_distinct(CASE WHEN len(wl) >= 3
+                   THEN list_transform(range(1, len(wl) - 1),
+                                       i -> wl[i] || ' ' || wl[i+1] || ' '
+                                            || wl[i+2])
+                   ELSE [array_to_string(wl, ' ')] END) AS s
+        FROM w
+    ), inv AS (
+        SELECT doc_id, is_new, unnest(s) AS g FROM sh
+    ), i AS (SELECT doc_id, g FROM inv WHERE is_new),
+    e AS (SELECT doc_id, g FROM inv WHERE NOT is_new),
+    shared AS (
+        SELECT i.doc_id AS in_id, e.doc_id AS ex_id, count(*) AS c
+        FROM i JOIN e ON i.g = e.g
+        GROUP BY i.doc_id, e.doc_id
+    ), sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+    best AS (
+        SELECT in_id, MAX(CAST(c AS DOUBLE) / (na.n + nb.n - c)) AS mx
+        FROM shared
+        JOIN sizes na ON na.doc_id = in_id
+        JOIN sizes nb ON nb.doc_id = ex_id
+        GROUP BY in_id
+    ), adm AS (
+        SELECT inc.doc_id FROM inc
+        LEFT JOIN best b ON b.in_id = inc.doc_id
+        WHERE COALESCE(b.mx, 0.0) < 0.5
+    ), updated AS (
+        SELECT source, text, FALSE AS admitted FROM exist
+        UNION ALL
+        SELECT i.source, i.text, TRUE FROM inc i JOIN adm USING (doc_id)
+    ), t AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                   AS n_tokens,
+               CAST(SUM(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+                   AS adm_docs,
+               CAST(SUM(CASE WHEN admitted
+                             THEN len(regexp_extract_all(text, '\S+'))
+                             ELSE 0 END) AS BIGINT) AS adm_tokens
+        FROM updated
+        WHERE source IS NOT NULL
+        GROUP BY source
+    ), wt AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                   AS w_sqrt
+        FROM t
+    ), tot AS (SELECT SUM(w_sqrt) AS tw FROM wt)
+    SELECT source, n_docs, n_tokens, adm_docs, adm_tokens, w_sqrt,
+           CAST((1000000 * w_sqrt) // tw AS BIGINT) AS share_ppm,
+           CAST(({_REBALANCE_BUDGET} * w_sqrt) // tw AS BIGINT)
+               AS token_budget
+    FROM wt, tot
+    """,
+)
+def weekly_crawl_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The whole weekly-recrawl duty as ONE lazy plan — the
+    round-11 compositions composed: snapshot CDC classifies the new
+    crawl, the DIRECTIONAL near-dup gate admits its added/changed docs
+    against the retained corpus, and the temperature mixture budgets
+    are recomputed over the post-ingest corpus (retained + admitted) —
+    what a curation team actually runs when a crawl lands, end to end.
+
+    Each stage keeps its certified shape: the CDC split is one
+    id-keyed join (``cross_snapshot_neardup``), the gate never
+    generates incoming×incoming or retained×retained pairs
+    (``ext/dedup.jaccard_ingest_gate``), and the rebalance readout is
+    the ``mixture_rebalance_incremental`` BIGINT arithmetic, with the
+    admitted contribution reported per source (``adm_docs`` /
+    ``adm_tokens``) so the weekly budget delta is auditable.  At scale
+    the retained-side totals come from the standing rollup corrected by
+    the diff's retractions (COUNT/SUM are abelian groups — deleted and
+    changed docs subtract exactly), so the weekly rebalance stays
+    O(increment + diff), never O(corpus).
+
+    Plan: the CDC sort-merge join + the gate's keyed shingle shuffles +
+    two map-side-combined aggregates and a 1-row broadcast total — no
+    corpus-sized shuffle, no forced broadcast of a data-sized frame."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 10 != 7)
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    j = new.alias("n").join(
+        old.select(
+            F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
+        ),
+        F.col("n.doc_id") == F.col("o_id"),
+        "left",
+    )
+    inc = j.filter(
+        F.col("o_id").isNull() | (F.col("o_text") != F.col("n.text"))
+    ).select("n.doc_id", "n.source", "n.text")
+    exist = j.filter(F.col("o_text") == F.col("n.text")).select(
+        "n.doc_id", "n.source", "n.text"
+    )
+    comb = inc.select(
+        "doc_id", "text", F.lit(True).alias("is_new")
+    ).unionByName(
+        exist.select("doc_id", "text", F.lit(False).alias("is_new"))
+    )
+    gate = xdedup.jaccard_ingest_gate(
+        comb,
+        "doc_id",
+        "text",
+        incoming_pred=F.col("is_new"),
+        ngram=3,
+        threshold=0.5,
+    )
+    admitted = inc.join(
+        gate.filter(F.col("kept") == 1).select("doc_id"), "doc_id"
+    )
+    updated = exist.select(
+        "source", "text", F.lit(False).alias("admitted")
+    ).unionByName(
+        admitted.select("source", "text", F.lit(True).alias("admitted"))
+    ).filter(F.col("source").isNotNull())
+    t = updated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("n_tokens"),
+        F.sum(F.col("admitted").cast("long")).cast("long").alias("adm_docs"),
+        F.sum(
+            F.when(F.col("admitted"), token_count_ws(F.col("text"))).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("adm_tokens"),
+    )
+    wt = t.withColumn(
+        "w_sqrt",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+    ).localCheckpoint(eager=False)
+    total = wt.agg(F.sum("w_sqrt").alias("__tw"))
+    return wt.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "adm_docs",
+        "adm_tokens",
+        "w_sqrt",
+        F.expr("(1000000L * w_sqrt) div __tw").alias("share_ppm"),
+        F.expr(f"({_REBALANCE_BUDGET}L * w_sqrt) div __tw").alias(
+            "token_budget"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # quality_drift_monitor
 # --------------------------------------------------------------------------
 

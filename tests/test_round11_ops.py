@@ -352,3 +352,38 @@ def test_drift_monitor_week_pairs_and_chi2_per_week(spark, sf_dir):
     # the first week has no predecessor -> it never appears as a pair
     weeks = sorted(by_week)
     assert "2024-01-01" not in weeks
+
+
+# --------------------------------------------------------------------------
+# weekly_crawl_capstone
+# --------------------------------------------------------------------------
+
+
+def test_weekly_crawl_composes_its_stages(spark, sf_dir):
+    from dvh_airflow_kafka_spark.catalog.q13_round11 import (
+        _REBALANCE_BUDGET,
+    )
+
+    rows = REGISTRY["weekly_crawl_capstone"].fn(spark, sf_dir).collect()
+    gate = {
+        r["doc_id"]: r["kept"]
+        for r in REGISTRY["cross_snapshot_neardup"].fn(spark, sf_dir).collect()
+    }
+    # the capstone's admitted counts equal the standalone gate's verdicts
+    docs = load_table(spark, sf_dir, "documents")
+    src_of = {
+        r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()
+    }
+    adm_by_src: dict[str, int] = {}
+    for doc_id, kept in gate.items():
+        if kept == 1 and src_of.get(doc_id) is not None:
+            adm_by_src[src_of[doc_id]] = adm_by_src.get(src_of[doc_id], 0) + 1
+    got = {r["source"]: r["adm_docs"] for r in rows}
+    for src, n in adm_by_src.items():
+        assert got.get(src, 0) == n, (src, n, got.get(src))
+    for r in rows:
+        assert 0 <= r["adm_docs"] <= r["n_docs"]
+        assert 0 <= r["adm_tokens"] <= r["n_tokens"]
+        assert r["w_sqrt"] * r["w_sqrt"] <= r["n_tokens"] < (r["w_sqrt"] + 1) ** 2
+    assert sum(r["share_ppm"] for r in rows) <= 1_000_000
+    assert sum(r["token_budget"] for r in rows) <= _REBALANCE_BUDGET
