@@ -257,6 +257,13 @@ HEADLINE = [
     "streaming_kmv_minima",
     "curation_funnel_attrition",
     "streaming_bloom_bits",
+    # round-11 additions
+    "mixture_rebalance_incremental",
+    "cross_snapshot_neardup",
+    "weekly_crawl_capstone",
+    "quality_drift_monitor",
+    "streaming_neardup_gate",
+    "streaming_ingest_capstone",
 ]
 
 
