@@ -26,13 +26,13 @@ verdict asked for (VERDICT.md "Next round" items 3-5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dvh_airflow_kafka_spark.ext import dedup as xdedup
 from dvh_airflow_kafka_spark.ext import stats as xstats
 from dvh_airflow_kafka_spark.ext.text import token_count_ws
-from dvh_airflow_kafka_spark.io import ensure_parallelism, load_table
+from dvh_airflow_kafka_spark.io import load_table
 
 from dvh_airflow_kafka_spark.catalog._core import (
     REGISTRY,
@@ -176,6 +176,64 @@ def mixture_rebalance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 # --------------------------------------------------------------------------
 
 
+def _snapshot_cdc_gate(docs: DataFrame, extra_cols: tuple = ()):
+    """Shared by ``cross_snapshot_neardup`` and ``weekly_crawl_capstone``
+    (ONE definition of the fixture + gate, so the capstone can never
+    desynchronize from the standalone gate its test composes against):
+    the ``corpus_snapshot_diff`` snapshot fixture (old = doc_id % 10 ≠ 7
+    verbatim text; new = doc_id % 13 ≠ 5 with a " v2" edit on
+    doc_id % 9 = 0), split into the increment (added/changed, with
+    ``change_type``) and the retained corpus (present unchanged in both
+    snapshots), plus the directional 3-gram Jaccard gate at threshold
+    0.5 over exactly that split.  ``extra_cols`` (e.g. ``source``) are
+    carried on both sides.  Returns ``(inc, exist, gate)``."""
+    old = docs.select("doc_id", "text").filter(F.col("doc_id") % 10 != 7)
+    new = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        *extra_cols,
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    j = new.alias("n").join(
+        old.select(
+            F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
+        ),
+        F.col("n.doc_id") == F.col("o_id"),
+        "left",
+    )
+    carried = [f"n.{c}" for c in extra_cols]
+    inc = j.filter(
+        F.col("o_id").isNull() | (F.col("o_text") != F.col("n.text"))
+    ).select(
+        "n.doc_id",
+        *carried,
+        "n.text",
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .otherwise(F.lit("changed"))
+        .alias("change_type"),
+    )
+    exist = j.filter(F.col("o_text") == F.col("n.text")).select(
+        "n.doc_id", *carried, "n.text"
+    )
+    comb = inc.select(
+        "doc_id", "text", F.lit(True).alias("is_new")
+    ).unionByName(
+        exist.select("doc_id", "text", F.lit(False).alias("is_new"))
+    )
+    gate = xdedup.jaccard_ingest_gate(
+        comb,
+        "doc_id",
+        "text",
+        incoming_pred=F.col("is_new"),
+        ngram=3,
+        threshold=0.5,
+    )
+    return inc, exist, gate
+
+
 @register(
     "cross_snapshot_neardup",
     sql=r"""
@@ -256,47 +314,7 @@ def cross_snapshot_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with no broadcast hint (AQE broadcasts at fixture scale, shuffles at
     corpus scale — the r10 review rule)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    old = docs.filter(F.col("doc_id") % 10 != 7)
-    new = docs.filter(F.col("doc_id") % 13 != 5).select(
-        "doc_id",
-        F.when(
-            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" v2"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    j = new.alias("n").join(
-        old.select(
-            F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
-        ),
-        F.col("n.doc_id") == F.col("o_id"),
-        "left",
-    )
-    inc = j.filter(
-        F.col("o_id").isNull() | (F.col("o_text") != F.col("n.text"))
-    ).select(
-        "n.doc_id",
-        "n.text",
-        F.when(F.col("o_id").isNull(), F.lit("added"))
-        .otherwise(F.lit("changed"))
-        .alias("change_type"),
-    )
-    exist = j.filter(F.col("o_text") == F.col("n.text")).select(
-        "n.doc_id", "n.text"
-    )
-    comb = inc.select(
-        "doc_id", "text", F.lit(True).alias("is_new")
-    ).unionByName(
-        exist.select("doc_id", "text", F.lit(False).alias("is_new"))
-    )
-    gate = xdedup.jaccard_ingest_gate(
-        comb,
-        "doc_id",
-        "text",
-        incoming_pred=F.col("is_new"),
-        ngram=3,
-        threshold=0.5,
-    )
+    inc, _exist, gate = _snapshot_cdc_gate(docs)
     return gate.join(inc.select("doc_id", "change_type"), "doc_id").select(
         "doc_id", "change_type", "max_jaccard", "kept"
     )
@@ -414,42 +432,7 @@ def weekly_crawl_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    old = docs.filter(F.col("doc_id") % 10 != 7)
-    new = docs.filter(F.col("doc_id") % 13 != 5).select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" v2"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    j = new.alias("n").join(
-        old.select(
-            F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
-        ),
-        F.col("n.doc_id") == F.col("o_id"),
-        "left",
-    )
-    inc = j.filter(
-        F.col("o_id").isNull() | (F.col("o_text") != F.col("n.text"))
-    ).select("n.doc_id", "n.source", "n.text")
-    exist = j.filter(F.col("o_text") == F.col("n.text")).select(
-        "n.doc_id", "n.source", "n.text"
-    )
-    comb = inc.select(
-        "doc_id", "text", F.lit(True).alias("is_new")
-    ).unionByName(
-        exist.select("doc_id", "text", F.lit(False).alias("is_new"))
-    )
-    gate = xdedup.jaccard_ingest_gate(
-        comb,
-        "doc_id",
-        "text",
-        incoming_pred=F.col("is_new"),
-        ngram=3,
-        threshold=0.5,
-    )
+    inc, exist, gate = _snapshot_cdc_gate(docs, extra_cols=("source",))
     admitted = inc.join(
         gate.filter(F.col("kept") == 1).select("doc_id"), "doc_id"
     )

@@ -110,9 +110,16 @@ def _read_union(
     return spark.read.schema(schema_like.schema).parquet(*paths)
 
 
+# the J1 dedup identity — ONE definition feeds both the Bloom key
+# derivation and the exact anti-join key columns (bloom_dedup_with_bits'
+# superset guarantee holds only when the probed bits were built from the
+# identical key derivation)
+INGEST_KEY_COLS = ("kafka_offset",)
+
+
 def _ingest_key(df: DataFrame) -> Column:
     return F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in ("kafka_offset",)]
+        "\x1f", *[F.col(c).cast("string") for c in INGEST_KEY_COLS]
     )
 
 
@@ -136,6 +143,11 @@ class IngestDirs:
         paths — a ``b*`` glob read logs a scary-but-recovered
         FileNotFoundException during Spark's path resolution)."""
         paths = _batch_dirs(root)
+        if not paths:
+            raise FileNotFoundError(
+                f"no committed batch dirs under {root} — the drain has "
+                "not produced any micro-batch yet"
+            )
         return spark.read.parquet(*paths)
 
 
@@ -148,12 +160,36 @@ def stage_initial(
     bits_dir: str,
 ) -> None:
     """Build the already-ingested sink (through the same transform the
-    stream runs) and its Bloom bit frame once, at the given paths."""
-    init = ingest_transform(initial_sink, lookup, message_filters)
-    init.write.parquet(rows_dir)
-    build_bloom(
-        spark.read.parquet(rows_dir), _ingest_key(init)
-    ).write.parquet(bits_dir)
+    stream runs) and its Bloom bit frame once, at the given paths.
+
+    Committed ATOMICALLY: both artifacts are written into a temp
+    sibling and renamed into place rows-last, and the resume guard
+    tests the rows dir — so a crash anywhere mid-staging leaves a state
+    the next run rebuilds from scratch instead of silently accepting a
+    torn initial sink (which would re-admit rows the sink already
+    holds)."""
+    import shutil
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(rows_dir)) or "."
+    os.makedirs(parent, exist_ok=True)
+    # a previous crash between the two renames leaves bits without rows:
+    # clear the orphan so the rename below cannot collide
+    if os.path.isdir(bits_dir) and not os.path.isdir(rows_dir):
+        shutil.rmtree(bits_dir, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="initial_stage_", dir=parent)
+    try:
+        init = ingest_transform(initial_sink, lookup, message_filters)
+        tmp_rows = os.path.join(tmp, "rows")
+        tmp_bits = os.path.join(tmp, "bits")
+        init.write.parquet(tmp_rows)
+        build_bloom(
+            spark.read.parquet(tmp_rows), _ingest_key(init)
+        ).write.parquet(tmp_bits)
+        os.rename(tmp_bits, bits_dir)
+        os.rename(tmp_rows, rows_dir)  # rows last: the resume guard
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_ingest_pipeline(
@@ -199,7 +235,7 @@ def run_ingest_pipeline(
         sess = batch_df.sparkSession
         rows = ingest_transform(
             batch_df, lookup, message_filters
-        ).dropDuplicates(["kafka_offset"])
+        ).dropDuplicates(list(INGEST_KEY_COLS))
         prior_sink = init_rows.unionByName(
             _read_union(sess, _batch_dirs(dirs.sink, batch_id), init_rows)
         )
@@ -207,7 +243,7 @@ def run_ingest_pipeline(
             _read_union(sess, _batch_dirs(dirs.bits, batch_id), init_bits)
         ).distinct()
         admitted = bloom_dedup_with_bits(
-            rows, prior_sink, prior_bits, ["kafka_offset"]
+            rows, prior_sink, prior_bits, list(INGEST_KEY_COLS)
         ).localCheckpoint()  # one compute; 4 artifact writes below
         tag = f"b{batch_id:05d}"
         admitted.write.mode("overwrite").parquet(

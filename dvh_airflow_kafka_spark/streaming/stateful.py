@@ -790,8 +790,6 @@ def _make_shingle_probe_updater():
             if len(chunks) > 1
             else chunks[0]
         )
-        had_state = bool(state.exists)
-        wrote = False
         ex_rows = batch[~batch["is_new"]]
         if len(ex_rows):
             new = ex_rows.rename(
@@ -822,9 +820,9 @@ def _make_shingle_probe_updater():
                         [int(v) for v in idx["n_ex"]],
                     )
                 )
-                wrote = True
-        if not had_state and not wrote:
-            state.update((gs, [], [], []))
+        # no new existing entries -> no state write at all: a bucket
+        # seeing only probes never occupies a state-store row, keeping
+        # the store a function of the EXISTING corpus alone
         inc = batch[batch["is_new"]]
         if len(inc) and len(idx):
             hits = inc.rename(columns={"doc_id": "in_id", "n": "n_in"})[

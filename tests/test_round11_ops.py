@@ -134,7 +134,9 @@ def test_shingle_probe_updater_no_emission_without_index():
     state = FakeState()
     out = list(upd((7,), iter([_pdf([("ga", 10, True, 4)])]), state))
     assert out == []  # nothing indexed for this bucket yet
-    assert state._v == ([], [], [], [])
+    # and NO state row is written — a probe-only bucket never occupies
+    # the store (the store stays a function of the existing corpus)
+    assert state._v is None and not state.exists
 
 
 def test_streaming_gate_matches_batch_gate(spark, sf_dir):

@@ -46,7 +46,13 @@ def cert_ages(repo_root: str = ".") -> Dict[str, Age]:
     false but ``rows_match`` true with no error) do NOT count — the
     window exists to maintain *hash* certification freshness."""
     ages: Dict[str, Age] = {}
-    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+    paths = sorted(
+        glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
+        # numeric sort: lexicographic would file r100 between r10 and
+        # r11 and let r99 overwrite it ("latest wins" breaks silently)
+        key=lambda p: int(re.search(r"r(\d+)\.json$", p).group(1)),
+    )
+    for path in paths:
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
         with open(path) as f:
             rows = json.load(f)
