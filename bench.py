@@ -264,6 +264,7 @@ HEADLINE = [
     "quality_drift_monitor",
     "streaming_neardup_gate",
     "streaming_ingest_capstone",
+    "streaming_mixture_rebalance",
 ]
 
 

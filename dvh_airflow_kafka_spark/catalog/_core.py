@@ -210,7 +210,7 @@ def register(name: str, sql: Optional[str] = None):
 # this committed list equal to the regenerated one, so the stale-count
 # narration drift of rounds 9/10 can no longer happen.  Content, in
 # order:
-#   (a) the 6 round-11 additions (never certified; verified green
+#   (a) the 7 round-11 additions (never certified; verified green
 #       locally at sf0.001 + sf0.01 before pinning);
 #   (b) 3 churns needing fresh rows: streaming_kmv_minima (the KMV
 #       updater's per-chunk k-min truncation, r10 advice), and
@@ -219,11 +219,11 @@ def register(name: str, sql: Optional[str] = None):
 #       additive, but the envelope path should re-certify);
 #   (c) ALL 17 remaining round-5 certs — after this round nothing in
 #       the catalog holds a row older than round 6;
-#   (d) the first 24 of the 44 round-6 certs, oldest-first in their
+#   (d) the first 23 of the 44 round-6 certs, oldest-first in their
 #       r06 row order.
 # Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
 # OUT of the window (tests/test_certify_window.py pins this).
-# ROUND-12 NOTE (next rotation): the remaining 20 round-6 certs, then
+# ROUND-12 NOTE (next rotation): the remaining 21 round-6 certs, then
 # the round-7 batch (45 names), oldest first — regenerate with
 # ``python tools/cert_age.py`` after updating _CERTIFY_CHURN for the
 # round's implementation churn.  Every name displaced from this window
@@ -240,6 +240,7 @@ _CERTIFY_CHURN = [
 # generated by tools/cert_age.py — edit _CERTIFY_CHURN, not this list
 _CERTIFY_FIRST = [
     "mixture_rebalance_incremental",  # new
+    "streaming_mixture_rebalance",  # new
     "cross_snapshot_neardup",  # new
     "weekly_crawl_capstone",  # new
     "quality_drift_monitor",  # new
@@ -288,7 +289,6 @@ _CERTIFY_FIRST = [
     "k_anonymity_audit",  # r06
     "frequent_tokens_bounded_state",  # r06
     "streaming_corpus_dedup",  # r06
-    "streaming_anomaly_zscore",  # r06
 ]
 
 

@@ -140,22 +140,36 @@ def mixture_rebalance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
-    weighted = (
-        merged.join(inc, "source", "left")
-        .select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.coalesce(F.col("inc_docs"), F.lit(0)).cast("long").alias("inc_docs"),
-            F.coalesce(F.col("inc_tokens"), F.lit(0))
-            .cast("long")
-            .alias("inc_tokens"),
-            F.floor(F.sqrt(F.col("n_tokens").cast("double")))
-            .cast("long")
-            .alias("w_sqrt"),
-        )
-        .localCheckpoint(eager=False)
+    totals = merged.join(inc, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("inc_docs"), F.lit(0)).cast("long").alias("inc_docs"),
+        F.coalesce(F.col("inc_tokens"), F.lit(0))
+        .cast("long")
+        .alias("inc_tokens"),
     )
+    return _rebalance_readout(totals)
+
+
+def _rebalance_readout(totals: DataFrame) -> DataFrame:
+    """The α = 0.5 mixture readout over a per-source totals frame
+    ``(source, n_docs, n_tokens, inc_docs, inc_tokens)`` — shared by
+    the batch partials query and its streaming twin so the BIGINT
+    arithmetic can never drift between them.  floor(sqrt(BIGINT)) is
+    the one float op (correctly-rounded IEEE sqrt of an exactly-
+    representable integer — bit-identical cross-engine); everything
+    after is integer division against the 1-row broadcast total."""
+    weighted = totals.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "inc_docs",
+        "inc_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("long")
+        .alias("w_sqrt"),
+    ).localCheckpoint(eager=False)
     total = weighted.agg(F.sum("w_sqrt").alias("__tw"))
     return weighted.crossJoin(F.broadcast(total)).select(
         "source",
@@ -169,6 +183,69 @@ def mixture_rebalance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             "token_budget"
         ),
     )
+
+
+@register(
+    "streaming_mixture_rebalance",
+    # Shares the batch rebalance oracle VERBATIM — the seventh
+    # batch/streaming twin family (quantile, frequency-grid,
+    # heavy-hitter, mergeable-distinct, mergeable-overlap, membership,
+    # now mixture totals).
+    sql=REGISTRY["mixture_rebalance_incremental"].sql,
+)
+def streaming_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The mixture-rebalance totals MAINTAINED AS STREAMING STATE:
+    documents drain through a file stream in 4 micro-batches and the
+    per-source (docs, tokens, increment-docs, increment-tokens) totals
+    are an unwatermarked streaming groupBy — COUNT/SUM state merges by
+    addition across micro-batches (the same monoid law the batch query
+    proves against the one-pass oracle), so the complete-mode final
+    snapshot equals the batch partials-merge EXACTLY and this query
+    shares ``mixture_rebalance_incremental``'s DuckDB oracle verbatim.
+    The α = 0.5 weight/budget readout is the SAME shared
+    ``_rebalance_readout`` the batch query runs — twin equality by
+    construction.
+
+    This is the recrawl monitor kept RESIDENT: as crawl files land, the
+    per-source token totals (state: O(|sources|) rows FOREVER,
+    flatness CI-pinned in tests/test_scale_probe_stream.py) are always
+    current and the weekly budget recomputation is a readout over the
+    snapshot, not a corpus rescan."""
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_with_checkpoint,
+        read_event_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select("doc_id", "source", "text")
+
+    def _write(src: str) -> None:
+        # 4 hash slices — COUNT/SUM totals are order- and
+        # composition-free, so any slicing drains to the same snapshot
+        _staged_range_write(docs, src, 4)
+
+    src = _staged_stream_src("stream_mix", sf_dir, _write)
+    stream = read_event_stream(spark, src)
+    is_inc = (F.col("doc_id") % 4 == 1).cast("long")
+    n_tok = token_count_ws(F.col("text")).cast("long")
+    totals = (
+        stream.select("source", is_inc.alias("__inc"), n_tok.alias("__n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum("__inc").cast("long").alias("inc_docs"),
+            F.sum(F.col("__inc") * F.col("__n")).cast("long").alias(
+                "inc_tokens"
+            ),
+        )
+    )
+    snap = drain_with_checkpoint(
+        spark, totals, mode="complete", prefix="stream_mix",
+        shuffle_partitions=8,
+    )
+    return _rebalance_readout(snap)
 
 
 # --------------------------------------------------------------------------

@@ -389,3 +389,10 @@ def test_weekly_crawl_composes_its_stages(spark, sf_dir):
         assert r["w_sqrt"] * r["w_sqrt"] <= r["n_tokens"] < (r["w_sqrt"] + 1) ** 2
     assert sum(r["share_ppm"] for r in rows) <= 1_000_000
     assert sum(r["token_budget"] for r in rows) <= _REBALANCE_BUDGET
+
+
+def test_streaming_mixture_matches_batch_twin(spark, sf_dir):
+    batch = REGISTRY["mixture_rebalance_incremental"].fn(spark, sf_dir).collect()
+    stream = REGISTRY["streaming_mixture_rebalance"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0

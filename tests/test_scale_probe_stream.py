@@ -151,6 +151,30 @@ def test_stream_state_flat_under_2x_replication(spark, sf_dir, tmp_path):
     assert 0 < states["ddsketch"][1], states
 
 
+def test_mixture_twin_state_is_source_domain_bounded(spark, sf_dir, tmp_path):
+    """The streaming rebalance totals hold ONE state row per source —
+    replicating the corpus (fresh ids; 1e6 ≡ 0 mod 4 keeps each
+    replica's increment membership identical) must leave max state rows
+    exactly flat at the source-domain size."""
+    states: dict[int, int] = {}
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.filter(F.col("source").isNotNull()).select(
+        "source"
+    ).distinct().count()
+    for factor in (1, 2):
+        staged = docs
+        for i in range(1, factor):
+            staged = staged.unionByName(
+                docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+            )
+        out = str(tmp_path / f"mix_x{factor}")
+        staged.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        states[factor] = _drain_state(
+            spark, "streaming_mixture_rebalance", out
+        )
+    assert states[1] == states[2] == n_sources, (states, n_sources)
+
+
 def test_neardup_gate_state_function_of_existing_corpus_only(
     spark, sf_dir, tmp_path
 ):
