@@ -21,8 +21,9 @@ Module map:
   q10_funnel_privacy  funnels, Markov, DP release, hive layout
   q11_layout          compaction/Z-order/encoding layout planning, EWMA
   q12_round10         round-10 composition capstones + MG streaming twin
-  q13_round11         round-11 compositions: rebalance, cross-snapshot,
-                      drift monitor, streaming ingest capstone + gate twin
+  q13_round11         round-11 compositions: rebalance (+streaming twin),
+                      cross-snapshot gate, drift monitor, weekly-crawl
+                      capstone, streaming ingest capstone + gate twin
 
 Every name the monolith bound at top level remains importable from this
 package (tests import private helpers like ``_SEQ_LEN``); first binder

@@ -18,10 +18,15 @@ verdict asked for (VERDICT.md "Next round" items 3-5).
   with a per-week 2×K chi-square homogeneity test of the event-type
   mix against the previous week (``event_mix_chi2_drift``'s integer
   micro-quantization conventions).
+- ``weekly_crawl_capstone`` — the three stages above composed as ONE
+  lazy plan: CDC split → directional gate → mixture rebalance over the
+  post-ingest corpus.
 - ``streaming_ingest_capstone`` — the reference's production duty as
   ONE resumable streaming drain (see the function docstring).
 - ``streaming_neardup_gate`` — the directional Jaccard ingest gate as
   streaming state (shares ``incremental_near_dup_ingest``'s oracle).
+- ``streaming_mixture_rebalance`` — the rebalance totals as resident
+  streaming state (shares ``mixture_rebalance_incremental``'s oracle).
 """
 
 from __future__ import annotations
