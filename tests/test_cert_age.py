@@ -19,7 +19,12 @@ REPO = os.path.join(os.path.dirname(__file__), "..")
 
 
 def test_committed_window_equals_generated():
-    ages = cert_ages(REPO)
+    # Bound the history at the round the committed window was BUILT
+    # from: the driver drops CORRECTNESS_r{N+1}.json mid-round, and an
+    # unbounded regeneration would compare the window against history
+    # that did not exist at commit time (r11 judge headline: the pin
+    # guaranteed a red suite at every round start).
+    ages = cert_ages(REPO, max_round=_core._WINDOW_BUILT_FROM_ROUND)
     rows_only = [n for n, q in _core.REGISTRY.items() if q.sql is None]
     generated = build_window(
         _core.REGISTRY, ages, _core._CERTIFY_CHURN, exclude=rows_only
@@ -31,7 +36,7 @@ def test_window_covers_every_new_query_and_the_stalest_cohort():
     # independent of the generator: every never-certified oracled query
     # gets a slot, and no certified query OUTSIDE the window is staler
     # than the oldest refresh slot INSIDE it (churn picks excepted)
-    ages = cert_ages(REPO)
+    ages = cert_ages(REPO, max_round=_core._WINDOW_BUILT_FROM_ROUND)
     window = set(_core._CERTIFY_FIRST)
     never = [
         n
@@ -57,6 +62,37 @@ def test_window_covers_every_new_query_and_the_stalest_cohort():
             max(refresh_ages),
             outside_min,
         )
+
+
+def test_window_survives_a_future_driver_drop(tmp_path):
+    # the r11 failure mode: the driver drops CORRECTNESS_r{N+1}.json and
+    # an unbounded regeneration diverges from the committed window.
+    # With max_round the new file must be invisible.
+    import json
+    import shutil
+
+    for r in (1, 2):
+        shutil.copy(
+            os.path.join(REPO, f"CORRECTNESS_r0{r}.json"),
+            tmp_path / f"CORRECTNESS_r0{r}.json",
+        )
+    bounded = cert_ages(str(tmp_path), max_round=2)
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "phantom_query": {
+                    "err": None,
+                    "hash_match": True,
+                    "rows_match": True,
+                    "schema_match": True,
+                    "spark_rows": 1,
+                    "oracle_rows": 1,
+                }
+            }
+        )
+    )
+    assert cert_ages(str(tmp_path), max_round=2) == bounded
+    assert "phantom_query" in cert_ages(str(tmp_path))
 
 
 def test_churn_names_are_registered_and_oracled():

