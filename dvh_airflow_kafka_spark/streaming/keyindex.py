@@ -136,6 +136,25 @@ class SinkKeyIndex:
         if orphans:
             self._fs.rename_sibling_to_base(orphans[0])
 
+    def seed(self, keys: DataFrame) -> None:
+        """Idempotently seed the sidecar with a pre-existing sink's keys
+        (e.g. the ingest pipeline's initial sink), once per sidecar.
+        Marker-protected: bucket data present WITHOUT the ``_seeded``
+        marker means a crash tore a previous seed — since seeding
+        precedes the first epoch, no batch keys can exist yet and the
+        sidecar is safe to wipe and rebuild.  After the marker exists
+        the sidecar is never wiped (``compact`` carries the marker
+        over)."""
+        self._recover_interrupted_swap()
+        marker = self._fs.child("_seeded")
+        if self._fs.exists() and self._fs.exists(marker):
+            return
+        if self._fs.exists():
+            self._fs.delete()
+        self.append(keys)
+        self._fs.mkdirs()  # zero-row seeds write no bucket dirs
+        self._fs.touch(marker)
+
     def begin_epoch(self, epoch_id: int) -> bool:
         """Record that this epoch is being attempted. Returns True when a
         prior attempt exists — the caller must then probe the sink itself
@@ -182,8 +201,11 @@ class SinkKeyIndex:
     def compact(self) -> None:
         """Rewrite the sidecar to one DISTINCT-keys file per bucket,
         keeping the ``bucket=`` partition layout (probe pruning) and the
-        ``_attempted_*`` epoch markers (crash-replay detection). Run
-        between drains, not mid-stream."""
+        ``_attempted_*`` / ``_seeded`` markers (crash-replay detection /
+        seed idempotence). Safe between drains or from inside a
+        ``foreachBatch`` body (batches are sequential; the swap is
+        rename-based with crash recovery in ``begin_epoch``) — not
+        concurrently with another writer of the same sidecar."""
         import uuid
 
         self._recover_interrupted_swap()
@@ -206,8 +228,12 @@ class SinkKeyIndex:
             .partitionBy(BUCKET_COL)
             .parquet(tmp._base.toString())
         )
-        for entry in self._fs.names():  # carry the epoch markers over
-            if entry.startswith("_attempted_"):
+        # carry the epoch + seed markers over: losing ``_attempted_``
+        # would blind crash-replay detection; losing ``_seeded`` would
+        # make the next ``seed()`` call wipe the (batch-key-bearing!)
+        # sidecar and rebuild it initial-keys-only — silent duplicates
+        for entry in self._fs.names():
+            if entry.startswith("_attempted_") or entry == "_seeded":
                 tmp.touch(tmp.child(entry))
         trash = _Fs(self.spark, f"{self.path}.__old_{uuid.uuid4().hex[:8]}")
         self._fs.rename_to(trash)
