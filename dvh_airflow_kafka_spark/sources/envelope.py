@@ -108,6 +108,22 @@ def with_envelope(
       projections) need them without a re-join; still one narrow
       projection.
     """
+    emitted = {
+        "kafka_key",
+        "kafka_timestamp",
+        "kafka_offset",
+        "kafka_partition",
+        "kafka_topic",
+        "kafka_hash",
+        "kafka_message",
+    } | ({"kafka_schema_id"} if schema_id is not None else set())
+    clash = sorted(emitted & set(passthrough))
+    if clash:
+        raise ValueError(
+            f"passthrough columns {clash} collide with envelope output "
+            "columns — the duplicate names would be silently ambiguous "
+            "downstream; rename them on the input frame first"
+        )
     message = (
         canonical_message if canonical_message is not None else F.col("value").cast("string")
     )
@@ -151,6 +167,18 @@ def events_as_kafka_frame(
     ``passthrough`` keeps extra source columns beside the Kafka set (for
     ``with_envelope(..., passthrough=...)`` to carry further).
     """
+    clash = sorted(
+        {"key", "value", "topic", "partition", "offset", "timestamp"}
+        & set(passthrough)
+    )
+    if clash:
+        raise ValueError(
+            f"passthrough columns {clash} collide with the standard "
+            "Kafka column set — the duplicate names would be silently "
+            "ambiguous downstream (ingest_transform renames the events "
+            "measure value -> event_value for exactly this reason); "
+            "rename them on the input frame first"
+        )
     return events.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
         F.col("props").cast("binary").alias("value"),

@@ -748,10 +748,17 @@ SHINGLE_INDEX_STATE = T.StructType(
     ]
 )
 
+# the detect_late_existing variant appends a per-bucket "probe has run"
+# flag (written at most once per bucket, so ≤ SHINGLE_BUCKETS extra
+# writes over a whole drain)
+SHINGLE_INDEX_STATE_DETECT = T.StructType(
+    SHINGLE_INDEX_STATE.fields + [T.StructField("probed", T.IntegerType())]
+)
+
 SHINGLE_BUCKETS = 64
 
 
-def _make_shingle_probe_updater():
+def _make_shingle_probe_updater(detect_late_existing: bool = False):
     """applyInPandasWithState function for the directional ingest gate:
     per shingle-hash bucket, fold this batch's EXISTING rows into the
     bucket's inverted index FIRST (two-pass over the Arrow chunks —
@@ -761,15 +768,28 @@ def _make_shingle_probe_updater():
     per (incoming, existing) candidate pair found in this bucket — a
     vectorized pandas merge + groupby-size, no Python row loops.  The
     state is written back only when new existing entries arrived —
-    probe-only batches never touch the store."""
+    probe-only batches never touch the store.
+
+    With ``detect_late_existing`` the state carries one extra flag per
+    bucket — "a probe has run here" — written at most ONCE per bucket
+    (the first probe batch; later probe batches see it set and write
+    nothing), and a batch folding NEW existing entries into a
+    probed bucket raises instead of silently weakening the gate.  The
+    default keeps the probe-only-batches-never-write law exactly
+    (CI-pinned in tests/test_round11_ops.py) for callers that
+    guarantee ordering themselves."""
 
     def update(
         key: Tuple[int],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        probed = 0
         if state.exists:
-            gs, gi, ids, sizes = state.get
+            if detect_late_existing:
+                gs, gi, ids, sizes, probed = state.get
+            else:
+                gs, gi, ids, sizes = state.get
             gs = list(gs)
             idx = pd.DataFrame(
                 {
@@ -806,24 +826,46 @@ def _make_shingle_probe_updater():
                     columns="_merge"
                 )
             if len(new):
+                if detect_late_existing and probed:
+                    raise ValueError(
+                        f"shingle bucket {key[0]}: {len(new)} existing-"
+                        "corpus index entries arrived AFTER a probe "
+                        "batch — earlier probes never saw them, so the "
+                        "gate's equality with the batch kernel is void "
+                        "(the source must deliver every existing row "
+                        "no later than the probes that must see it)"
+                    )
                 idx = pd.concat([idx, new], ignore_index=True)
                 intern = {g: i for i, g in enumerate(gs)}
                 for g in new["g"]:
                     if g not in intern:
                         intern[g] = len(gs)
                         gs.append(g)
-                state.update(
-                    (
-                        gs,
-                        [int(intern[g]) for g in idx["g"]],
-                        [int(v) for v in idx["ex_id"]],
-                        [int(v) for v in idx["n_ex"]],
-                    )
+                tup = (
+                    gs,
+                    [int(intern[g]) for g in idx["g"]],
+                    [int(v) for v in idx["ex_id"]],
+                    [int(v) for v in idx["n_ex"]],
                 )
+                state.update(tup + (probed,) if detect_late_existing else tup)
         # no new existing entries -> no state write at all: a bucket
         # seeing only probes never occupies a state-store row, keeping
         # the store a function of the EXISTING corpus alone
         inc = batch[batch["is_new"]]
+        if detect_late_existing and len(inc) and not probed:
+            # first probe in this bucket: remember it (once — later
+            # probe batches see the flag and skip the write)
+            state.update(
+                (
+                    gs,
+                    [int(v) for v in idx["g"].map({g: i for i, g in enumerate(gs)})]
+                    if len(idx)
+                    else [],
+                    [int(v) for v in idx["ex_id"]],
+                    [int(v) for v in idx["n_ex"]],
+                    1,
+                )
+            )
         if len(inc) and len(idx):
             hits = inc.rename(columns={"doc_id": "in_id", "n": "n_in"})[
                 ["g", "in_id", "n_in"]
@@ -842,7 +884,9 @@ def _make_shingle_probe_updater():
     return update
 
 
-def shingle_index_probe_with_state(stream: DataFrame) -> DataFrame:
+def shingle_index_probe_with_state(
+    stream: DataFrame, detect_late_existing: bool = False
+) -> DataFrame:
     """The DIRECTIONAL near-dup ingest gate's candidate join as
     streaming state (the ``ext/dedup.jaccard_ingest_gate`` candidate
     stage, ST3 at similarity level): the state store holds the
@@ -851,6 +895,18 @@ def shingle_index_probe_with_state(stream: DataFrame) -> DataFrame:
     entries — and each incoming micro-batch probes it, emitting partial
     shared-shingle counts per candidate (incoming, existing) pair,
     which the batch readout sums into exact Jaccard.
+
+    ORDERING PRECONDITION: equality with the batch gate requires every
+    existing-corpus row to arrive no later than the probes that must
+    see it (same micro-batch is fine — existing rows are folded before
+    probes within a batch).  An existing row delivered AFTER a probe is
+    silently invisible to that probe, under-counting shared shingles
+    and admitting near-duplicates.  Callers that cannot guarantee
+    delivery order (the catalog query does, via staged file mtimes)
+    should pass ``detect_late_existing=True``: the state then carries a
+    once-written per-bucket "probe ran" flag and a violated
+    precondition RAISES with the late-entry count instead of weakening
+    the gate (ADVICE r11).
 
     The input stream carries (g, doc_id, is_new, n): shingle,
     document, side flag, and the doc's distinct-shingle count — all
@@ -876,9 +932,13 @@ def shingle_index_probe_with_state(stream: DataFrame) -> DataFrame:
         )
         .groupBy("bkt")
         .applyInPandasWithState(
-            _make_shingle_probe_updater(),
+            _make_shingle_probe_updater(detect_late_existing),
             outputStructType=SHINGLE_PROBE_OUTPUT,
-            stateStructType=SHINGLE_INDEX_STATE,
+            stateStructType=(
+                SHINGLE_INDEX_STATE_DETECT
+                if detect_late_existing
+                else SHINGLE_INDEX_STATE
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

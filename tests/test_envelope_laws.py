@@ -106,3 +106,17 @@ def test_k6_scrub_nulls_payload_only_for_flagged_interval(spark, sf_dir):
     assert rows[1].n_null == rows[1].n       # user 1 fully scrubbed
     assert rows[2].n_null == 0               # expired interval: untouched
     assert rows[3].n_null == 0               # code 4: untouched
+
+
+def test_passthrough_collision_raises(spark, sf_dir):
+    # ADVICE r11: passthrough names that collide with the emitted
+    # envelope / Kafka column set must fail loudly, not produce
+    # silently-ambiguous duplicate columns downstream
+    events = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError, match="collide with the standard Kafka"):
+        events_as_kafka_frame(events, passthrough=["value", "user_id"])
+    frame = events_as_kafka_frame(events, passthrough=["user_id"])
+    with pytest.raises(ValueError, match="collide with envelope output"):
+        with_envelope(frame, passthrough=["kafka_key", "user_id"])
+    # disjoint passthrough still works and carries the column
+    assert "user_id" in with_envelope(frame, passthrough=["user_id"]).columns

@@ -240,3 +240,80 @@ def test_seed_marker_survives_compaction(spark, tmp_path):
     idx.seed(keys.filter(F.col("k") < 4))  # must NOT wipe
     probe = idx.probe(keys)
     assert probe is not None and probe.count() == 8
+
+
+# --------------------------------------------------------------------------
+# shingle probe updater: opt-in late-existing detection (ADVICE r11)
+# --------------------------------------------------------------------------
+
+
+import pandas as pd  # noqa: E402
+
+
+class _FakeState:
+    exists = False
+    hasTimedOut = False
+
+    def __init__(self):
+        self._v = None
+        self.writes = 0
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+        self.writes += 1
+
+
+def _pdf(rows):
+    return pd.DataFrame(rows, columns=["g", "doc_id", "is_new", "n"])
+
+
+def test_late_existing_detection_raises(spark):
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        _make_shingle_probe_updater,
+    )
+
+    upd = _make_shingle_probe_updater(detect_late_existing=True)
+    state = _FakeState()
+    # batch 1: probe only -> flag written once, no candidates
+    out = list(upd((7,), iter([_pdf([("ga", 10, True, 4)])]), state))
+    assert out == [] and state.exists and state._v[-1] == 1
+    first_writes = state.writes
+    # batch 2: probe again -> flag already set, NO further write
+    list(upd((7,), iter([_pdf([("ga", 11, True, 4)])]), state))
+    assert state.writes == first_writes
+    # batch 3: an existing-corpus entry arrives AFTER the probes
+    with pytest.raises(ValueError, match="arrived AFTER a probe"):
+        list(upd((7,), iter([_pdf([("ga", 1, False, 5)])]), state))
+
+
+def test_late_existing_detection_ordered_source_unchanged(spark):
+    # correct delivery order (existing first, same or earlier batch):
+    # detection emits exactly what the default updater emits
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        _make_shingle_probe_updater,
+    )
+
+    batches = [
+        [("ga", 1, False, 5), ("gb", 1, False, 5)],
+        [("ga", 2, False, 3)],
+        [("ga", 10, True, 4), ("gb", 10, True, 4)],
+    ]
+    outs = {}
+    for flag in (False, True):
+        upd = _make_shingle_probe_updater(detect_late_existing=flag)
+        state = _FakeState()
+        rows = []
+        for b in batches:
+            for o in upd((7,), iter([_pdf(b)]), state):
+                rows.extend(map(tuple, o.itertuples(index=False)))
+        outs[flag] = sorted(rows)
+        # index content identical (detect variant appends the flag)
+        idx = state._v[:4] if flag else state._v
+        outs[(flag, "state")] = tuple(map(tuple, idx))
+    assert outs[True] == outs[False] and len(outs[True]) == 2
+    assert outs[(True, "state")] == outs[(False, "state")]
