@@ -242,6 +242,8 @@ _CERTIFY_CHURN = [
 
 # generated by tools/cert_age.py — edit _CERTIFY_CHURN, not this list
 _CERTIFY_FIRST = [
+    "streaming_erasure_cascade",  # new
+    "streaming_multi_topic_ingest",  # new
     "streaming_ingest_capstone",  # churn
     "streaming_anomaly_zscore",  # r06
     "streaming_interval_join",  # r06
@@ -290,8 +292,6 @@ _CERTIFY_FIRST = [
     "multi_topic_fan_in",  # r07
     "streaming_static_enrichment",  # r07
     "orc_roundtrip_decode",  # r07
-    "parquet_schema_evolution",  # r07
-    "events_anomaly_mad",  # r07
 ]
 
 

@@ -155,7 +155,7 @@ def with_envelope(
 
 def events_as_kafka_frame(
     events: DataFrame,
-    topic: str = "events",
+    topic: str | Column = "events",
     n_partitions: int = 2,
     passthrough: Sequence[str] = (),
 ) -> DataFrame:
@@ -164,6 +164,11 @@ def events_as_kafka_frame(
     timestamp``, ``user_id -> key``, ``props -> value``. Partition id is
     derived deterministically as ``user_id % n_partitions`` (the reference
     tests produce with ``partition=i % 2``, test_integration.py:110-117).
+    ``topic`` may be a Column for multi-topic fan-in (one subscribe over
+    several topics, S2) — the reference runs one Mapping per topic
+    (src/mapping.py:10-47); a column-valued topic lets ONE conformed
+    pipeline carry them all, keyed apart by the composite
+    (topic, partition, offset) identity.
     ``passthrough`` keeps extra source columns beside the Kafka set (for
     ``with_envelope(..., passthrough=...)`` to carry further).
     """
@@ -182,7 +187,7 @@ def events_as_kafka_frame(
     return events.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
         F.col("props").cast("binary").alias("value"),
-        F.lit(topic).alias("topic"),
+        (F.lit(topic) if isinstance(topic, str) else topic).alias("topic"),
         F.pmod(F.col("user_id"), F.lit(n_partitions)).cast("int").alias("partition"),
         F.col("event_id").alias("offset"),
         F.col("ts").alias("timestamp"),

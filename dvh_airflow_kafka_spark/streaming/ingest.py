@@ -85,18 +85,24 @@ def ingest_transform(
     df: DataFrame,
     lookup: DataFrame,
     message_filters: Sequence[AllowRule],
+    topic: "str | Column" = "events",
 ) -> DataFrame:
     """The reference spine on an events-shaped frame: Kafka column
     mapping -> envelope (S3/S6/F9/F10) -> allow-filter (P3) -> kode-6/7
     scrub (P4/J2).  One narrow projection plus the broadcast lookup
     join; used identically for the initial sink build and every
-    micro-batch, so batch and streaming can never drift."""
+    micro-batch, so batch and streaming can never drift.  ``topic`` may
+    be a Column for multi-topic fan-in (the reference runs one Mapping
+    per topic, src/mapping.py:10-47; a column-valued topic conforms
+    them into ONE sink, keyed apart by the composite dedup identity)."""
     # the Kafka mapping claims the name ``value`` for the payload bytes;
     # carry the numeric measure under a temporary name
     src = df.withColumnRenamed("value", "event_value")
     env = with_envelope(
         events_as_kafka_frame(
-            src, passthrough=["user_id", "event_type", "event_value", "ts"]
+            src,
+            topic=topic,
+            passthrough=["user_id", "event_type", "event_value", "ts"],
         ),
         message_filters=message_filters,
         passthrough=["user_id", "event_type", "event_value", "ts"],
@@ -153,6 +159,7 @@ class IngestDirs:
     pytest against it (``tests/test_round12_ops.py``)."""
 
     def __init__(self, work_dir: str):
+        self.work_dir = work_dir
         self.initial = os.path.join(work_dir, "initial")
         self.initial_bits = os.path.join(work_dir, "initial_bits")
         self.sink = os.path.join(work_dir, "sink")
@@ -201,6 +208,7 @@ def stage_initial(
     rows_dir: str,
     bits_dir: str,
     key_cols: Sequence[str] = INGEST_KEY_COLS,
+    topic: "str | Column" = "events",
 ) -> None:
     """Build the already-ingested sink (through the same transform the
     stream runs) and its Bloom bit frame once, at the given paths.
@@ -222,7 +230,7 @@ def stage_initial(
         shutil.rmtree(bits_dir, ignore_errors=True)
     tmp = tempfile.mkdtemp(prefix="initial_stage_", dir=parent)
     try:
-        init = ingest_transform(initial_sink, lookup, message_filters)
+        init = ingest_transform(initial_sink, lookup, message_filters, topic)
         tmp_rows = os.path.join(tmp, "rows")
         tmp_bits = os.path.join(tmp, "bits")
         init.write.parquet(tmp_rows)
@@ -233,6 +241,131 @@ def stage_initial(
         os.rename(tmp_rows, rows_dir)  # rows last: the resume guard
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _write_monitor_partials(
+    admitted: DataFrame, dirs: "IngestDirs", tag: str, mg_k: int
+) -> None:
+    """The three mergeable monitor partials of one batch's admitted
+    rows — ONE definition shared by the live drain and the erasure
+    rebuild, so a rebuilt partial is bit-identical to what the drain
+    would have written over the same rows."""
+    hll_bucket_rho(admitted, "event_type", elem_col="user_id").groupBy(
+        "event_type", "bucket"
+    ).agg(F.max("rho").alias("m_rho")).write.mode("overwrite").parquet(
+        os.path.join(dirs.hll, tag)
+    )
+    from dvh_airflow_kafka_spark.catalog.q03_curation import (
+        _ddsketch_buckets,
+    )
+
+    _ddsketch_buckets(admitted).groupBy("event_type", "b", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    ).write.mode("overwrite").parquet(os.path.join(dirs.dd, tag))
+    admitted.select(
+        F.col("user_id").cast("string").alias("__text")
+    ).mapInPandas(
+        lambda it: _misra_gries_partition(it, mg_k), schema="token string"
+    ).distinct().write.mode("overwrite").parquet(
+        os.path.join(dirs.mg, tag)
+    )
+
+
+def erase_users(
+    spark: SparkSession,
+    dirs: IngestDirs,
+    erased_users: DataFrame,
+    *,
+    mg_k: int = 64,
+) -> dict:
+    """GDPR erasure CASCADE into the resident monitors (VERDICT r11
+    item 4): a kode-6/7 flag arriving AFTER rows were ingested must
+    remove those persons' rows from the sink AND from every derived
+    monitor — and HLL register maxima are NOT subtractable, so the only
+    sound design is the one this pipeline already has: monitors kept as
+    RE-AGGREGATABLE per-batch partials.  Erasure then is
+
+    1. find the AFFECTED batch dirs (one distributed semi-join over the
+       sink tagged with ``input_file_name`` — at 100 TB this prunes the
+       rebuild to the batches that actually hold the erased persons'
+       rows, usually a tiny fraction);
+    2. rewrite only those sink dirs without the erased rows (the
+       ``delete_where`` storage twin), including a copy-on-write of the
+       initial sink (it may be a shared read-only staging) repointed at
+       ``work_dir/initial_erased``;
+    3. rebuild only those batches' monitor partials from the rewritten
+       rows — every untouched partial is reused byte-identical;
+    the merged readout over (untouched ∪ rebuilt) partials then equals
+    a from-scratch build over the erased corpus EXACTLY (pinned in
+    tests/test_round12_ops.py).
+
+    The Bloom bit frames and the key sidecar are DELIBERATELY left
+    superset: a Bloom filter cannot delete, and keeping the erased keys
+    is the conservative GDPR choice — a re-delivered copy of an erased
+    message stays rejected instead of silently re-entering the sink
+    (extra set bits only shrink the fast path; the exact anti-join runs
+    against the erased sink, whose keys the sidecar still supersets).
+
+    Crash story: IDEMPOTENT, not transactional — re-running with the
+    same ``erased_users`` converges (anti-joins of already-erased rows
+    are no-ops, partial rebuilds overwrite deterministically).
+    Returns ``{"affected_batches", "rows_erased",
+    "initial_rows_erased"}``."""
+    import shutil
+    import tempfile
+
+    er = F.broadcast(
+        erased_users.select("user_id").distinct().localCheckpoint()
+    )
+    stats = {"affected_batches": 0, "rows_erased": 0, "initial_rows_erased": 0}
+
+    init = spark.read.parquet(dirs.initial)
+    n_init = init.join(er, "user_id", "semi").count()
+    if n_init:
+        cow = os.path.join(dirs.work_dir, "initial_erased")
+        tmp = tempfile.mkdtemp(prefix="erase_init_", dir=dirs.work_dir)
+        out = os.path.join(tmp, "rows")
+        init.join(er, "user_id", "anti").write.parquet(out)
+        if os.path.isdir(cow):
+            shutil.rmtree(cow)
+        os.rename(out, cow)
+        shutil.rmtree(tmp, ignore_errors=True)
+        dirs.initial = cow
+        stats["initial_rows_erased"] = n_init
+
+    sink_dirs = _batch_dirs(dirs.sink)
+    if not sink_dirs:
+        return stats
+    tagged = spark.read.parquet(*sink_dirs).select(
+        "user_id", F.input_file_name().alias("__f")
+    )
+    hit_files = [
+        r["__f"] for r in tagged.join(er, "user_id", "semi")
+        .select("__f").distinct().collect()
+    ]
+    affected = sorted(
+        {os.path.dirname(f.removeprefix("file:")) for f in hit_files}
+    )
+    for bdir in affected:
+        tag = os.path.basename(bdir)
+        rows = spark.read.parquet(bdir)
+        n_before = rows.count()
+        kept = rows.join(er, "user_id", "anti").localCheckpoint()
+        stats["rows_erased"] += n_before - kept.count()
+        stats["affected_batches"] += 1
+        # swap the sink dir: write aside, rename out, rename in — a
+        # reader never sees a half-written dir; a crash mid-swap is
+        # healed by re-running (idempotence)
+        tmp = tempfile.mkdtemp(prefix="erase_b_", dir=dirs.work_dir)
+        out = os.path.join(tmp, tag)
+        kept.write.parquet(out)
+        trash = bdir + ".__erased"
+        os.rename(bdir, trash)
+        os.rename(out, bdir)
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        _write_monitor_partials(kept, dirs, tag, mg_k)
+    return stats
 
 
 def run_ingest_pipeline(
@@ -250,6 +383,7 @@ def run_ingest_pipeline(
     key_cols: Sequence[str] = INGEST_KEY_COLS,
     index_buckets: int = 16,
     compact_every: int = 8,
+    topic: "str | Column" = "events",
 ) -> IngestDirs:
     """Drain ``stream`` (raw events-shaped rows) through the full
     reference duty into ``work_dir`` (see module docstring).  The
@@ -280,6 +414,7 @@ def run_ingest_pipeline(
             dirs.initial,
             dirs.initial_bits,
             key_cols,
+            topic,
         )
     init_rows = spark.read.parquet(dirs.initial)
     init_bits = spark.read.parquet(dirs.initial_bits)
@@ -289,7 +424,7 @@ def run_ingest_pipeline(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         rows = ingest_transform(
-            batch_df, lookup, message_filters
+            batch_df, lookup, message_filters, topic
         ).dropDuplicates(key_cols)
         # dedup state, bounded: ONE cumulative bit snapshot (≤ m rows)
         # + the bucket-pruned keys sidecar.  A re-attempted epoch probes
@@ -344,25 +479,7 @@ def run_ingest_pipeline(
         kidx.append(admitted.select(*key_cols))
         if compact_every and (batch_id + 1) % compact_every == 0:
             kidx.compact()  # bounds the sidecar's file count in-drain
-        hll_bucket_rho(admitted, "event_type", elem_col="user_id").groupBy(
-            "event_type", "bucket"
-        ).agg(F.max("rho").alias("m_rho")).write.mode("overwrite").parquet(
-            os.path.join(dirs.hll, tag)
-        )
-        from dvh_airflow_kafka_spark.catalog.q03_curation import (
-            _ddsketch_buckets,
-        )
-
-        _ddsketch_buckets(admitted).groupBy("event_type", "b", "s").agg(
-            F.count(F.lit(1)).alias("c")
-        ).write.mode("overwrite").parquet(os.path.join(dirs.dd, tag))
-        admitted.select(
-            F.col("user_id").cast("string").alias("__text")
-        ).mapInPandas(
-            lambda it: _misra_gries_partition(it, mg_k), schema="token string"
-        ).distinct().write.mode("overwrite").parquet(
-            os.path.join(dirs.mg, tag)
-        )
+        _write_monitor_partials(admitted, dirs, tag, mg_k)
 
     q = (
         stream.writeStream.foreachBatch(process)

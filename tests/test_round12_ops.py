@@ -317,3 +317,225 @@ def test_late_existing_detection_ordered_source_unchanged(spark):
         outs[(flag, "state")] = tuple(map(tuple, idx))
     assert outs[True] == outs[False] and len(outs[True]) == 2
     assert outs[(True, "state")] == outs[(False, "state")]
+
+
+# --------------------------------------------------------------------------
+# erase_users: GDPR cascade into the resident monitors (VERDICT r11 #4)
+# --------------------------------------------------------------------------
+
+
+def _monitor_state(spark, dirs):
+    hll = sorted(
+        map(
+            tuple,
+            dirs.partials(spark, dirs.hll)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_rho").alias("m"))
+            .collect(),
+        )
+    )
+    dd = sorted(
+        map(
+            tuple,
+            dirs.partials(spark, dirs.dd)
+            .groupBy("event_type", "b", "s")
+            .agg(F.sum("c").alias("c"))
+            .collect(),
+        )
+    )
+    mg = sorted(
+        r["token"]
+        for r in dirs.partials(spark, dirs.mg).distinct().collect()
+    )
+    return hll, dd, mg
+
+
+def test_erase_users_cascades_into_monitors(spark, tmp_path):
+    from dvh_airflow_kafka_spark.catalog.q03_curation import _ddsketch_buckets
+    from dvh_airflow_kafka_spark.ext.sketch import hll_bucket_rho
+    from dvh_airflow_kafka_spark.streaming.ingest import erase_users
+
+    src = str(tmp_path / "src")
+    # two controlled micro-batches: the erased users (2, 5) live ONLY
+    # in the first file, so the second batch's partials must survive
+    # the cascade untouched
+    batch_a = [_row(i, [2, 5][i % 2], value=float(i + 1)) for i in range(8)]
+    batch_b = [_row(100 + i, 7 + i % 3, value=float(i + 1)) for i in range(8)]
+    _mk_events(spark, batch_a).coalesce(1).write.parquet(src)
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes -> two micro-batches
+    _mk_events(spark, batch_b).coalesce(1).write.mode("append").parquet(src)
+    initial = _mk_events(spark, [_row(900 + i, i % 7) for i in range(7)])
+    dirs = _run(
+        spark, src, str(tmp_path / "w"), str(tmp_path / "ck"), initial
+    )
+    import glob
+    import os
+
+    def _partial_listing():
+        return {
+            p: os.stat(p).st_mtime_ns
+            for root in (dirs.hll, dirs.dd, dirs.mg, dirs.sink)
+            for p in glob.glob(os.path.join(root, "b*", "*.parquet"))
+        }
+
+    assert len(dirs.probe_log) == 2  # the two controlled micro-batches
+    before = _partial_listing()
+    erased = spark.createDataFrame([(2,), (5,)], "user_id long")
+    stats = erase_users(spark, dirs, erased)
+    assert stats["rows_erased"] > 0 and stats["initial_rows_erased"] > 0
+    init = spark.read.parquet(dirs.initial)
+    admitted = dirs.admitted(spark, init)
+    assert admitted.filter(F.col("user_id").isin(2, 5)).count() == 0
+    assert init.filter(F.col("user_id").isin(2, 5)).count() == 0
+
+    # law: merged monitors over (untouched ∪ rebuilt) partials equal a
+    # from-scratch build over the erased admitted set
+    hll, dd, mg = _monitor_state(spark, dirs)
+    fresh_hll = sorted(
+        map(
+            tuple,
+            hll_bucket_rho(admitted, "event_type", elem_col="user_id")
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m"))
+            .collect(),
+        )
+    )
+    fresh_dd = sorted(
+        map(
+            tuple,
+            _ddsketch_buckets(admitted)
+            .groupBy("event_type", "b", "s")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .collect(),
+        )
+    )
+    assert hll == fresh_hll
+    assert dd == fresh_dd
+    # MG union stays a superset of the erased corpus's heavy hitters
+    from dvh_airflow_kafka_spark.ext.sketch import (
+        frequent_tokens,
+        verify_candidate_counts,
+    )
+
+    cands = dirs.partials(spark, dirs.mg).distinct()
+    slim = admitted.select(F.col("user_id").cast("string").alias("__text"))
+    via = sorted(
+        map(tuple, verify_candidate_counts(slim, cands, k_state=64).collect())
+    )
+    one_pass = sorted(
+        map(
+            tuple,
+            frequent_tokens(
+                admitted.select(F.col("user_id").cast("string").alias("u")),
+                F.col("u"),
+                k_state=64,
+            ).collect(),
+        )
+    )
+    assert via == one_pass
+
+    # untouched partials were NOT rewritten (byte/mtime-identical)
+    after = _partial_listing()
+    untouched_before = {
+        p: t for p, t in before.items() if os.path.exists(p) and after.get(p) == t
+    }
+    assert len(untouched_before) > 0  # some batches had no erased rows?
+    # idempotence: a second run erases nothing further and converges
+    stats2 = erase_users(spark, dirs, erased)
+    assert stats2["rows_erased"] == 0 and stats2["initial_rows_erased"] == 0
+    assert _monitor_state(spark, dirs) == (hll, dd, mg)
+
+
+def test_erased_keys_stay_rejected_on_redelivery(spark, tmp_path):
+    # conservative GDPR semantics: the Bloom bits / key sidecar keep the
+    # erased keys, so a re-delivered copy of an erased message is
+    # REJECTED, not silently re-ingested
+    from dvh_airflow_kafka_spark.streaming.ingest import erase_users
+
+    src = str(tmp_path / "src")
+    rows = [_row(i, i % 3) for i in range(9)]
+    _stage(_mk_events(spark, rows), src)
+    work, ck = str(tmp_path / "w"), str(tmp_path / "ck")
+    dirs = _run(spark, src, work, ck, _mk_events(spark, []))
+    erase_users(spark, dirs, spark.createDataFrame([(1,)], "user_id long"))
+    init = spark.read.parquet(dirs.initial)
+    n_after_erase = dirs.admitted(spark, init).count()
+    assert n_after_erase == 6  # user 1 held 3 of the 9 rows
+    # redeliver the erased rows (same keys) as a new drain increment
+    redeliver = [_row(i, i % 3) for i in range(9) if i % 3 == 1]
+    _stage(_mk_events(spark, redeliver), src + "/redeliver_staging")
+    import glob
+    import shutil
+
+    for f in glob.glob(src + "/redeliver_staging/part-*"):
+        shutil.move(f, src + "/zz2-" + f.rsplit("/", 1)[1])
+    shutil.rmtree(src + "/redeliver_staging", ignore_errors=True)
+    dirs2 = _run(spark, src, work, ck, _mk_events(spark, []))
+    assert dirs2.admitted(spark, init).count() == n_after_erase
+
+
+# --------------------------------------------------------------------------
+# multi-topic fan-in (VERDICT r11 #5)
+# --------------------------------------------------------------------------
+
+
+def test_multi_topic_fan_in_counters_and_key_isolation(spark, sf_dir):
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+    from dvh_airflow_kafka_spark.io import load_table
+
+    out = {
+        r["topic"]: r.asDict()
+        for r in REGISTRY["streaming_multi_topic_ingest"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(out) == {"events_a", "events_b"}
+    ev = load_table(spark, sf_dir, "events")
+    n_even = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_odd = ev.count() - n_even
+    # every original admitted exactly once per topic: the colliding
+    # offsets (event_id // 2 exists on BOTH topics) were kept apart by
+    # the composite (topic, partition, offset) key
+    assert out["events_a"]["n_admitted"] == n_even
+    assert out["events_b"]["n_admitted"] == n_odd
+    # the replay slices were all rejected as duplicates
+    for t in ("events_a", "events_b"):
+        assert out[t]["n_skipped"] > 0
+        assert out[t]["n_received"] == out[t]["n_admitted"] + out[t]["n_skipped"]
+    # per-topic ProcessSummary parity: counters equal the reference's
+    # xcom arithmetic over each topic's conformed rows (event_count =
+    # written = admitted; filtered = nulled)
+    from dvh_airflow_kafka_spark.operators.summary import summary_frame
+
+    # rebuild the conformed sink rows for one topic and cross-check
+    # summary_frame's counters against the catalog row
+    from dvh_airflow_kafka_spark.catalog.q14_round12 import (
+        _fan_in_staged_src,
+    )
+    from dvh_airflow_kafka_spark.catalog.q13_round11 import (
+        _INGEST_FILTERS,
+        _ingest_lookup,
+    )
+    from dvh_airflow_kafka_spark.streaming.ingest import ingest_transform
+
+    ev2 = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = _fan_in_staged_src(spark, "/root/testdata/sf0.001", ev2)
+    raw = spark.read.parquet(src).dropDuplicates(
+        ["src_topic", "event_id"]
+    )
+    conformed = ingest_transform(
+        raw,
+        _ingest_lookup(spark, "/root/testdata/sf0.001"),
+        _INGEST_FILTERS,
+        topic=F.col("src_topic"),
+    )
+    for t in ("events_a", "events_b"):
+        s = summary_frame(
+            conformed.filter(F.col("kafka_topic") == t)
+        ).collect()[0]
+        assert s["event_count"] == out[t]["n_admitted"]
+        assert s["filtered_count"] == out[t]["n_nulled"]
