@@ -268,6 +268,35 @@ HEADLINE = [
 ]
 
 
+def bench_set() -> list[str]:
+    """The FULL registered catalog — HEADLINE first (its order is the
+    round-over-round comparability contract), then every remaining
+    registered query in registration order.  Round-11 judge ask #6:
+    "headline" must never silently mean "fast subset"; every registered
+    query gets a recorded time every round."""
+    seen = set(HEADLINE)
+    return list(HEADLINE) + [n for n in REGISTRY if n not in seen]
+
+
+def _best_total(times: dict) -> "float | None":
+    """Sum of BENCH_BEST.json minima over the queries this run also
+    timed — the clean-run yardstick printed NEXT to the headline so a
+    loaded driver run is interpretable standalone (round-11 judge ask
+    #7)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json"
+    )
+    try:
+        with open(path) as fh:
+            best = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return None
+    shared = [n for n in times if n in best]
+    if not shared:
+        return None
+    return round(sum(best[n] for n in shared), 2)
+
+
 def main() -> int:
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark("bench")
@@ -312,7 +341,7 @@ def main() -> int:
     # judge can separate "plan regression" (all runs slow) from "one
     # stolen run" (spread with a fast min) without re-running the bench.
     retried: dict[str, list[float]] = {}
-    for i, name in enumerate(HEADLINE):
+    for i, name in enumerate(bench_set()):
         fn = REGISTRY[name].fn
         runs = []
         for _ in range(2):
@@ -365,8 +394,16 @@ def main() -> int:
         # the totals then measure steal, not the engine.  The flag makes
         # a single driver run self-describing without cross-referencing
         # BENCH_BEST.json.
-        "loaded_start": load_avg_start[0] > 0.5 * (os.cpu_count() or 32),
+        # round-11 judge ask #7: 0.5·cpus was too forgiving (r11 started
+        # at load 6.39, flagged clean, ran ~40% over BENCH_BEST) — a
+        # 1-min load already past ~20% of the cores before we start
+        # means measurable steal.
+        "loaded_start": load_avg_start[0] > 0.2 * (os.cpu_count() or 32),
         "load_avg_1m_start": round(load_avg_start[0], 2),
+        # the clean-run yardstick: sum of committed BENCH_BEST minima
+        # over this run's query set — compare "value" against this
+        # without cross-referencing files
+        "best_of_total": _best_total(times),
         # worst spreads (first-run vs best) so the recorded BENCH_r{N}
         # itself shows which slow numbers were steal bursts; full map in
         # BENCH_FULL.json

@@ -529,3 +529,310 @@ def streaming_multi_topic_ingest(
         "topic string, n_received long, n_admitted long, n_skipped long, "
         "n_nulled long, n_users long, value_cents long",
     )
+
+
+_WEEKLY_BUDGET = 1_000_000
+
+
+@register(
+    "weekly_ops_capstone",
+    sql=rf"""
+    WITH incoming AS (
+        SELECT * FROM events
+        UNION ALL SELECT * FROM events WHERE event_id < 400
+        UNION ALL SELECT * FROM events WHERE event_id < 100
+    ), ded AS (
+        SELECT DISTINCT event_id, ts, user_id, event_type, "value", props
+        FROM incoming
+    ), init AS (
+        SELECT event_type, "value" FROM events WHERE event_id % 3 = 0
+    ), adm AS (
+        SELECT event_type, "value" FROM ded WHERE event_id % 3 <> 0
+    ), full_sink AS (
+        SELECT * FROM init UNION ALL SELECT * FROM adm
+    ), mix0 AS (
+        SELECT f.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(floor(sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+        FROM full_sink f GROUP BY f.event_type
+    ), mixt AS (SELECT SUM(w) AS tw FROM mix0
+    ), adm_rows AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM adm GROUP BY 1
+    ), s_mix AS (
+        SELECT 'mixture' AS section, m.event_type || '|rows' AS dim,
+               m.n_rows AS n, CAST(NULL AS DOUBLE) AS x
+        FROM mix0 m
+        UNION ALL
+        SELECT 'mixture', m.event_type || '|share_ppm',
+               CAST((1000000 * m.w) // t.tw AS BIGINT), CAST(NULL AS DOUBLE)
+        FROM mix0 m, mixt t
+        UNION ALL
+        SELECT 'mixture', m.event_type || '|budget',
+               CAST(({_WEEKLY_BUDGET} * m.w) // t.tw AS BIGINT),
+               CAST(NULL AS DOUBLE)
+        FROM mix0 m, mixt t
+        UNION ALL
+        SELECT 'mixture', a.event_type || '|adm_rows', a.n,
+               CAST(NULL AS DOUBLE)
+        FROM adm_rows a
+    ), cents AS (
+        SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT) AS c,
+               1 AS s
+        FROM init
+        UNION ALL
+        SELECT event_type, CAST(floor("value" * 100 + 0.5) AS BIGINT), 0
+        FROM adm
+    ), cnt AS (
+        SELECT event_type, c,
+               CAST(SUM(s) AS BIGINT) AS a, CAST(SUM(1 - s) AS BIGINT) AS b
+        FROM cents GROUP BY event_type, c
+    ), cum AS (
+        SELECT event_type,
+               SUM(a) OVER (PARTITION BY event_type ORDER BY c) AS ca,
+               SUM(b) OVER (PARTITION BY event_type ORDER BY c) AS cb
+        FROM cnt
+    ), tot AS (
+        SELECT event_type,
+               CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+        FROM cnt GROUP BY event_type
+    ), s_ks AS (
+        SELECT 'ks' AS section, cum.event_type AS dim,
+               CAST(MAX(ABS(cum.ca * tot.nb - cum.cb * tot.na)) AS BIGINT)
+                   AS n,
+               ROUND(CAST(MAX(ABS(cum.ca * tot.nb - cum.cb * tot.na))
+                          AS DOUBLE)
+                     / CAST(tot.na * tot.nb AS DOUBLE), 6) AS x
+        FROM cum JOIN tot USING (event_type)
+        WHERE tot.na > 0 AND tot.nb > 0
+        GROUP BY cum.event_type, tot.na, tot.nb
+    ), o0 AS (
+        SELECT 'init' AS cohort, event_type, CAST(COUNT(*) AS BIGINT) AS o
+        FROM init GROUP BY event_type
+        UNION ALL
+        SELECT 'adm', event_type, CAST(COUNT(*) AS BIGINT)
+        FROM adm GROUP BY event_type
+    ), cells AS (
+        SELECT co.cohort, ty.event_type, COALESCE(o0.o, 0) AS o
+        FROM (SELECT DISTINCT cohort FROM o0) co
+        CROSS JOIN (SELECT DISTINCT event_type FROM o0) ty
+        LEFT JOIN o0 ON o0.cohort = co.cohort
+                    AND o0.event_type = ty.event_type
+    ), rt AS (SELECT cohort, SUM(o) AS r FROM cells GROUP BY cohort),
+    ct AS (SELECT event_type, SUM(o) AS c FROM cells GROUP BY event_type),
+    nn AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+        SELECT cells.cohort, rt.r,
+               CAST(floor(
+                   ((CAST(cells.o AS DOUBLE)
+                     - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE))
+                    * (CAST(cells.o AS DOUBLE)
+                       - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                         / CAST(nn.n AS DOUBLE))
+                    / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+                       / CAST(nn.n AS DOUBLE)))
+                   * 1000000 + 0.5) AS BIGINT) AS term_micro
+        FROM cells JOIN rt ON cells.cohort = rt.cohort
+        JOIN ct ON cells.event_type = ct.event_type
+        CROSS JOIN nn
+    ), s_chi AS (
+        SELECT 'chi2' AS section, cohort AS dim,
+               CAST(SUM(term_micro) AS BIGINT) AS n,
+               CAST(SUM(term_micro) AS DOUBLE) / 1000000 AS x
+        FROM terms GROUP BY cohort
+    )
+    SELECT * FROM s_mix
+    UNION ALL SELECT * FROM s_ks
+    UNION ALL SELECT * FROM s_chi
+    """,
+)
+def weekly_ops_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] THE FULL PRODUCTION WEEK AS ONE CERTIFIED CHAIN (VERDICT
+    r11 item 8): run the streaming ingest duty, then — OFF THE
+    PIPELINE'S OWN ARTIFACTS, not a re-read of the source table — the
+    two weekly follow-ups a data-platform team runs when the drain
+    lands:
+
+    1. **Mixture rebalance** over the post-ingest sink (initial ∪
+       admitted): per event_type, floor(sqrt(count))-weighted share_ppm
+       and token-budget split in pure BIGINT arithmetic
+       (``mixture_rebalance_incremental``'s cross-engine convention).
+    2. **Drift gate** between the standing corpus (initial sink) and
+       this week's admitted increment: per-type two-sample KS on the
+       cents-quantized value distribution
+       (``ext/stats.keyed_ks_two_sample``, integer numerator) and the
+       2×K chi-square homogeneity of the type MIX between the two
+       cohorts (``event_mix_chi2_drift``'s micro-quantized terms).
+
+    One drain + three bounded aggregates over counts frames: the
+    monitor state after the first shuffle is O(types × distinct cents),
+    never raw events — at 100 TB the weekly report is an
+    O(increment + counts) pass off the sink the drain just wrote."""
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.ext import stats as xstats
+    from dvh_airflow_kafka_spark.streaming.ingest import run_ingest_pipeline
+    from dvh_airflow_kafka_spark.streaming.stateful import read_event_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = _ingest_staged_src(spark, sf_dir, events)
+    lookup = _ingest_lookup(spark, sf_dir)
+    shared = _ingest_shared_initial(spark, sf_dir, events, lookup)
+    work = tempfile.mkdtemp(prefix="weekly_ops_")
+    ckpt = tempfile.mkdtemp(prefix="weekly_ops_ckpt_")
+    try:
+        dirs = run_ingest_pipeline(
+            spark,
+            read_event_stream(spark, src, max_files_per_trigger=16),
+            work_dir=work,
+            checkpoint_dir=ckpt,
+            initial_sink=events.filter(F.col("event_id") % 3 == 0),
+            lookup=lookup,
+            message_filters=_INGEST_FILTERS,
+            mg_k=_INGEST_MG_K,
+            shared_initial=shared,
+        )
+        init = spark.read.parquet(dirs.initial).select("event_type", "value")
+        adm = dirs.admitted(
+            spark, spark.read.parquet(dirs.initial)
+        ).select("event_type", "value")
+        init = init.localCheckpoint(eager=False)
+        adm = adm.localCheckpoint(eager=False)
+        nul = F.lit(None).cast("double")
+
+        full_sink = init.unionByName(adm)
+        mix0 = full_sink.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows")
+        ).withColumn(
+            "w",
+            F.floor(F.sqrt(F.col("n_rows").cast("double"))).cast("long"),
+        )
+        tw = mix0.agg(F.sum("w").alias("tw"))
+        mixj = mix0.crossJoin(F.broadcast(tw))
+        s_rows = mixj.select(
+            F.lit("mixture").alias("section"),
+            F.concat(F.col("event_type"), F.lit("|rows")).alias("dim"),
+            F.col("n_rows").alias("n"),
+            nul.alias("x"),
+        )
+        s_share = mixj.select(
+            F.lit("mixture").alias("section"),
+            F.concat(F.col("event_type"), F.lit("|share_ppm")).alias("dim"),
+            ((F.lit(1000000) * F.col("w")) / F.col("tw"))
+            .cast("long")
+            .alias("n"),
+            nul.alias("x"),
+        )
+        s_budget = mixj.select(
+            F.lit("mixture").alias("section"),
+            F.concat(F.col("event_type"), F.lit("|budget")).alias("dim"),
+            ((F.lit(_WEEKLY_BUDGET) * F.col("w")) / F.col("tw"))
+            .cast("long")
+            .alias("n"),
+            nul.alias("x"),
+        )
+        s_adm = adm.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(
+            F.lit("mixture").alias("section"),
+            F.concat(F.col("event_type"), F.lit("|adm_rows")).alias("dim"),
+            "n",
+            nul.alias("x"),
+        )
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+        contrib = init.select(
+            "event_type", cents.alias("c"), F.lit(True).alias("early")
+        ).unionByName(
+            adm.select(
+                "event_type", cents.alias("c"), F.lit(False).alias("early")
+            )
+        )
+        s_ks = (
+            xstats.keyed_ks_two_sample(
+                contrib,
+                ["event_type"],
+                "c",
+                "early",
+                n_a="n_prev",
+                n_b="n_cur",
+                ks_num="ks_num",
+                ks_stat="ks_stat",
+            )
+            .filter((F.col("n_prev") > 0) & (F.col("n_cur") > 0))
+            .select(
+                F.lit("ks").alias("section"),
+                F.col("event_type").alias("dim"),
+                F.col("ks_num").cast("long").alias("n"),
+                F.col("ks_stat").alias("x"),
+            )
+        )
+        o0 = (
+            init.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("o"))
+            .withColumn("cohort", F.lit("init"))
+            .unionByName(
+                adm.groupBy("event_type")
+                .agg(F.count(F.lit(1)).cast("long").alias("o"))
+                .withColumn("cohort", F.lit("adm"))
+            )
+            .localCheckpoint(eager=False)
+        )
+        cohorts = o0.select("cohort").distinct()
+        types = o0.select("event_type").distinct()
+        cells = (
+            cohorts.crossJoin(types)
+            .join(o0, ["cohort", "event_type"], "left")
+            .select(
+                "cohort",
+                "event_type",
+                F.coalesce(F.col("o"), F.lit(0)).cast("long").alias("o"),
+            )
+        )
+        rt = cells.groupBy("cohort").agg(F.sum("o").alias("r"))
+        ct = cells.groupBy("event_type").agg(F.sum("o").alias("ctot"))
+        nn = cells.agg(F.sum("o").alias("nn"))
+        e = (
+            F.col("r").cast("double")
+            * F.col("ctot").cast("double")
+            / F.col("nn").cast("double")
+        )
+        term = F.floor(
+            (
+                (F.col("o").cast("double") - e)
+                * (F.col("o").cast("double") - e)
+                / e
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long")
+        s_chi = (
+            cells.join(F.broadcast(rt), "cohort")
+            .join(F.broadcast(ct), "event_type")
+            .crossJoin(F.broadcast(nn))
+            .select("cohort", term.alias("term_micro"))
+            .groupBy("cohort")
+            .agg(F.sum("term_micro").cast("long").alias("n"))
+            .select(
+                F.lit("chi2").alias("section"),
+                F.col("cohort").alias("dim"),
+                "n",
+                (F.col("n").cast("double") / 1000000).alias("x"),
+            )
+        )
+        report = (
+            s_rows.unionByName(s_share)
+            .unionByName(s_budget)
+            .unionByName(s_adm)
+            .unionByName(s_ks)
+            .unionByName(s_chi)
+        )
+        rows = report.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, dim string, n long, x double"
+    )
