@@ -423,9 +423,15 @@ def run_ingest_pipeline(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        rows = ingest_transform(
-            batch_df, lookup, message_filters, topic
-        ).dropDuplicates(key_cols)
+        # one compute for the whole batch: the transform feeds the
+        # bucket-probe collect, both bloom_dedup branches, and the
+        # dropDuplicates — without the checkpoint each consumer would
+        # re-run the envelope + scrub lineage
+        rows = (
+            ingest_transform(batch_df, lookup, message_filters, topic)
+            .dropDuplicates(key_cols)
+            .localCheckpoint()
+        )
         # dedup state, bounded: ONE cumulative bit snapshot (≤ m rows)
         # + the bucket-pruned keys sidecar.  A re-attempted epoch probes
         # the real sink dirs below it instead — its prior try may have
@@ -469,7 +475,9 @@ def run_ingest_pipeline(
             raise RuntimeError(
                 f"injected crash after sink write of batch {batch_id}"
             )
-        new_bits = build_bloom(admitted, _ingest_key(key_cols))
+        # one compute feeds both the per-batch bit artifact and the
+        # cumulative snapshot below
+        new_bits = build_bloom(admitted, _ingest_key(key_cols)).localCheckpoint()
         new_bits.write.mode("overwrite").parquet(os.path.join(dirs.bits, tag))
         # next batch's ONE-dir dedup read; ≤ m rows so the rewrite is
         # bounded work regardless of how much the sink has accreted

@@ -189,10 +189,17 @@ class SinkKeyIndex:
         return idx.filter(F.col(BUCKET_COL).isin(buckets)).select(*self.keys)
 
     def append(self, fresh: DataFrame) -> None:
-        """Append the just-written rows' keys, partitioned by bucket."""
+        """Append the just-written rows' keys, partitioned by bucket.
+
+        The keys frame is shuffled onto the bucket column first so each
+        bucket dir gains exactly ONE file per append — without it every
+        input task writes a sliver into every bucket it touches
+        (tasks × buckets files per append, measured as the dominant
+        per-batch cost of the ingest drain's sidecar maintenance)."""
         (
             fresh.select(*self.keys)
             .withColumn(BUCKET_COL, self._bucket())
+            .repartition(BUCKET_COL)
             .write.mode("append")
             .partitionBy(BUCKET_COL)
             .parquet(self.path)
