@@ -484,6 +484,14 @@ def run_ingest_pipeline(
         prior_bits.unionByName(new_bits).distinct().write.mode(
             "overwrite"
         ).parquet(os.path.join(dirs.bits_cum, tag))
+        # retention: only the LATEST snapshot below a batch is ever read
+        # (a replay of batch N reads the newest < N, i.e. N-1), so keep
+        # this batch's and the previous one and drop the rest — disk
+        # stays O(1) snapshots, not O(batches)
+        import shutil as _shutil
+
+        for old in _batch_dirs(dirs.bits_cum, batch_id - 1):
+            _shutil.rmtree(old, ignore_errors=True)
         kidx.append(admitted.select(*key_cols))
         if compact_every and (batch_id + 1) % compact_every == 0:
             kidx.compact()  # bounds the sidecar's file count in-drain

@@ -539,3 +539,32 @@ def test_multi_topic_fan_in_counters_and_key_isolation(spark, sf_dir):
         ).collect()[0]
         assert s["event_count"] == out[t]["n_admitted"]
         assert s["filtered_count"] == out[t]["n_nulled"]
+
+
+def test_bits_cum_retention_keeps_o1_snapshots(spark, tmp_path):
+    # the cumulative-bit snapshots are read newest-below-batch only; the
+    # drain must retain the current + previous and drop the rest
+    src = str(tmp_path / "src")
+    rows = [_row(i, i % 5) for i in range(20)]
+    _stage(_mk_events(spark, rows), src, n_files=5)
+    dirs = _run(
+        spark, src, str(tmp_path / "w"), str(tmp_path / "ck"),
+        _mk_events(spark, []),
+    )
+    import glob
+    import os
+
+    cum = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(dirs.bits_cum, "b*"))
+    )
+    assert cum == ["b00003", "b00004"], cum
+    # the retained snapshot is the full cumulative set: equals the
+    # distinct union of every per-batch bit artifact
+    latest = spark.read.parquet(os.path.join(dirs.bits_cum, "b00004"))
+    per_batch = spark.read.parquet(
+        *glob.glob(os.path.join(dirs.bits, "b*"))
+    ).distinct()
+    assert sorted(r.pos for r in latest.collect()) == sorted(
+        r.pos for r in per_batch.collect()
+    )
