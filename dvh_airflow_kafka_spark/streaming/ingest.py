@@ -368,6 +368,141 @@ def erase_users(
     return stats
 
 
+_COMPACT_SENTINEL = "_COMPACTED"
+
+
+def _sink_roots(dirs: "IngestDirs") -> dict:
+    return {
+        "sink": dirs.sink,
+        "bits": dirs.bits,
+        "hll": dirs.hll,
+        "dd": dirs.dd,
+        "mg": dirs.mg,
+    }
+
+
+def recover_sink_compaction(dirs: "IngestDirs") -> None:
+    """Heal a compaction torn by a crash.  ``compact_sink`` is a
+    two-phase swap across all five per-batch roots under one marker:
+    until every root holds the consolidated dir (identified by its
+    ``_COMPACTED`` sentinel file), the WHOLE operation rolls back —
+    completed roots drop their consolidated dir and every root restores
+    its originals from ``__trash`` — because a half-compacted state
+    (sink consolidated, monitors still per-batch) would break the
+    sink-dir ↔ partial-dir correspondence ``erase_users`` rebuilds by.
+    Sentinel files are underscore-prefixed, so parquet readers ignore
+    them."""
+    import json
+    import shutil
+
+    marker = os.path.join(dirs.work_dir, "_compacting")
+    tmproot = os.path.join(dirs.work_dir, "__compact_tmp")
+    if not os.path.exists(marker):
+        shutil.rmtree(tmproot, ignore_errors=True)  # pre-marker orphan
+        return
+    with open(marker) as f:
+        tag = json.load(f)["tag"]
+    roots = _sink_roots(dirs)
+    done = all(
+        os.path.exists(os.path.join(r, tag, _COMPACT_SENTINEL))
+        for r in roots.values()
+    )
+    for r in roots.values():
+        trash = os.path.join(r, "__trash")
+        if done:
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            cons = os.path.join(r, tag)
+            if os.path.exists(os.path.join(cons, _COMPACT_SENTINEL)):
+                shutil.rmtree(cons)
+            if os.path.isdir(trash):
+                for name in os.listdir(trash):
+                    os.rename(
+                        os.path.join(trash, name), os.path.join(r, name)
+                    )
+                shutil.rmtree(trash, ignore_errors=True)
+    os.remove(marker)
+    shutil.rmtree(tmproot, ignore_errors=True)
+
+
+def compact_sink(
+    spark: SparkSession,
+    dirs: IngestDirs,
+    *,
+    fail_phase: Optional[str] = None,
+) -> dict:
+    """Consolidate the committed per-batch dirs — the sink AND its
+    per-batch monitor partials — into ONE dir per root, carrying the
+    highest existing batch tag (future batch ids from the resumed
+    checkpoint are strictly greater, and a crash-replay probe reads
+    dirs strictly below the torn batch, so the consolidated dir keeps
+    every ordering property).  The maintenance twin of
+    ``SinkKeyIndex.compact`` for the data side: after K drains of B
+    batches the readout/erasure surface is K·B dirs; this folds them
+    back to one.
+
+    The monitor partials merge by their own laws — HLL register
+    max-merge, ddsketch count sum-merge, Misra-Gries candidate-set
+    union (a superset of the heavy hitters stays a superset under
+    union), Bloom bit distinct-union — so every post-compaction readout
+    is bit-identical (pytest-pinned) and ``erase_users`` keeps its
+    sink-dir ↔ partial-dir correspondence.
+
+    Run BETWEEN drains (no active writer).  Crash-safe via a marker +
+    per-root ``__trash`` two-phase swap: any tear rolls the WHOLE
+    operation back (``recover_sink_compaction``, invoked automatically
+    here and at every ``run_ingest_pipeline`` start).  ``fail_phase``
+    injects crashes for the pytest ('after_tmp', 'mid_swap')."""
+    import json
+    import shutil
+
+    recover_sink_compaction(dirs)
+    bdirs = _batch_dirs(dirs.sink)
+    if len(bdirs) < 2:
+        return {"compacted_dirs": 0, "tag": None}
+    tag = os.path.basename(bdirs[-1])
+    roots = _sink_roots(dirs)
+    tmproot = os.path.join(dirs.work_dir, "__compact_tmp")
+    shutil.rmtree(tmproot, ignore_errors=True)
+
+    init = spark.read.parquet(dirs.initial)
+    consolidated = {
+        "sink": _read_union(spark, bdirs, init),
+        "bits": spark.read.parquet(*_batch_dirs(dirs.bits)).distinct(),
+        "hll": spark.read.parquet(*_batch_dirs(dirs.hll))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_rho").alias("m_rho")),
+        "dd": spark.read.parquet(*_batch_dirs(dirs.dd))
+        .groupBy("event_type", "b", "s")
+        .agg(F.sum("c").alias("c")),
+        "mg": spark.read.parquet(*_batch_dirs(dirs.mg)).distinct(),
+    }
+    for name, df in consolidated.items():
+        out = os.path.join(tmproot, name)
+        df.write.parquet(out)
+        open(os.path.join(out, _COMPACT_SENTINEL), "w").close()
+    if fail_phase == "after_tmp":
+        raise RuntimeError("injected crash after tmp build")
+
+    with open(os.path.join(dirs.work_dir, "_compacting"), "w") as f:
+        json.dump({"tag": tag}, f)
+    n = 0
+    for i, (name, root) in enumerate(roots.items()):
+        trash = os.path.join(root, "__trash")
+        os.makedirs(trash, exist_ok=True)
+        for d in _batch_dirs(root):
+            os.rename(d, os.path.join(trash, os.path.basename(d)))
+            n += 1
+        if fail_phase == "mid_swap" and i == 2:
+            raise RuntimeError("injected crash mid swap")
+        os.rename(os.path.join(tmproot, name), os.path.join(root, tag))
+    for root in roots.values():
+        shutil.rmtree(os.path.join(root, "__trash"), ignore_errors=True)
+    os.remove(os.path.join(dirs.work_dir, "_compacting"))
+    shutil.rmtree(tmproot, ignore_errors=True)
+    return {"compacted_dirs": n, "tag": tag}
+
+
 def run_ingest_pipeline(
     spark: SparkSession,
     stream: DataFrame,
@@ -402,6 +537,7 @@ def run_ingest_pipeline(
 
     key_cols = list(key_cols)
     dirs = IngestDirs(work_dir)
+    recover_sink_compaction(dirs)  # heal a crash-torn compact_sink
     lookup = lookup.localCheckpoint(eager=False)
     if shared_initial is not None:
         dirs.initial, dirs.initial_bits = shared_initial

@@ -568,3 +568,168 @@ def test_bits_cum_retention_keeps_o1_snapshots(spark, tmp_path):
     assert sorted(r.pos for r in latest.collect()) == sorted(
         r.pos for r in per_batch.collect()
     )
+
+
+# --------------------------------------------------------------------------
+# compact_sink: fold the per-batch dirs back to one per root
+# --------------------------------------------------------------------------
+
+
+def _drain_weeks(spark, tmp_path, n_rows=24, n_files=4, offset=0):
+    src = str(tmp_path / f"src{offset}")
+    rows = [_row(offset + i, i % 5, value=float(i % 7 + 1)) for i in range(n_rows)]
+    _stage(_mk_events(spark, rows), src, n_files=n_files)
+    return _run(
+        spark, src, str(tmp_path / "w"), str(tmp_path / "ck"),
+        _mk_events(spark, [_row(9000 + i, i) for i in range(3)]),
+    )
+
+
+def test_compact_sink_preserves_every_readout(spark, tmp_path):
+    from dvh_airflow_kafka_spark.streaming.ingest import compact_sink
+
+    dirs = _drain_weeks(spark, tmp_path)
+    init = spark.read.parquet(dirs.initial)
+    before_adm = sorted(map(tuple, dirs.admitted(spark, init).collect()))
+    before_mon = {}
+    for attr in ("hll", "dd", "mg", "bits"):
+        before_mon[attr] = sorted(
+            map(
+                tuple,
+                dirs.partials(spark, getattr(dirs, attr))
+                .distinct()
+                .collect(),
+            )
+        )
+    stats = compact_sink(spark, dirs)
+    assert stats["compacted_dirs"] > 0
+    import glob
+    import os
+
+    for root in (dirs.sink, dirs.hll, dirs.dd, dirs.mg, dirs.bits):
+        assert len(glob.glob(os.path.join(root, "b*"))) == 1, root
+    assert sorted(map(tuple, dirs.admitted(spark, init).collect())) == before_adm
+    # merged-by-law partials: HLL max-merge / dd sum-merge / mg + bits
+    # distinct-union leave every readout identical
+    hll_after = sorted(
+        map(
+            tuple,
+            dirs.partials(spark, dirs.hll)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_rho").alias("m"))
+            .collect(),
+        )
+    )
+    merged_before = {}
+    for t, b, m in before_mon["hll"]:
+        merged_before[(t, b)] = max(m, merged_before.get((t, b), 0))
+    assert hll_after == sorted(
+        (t, b, m) for (t, b), m in merged_before.items()
+    )
+    assert sorted(
+        map(tuple, dirs.partials(spark, dirs.bits).distinct().collect())
+    ) == before_mon["bits"]
+    assert sorted(
+        map(tuple, dirs.partials(spark, dirs.mg).distinct().collect())
+    ) == before_mon["mg"]
+    # idempotent: a second compact is a no-op
+    assert compact_sink(spark, dirs)["compacted_dirs"] == 0
+    # erasure still works against the consolidated layout
+    from dvh_airflow_kafka_spark.streaming.ingest import erase_users
+
+    erase_users(spark, dirs, spark.createDataFrame([(2,)], "user_id long"))
+    init2 = spark.read.parquet(dirs.initial)
+    adm = dirs.admitted(spark, init2)
+    assert adm.filter(F.col("user_id") == 2).count() == 0
+    from dvh_airflow_kafka_spark.ext.sketch import hll_bucket_rho
+
+    fresh = sorted(
+        map(
+            tuple,
+            hll_bucket_rho(adm, "event_type", elem_col="user_id")
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("m"))
+            .collect(),
+        )
+    )
+    merged = sorted(
+        map(
+            tuple,
+            dirs.partials(spark, dirs.hll)
+            .groupBy("event_type", "bucket")
+            .agg(F.max("m_rho").alias("m"))
+            .collect(),
+        )
+    )
+    assert fresh == merged
+
+
+@pytest.mark.parametrize("phase", ["after_tmp", "mid_swap"])
+def test_compact_sink_crash_rolls_whole_operation_back(
+    spark, tmp_path, phase
+):
+    from dvh_airflow_kafka_spark.streaming.ingest import (
+        compact_sink,
+        recover_sink_compaction,
+    )
+
+    dirs = _drain_weeks(spark, tmp_path)
+    init = spark.read.parquet(dirs.initial)
+    before = sorted(map(tuple, dirs.admitted(spark, init).collect()))
+    before_mon = sorted(
+        map(tuple, dirs.partials(spark, dirs.hll).distinct().collect())
+    )
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_sink(spark, dirs, fail_phase=phase)
+    recover_sink_compaction(dirs)
+    import glob
+    import os
+
+    # every root fully restored to the per-batch layout
+    n_dirs = {
+        root: len(glob.glob(os.path.join(root, "b*")))
+        for root in (dirs.sink, dirs.hll, dirs.dd, dirs.mg, dirs.bits)
+    }
+    assert all(v > 1 for v in n_dirs.values()), n_dirs
+    assert not os.path.exists(os.path.join(dirs.work_dir, "_compacting"))
+    assert sorted(map(tuple, dirs.admitted(spark, init).collect())) == before
+    assert (
+        sorted(
+            map(tuple, dirs.partials(spark, dirs.hll).distinct().collect())
+        )
+        == before_mon
+    )
+    # and a clean retry then completes
+    assert compact_sink(spark, dirs)["compacted_dirs"] > 0
+    assert sorted(map(tuple, dirs.admitted(spark, init).collect())) == before
+
+
+def test_drain_resumes_correctly_after_compaction(spark, tmp_path):
+    # drain -> compact -> new increment arrives (with redelivered keys):
+    # the resumed drain must keep dedup exact against the consolidated
+    # sink and append fresh batch dirs beside the consolidated one
+    from dvh_airflow_kafka_spark.streaming.ingest import compact_sink
+
+    dirs = _drain_weeks(spark, tmp_path)
+    compact_sink(spark, dirs)
+    init = spark.read.parquet(dirs.initial)
+    n_before = dirs.admitted(spark, init).count()
+    src = str(tmp_path / "src0")
+    fresh = [_row(500 + i, i % 5) for i in range(6)]
+    redelivered = [_row(i, i % 5, value=float(i % 7 + 1)) for i in range(6)]
+    import glob
+    import shutil
+    import time
+
+    inc = str(tmp_path / "inc")
+    _stage(_mk_events(spark, fresh + redelivered), inc)
+    time.sleep(1.1)
+    for f in glob.glob(inc + "/part-*"):
+        shutil.move(f, src + "/zz3-" + f.rsplit("/", 1)[1])
+    dirs2 = _run(
+        spark, src, str(tmp_path / "w"), str(tmp_path / "ck"),
+        _mk_events(spark, []),
+    )
+    adm = dirs2.admitted(spark, init)
+    assert adm.count() == n_before + 6  # redeliveries rejected
+    assert adm.filter(F.col("kafka_offset") >= 500).count() == 6
