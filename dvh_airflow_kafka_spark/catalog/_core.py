@@ -245,6 +245,7 @@ _CERTIFY_FIRST = [
     "streaming_erasure_cascade",  # new
     "streaming_multi_topic_ingest",  # new
     "weekly_ops_capstone",  # new
+    "ingest_lifecycle_capstone",  # new
     "streaming_ingest_capstone",  # churn
     "streaming_anomaly_zscore",  # r06
     "streaming_interval_join",  # r06
@@ -291,7 +292,6 @@ _CERTIFY_FIRST = [
     "time_decay_engagement",  # r07
     "ab_experiment_lift",  # r07
     "multi_topic_fan_in",  # r07
-    "streaming_static_enrichment",  # r07
 ]
 
 

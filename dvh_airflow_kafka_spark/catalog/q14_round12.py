@@ -836,3 +836,256 @@ def weekly_ops_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "section string, dim string, n long, x double"
     )
+
+
+def _lifecycle_staged(
+    spark: SparkSession, sf_dir: str, events: DataFrame, kind: str
+) -> str:
+    """Two ingest epochs staged as separate sources: epoch A = the
+    standing feed (event_id % 5 != 4, with the capstone's two replay
+    slices), epoch B = the next week's increment (event_id % 5 == 4)
+    plus an at-least-once REDELIVERY of part of epoch A."""
+    from dvh_airflow_kafka_spark.catalog._core import _staged_range_write
+
+    if kind == "a":
+        part = events.filter(F.col("event_id") % 5 != 4)
+
+        def _write(src: str) -> None:
+            _staged_range_write(part, src, 16)
+            part.filter(F.col("event_id") < 400).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            part.filter(F.col("event_id") < 100).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+    else:
+
+        def _write(src: str) -> None:
+            inc = events.filter(F.col("event_id") % 5 == 4)
+            red = events.filter(
+                (F.col("event_id") % 5 != 4) & (F.col("event_id") < 200)
+            )
+            _staged_range_write(inc.unionByName(red), src, 4)
+
+    return _staged_stream_src(f"lifecycle_{kind}", sf_dir, _write)
+
+
+@register(
+    "ingest_lifecycle_capstone",
+    sql=rf"""
+    WITH inc_a AS (
+        SELECT * FROM events WHERE event_id % 5 <> 4
+        UNION ALL SELECT * FROM events
+            WHERE event_id % 5 <> 4 AND event_id < 400
+        UNION ALL SELECT * FROM events
+            WHERE event_id % 5 <> 4 AND event_id < 100
+    ), inc_b AS (
+        SELECT * FROM events WHERE event_id % 5 = 4
+        UNION ALL SELECT * FROM events
+            WHERE event_id % 5 <> 4 AND event_id < 200
+    ), ded AS (
+        SELECT DISTINCT event_id, ts, user_id, event_type, "value", props
+        FROM (SELECT * FROM inc_a UNION ALL SELECT * FROM inc_b)
+    ), erased AS (
+        SELECT c_custkey AS uid FROM customer WHERE {_ERASE_SQL}
+    ), adm0 AS (
+        SELECT * FROM ded WHERE event_id % 3 <> 0
+    ), env AS (
+        SELECT CAST(user_id % 2 AS INT) AS kafka_partition,
+               CASE WHEN json_extract_string(props, '$.k') IN ('87', '12')
+                    THEN props ELSE NULL END AS msg0,
+               user_id, ts, event_type
+        FROM adm0
+    ), lookup AS (
+        SELECT c_custkey AS off_id,
+               DATE '1900-01-01' AS f,
+               CASE WHEN c_custkey <= 75 THEN DATE '2024-06-30'
+                    ELSE DATE '9999-12-31' END AS t
+        FROM customer WHERE c_custkey % 10 = 0
+    ), adm AS (
+        SELECT e.*,
+               CASE WHEN l.off_id IS NOT NULL THEN NULL
+                    ELSE e.msg0 END AS kafka_message
+        FROM env e
+        LEFT JOIN lookup l ON e.user_id = l.off_id
+                          AND CAST(e.ts AS DATE) BETWEEN l.f AND l.t
+    ), adm_e AS (
+        SELECT * FROM adm
+        WHERE user_id NOT IN (SELECT uid FROM erased)
+    ), s_audit AS (
+        SELECT 'erasure' AS section, 'rows_erased' AS dim,
+               CAST((SELECT COUNT(*) FROM adm
+                     WHERE user_id IN (SELECT uid FROM erased))
+                    AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        UNION ALL
+        SELECT 'erasure', 'initial_rows_erased',
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE event_id % 3 = 0
+                       AND user_id IN (SELECT uid FROM erased))
+                    AS BIGINT),
+               CAST(NULL AS DOUBLE)
+    ), s_total AS (
+        SELECT 'sink' AS section, 'total_rows' AS dim,
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE event_id % 3 = 0
+                       AND user_id NOT IN (SELECT uid FROM erased))
+                    + (SELECT COUNT(*) FROM adm_e) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+    ), s_adm AS (
+        SELECT 'sink' AS section,
+               'admitted|p' || kafka_partition || '|null'
+                   || CASE WHEN kafka_message IS NULL
+                           THEN 1 ELSE 0 END AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        FROM adm_e GROUP BY kafka_partition, kafka_message IS NULL
+    ), s_hllx AS (
+        SELECT 'hll_exact' AS section, event_type AS dim,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS x
+        FROM adm_e GROUP BY event_type
+    )
+    SELECT * FROM s_audit
+    UNION ALL SELECT * FROM s_total
+    UNION ALL SELECT * FROM s_adm
+    UNION ALL SELECT * FROM s_hllx
+    """,
+)
+def ingest_lifecycle_capstone(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """[EXT] THE FULL SINK LIFECYCLE, MULTI-EPOCH, AS ONE CERTIFIED
+    CHAIN: drain epoch A (the reference duty with replay slices) →
+    ``compact_sink`` folds the per-batch dirs and their monitor
+    partials back to one per root (merge-by-law) → drain epoch B (the
+    next increment, carrying an at-least-once REDELIVERY of epoch-A
+    messages that the standing dedup state must reject across both the
+    epoch boundary and the compaction) → a late kode-6 erasure request
+    cascades through ``erase_users`` into the consolidated sink and its
+    rebuilt partials.  The readout (erasure audit, post-erasure totals,
+    admitted-by-partition, exact distinct users per type) hash-matches
+    a DuckDB oracle replaying both epochs relationally.
+
+    Every mechanism in the chain carries its own pytest-pinned law
+    (replay byte-idempotence, compaction rollback, epoch-offset tag
+    ordering, erasure rebuild-equals-fresh); this query is the
+    integration certificate that they COMPOSE — the week-over-week
+    operating loop a 100 TB deployment actually runs."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.streaming.ingest import (
+        compact_sink,
+        erase_users,
+        run_ingest_pipeline,
+    )
+    from dvh_airflow_kafka_spark.streaming.stateful import read_event_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src_a = _lifecycle_staged(spark, sf_dir, events, "a")
+    src_b = _lifecycle_staged(spark, sf_dir, events, "b")
+    lookup = _ingest_lookup(spark, sf_dir)
+    shared = _ingest_shared_initial(spark, sf_dir, events, lookup)
+    customer = load_table(spark, sf_dir, "customer")
+    erased = customer.filter(
+        ((F.col("c_custkey") % 10) == 0) & (F.col("c_custkey") <= 50)
+    ).select(F.col("c_custkey").alias("user_id"))
+    work = tempfile.mkdtemp(prefix="lifecycle_")
+    cka = tempfile.mkdtemp(prefix="lifecycle_cka_")
+    ckb = tempfile.mkdtemp(prefix="lifecycle_ckb_")
+    try:
+        dirs = run_ingest_pipeline(
+            spark,
+            read_event_stream(spark, src_a, max_files_per_trigger=16),
+            work_dir=work,
+            checkpoint_dir=cka,
+            initial_sink=events.filter(F.col("event_id") % 3 == 0),
+            lookup=lookup,
+            message_filters=_INGEST_FILTERS,
+            mg_k=_INGEST_MG_K,
+            shared_initial=shared,
+        )
+        compact_sink(spark, dirs)
+        max_id = max(
+            int(os.path.basename(p)[1:])
+            for p in _glob.glob(os.path.join(dirs.sink, "b*"))
+        )
+        dirs = run_ingest_pipeline(
+            spark,
+            read_event_stream(spark, src_b, max_files_per_trigger=4),
+            work_dir=work,
+            checkpoint_dir=ckb,
+            initial_sink=events.filter(F.col("event_id") % 3 == 0),
+            lookup=lookup,
+            message_filters=_INGEST_FILTERS,
+            mg_k=_INGEST_MG_K,
+            shared_initial=shared,
+            epoch_offset=max_id + 1,
+        )
+        stats = erase_users(spark, dirs, erased, mg_k=_INGEST_MG_K)
+        init = spark.read.parquet(dirs.initial)
+        admitted = dirs.admitted(spark, init).localCheckpoint()
+        nul = F.lit(None).cast("double")
+        s_audit = spark.createDataFrame(
+            [
+                ("erasure", "rows_erased", stats["rows_erased"], None),
+                (
+                    "erasure",
+                    "initial_rows_erased",
+                    stats["initial_rows_erased"],
+                    None,
+                ),
+            ],
+            "section string, dim string, n long, x double",
+        )
+        s_total = (
+            init.agg(F.count(F.lit(1)).alias("a"))
+            .crossJoin(admitted.agg(F.count(F.lit(1)).alias("b")))
+            .select(
+                F.lit("sink").alias("section"),
+                F.lit("total_rows").alias("dim"),
+                (F.col("a") + F.col("b")).cast("long").alias("n"),
+                nul.alias("x"),
+            )
+        )
+        s_adm = admitted.groupBy(
+            "kafka_partition",
+            F.col("kafka_message").isNull().alias("__nl"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit("sink").alias("section"),
+            F.concat(
+                F.lit("admitted|p"),
+                F.col("kafka_partition").cast("string"),
+                F.lit("|null"),
+                F.col("__nl").cast("int").cast("string"),
+            ).alias("dim"),
+            "n",
+            nul.alias("x"),
+        )
+        s_hllx = admitted.groupBy("event_type").agg(
+            F.count_distinct("user_id").cast("long").alias("n")
+        ).select(
+            F.lit("hll_exact").alias("section"),
+            F.col("event_type").alias("dim"),
+            "n",
+            nul.alias("x"),
+        )
+        report = (
+            s_audit.unionByName(s_total)
+            .unionByName(s_adm)
+            .unionByName(s_hllx)
+        )
+        rows = report.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(cka, ignore_errors=True)
+        shutil.rmtree(ckb, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, dim string, n long, x double"
+    )

@@ -519,6 +519,7 @@ def run_ingest_pipeline(
     index_buckets: int = 16,
     compact_every: int = 8,
     topic: "str | Column" = "events",
+    epoch_offset: int = 0,
 ) -> IngestDirs:
     """Drain ``stream`` (raw events-shaped rows) through the full
     reference duty into ``work_dir`` (see module docstring).  The
@@ -532,7 +533,18 @@ def run_ingest_pipeline(
     ``fail_at_batch`` injects a crash AFTER the batch's sink write but
     BEFORE its sidecar/monitor writes and checkpoint commit — the
     worst-case tear the replay law must absorb
-    (tests/test_round11_ops.py, tests/test_round12_ops.py)."""
+    (tests/test_round11_ops.py, tests/test_round12_ops.py).
+
+    ``epoch_offset`` supports FOLLOW-UP drains into the same work_dir
+    with a FRESH checkpoint (a later ingest epoch, e.g. after
+    ``compact_sink``): the new drain's batch ids restart at 0, so the
+    offset (pass max-existing-tag + 1) keeps its ``b*`` tags and
+    sidecar epoch markers strictly above every committed dir — without
+    it batch 0 would collide with the first drain's ``b00000`` and its
+    replay probe (dirs strictly BELOW the batch tag) would miss the
+    whole standing sink.  A RESUMED drain (same checkpoint) must pass
+    the SAME offset it started with — the tags are part of the
+    write-then-commit replay contract."""
     from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
 
     key_cols = list(key_cols)
@@ -557,7 +569,8 @@ def run_ingest_pipeline(
     kidx = SinkKeyIndex(spark, dirs.sink, key_cols, n_buckets=index_buckets)
     kidx.seed(init_rows.select(*key_cols))
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
+    def process(batch_df: DataFrame, raw_batch_id: int) -> None:
+        batch_id = raw_batch_id + epoch_offset
         sess = batch_df.sparkSession
         # one compute for the whole batch: the transform feeds the
         # bucket-probe collect, both bloom_dedup branches, and the
@@ -607,7 +620,7 @@ def run_ingest_pipeline(
         admitted.write.mode("overwrite").parquet(
             os.path.join(dirs.sink, tag)
         )
-        if fail_at_batch is not None and batch_id == fail_at_batch:
+        if fail_at_batch is not None and raw_batch_id == fail_at_batch:
             raise RuntimeError(
                 f"injected crash after sink write of batch {batch_id}"
             )
@@ -629,7 +642,7 @@ def run_ingest_pipeline(
         for old in _batch_dirs(dirs.bits_cum, batch_id - 1):
             _shutil.rmtree(old, ignore_errors=True)
         kidx.append(admitted.select(*key_cols))
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        if compact_every and (raw_batch_id + 1) % compact_every == 0:
             kidx.compact()  # bounds the sidecar's file count in-drain
         _write_monitor_partials(admitted, dirs, tag, mg_k)
 

@@ -733,3 +733,47 @@ def test_drain_resumes_correctly_after_compaction(spark, tmp_path):
     adm = dirs2.admitted(spark, init)
     assert adm.count() == n_before + 6  # redeliveries rejected
     assert adm.filter(F.col("kafka_offset") >= 500).count() == 6
+
+
+def test_second_epoch_drain_with_offset_and_crash_replay(spark, tmp_path):
+    # follow-up drain into the same work_dir with a FRESH checkpoint:
+    # epoch_offset keeps its tags above the consolidated dir, dedup
+    # stays exact, and the write-then-commit replay law holds across
+    # the epoch boundary
+    import glob
+    import os
+
+    from dvh_airflow_kafka_spark.streaming.ingest import compact_sink
+
+    dirs = _drain_weeks(spark, tmp_path)
+    compact_sink(spark, dirs)
+    max_id = max(
+        int(os.path.basename(p)[1:])
+        for p in glob.glob(os.path.join(dirs.sink, "b*"))
+    )
+    init = spark.read.parquet(dirs.initial)
+    n_before = dirs.admitted(spark, init).count()
+    srcB = str(tmp_path / "srcB")
+    fresh = [_row(700 + i, i % 5) for i in range(8)]
+    redelivered = [_row(i, i % 5, value=float(i % 7 + 1)) for i in range(8)]
+    _stage(_mk_events(spark, fresh + redelivered), srcB, n_files=2)
+    with pytest.raises(Exception, match="injected crash"):
+        _run(
+            spark, srcB, str(tmp_path / "w"), str(tmp_path / "ckB"),
+            _mk_events(spark, []),
+            epoch_offset=max_id + 1,
+            fail_at_batch=1,
+        )
+    dirs2 = _run(
+        spark, srcB, str(tmp_path / "w"), str(tmp_path / "ckB"),
+        _mk_events(spark, []),
+        epoch_offset=max_id + 1,
+    )
+    adm = dirs2.admitted(spark, init)
+    assert adm.count() == n_before + 8
+    assert adm.filter(F.col("kafka_offset") >= 700).count() == 8
+    tags = sorted(
+        int(os.path.basename(p)[1:])
+        for p in glob.glob(os.path.join(dirs.sink, "b*"))
+    )
+    assert tags[0] == max_id and all(t > max_id for t in tags[1:]), tags
