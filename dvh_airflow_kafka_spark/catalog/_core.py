@@ -246,6 +246,7 @@ _CERTIFY_FIRST = [
     "streaming_multi_topic_ingest",  # new
     "weekly_ops_capstone",  # new
     "ingest_lifecycle_capstone",  # new
+    "streaming_priority_sample",  # new
     "streaming_ingest_capstone",  # churn
     "streaming_anomaly_zscore",  # r06
     "streaming_interval_join",  # r06
@@ -291,7 +292,6 @@ _CERTIFY_FIRST = [
     "privacy_erasure_cascade",  # r07
     "time_decay_engagement",  # r07
     "ab_experiment_lift",  # r07
-    "multi_topic_fan_in",  # r07
 ]
 
 

@@ -1089,3 +1089,114 @@ def ingest_lifecycle_capstone(
     return spark.createDataFrame(
         rows, "section string, dim string, n long, x double"
     )
+
+
+from dvh_airflow_kafka_spark.catalog._core import REGISTRY as _REGISTRY
+
+
+@register(
+    "streaming_priority_sample",
+    # shares the batch kernel's oracle VERBATIM — the cross-engine proof
+    # that resident top-k state equals the batch sample (q07 registers
+    # weighted_priority_sample before this module imports)
+    sql=_REGISTRY["weighted_priority_sample"].sql,
+)
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] The weighted priority sample (Duffield-Lund-Thorup) AS
+    RESIDENT STREAMING STATE — the EIGHTH batch/streaming twin family
+    (after ddsketch, count-min, Misra-Gries, HLL, KMV, Bloom, and the
+    mixture COUNT/SUM state): documents drain through a file stream in
+    4 micro-batches; each source's top-20 rows by the exact-integer
+    priority ``w·2^32 div (h+1)`` live in the state store across
+    batches (``streaming/stateful.priority_topk_with_state``),
+    truncated to k per batch — top-k-of-union telescopes exactly like
+    KMV's k-min (a row outranked by ≥ k better rows can never
+    re-enter), so the final snapshot equals the batch
+    ``weighted_priority_sample`` kernel bit-for-bit and this query
+    shares its DuckDB oracle VERBATIM.
+
+    The priority hash stays JVM-side (sha-prefix before the stateful
+    operator; Python only merges bounded top-k frames).  State is O(k)
+    rows per source FOREVER — the resident weight-proportional corpus
+    subsample a 100 TB ingest keeps beside its sketch monitors, ready
+    at every batch boundary with no corpus rescan."""
+    from dvh_airflow_kafka_spark.catalog._core import _staged_range_write
+    from dvh_airflow_kafka_spark.catalog.q07_clustering import (
+        _PRIORITY_K,
+        _PRIORITY_SALT,
+    )
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        drain_with_checkpoint,
+        priority_topk_with_state,
+        read_event_stream,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    def _write(src: str) -> None:
+        # 4 files -> 4 micro-batches; top-k-of-union is a mergeable,
+        # order-free reduction, so batch composition is irrelevant
+        _staged_range_write(docs, src, 4)
+
+    src = _staged_stream_src("stream_priority", sf_dir, _write)
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(_PRIORITY_SALT), F.col("doc_id").cast("string")
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    stream = (
+        read_event_stream(spark, src)
+        .select(
+            F.col("source").alias("g"),
+            "doc_id",
+            F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias(
+                "weight"
+            ),
+            h.alias("__hv"),
+        )
+        .withColumn(
+            "priority", F.expr("weight * 4294967296 DIV (__hv + 1)")
+        )
+    )
+    emitted = drain_with_checkpoint(
+        spark,
+        priority_topk_with_state(stream, k=_PRIORITY_K),
+        mode="update",
+        prefix="stream_priority",
+        shuffle_partitions=8,
+    )
+    w = Window.partitionBy("g").orderBy(F.col("seq").desc())
+    latest = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("g").alias("source"),
+            F.arrays_zip("ids", "weights", "priorities").alias("z"),
+        )
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), F.col("doc_id")
+    )
+    return (
+        latest.select("source", F.explode("z").alias("r"))
+        .select(
+            "source",
+            F.col("r.ids").alias("doc_id"),
+            F.col("r.weights").alias("weight"),
+            F.col("r.priorities").alias("priority"),
+        )
+        .withColumn("rank", F.row_number().over(rk).cast("int"))
+    )
+

@@ -1101,3 +1101,117 @@ def drain_to_memory_complete(
             spark.conf.set("spark.sql.shuffle.partitions", old)
         _restore_progress_cap(spark, old_cap)
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# Streaming weighted priority sample (custom stateful op #8)
+# --------------------------------------------------------------------------
+
+PRIORITY_TOPK_OUTPUT = T.StructType(
+    [
+        T.StructField("g", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("priorities", T.ArrayType(T.LongType())),
+    ]
+)
+
+# Per-group state: the current top-k sample rows ordered by
+# (priority DESC, doc_id ASC) plus the snapshot sequence number.
+PRIORITY_TOPK_STATE = T.StructType(PRIORITY_TOPK_OUTPUT.fields[1:])
+
+
+def _make_priority_topk_updater(k: int):
+    """applyInPandasWithState function for the streaming priority
+    sample: resume the group's retained top-k (priority DESC, doc_id
+    ASC) rows, fold the micro-batch in with set semantics on doc_id
+    (an at-least-once redelivery carries the identical deterministic
+    priority, so duplicates collapse exactly as the batch kernel's one
+    row per doc does), truncate to k, emit the snapshot.
+
+    Mergeability is the same telescoping as KMV: a row outranked by
+    ≥ k better-ranked rows in any prefix is outranked in every
+    superset (insertions only improve the retained set), so
+    top-k(state ∪ batch) per batch equals the one-pass top-k over the
+    whole stream regardless of batch composition.  Working set is
+    O(k + batch rows for this group) — the sort never sees the
+    stream."""
+
+    def update(
+        key: Tuple[str],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (g,) = key
+        if state.exists:
+            seq, ids, weights, priorities = state.get
+            kept = pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "weight": pd.array(weights, dtype="int64"),
+                    "priority": pd.array(priorities, dtype="int64"),
+                }
+            )
+        else:
+            seq = 0
+            kept = pd.DataFrame(
+                {"doc_id": [], "weight": [], "priority": []}
+            ).astype("int64")
+        chunks = [pdf[["doc_id", "weight", "priority"]] for pdf in pdfs]
+        merged = pd.concat([kept] + chunks, ignore_index=True)
+        merged = (
+            merged.drop_duplicates("doc_id")
+            .sort_values(
+                ["priority", "doc_id"], ascending=[False, True]
+            )
+            .head(k)
+        )
+        seq = int(seq) + 1
+        tup = (
+            seq,
+            [int(v) for v in merged["doc_id"]],
+            [int(v) for v in merged["weight"]],
+            [int(v) for v in merged["priority"]],
+        )
+        state.update(tup)
+        yield pd.DataFrame(
+            {
+                "g": [g],
+                "seq": [seq],
+                "ids": [tup[1]],
+                "weights": [tup[2]],
+                "priorities": [tup[3]],
+            }
+        )
+
+    return update
+
+
+def priority_topk_with_state(stream: DataFrame, *, k: int = 20) -> DataFrame:
+    """Streaming weighted priority sampling (Duffield-Lund-Thorup) —
+    the batch ``weighted_priority_sample`` kernel's top-k per group
+    maintained as resident state: the input carries (g, doc_id, weight,
+    priority) with the EXACT-integer priority ``w·2^32 div (h+1)``
+    computed JVM-side BEFORE this operator (Python never hashes), and
+    each group's current k-row sample lives in the state store across
+    micro-batches, snapshotted every batch (update mode).
+
+    State is O(k) rows per group FOREVER — the resident
+    weight-proportional corpus subsample at 100 TB ingest, the eighth
+    batch/streaming twin family beside ddsketch, count-min,
+    Misra-Gries, HLL, KMV, Bloom, and the mixture COUNT/SUM state.  The
+    final snapshot equals the batch kernel bit-for-bit (deterministic
+    priorities; top-k-of-union telescopes), so the catalog twin shares
+    ``weighted_priority_sample``'s DuckDB oracle verbatim."""
+    return (
+        stream.select("g", "doc_id", "weight", "priority")
+        .groupBy("g")
+        .applyInPandasWithState(
+            _make_priority_topk_updater(k),
+            outputStructType=PRIORITY_TOPK_OUTPUT,
+            stateStructType=PRIORITY_TOPK_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

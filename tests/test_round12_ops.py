@@ -777,3 +777,50 @@ def test_second_epoch_drain_with_offset_and_crash_replay(spark, tmp_path):
         for p in glob.glob(os.path.join(dirs.sink, "b*"))
     )
     assert tags[0] == max_id and all(t > max_id for t in tags[1:]), tags
+
+
+# --------------------------------------------------------------------------
+# streaming priority sample (twin family #8)
+# --------------------------------------------------------------------------
+
+
+def test_priority_topk_updater_laws():
+    from dvh_airflow_kafka_spark.streaming.stateful import (
+        _make_priority_topk_updater,
+    )
+
+    def pdf(rows):
+        return pd.DataFrame(
+            rows, columns=["g", "doc_id", "weight", "priority"]
+        )
+
+    rows = [("s", i, 10 + i, (i * 7919) % 1000) for i in range(50)]
+    one = _make_priority_topk_updater(5)
+    st1 = _FakeState()
+    list(one(("s",), iter([pdf(rows)]), st1))
+    # batch-split invariance: same rows over 5 micro-batches, shuffled,
+    # with a full redelivery of the first slice
+    split = _make_priority_topk_updater(5)
+    st2 = _FakeState()
+    import random
+
+    rng = random.Random(7)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    batches = [shuffled[i::5] for i in range(5)] + [shuffled[0::5]]
+    for b in batches:
+        list(split(("s",), iter([pdf(b)]), st2))
+    assert st1._v[1:] == st2._v[1:]  # ids/weights/priorities identical
+    # retained set is the true top-5 by (priority desc, doc_id)
+    expect = sorted(rows, key=lambda r: (-r[3], r[1]))[:5]
+    assert st1._v[1] == [r[1] for r in expect]
+    assert st1._v[3] == [r[3] for r in expect]
+
+
+def test_streaming_priority_sample_equals_batch(spark, sf_dir):
+    from dvh_airflow_kafka_spark.catalog import REGISTRY
+
+    batch = REGISTRY["weighted_priority_sample"].fn(spark, sf_dir).collect()
+    stream = REGISTRY["streaming_priority_sample"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+    assert len(batch) > 0

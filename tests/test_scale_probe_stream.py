@@ -204,3 +204,30 @@ def test_neardup_gate_state_function_of_existing_corpus_only(
         states[factor] = _drain_state(spark, "streaming_neardup_gate", out)
     assert states[1] == states[2], states
     assert states[1] > 0, states
+
+
+def test_priority_sample_twin_state_is_source_domain_bounded(
+    spark, sf_dir, tmp_path
+):
+    """The streaming priority sample holds ONE state row per source
+    (the whole top-k sample is one stored tuple) — replicating the
+    corpus with fresh doc ids must leave max state rows exactly flat at
+    the source-domain size; only the retained VALUES may change (better
+    priorities can arrive), never the row count."""
+    states: dict[int, int] = {}
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    for factor in (1, 2):
+        staged = docs
+        for i in range(1, factor):
+            staged = staged.unionByName(
+                docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+            )
+        out = str(tmp_path / f"prio_x{factor}")
+        staged.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        states[factor] = _drain_state(
+            spark, "streaming_priority_sample", out
+        )
+    assert states[1] == states[2] == n_sources, (states, n_sources)
