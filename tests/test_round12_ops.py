@@ -824,3 +824,54 @@ def test_streaming_priority_sample_equals_batch(spark, sf_dir):
     stream = REGISTRY["streaming_priority_sample"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
     assert len(batch) > 0
+
+
+# --------------------------------------------------------------------------
+# SinkKeyIndex probe-superset law under random op sequences
+# --------------------------------------------------------------------------
+
+
+def test_keyindex_probe_superset_under_random_sequences(spark, tmp_path):
+    """Law: after ANY sequence of seed/append/compact, a probe for a
+    batch returns every previously-appended key that hashes into the
+    batch's buckets — the superset the exact anti-join needs (a missed
+    key = a silent duplicate).  Deterministic 40-step randomized
+    sequence (seeded rng, one Spark session) instead of per-example
+    hypothesis: each step pays a Spark job, so example count is the
+    budget knob."""
+    import random
+
+    from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
+
+    rng = random.Random(1234)
+    idx = SinkKeyIndex(
+        spark, str(tmp_path / "sink"), ["k"], n_buckets=4
+    )
+    idx.seed(spark.createDataFrame([(i,) for i in range(5)], "k long"))
+    all_keys = set(range(5))
+    next_key = 100
+    for step in range(40):
+        op = rng.choice(["append", "append", "probe", "compact"])
+        if op == "append":
+            ks = [next_key + j for j in range(rng.randint(1, 6))]
+            next_key += 10
+            idx.begin_epoch(step)
+            idx.append(
+                spark.createDataFrame([(k,) for k in ks], "k long")
+            )
+            all_keys.update(ks)
+        elif op == "compact":
+            idx.compact()
+        else:
+            sample = rng.sample(sorted(all_keys), min(8, len(all_keys)))
+            batch = spark.createDataFrame(
+                [(k,) for k in sample], "k long"
+            )
+            probe = idx.probe(batch)
+            assert probe is not None
+            got = {r.k for r in probe.collect()}
+            assert set(sample) <= got, (step, sorted(set(sample) - got))
+    # final: a probe covering everything returns everything
+    batch = spark.createDataFrame([(k,) for k in all_keys], "k long")
+    got = {r.k for r in idx.probe(batch).collect()}
+    assert got == all_keys
