@@ -169,6 +169,20 @@ class IngestDirs:
         self.dd = os.path.join(work_dir, "dd")
         self.mg = os.path.join(work_dir, "mg")
         self.probe_log: list[dict] = []
+        # A2 run counters, the reference's xcom contract accumulated
+        # across the drain (operators/summary.py documents the field
+        # semantics); skipped_duplicates is the engine extension
+        # counting J1-rejected rows
+        self.summary: dict = {
+            "event_count": 0,
+            "data_count": 0,
+            "error_count": 0,
+            "written_to_db_count": 0,
+            "committed_to_producer_count": -1,
+            "empty_count": 0,
+            "non_empty_count": 0,
+            "skipped_duplicates": 0,
+        }
 
     def admitted(self, spark: SparkSession, schema_like: DataFrame) -> DataFrame:
         return _read_union(spark, _batch_dirs(self.sink), schema_like)
@@ -616,6 +630,18 @@ def run_ingest_pipeline(
         admitted = bloom_dedup_with_bits(
             rows, prior_keys, prior_bits, key_cols
         ).localCheckpoint()  # one compute; 5 artifact writes below
+        # A2 ProcessSummary parity on the pipeline path (reference
+        # src/kafka_source.py:296-352 / src/main.py:40-53): counts over
+        # the checkpointed frames are metadata-cheap
+        n_rows = batch_df.count()  # every polled message, pre-dedup
+        n_adm = admitted.count()
+        dirs.summary["event_count"] += n_rows
+        dirs.summary["data_count"] += n_rows
+        dirs.summary["non_empty_count"] += n_rows
+        dirs.summary["written_to_db_count"] += n_adm
+        dirs.summary["skipped_duplicates"] += n_rows - n_adm
+        dirs.probe_log[-1]["n_rows"] = n_rows
+        dirs.probe_log[-1]["n_admitted"] = n_adm
         tag = f"b{batch_id:05d}"
         admitted.write.mode("overwrite").parquet(
             os.path.join(dirs.sink, tag)

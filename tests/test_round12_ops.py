@@ -875,3 +875,24 @@ def test_keyindex_probe_superset_under_random_sequences(spark, tmp_path):
     batch = spark.createDataFrame([(k,) for k in all_keys], "k long")
     got = {r.k for r in idx.probe(batch).collect()}
     assert got == all_keys
+
+
+def test_ingest_drain_process_summary_counters(spark, tmp_path):
+    # A2 on the pipeline path: the drain's accumulated counters equal
+    # the reference xcom arithmetic (event = data = non_empty = rows
+    # seen; written = admitted; skipped = J1-rejected duplicates)
+    src = str(tmp_path / "src")
+    rows = [_row(i, i % 3) for i in range(9)]
+    dup = [_row(i, i % 3) for i in range(4)]
+    _stage(_mk_events(spark, rows + dup), src)
+    dirs = _run(
+        spark, src, str(tmp_path / "w"), str(tmp_path / "ck"),
+        _mk_events(spark, [_row(0, 0)]),
+    )
+    s = dirs.summary
+    assert s["event_count"] == s["data_count"] == s["non_empty_count"] == 13
+    # 13 polled messages; 9 distinct keys; offset 0 is already in the
+    # initial sink -> 8 written, 5 skipped (4 redeliveries + 1 standing)
+    assert s["written_to_db_count"] == 8
+    assert s["skipped_duplicates"] == 5
+    assert s["error_count"] == 0 and s["committed_to_producer_count"] == -1
