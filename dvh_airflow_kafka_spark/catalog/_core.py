@@ -204,19 +204,21 @@ def register(name: str, sql: Optional[str] = None):
 # the driver's 50-query window each round to the queries that most need a
 # fresh row.  Entries not listed keep registration order after these.
 #
-# ROUND-12 ROTATION — GENERATED, not transcribed: ``tools/cert_age.py``
+# ROUND-13 ROTATION — GENERATED, not transcribed: ``tools/cert_age.py``
 # computes the window from CORRECTNESS_r*.json + REGISTRY + the churn
 # list below, and ``tests/test_cert_age.py`` pins this committed list
 # equal to the regenerated one, so the stale-count narration drift of
-# rounds 9/10 can no longer happen.  Content, in order: the round-12
-# additions (never certified), the churn list, then the 20 remaining
-# round-6 certs and the round-7 batch oldest-first.
-# Only `bpe_learn_merges_table` stays rows-only BY DESIGN and must stay
-# OUT of the window (tests/test_certify_window.py pins this).
-# ROUND-13 NOTE (next rotation): bump _WINDOW_BUILT_FROM_ROUND to 12,
+# rounds 9/10 can no longer happen.  Content, in order: the churn list
+# (the ingest capstone reworked again this round: FS-API artifact layer,
+# single-scan A2 counters, persisted epoch marker), then the 21
+# round-7-stale certs and the round-8 batch oldest-first.
+# ``bpe_learn_merges_table`` graduated to a STAGED partial oracle in
+# round 13 (q07_clustering.py) and so now takes a window slot via the
+# never-certified head like any other new oracle entry.
+# ROUND-14 NOTE (next rotation): bump _WINDOW_BUILT_FROM_ROUND to 13,
 # update _CERTIFY_CHURN for the round's implementation churn, and
 # regenerate with ``python tools/cert_age.py``.  Every name displaced
-# from this window holds a green r11-or-earlier driver row and is
+# from this window holds a green r12-or-earlier driver row and is
 # unchanged since.
 
 # The window below was generated from CORRECTNESS_r01..r{this} — the
@@ -225,73 +227,73 @@ def register(name: str, sql: Optional[str] = None):
 # regeneration at this round so the pin validates the window against
 # the history it was BUILT from instead of going red the moment the
 # driver runs (the round-11 judge's headline finding).
-_WINDOW_BUILT_FROM_ROUND = 11
+_WINDOW_BUILT_FROM_ROUND = 12
 
 # The one hand-maintained rotation input: queries whose IMPLEMENTATION
 # changed this round (a human judgment cert_age.py cannot derive).
-# Round 12: the ingest capstone gained the composite (topic, partition,
-# offset) dedup key and the bounded compacted-index probe path —
-# output-affecting churn.  The envelope passthrough-collision assert
-# (ADVICE r11) is validation-only: it can only raise on inputs that
-# previously produced silently-ambiguous columns, never change a valid
-# query's output, so the envelope queries (fresh r11 rows) do not
-# re-churn for it.
+# Round 13: the ingest capstone's artifact layer moved from driver-local
+# os/glob/shutil to the Hadoop FileSystem API, its A2 counters dropped
+# the redundant per-batch source scan, and the epoch contract is now a
+# persisted marker — all output-preserving by design, but the capstone
+# is the query that exercises every one of those paths per batch, so it
+# re-certifies in-window.  The other four r12 ingest queries hold fresh
+# r12 rows and share the same output-preserving analysis.
 _CERTIFY_CHURN = [
     "streaming_ingest_capstone",
 ]
 
 # generated by tools/cert_age.py — edit _CERTIFY_CHURN, not this list
 _CERTIFY_FIRST = [
-    "streaming_erasure_cascade",  # new
-    "streaming_multi_topic_ingest",  # new
-    "weekly_ops_capstone",  # new
-    "ingest_lifecycle_capstone",  # new
-    "streaming_priority_sample",  # new
+    "bpe_learn_merges_table",  # new
     "streaming_ingest_capstone",  # churn
-    "streaming_anomaly_zscore",  # r06
-    "streaming_interval_join",  # r06
-    "incremental_daily_revenue",  # r06
-    "table_quality_report",  # r06
-    "events_rolling_dau",  # r06
-    "semantic_dedup_survivors",  # r06
-    "semantic_cluster_prototypes",  # r06
-    "quality_token_budget",  # r06
-    "curriculum_schedule",  # r06
-    "temperature_mixture_sample",  # r06
-    "events_value_trend",  # r06
-    "length_bucketed_batches",  # r06
-    "data_selection_factory",  # r06
-    "tpch_q11_important_stock",  # r06
-    "streaming_window_counts",  # r06
-    "streaming_dedup_replay",  # r06
-    "streaming_sessionization",  # r06
-    "pipeline_from_yaml_config",  # r06
-    "dedup_insert_antijoin",  # r06
-    "training_data_factory",  # r06
-    "token_inverted_index",  # r07
-    "embedding_kmeans_assign",  # r07
-    "duplicate_span_removal",  # r07
-    "link_graph_pagerank",  # r07
-    "pq_encode_stats",  # r07
-    "weighted_priority_sample",  # r07
-    "pq_adc_recall",  # r07
-    "ivf_pq_ann_topk",  # r07
-    "incremental_near_dup_ingest",  # r07
-    "knn_label_accuracy",  # r07
-    "error_burst_range_join",  # r07
-    "bm25_topk_docs",  # r07
-    "hard_negative_mining",  # r07
-    "charlm_doc_quality",  # r07
-    "countmin_token_freq",  # r07
-    "csv_roundtrip_decode",  # r07
-    "blob_cdc_chunk_dedup",  # r07
-    "dsir_domain_selection",  # r07
-    "streaming_countmin_sketch",  # r07
-    "jaccard_prefix_filter_pairs",  # r07
-    "matryoshka_recall",  # r07
-    "privacy_erasure_cascade",  # r07
-    "time_decay_engagement",  # r07
-    "ab_experiment_lift",  # r07
+    "multi_topic_fan_in",  # r07
+    "streaming_static_enrichment",  # r07
+    "orc_roundtrip_decode",  # r07
+    "parquet_schema_evolution",  # r07
+    "events_anomaly_mad",  # r07
+    "winsorized_value_stats",  # r07
+    "source_drift_ks",  # r07
+    "ngram_containment_pairs",  # r07
+    "quality_length_spearman",  # r07
+    "link_graph_triangles",  # r07
+    "l_diversity_audit",  # r07
+    "fixed_k_per_group_sample",  # r07
+    "events_cusum_drift",  # r07
+    "session_association_rules",  # r07
+    "link_graph_reachability",  # r07
+    "scd2_point_in_time_join",  # r07
+    "source_boilerplate_fraction",  # r07
+    "url_canonical_dedup",  # r07
+    "purchase_attribution_touch",  # r07
+    "quality_classifier_vote",  # r07
+    "event_mix_chi2_drift",  # r07
+    "event_funnel_conversion",  # r08
+    "event_transition_matrix",  # r08
+    "dp_noisy_event_counts",  # r08
+    "hive_partition_pruned_rollup",  # r08
+    "cross_split_ngram_novelty",  # r08
+    "customer_entity_resolution",  # r08
+    "events_moving_stats",  # r08
+    "user_rate_window",  # r08
+    "referential_integrity_audit",  # r08
+    "link_graph_communities",  # r08
+    "doc_feature_hashing",  # r08
+    "mergeable_variance_stats",  # r08
+    "streaming_partitioned_sink",  # r08
+    "quality_quantile_normalize",  # r08
+    "ml_fold_assignment",  # r08
+    "streaming_late_data_audit",  # r08
+    "customer_ltv_running",  # r08
+    "text_clean_normalize",  # r08
+    "link_graph_hits",  # r08
+    "link_graph_kcore",  # r08
+    "t_closeness_audit",  # r08
+    "loo_target_encoding",  # r08
+    "hybrid_rrf_fusion",  # r08
+    "cdc_batched_merge_apply",  # r08
+    "small_file_compaction_plan",  # r08
+    "zorder_layout_audit",  # r08
+    "column_encoding_stats",  # r08
 ]
 
 

@@ -666,7 +666,71 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_learn_merges_table", sql=None)
+# Staged-bytes partial oracle for the BPE learner (round 13 — the last
+# rows-only query promoted to hash certification, VERDICT r12 ask #6):
+# the greedy piece-rewrite between iterations has no SQL form, but the
+# merge SELECTION does — each accepted iteration's aggregated pair-count
+# table (bounded by symbol-vocab², corpus-size-independent) stages to
+# parquet with an ``iter`` column, and DuckDB replays the argmax
+# (count DESC, pair ASC — the Sennrich tie-break this repo pins) over
+# the same bytes.  Counts are exact integer sums, so the engine's live
+# argmax and the oracle's round-tripped one agree bit-for-bit.
+_BPE_MERGE_PAIRS_PATH = (
+    f"/tmp/dvh_bpe_merge_pairs_{__import__('os').getpid()}.parquet"
+)
+
+_BPE_MERGES_ORACLE_SQL = f"""
+    WITH p AS (
+        SELECT iter, a, b, c,
+               row_number() OVER (PARTITION BY iter
+                                  ORDER BY c DESC, a, b) AS rn
+        FROM read_parquet('{_BPE_MERGE_PAIRS_PATH}/*.parquet')
+    )
+    SELECT CAST(iter AS INT) AS rank, a AS "left", b AS "right",
+           CAST(c AS BIGINT) AS pair_count
+    FROM p WHERE rn = 1
+"""
+
+
+def _staged_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the learner once per (path, sf_dir), staging each accepted
+    iteration's pair-count table; returns the staged frame."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.catalog._core import _STAGED_LINKS
+
+    link = _BPE_MERGE_PAIRS_PATH
+    key = os.path.abspath(sf_dir)
+    if _STAGED_LINKS.get(link) != key:
+        stage = tempfile.mkdtemp(prefix="dvh_stage_")
+        atexit.register(shutil.rmtree, stage, ignore_errors=True)
+        target = os.path.join(stage, "data")
+
+        def cap(it: int, pairs: DataFrame) -> None:
+            # append-mode: every iteration lands flat in one dir, each
+            # row carrying its ``iter`` — one glob serves both engines
+            pairs.withColumn("iter", F.lit(it)).write.mode(
+                "append"
+            ).parquet(target)
+
+        docs = load_table(spark, sf_dir, "documents")
+        xtext.bpe_learn_merges(docs, "text", n_merges=8, capture=cap)
+        if os.path.isdir(link) and not os.path.islink(link):
+            shutil.rmtree(link)
+        tmplink = os.path.join(stage, "link")
+        os.symlink(target, tmplink)
+        os.replace(tmplink, link)
+        atexit.register(
+            lambda p=link: os.path.islink(p) and os.remove(p)
+        )
+        _STAGED_LINKS[link] = key
+    return spark.read.parquet(link)
+
+
+@register("bpe_learn_merges_table", sql=_BPE_MERGES_ORACLE_SQL)
 def bpe_learn_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] Distributed BPE merge LEARNING (Sennrich et al. ACL'16
     §3.2) over the corpus — the training-side counterpart of the merge
@@ -675,17 +739,28 @@ def bpe_learn_merges_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the word-frequency table; every iteration then runs on that COMPACT
     table (bounded by vocabulary, not corpus — the reason production
     BPE trainers work from word-count dicts), with a 1-row TakeOrdered
-    collect per merge. Rows-only (iterative, data-dependent); the
-    learner is pytest-pinned against a pure-Python reference
-    implementation on a hand-built corpus, and learned merges feed
+    collect per merge. PARTIAL oracle via the staged-bytes pattern
+    (round 13): each accepted iteration's pair-count aggregate stages to
+    parquet and DuckDB replays the merge selection (count DESC, pair
+    ASC) from the same bytes — the greedy rewrite engine-side, the
+    selection cross-engine.  The learner stays pytest-pinned against a
+    pure-Python reference implementation on a hand-built corpus, the
+    staged argmax against the learner's own merge list
+    (``tests/test_text_bpe.py``), and learned merges feed
     ``bpe_encode_udf`` end-to-end under the rejoin invariant."""
-    docs = load_table(spark, sf_dir, "documents")
-    merges = xtext.bpe_learn_merges(docs, "text", n_merges=8)
-    rows = [
-        (i, a, b, c) for i, (a, b, c) in enumerate(merges)
-    ]
-    return spark.createDataFrame(
-        rows, "rank: int, left: string, right: string, pair_count: long"
+    staged = _staged_bpe_merge_pairs(spark, sf_dir)
+    w = Window.partitionBy("iter").orderBy(
+        F.col("c").desc(), F.col("a"), F.col("b")
+    )
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("iter").cast("int").alias("rank"),
+            F.col("a").alias("left"),
+            F.col("b").alias("right"),
+            F.col("c").cast("long").alias("pair_count"),
+        )
     )
 
 

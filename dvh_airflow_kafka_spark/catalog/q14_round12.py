@@ -721,17 +721,16 @@ def weekly_ops_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_share = mixj.select(
             F.lit("mixture").alias("section"),
             F.concat(F.col("event_type"), F.lit("|share_ppm")).alias("dim"),
-            ((F.lit(1000000) * F.col("w")) / F.col("tw"))
-            .cast("long")
-            .alias("n"),
+            # exact BIGINT div, matching the oracle's integer `//` —
+            # double division rounds differently once 1e6·w exceeds
+            # 2^53 (q13_round11.py's div convention, ADVICE r12)
+            F.expr("(1000000L * w) div tw").alias("n"),
             nul.alias("x"),
         )
         s_budget = mixj.select(
             F.lit("mixture").alias("section"),
             F.concat(F.col("event_type"), F.lit("|budget")).alias("dim"),
-            ((F.lit(_WEEKLY_BUDGET) * F.col("w")) / F.col("tw"))
-            .cast("long")
-            .alias("n"),
+            F.expr(f"({_WEEKLY_BUDGET}L * w) div tw").alias("n"),
             nul.alias("x"),
         )
         s_adm = adm.groupBy("event_type").agg(

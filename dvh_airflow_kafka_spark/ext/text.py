@@ -305,6 +305,7 @@ def bpe_learn_merges(
     text_col: str = "text",
     n_merges: int = 16,
     min_freq: int = 2,
+    capture=None,
 ) -> list[tuple[str, str, int]]:
     """Distributed BPE merge LEARNING (Sennrich et al. ACL'16 §3.2) —
     the training-side counterpart of ``bpe_encode_udf``'s merge
@@ -322,7 +323,17 @@ def bpe_learn_merges(
     at any parallelism), and a JVM-side left-to-right ``aggregate`` fold
     rewrites each word's piece sequence (greedy non-overlapping, the
     standard BPE apply order). The word table is ``localCheckpoint``-ed
-    each iteration so the fold lineage stays flat across merges."""
+    each iteration so the fold lineage stays flat across merges.
+
+    ``capture``, when given, is called once per ACCEPTED merge with
+    ``(iteration, pair_counts_df)`` — the aggregated
+    ``(a, b, c)`` pair-count frame the argmax ran over.  The frame is
+    bounded by the symbol vocabulary squared (corpus-size-independent),
+    so staging it per iteration is metadata-scale work; the catalog's
+    staged-bytes oracle replays the merge SELECTION (count desc, pair
+    asc) from those exact bytes.  Counts are exact integer sums, so the
+    in-memory argmax and any parquet round-trip of the frame agree
+    bit-for-bit."""
     words = (
         docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"))
         .groupBy("__w")
@@ -348,16 +359,22 @@ def bpe_learn_merges(
                 )
             ).alias("__pr"),
         )
+        agg = pairs.groupBy("__pr.a", "__pr.b").agg(
+            F.sum("__f").alias("__c")
+        )
         best = (
-            pairs.groupBy("__pr.a", "__pr.b")
-            .agg(F.sum("__f").alias("__c"))
-            .orderBy(F.col("__c").desc(), F.col("a"), F.col("b"))
+            agg.orderBy(F.col("__c").desc(), F.col("a"), F.col("b"))
             .limit(1)
             .collect()
         )
         if not best or best[0]["__c"] < min_freq:
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["__c"])
+        if capture is not None:
+            capture(
+                len(merges),
+                agg.select("a", "b", F.col("__c").alias("c")),
+            )
         merges.append((a, b, c))
         la, lb = F.lit(a), F.lit(b)
         folded = F.aggregate(

@@ -219,3 +219,23 @@ def test_bpe_learn_deterministic(spark, sf_dir):
     a = bpe_learn_merges(docs, n_merges=4)
     b = bpe_learn_merges(docs, n_merges=4)
     assert a == b and len(a) == 4
+
+
+def test_bpe_staged_pairs_argmax_matches_learner(spark, sf_dir):
+    # round-13 staged-bytes oracle law: the merge table the catalog
+    # query derives from the STAGED per-iteration pair counts equals
+    # the learner's own live merge list — the byte-consistency claim
+    # the DuckDB replay rests on (exact integer counts round-trip).
+    from dvh_airflow_kafka_spark.catalog.q07_clustering import (
+        bpe_learn_merges_table,
+    )
+    from dvh_airflow_kafka_spark.ext.text import bpe_learn_merges
+    from dvh_airflow_kafka_spark.io import load_table
+
+    got = {
+        r["rank"]: (r["left"], r["right"], r["pair_count"])
+        for r in bpe_learn_merges_table(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_learn_merges(docs, "text", n_merges=8)
+    assert got == {i: m for i, m in enumerate(merges)}
