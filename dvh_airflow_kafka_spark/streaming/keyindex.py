@@ -205,14 +205,23 @@ class SinkKeyIndex:
             .parquet(self.path)
         )
 
-    def compact(self) -> None:
+    def compact(self, purge: Optional[DataFrame] = None) -> None:
         """Rewrite the sidecar to one DISTINCT-keys file per bucket,
         keeping the ``bucket=`` partition layout (probe pruning) and the
         ``_attempted_*`` / ``_seeded`` markers (crash-replay detection /
         seed idempotence). Safe between drains or from inside a
         ``foreachBatch`` body (batches are sequential; the swap is
         rename-based with crash recovery in ``begin_epoch``) — not
-        concurrently with another writer of the same sidecar."""
+        concurrently with another writer of the same sidecar.
+
+        ``purge`` (round 13, the GDPR key-material hygiene arm of
+        ``ingest.erase_users(purge_keys=True)``): a keys frame to
+        SUBTRACT during the rewrite — the compacted sidecar drops those
+        keys entirely, so content-derived key material (e.g. a
+        ``kafka_hash`` key column) does not survive erasure.  The probe
+        stays a superset of the (erased) sink's keys because the erased
+        rows are gone from the sink too; a re-delivered erased message
+        is then ADMITTED by design — the caller chooses that policy."""
         import uuid
 
         self._recover_interrupted_swap()
@@ -228,6 +237,10 @@ class SinkKeyIndex:
         idx = self.spark.read.parquet(self.path).dropDuplicates(
             self.keys + [BUCKET_COL]
         )
+        if purge is not None:
+            idx = idx.join(
+                purge.select(*self.keys).distinct(), self.keys, "anti"
+            )
         tmp = _Fs(self.spark, f"{self.path}.__compact_{uuid.uuid4().hex[:8]}")
         (
             idx.repartition(BUCKET_COL)

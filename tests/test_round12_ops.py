@@ -681,7 +681,7 @@ def test_compact_sink_crash_rolls_whole_operation_back(
     )
     with pytest.raises(RuntimeError, match="injected crash"):
         compact_sink(spark, dirs, fail_phase=phase)
-    recover_sink_compaction(dirs)
+    recover_sink_compaction(spark, dirs)
     import glob
     import os
 
