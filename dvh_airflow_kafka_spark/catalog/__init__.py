@@ -26,6 +26,8 @@ Module map:
                       capstone, streaming ingest capstone + gate twin
   q14_round12         round-12 compositions: GDPR erasure cascade into
                       the resident monitors, multi-topic ingest fan-in
+  q15_round13         round-13 composition: OPTIMIZE-style auto-
+                      compaction policy chain over the ingest sink
 
 Every name the monolith bound at top level remains importable from this
 package (tests import private helpers like ``_SEQ_LEN``); first binder
@@ -33,9 +35,9 @@ wins, matching the monolith's final-state semantics for the one
 intentional intra-module redefinition (``_lang_hits_sql``).
 """
 
-from dvh_airflow_kafka_spark.catalog import _core, q01_reference, q02_relational, q03_curation, q04_sampling, q05_chunking, q06_semdedup, q07_clustering, q08_retrieval, q09_scd_reach, q10_funnel_privacy, q11_layout, q12_round10, q13_round11, q14_round12  # noqa: F401  (import order = registration order)
+from dvh_airflow_kafka_spark.catalog import _core, q01_reference, q02_relational, q03_curation, q04_sampling, q05_chunking, q06_semdedup, q07_clustering, q08_retrieval, q09_scd_reach, q10_funnel_privacy, q11_layout, q12_round10, q13_round11, q14_round12, q15_round13  # noqa: F401  (import order = registration order)
 
-_MODULES = (_core, q01_reference, q02_relational, q03_curation, q04_sampling, q05_chunking, q06_semdedup, q07_clustering, q08_retrieval, q09_scd_reach, q10_funnel_privacy, q11_layout, q12_round10, q13_round11, q14_round12)
+_MODULES = (_core, q01_reference, q02_relational, q03_curation, q04_sampling, q05_chunking, q06_semdedup, q07_clustering, q08_retrieval, q09_scd_reach, q10_funnel_privacy, q11_layout, q12_round10, q13_round11, q14_round12, q15_round13)
 _g = globals()
 for _m in _MODULES:
     for _k, _v in vars(_m).items():
