@@ -213,10 +213,11 @@ def register(name: str, sql: Optional[str] = None):
 # single-scan A2 counters, persisted epoch marker), then the 21
 # round-7-stale certs and the round-8 batch oldest-first.
 # ``bpe_learn_merges_table`` graduated to a STAGED partial oracle in
-# round 13 (q07_clustering.py) and ``auto_compaction_policy`` is round
-# 13's new composition (q15_round13.py) — both enter via the
-# never-certified head, displacing ``column_encoding_stats`` (green r8,
-# unchanged) to the round-14 rotation.
+# round 13 (q07_clustering.py) and ``auto_compaction_policy`` and
+# ``erasure_key_purge`` are round 13's new compositions
+# (q15_round13.py) — all three enter via the never-certified head,
+# displacing ``column_encoding_stats`` and ``zorder_layout_audit``
+# (green r8, unchanged) to the round-14 rotation.
 # ROUND-14 NOTE (next rotation): bump _WINDOW_BUILT_FROM_ROUND to 13,
 # update _CERTIFY_CHURN for the round's implementation churn, and
 # regenerate with ``python tools/cert_age.py``.  Every name displaced
@@ -248,6 +249,7 @@ _CERTIFY_CHURN = [
 _CERTIFY_FIRST = [
     "bpe_learn_merges_table",  # new
     "auto_compaction_policy",  # new
+    "erasure_key_purge",  # new
     "streaming_ingest_capstone",  # churn
     "multi_topic_fan_in",  # r07
     "streaming_static_enrichment",  # r07
@@ -295,7 +297,6 @@ _CERTIFY_FIRST = [
     "hybrid_rrf_fusion",  # r08
     "cdc_batched_merge_apply",  # r08
     "small_file_compaction_plan",  # r08
-    "zorder_layout_audit",  # r08
 ]
 
 

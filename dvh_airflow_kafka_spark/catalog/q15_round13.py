@@ -306,3 +306,266 @@ def auto_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "section string, dim string, n long"
     )
+
+
+# the purge chain's closed-form staging spec (all replayed by the
+# oracle): epoch A = the first 3/5 of the event-id range in two
+# fixed-width slice files; epoch B = the next 1/5 as the fresh
+# increment, PLUS a redelivery of half the erased rows (event_id even)
+# and a deterministic sample of non-erased duplicates (event_id % 11)
+_PURGE_A_SLICES = 2
+
+
+def _purge_cuts(max_id: int) -> tuple[int, int]:
+    n = max_id + 1
+    return (n * 3) // 5, (n * 4) // 5
+
+
+@register(
+    "erasure_key_purge",
+    sql="""
+    WITH m AS (
+        SELECT ((MAX(event_id) + 1) * 3) // 5 AS cut1,
+               ((MAX(event_id) + 1) * 4) // 5 AS cut2
+        FROM events
+    ), er AS (
+        SELECT c_custkey AS user_id FROM customer
+        WHERE c_custkey % 10 = 0 AND c_custkey <= 50
+    ), a AS (
+        SELECT e.* FROM events e CROSS JOIN m WHERE e.event_id < m.cut1
+    ), bfresh AS (
+        SELECT e.* FROM events e CROSS JOIN m
+        WHERE e.event_id >= m.cut1 AND e.event_id < m.cut2
+    ), a_erased AS (
+        SELECT a.* FROM a WHERE a.user_id IN (SELECT user_id FROM er)
+    ), final AS (
+        SELECT * FROM a WHERE user_id NOT IN (SELECT user_id FROM er)
+        UNION ALL
+        SELECT * FROM a_erased WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT * FROM bfresh
+    )
+    SELECT 'erasure' AS section, 'affected_batches' AS dim,
+           CAST(COUNT(DISTINCT ae.event_id // ((m.cut1 + 1) // 2))
+                AS BIGINT) AS n
+    FROM a_erased ae CROSS JOIN m GROUP BY m.cut1
+    UNION ALL
+    SELECT 'erasure', 'rows_erased', CAST(COUNT(*) AS BIGINT)
+    FROM a_erased
+    UNION ALL
+    SELECT 'erasure', 'initial_rows_erased', CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'sink', 'total_rows', CAST(COUNT(*) AS BIGINT) FROM final
+    UNION ALL
+    SELECT 'sink', 'rows|' || event_type, CAST(COUNT(*) AS BIGINT)
+    FROM final GROUP BY event_type
+    UNION ALL
+    SELECT 'audit', 'erased_readmitted', CAST(COUNT(*) AS BIGINT)
+    FROM a_erased WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT 'audit', 'distinct_keys', CAST(COUNT(*) AS BIGINT) FROM final
+    UNION ALL
+    SELECT 'invariant', 'probe_superset', CAST(1 AS BIGINT)
+    """,
+)
+def erasure_key_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] THE purge_keys ERASURE STANCE END-TO-END (VERDICT r12 item
+    4, certifying the round-13 ``erase_users(purge_keys=True)``
+    mechanism in-window): when the dedup identity is CONTENT-DERIVED —
+    here ``key_cols=("kafka_hash", "kafka_offset")``, mirroring the
+    reference's own test config keying on ``kafka_hash``
+    (src/development/conftest.py) — GDPR erasure must remove the key
+    material from the standing index too, not just the sink rows.  The
+    chain:
+
+    1. drain epoch A (two fixed-width slice files -> two sink dirs);
+    2. ``erase_users(purge_keys=True)``: affected dirs rewritten
+       (pruned by the batch-tag semi-join), the key sidecar compacted
+       MINUS the erased keys, the Bloom gate rebuilt from the purged
+       sidecar into the committed ``bits_cum`` snapshot;
+    3. drain epoch B into the same work_dir (fresh checkpoint,
+       ``epoch_offset`` AUTO-DERIVED via the round-13 persisted epoch
+       contract): a fresh increment, a redelivery of HALF the erased
+       rows (even event_id), and a deterministic sample of non-erased
+       duplicates;
+    4. readout: the redelivered erased rows are ADMITTED again (this
+       policy's contract — they are genuinely absent from sink and
+       index), the non-erased duplicates stay REJECTED (their keys
+       survived the purge), totals and per-type counts land on the
+       relational replay, ``distinct_keys`` == ``total_rows`` proves
+       zero duplicate admissions, and the probe-superset law is
+       re-checked engine-side against the purged sidecar.
+
+    The DuckDB oracle replays the whole lifecycle as set algebra over
+    ``events`` x ``customer`` — erasure, half-redelivery, dup
+    rejection included.
+
+    Scale: both drains are the bounded-probe ingest duty; the erasure
+    is O(affected dirs + sidecar ∪ m-row bit frame) — the purge is
+    compaction-priced, not corpus-priced.  The engine-side superset
+    check is one keys-only anti-join."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from dvh_airflow_kafka_spark.catalog.q13_round11 import _ingest_lookup
+    from dvh_airflow_kafka_spark.streaming.ingest import (
+        erase_users,
+        run_ingest_pipeline,
+    )
+    from dvh_airflow_kafka_spark.streaming.stateful import read_event_stream
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    erased = customer.filter(
+        ((F.col("c_custkey") % 10) == 0) & (F.col("c_custkey") <= 50)
+    ).select(F.col("c_custkey").alias("user_id"))
+    key_cols = ("kafka_hash", "kafka_offset")
+
+    max_id = int(events.agg(F.max("event_id")).collect()[0][0])
+    cut1, cut2 = _purge_cuts(max_id)
+    a = events.filter(F.col("event_id") < cut1)
+    w_a = (cut1 + _PURGE_A_SLICES - 1) // _PURGE_A_SLICES
+
+    def _write_a(src: str) -> None:
+        os.makedirs(src, exist_ok=True)
+        base = a.localCheckpoint()
+        for s in range(_PURGE_A_SLICES):
+            tmp = tempfile.mkdtemp(prefix="purge_a_")
+            (
+                base.filter(
+                    (F.col("event_id") >= s * w_a)
+                    & (F.col("event_id") < (s + 1) * w_a)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"slice-{s}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def _write_b(src: str) -> None:
+        os.makedirs(src, exist_ok=True)
+        fresh = events.filter(
+            (F.col("event_id") >= cut1) & (F.col("event_id") < cut2)
+        )
+        red_erased = a.join(F.broadcast(erased), "user_id", "semi").filter(
+            F.col("event_id") % 2 == 0
+        )
+        red_dup = a.join(F.broadcast(erased), "user_id", "anti").filter(
+            F.col("event_id") % 11 == 0
+        )
+        for name, df in (
+            ("fresh", fresh),
+            ("redeliver", red_erased.unionByName(red_dup)),
+        ):
+            tmp = tempfile.mkdtemp(prefix="purge_b_")
+            df.select(*a.columns).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.move(part, os.path.join(src, f"{name}.parquet"))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    src_a = _staged_stream_src("purge_a", sf_dir, _write_a)
+    src_b = _staged_stream_src("purge_b", sf_dir, _write_b)
+    lookup = _ingest_lookup(spark, sf_dir).filter(F.lit(False))
+    work = tempfile.mkdtemp(prefix="key_purge_")
+    cka = tempfile.mkdtemp(prefix="key_purge_cka_")
+    ckb = tempfile.mkdtemp(prefix="key_purge_ckb_")
+    try:
+        dirs = run_ingest_pipeline(
+            spark,
+            read_event_stream(spark, src_a, max_files_per_trigger=1),
+            work_dir=work,
+            checkpoint_dir=cka,
+            initial_sink=events.filter(F.lit(False)),
+            lookup=lookup,
+            message_filters=[],
+            key_cols=key_cols,
+        )
+        stats = erase_users(
+            spark, dirs, erased, key_cols=key_cols, purge_keys=True
+        )
+        dirs = run_ingest_pipeline(
+            spark,
+            read_event_stream(spark, src_b, max_files_per_trigger=1),
+            work_dir=work,
+            checkpoint_dir=ckb,
+            initial_sink=events.filter(F.lit(False)),
+            lookup=lookup,
+            message_filters=[],
+            key_cols=key_cols,
+        )
+        init = spark.read.parquet(dirs.initial)
+        adm = dirs.admitted(spark, init).localCheckpoint()
+        s_stats = spark.createDataFrame(
+            [
+                ("erasure", "affected_batches", stats["affected_batches"]),
+                ("erasure", "rows_erased", stats["rows_erased"]),
+                (
+                    "erasure",
+                    "initial_rows_erased",
+                    stats["initial_rows_erased"],
+                ),
+            ],
+            "section string, dim string, n long",
+        )
+        s_tot = adm.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit("sink").alias("section"),
+            F.lit("total_rows").alias("dim"),
+            "n",
+        )
+        s_types = adm.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(
+            F.lit("sink").alias("section"),
+            F.concat(F.lit("rows|"), F.col("event_type")).alias("dim"),
+            "n",
+        )
+        # only epoch-A offsets count as REadmitted — erased users'
+        # fresh epoch-B messages are new data, not redeliveries
+        s_back = adm.filter(F.col("kafka_offset") < cut1).join(
+            F.broadcast(erased), "user_id", "semi"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit("audit").alias("section"),
+            F.lit("erased_readmitted").alias("dim"),
+            "n",
+        )
+        s_keys = adm.select(*key_cols).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).select(
+            F.lit("audit").alias("section"),
+            F.lit("distinct_keys").alias("dim"),
+            "n",
+        )
+        # probe-superset law re-checked against the PURGED sidecar: an
+        # admitted key missing from the index would let a redelivery
+        # back in — the count must be zero, published as the 0/1 law
+        side = spark.read.parquet(dirs.sink + "__keys").select(*key_cols)
+        missing = adm.select(*key_cols).join(
+            side, list(key_cols), "anti"
+        ).count()
+        s_inv = spark.createDataFrame(
+            [("invariant", "probe_superset", int(missing == 0))],
+            "section string, dim string, n long",
+        )
+        report = (
+            s_stats.unionByName(s_tot)
+            .unionByName(s_types)
+            .unionByName(s_back)
+            .unionByName(s_keys)
+            .unionByName(s_inv)
+        )
+        rows = report.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(cka, ignore_errors=True)
+        shutil.rmtree(ckb, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, dim string, n long"
+    )
