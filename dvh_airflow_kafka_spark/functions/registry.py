@@ -158,6 +158,73 @@ def _make_fuzzy_fill(anchor: Optional[dt.datetime] = None):
 
 _fuzzy_fill = _make_fuzzy_fill(None)
 
+# Java DateTimeFormatter twins of _FUZZY_FORMATS (strptime directive ->
+# pattern letter: %B->MMMM, %b->MMM, %d->d, %m->M, %Y->yyyy, %H->H,
+# %M->m, %S->s; single-letter numeric patterns accept 1-2 digits like
+# strptime's).  Applied to an initcap'd copy because strptime matches
+# month names case-insensitively while DateTimeFormatter is exact-case.
+_FUZZY_JVM_BASE = [
+    "MMMM d yyyy",
+    "d MMMM yyyy",
+    "yyyy MMMM d",
+    "M/d/yyyy",
+    "d-M-yyyy",
+]
+_FUZZY_JVM_FORMATS = [
+    base + suffix
+    for base in _FUZZY_JVM_BASE
+    for suffix in ("", " H:m", " H:m:s")
+]
+_FUZZY_JVM_FORMATS += [
+    f.replace("MMMM", "MMM") for f in _FUZZY_JVM_FORMATS if "MMMM" in f
+]
+
+
+def _fuzzy_jvm_cascade(s: Column) -> Column:
+    """Codegen twin of :func:`fuzzy_parse_datetime`'s fixed-format pass
+    (the anchor-less residual the default F3 path used to send to a
+    pandas UDF).  Whole-stage-codegen ``try_to_timestamp`` attempts over
+    the same normalization — unicode end-strip, ordinal-suffix strip,
+    ``[\\s,]+`` collapse — so the JVM↔Python boundary disappears from
+    the hot path (optimization guide §4.1: prefer built-ins).
+
+    ``coalesce`` evaluates lazily in generated code, so strings the main
+    ISO cascade already parsed never reach these attempts, and clean
+    data pays nothing.
+
+    Two guards keep strptime parity exact where the pattern grammars
+    differ: strptime's ``%Y`` matches EXACTLY four digits (Java ``yyyy``
+    accepts 4-19), so any string containing a 5+ digit run is rejected
+    outright — no fuzzy format can consume one (numeric fields are
+    capped at 2 digits, the year at 4); and Python ``datetime`` has no
+    year 0 while Java's proleptic ISO chronology does, so a literal
+    ``0000`` year token is rejected too.  Documented deviations (exotic
+    inputs only, all yielding NULL here where Python would parse):
+    non-ASCII digits and non-Unicode-White_Space control separators
+    (``\\x1c``-``\\x1f``) are not normalized."""
+    t = F.regexp_replace(s, r"(?U)^\s+|\s+$", "")
+    t = F.regexp_replace(t, r"(?i)\b(\d{1,2})(st|nd|rd|th)\b", "$1")
+    t = F.initcap(F.regexp_replace(t, r"(?U)[\s,]+", " "))
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(t, F.lit(f)) for f in _FUZZY_JVM_FORMATS]
+    )
+    # Shape prefilter: a failed try_to_timestamp costs ~3 µs (exception-
+    # driven), so a string that CANNOT match any format must not pay 24
+    # of them.  One regex covering exactly the five base shapes (each
+    # optionally followed by H:m[:s]) — a strict superset of what the
+    # strptime formats accept, so it only skips guaranteed misses.
+    # Measured on sf0.1: fuzzy residual 3.8 s -> ~0.1 s for the ~20k
+    # unparseable rows.
+    shape = (
+        r"^(?:[A-Za-z]+ \d{1,2} \d{4}|\d{1,2} [A-Za-z]+ \d{4}"
+        r"|\d{4} [A-Za-z]+ \d{1,2}|\d{1,2}/\d{1,2}/\d{4}"
+        r"|\d{1,2}-\d{1,2}-\d{4})( \d{1,2}:\d{1,2}(:\d{1,2})?)?$"
+    )
+    return F.when(
+        t.rlike(shape) & ~t.rlike(r"\d{5}") & ~t.rlike(r"(^|\D)0000(\D|$)"),
+        parsed,
+    )
+
 
 def _parse_cascade(s: Column) -> Column:
     """Shared codegen ``try_to_timestamp`` cascade for F3 — the single
@@ -166,14 +233,24 @@ def _parse_cascade(s: Column) -> Column:
     so the two paths cannot drift when a format is added."""
     return F.coalesce(
         F.try_to_timestamp(s),  # ISO-ish: yyyy-MM-dd HH:mm:ss[.S]
-        F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
-        F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
-        F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
-        F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
+        # every fixed format below requires a digit, so digit-less
+        # strings skip the remaining 8 exception-driven parse attempts
+        # (~3 µs each per miss); the ungated ISO attempt above keeps the
+        # cast-parser's own semantics (incl. its special literals)
+        # byte-identical to rounds ≤12
+        F.when(
+            s.rlike(r"\d"),
+            F.coalesce(
+                F.try_to_timestamp(s, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+                F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
+                F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
+                F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
+                F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
+                F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
+                F.try_to_timestamp(s, F.lit("dd MMM yyyy")),
+                F.try_to_timestamp(s, F.lit("MMM dd yyyy")),
+            ),
+        ),
     )
 
 
@@ -181,15 +258,22 @@ def str_to_oslo_datetime(c: Column) -> Column:
     """``str -> datetime-no`` (reference src/transform.py:49-60).
 
     The reference uses ``dateparser`` (free-form English). Common fixed
-    formats parse in a codegen ``try_to_timestamp`` cascade; whatever that
-    misses falls through to a pandas-UDF free-form parse
-    (:func:`fuzzy_parse_datetime`). Still-unparseable strings yield NULL,
-    matching the reference's None. The parsed naive datetime is treated
-    as UTC and shifted to Oslo wall clock (the reference's
-    ``_adjust_timezone`` does the same to naive inputs).
+    formats parse in a codegen ``try_to_timestamp`` cascade; whatever
+    that misses falls through to the codegen free-form cascade
+    (:func:`_fuzzy_jvm_cascade` — the JVM twin of
+    :func:`fuzzy_parse_datetime`'s fixed-format pass, which an
+    anchor-less parse is exactly; relative forms need the ``fuzzy:
+    true`` escape hatch and its anchor-bound pandas UDF).  Still-
+    unparseable strings yield NULL, matching the reference's None.  The
+    whole default F3 path is therefore pure whole-stage codegen — no
+    JVM↔Python boundary (optimization guide §4.1).  The parsed naive
+    datetime is treated as UTC and shifted to Oslo wall clock (the
+    reference's ``_adjust_timezone`` does the same to naive inputs).
     """
     s = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
-    return F.from_utc_timestamp(_fuzzy_fill(_parse_cascade(s), s), OSLO)
+    return F.from_utc_timestamp(
+        F.coalesce(_parse_cascade(s), _fuzzy_jvm_cascade(s)), OSLO
+    )
 
 
 def str_to_oslo_datetime_fuzzy(anchor: dt.datetime):

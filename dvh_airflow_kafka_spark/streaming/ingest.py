@@ -74,7 +74,10 @@ import json
 import os
 import re
 import uuid
-from typing import Optional, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional, Sequence
+
+from pyspark import inheritable_thread_target
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -301,32 +304,66 @@ def stage_initial(
         fs.delete(tmp)
 
 
-def _write_monitor_partials(
+def _run_concurrent(thunks: Sequence[Callable[[], None]]) -> None:
+    """Run independent driver-submitted Spark jobs from a small thread
+    pool (guide-§2.6 overlap: actions are only sequential because the
+    driver calls them sequentially; tiny artifact-commit jobs otherwise
+    leave the executors idle during each other's scheduling + commit
+    round trips).  ``inheritable_thread_target`` keeps JVM thread-local
+    properties (job group/description) correct per job.  The first
+    exception propagates after every thunk has finished — callers treat
+    a batch's artifact writes as all-or-retry, same as the sequential
+    code did (every write is overwrite-idempotent or, for the sidecar,
+    duplicate-tolerant by contract)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        for f in futures:
+            f.result()
+
+
+def _monitor_partial_thunks(
     admitted: DataFrame, dirs: "IngestDirs", tag: str, mg_k: int
-) -> None:
+) -> list:
     """The three mergeable monitor partials of one batch's admitted
-    rows — ONE definition shared by the live drain and the erasure
-    rebuild, so a rebuilt partial is bit-identical to what the drain
-    would have written over the same rows."""
-    hll_bucket_rho(admitted, "event_type", elem_col="user_id").groupBy(
-        "event_type", "bucket"
-    ).agg(F.max("rho").alias("m_rho")).write.mode("overwrite").parquet(
-        os.path.join(dirs.hll, tag)
-    )
+    rows as independent write thunks — ONE definition shared by the
+    live drain and the erasure rebuild, so a rebuilt partial is
+    bit-identical to what the drain would have written over the same
+    rows."""
     from dvh_airflow_kafka_spark.catalog.q03_curation import (
         _ddsketch_buckets,
     )
 
-    _ddsketch_buckets(admitted).groupBy("event_type", "b", "s").agg(
-        F.count(F.lit(1)).alias("c")
-    ).write.mode("overwrite").parquet(os.path.join(dirs.dd, tag))
-    admitted.select(
-        F.col("user_id").cast("string").alias("__text")
-    ).mapInPandas(
-        lambda it: _misra_gries_partition(it, mg_k), schema="token string"
-    ).distinct().write.mode("overwrite").parquet(
-        os.path.join(dirs.mg, tag)
-    )
+    def _hll() -> None:
+        hll_bucket_rho(admitted, "event_type", elem_col="user_id").groupBy(
+            "event_type", "bucket"
+        ).agg(F.max("rho").alias("m_rho")).write.mode("overwrite").parquet(
+            os.path.join(dirs.hll, tag)
+        )
+
+    def _dd() -> None:
+        _ddsketch_buckets(admitted).groupBy("event_type", "b", "s").agg(
+            F.count(F.lit(1)).alias("c")
+        ).write.mode("overwrite").parquet(os.path.join(dirs.dd, tag))
+
+    def _mg() -> None:
+        admitted.select(
+            F.col("user_id").cast("string").alias("__text")
+        ).mapInPandas(
+            lambda it: _misra_gries_partition(it, mg_k), schema="token string"
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(dirs.mg, tag)
+        )
+
+    return [_hll, _dd, _mg]
+
+
+def _write_monitor_partials(
+    admitted: DataFrame, dirs: "IngestDirs", tag: str, mg_k: int
+) -> None:
+    _run_concurrent(_monitor_partial_thunks(admitted, dirs, tag, mg_k))
 
 
 # --------------------------------------------------------------------------
@@ -522,9 +559,18 @@ def erase_users(
             stats["rows_erased"] += n_before - kept.count()
             stats["affected_batches"] += 1
             out = os.path.join(tmp, tag)
-            kept.write.parquet(out)
-            # partials BEFORE the sink swap (see docstring step 3)
-            _write_monitor_partials(kept, dirs, tag, mg_k)
+
+            # rewritten rows + the three partials all derive from the
+            # checkpointed ``kept`` and are independent writes — overlap
+            # them (guide §2.6); ALL complete before the sink swap, so
+            # the partials-before-swap crash contract (docstring step 3)
+            # is preserved
+            def _rows_out() -> None:
+                kept.write.parquet(out)
+
+            _run_concurrent(
+                [_rows_out] + _monitor_partial_thunks(kept, dirs, tag, mg_k)
+            )
             _swap_in(fs, dirs, out, bdir, f"sink__{tag}")
 
     if purge_keys:
@@ -715,10 +761,18 @@ def compact_sink(
         .agg(F.sum("c").alias("c")),
         "mg": spark.read.parquet(*_batch_dirs(fs, dirs.mg)).distinct(),
     }
-    for name, df in consolidated.items():
-        out = os.path.join(tmproot, name)
-        df.write.parquet(out)
-        fs.touch(os.path.join(out, _COMPACT_SENTINEL))
+    def _consolidate(name: str, df: DataFrame) -> Callable[[], None]:
+        def run() -> None:
+            out = os.path.join(tmproot, name)
+            df.write.parquet(out)
+            fs.touch(os.path.join(out, _COMPACT_SENTINEL))
+
+        return run
+
+    # the five consolidated-root builds are independent reads+writes
+    # into tmproot (pre-marker, so crash-safety is unaffected by their
+    # completion order) — overlap them (guide §2.6)
+    _run_concurrent([_consolidate(n, df) for n, df in consolidated.items()])
     if fail_phase == "after_tmp":
         raise RuntimeError("injected crash after tmp build")
 
@@ -893,8 +947,11 @@ def run_ingest_pipeline(
         # appended to the sink without reaching the sidecar.
         replay = kidx.begin_epoch(batch_id)
         cum_paths = _batch_dirs(bfs, dirs.bits_cum, batch_id)
+        # explicit schema: skips a per-batch driver footer-inference pass
         prior_bits = (
-            sess.read.parquet(cum_paths[-1]) if cum_paths else init_bits
+            sess.read.schema("pos BIGINT").parquet(cum_paths[-1])
+            if cum_paths
+            else init_bits
         )
         if replay:
             prior_keys = init_rows.select(*key_cols).unionByName(
@@ -943,25 +1000,45 @@ def run_ingest_pipeline(
             raise RuntimeError(
                 f"injected crash after sink write of batch {batch_id}"
             )
-        # one compute feeds both the per-batch bit artifact and the
-        # cumulative snapshot below
-        new_bits = build_bloom(admitted, _ingest_key(key_cols)).localCheckpoint()
-        new_bits.write.mode("overwrite").parquet(os.path.join(dirs.bits, tag))
-        # next batch's ONE-dir dedup read; ≤ m rows so the rewrite is
-        # bounded work regardless of how much the sink has accreted
-        prior_bits.unionByName(new_bits).distinct().write.mode(
-            "overwrite"
-        ).parquet(os.path.join(dirs.bits_cum, tag))
-        # retention: only the LATEST snapshot below a batch is ever read
-        # (a replay of batch N reads the newest < N, i.e. N-1), so keep
-        # this batch's and the previous one and drop the rest — disk
-        # stays O(1) snapshots, not O(batches)
-        for old in _batch_dirs(bfs, dirs.bits_cum, batch_id - 1):
-            bfs.delete(old)
-        kidx.append(admitted.select(*key_cols))
-        if compact_every and (raw_batch_id + 1) % compact_every == 0:
-            kidx.compact()  # bounds the sidecar's file count in-drain
-        _write_monitor_partials(admitted, dirs, tag, mg_k)
+
+        # The remaining per-batch artifacts all derive from the
+        # checkpointed ``admitted`` frame and are mutually independent;
+        # run the three chains concurrently (guide §2.6) instead of as
+        # ~7 sequential tiny jobs.  Ordering contracts preserved: the
+        # sink write above still precedes the sidecar append (ST3), the
+        # crash injection point is unchanged, and each chain keeps its
+        # own internal order (bits before cum snapshot before
+        # retention; append before compact).
+        def _bits_chain() -> None:
+            # one compute feeds both the per-batch bit artifact and the
+            # cumulative snapshot below
+            new_bits = build_bloom(
+                admitted, _ingest_key(key_cols)
+            ).localCheckpoint()
+            new_bits.write.mode("overwrite").parquet(
+                os.path.join(dirs.bits, tag)
+            )
+            # next batch's ONE-dir dedup read; ≤ m rows so the rewrite
+            # is bounded work regardless of how much the sink accreted
+            prior_bits.unionByName(new_bits).distinct().write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dirs.bits_cum, tag))
+            # retention: only the LATEST snapshot below a batch is ever
+            # read (a replay of batch N reads the newest < N, i.e.
+            # N-1), so keep this batch's and the previous one and drop
+            # the rest — disk stays O(1) snapshots, not O(batches)
+            for old in _batch_dirs(bfs, dirs.bits_cum, batch_id - 1):
+                bfs.delete(old)
+
+        def _keys_chain() -> None:
+            kidx.append(admitted.select(*key_cols))
+            if compact_every and (raw_batch_id + 1) % compact_every == 0:
+                kidx.compact()  # bounds the sidecar's file count in-drain
+
+        _run_concurrent(
+            [_bits_chain, _keys_chain]
+            + _monitor_partial_thunks(admitted, dirs, tag, mg_k)
+        )
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -110,6 +110,10 @@ class SinkKeyIndex:
         self.keys = list(keys)
         self.n_buckets = n_buckets
         self._fs = _Fs(spark, self.path)
+        # sidecar schema is fixed after the first write (key columns +
+        # the bucket partition column); cache it so per-batch probes
+        # skip the driver-side footer-inference pass (guide §6)
+        self._schema = None
 
     def _bucket(self) -> F.Column:
         return F.pmod(
@@ -185,7 +189,9 @@ class SinkKeyIndex:
         ]
         if not buckets:
             return None
-        idx = self.spark.read.parquet(self.path)
+        if self._schema is None:
+            self._schema = self.spark.read.parquet(self.path).schema
+        idx = self.spark.read.schema(self._schema).parquet(self.path)
         return idx.filter(F.col(BUCKET_COL).isin(buckets)).select(*self.keys)
 
     def append(self, fresh: DataFrame) -> None:

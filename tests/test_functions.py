@@ -105,6 +105,37 @@ def test_str_to_oslo_datetime_fuzzy_freeform(spark):
         assert _eval1(spark, fns.str_to_oslo_datetime(F.lit(raw)), v=0) == expect, raw
 
 
+def test_fuzzy_jvm_cascade_matches_python_parse(spark):
+    """The round-13 optimization replaced the default F3 path's residual
+    pandas UDF with a codegen twin (`_fuzzy_jvm_cascade`); pin the twin
+    against the Python reference parse on the format/normalization
+    matrix, including the grammar-divergence guards (5-digit year runs
+    and year 0000 must fail BOTH paths)."""
+    cases = [
+        "March 5th 2024",
+        "march 5 2024",            # lowercase month name
+        "MARCH 5 2024 14:30",      # uppercase month name
+        "5 Mar 2024 14:30",
+        "5 mar 2024 14:30:45",
+        "2024 March 5",
+        "03/05/2024",
+        "3/5/2024",                # non-padded month/day
+        "15-01-2024",
+        "July, 1st, 2024",         # commas collapse like whitespace
+        "  March   5\t2024  ",     # whitespace runs
+        "February 30 2024",        # invalid day -> None both
+        "February 29 2023",        # non-leap -> None both
+        "March 5 20244",           # 5-digit year run -> None both
+        "January 1 0000",          # year 0 -> None both
+        "still not a date",
+        "5 days ago",              # relative needs an anchor -> None
+    ]
+    for raw in cases:
+        py = fns.fuzzy_parse_datetime(raw)
+        jvm = _eval1(spark, fns._fuzzy_jvm_cascade(F.lit(raw)), v=0)
+        assert jvm == py, (raw, jvm, py)
+
+
 def test_fuzzy_parse_is_deterministic_no_relative_forms():
     assert fns.fuzzy_parse_datetime("5 days ago") is None
     assert fns.fuzzy_parse_datetime(None) is None
