@@ -937,7 +937,15 @@ def run_ingest_pipeline(
         obs = Observation()
         rows = (
             ingest_transform(batch_df, lookup, message_filters, topic)
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            # the probe's bucket set rides the same scan as a second
+            # observed metric (dropDuplicates keeps one row per key, so
+            # the pre-dedup distinct-bucket set is identical) — the
+            # dedicated per-batch bucket-collect job is gone
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set(kidx.bucket_expr()).alias("bks"),
+            )
             .dropDuplicates(key_cols)
             .localCheckpoint()
         )
@@ -961,7 +969,7 @@ def run_ingest_pipeline(
             )
             sink_dirs_read = len(_batch_dirs(bfs, dirs.sink, batch_id)) + 1
         else:
-            probe = kidx.probe(rows)
+            probe = kidx.probe(rows, buckets=list(obs.get["bks"]))
             prior_keys = (
                 probe
                 if probe is not None
@@ -979,36 +987,48 @@ def run_ingest_pipeline(
         admitted = bloom_dedup_with_bits(
             rows, prior_keys, prior_bits, key_cols
         ).localCheckpoint()  # one compute; 5 artifact writes below
-        # A2 ProcessSummary parity on the pipeline path (reference
-        # src/kafka_source.py:296-352 / src/main.py:40-53): the
-        # pre-dedup count was observed on the checkpointed scan above;
-        # the admitted count is metadata-cheap off its checkpoint
-        n_rows = int(obs.get["n"])
-        n_adm = admitted.count()
-        dirs.summary["event_count"] += n_rows
-        dirs.summary["data_count"] += n_rows
-        dirs.summary["non_empty_count"] += n_rows
-        dirs.summary["written_to_db_count"] += n_adm
-        dirs.summary["skipped_duplicates"] += n_rows - n_adm
-        dirs.probe_log[-1]["n_rows"] = n_rows
-        dirs.probe_log[-1]["n_admitted"] = n_adm
         tag = f"b{batch_id:05d}"
-        admitted.write.mode("overwrite").parquet(
-            os.path.join(dirs.sink, tag)
-        )
         if fail_at_batch is not None and raw_batch_id == fail_at_batch:
+            # injected tear (tests): the worst-case crash window is
+            # "sink written, sidecar/monitors not" — write the sink
+            # sequentially and die before any other artifact, exactly
+            # the pre-round-13 injection point
+            admitted.write.mode("overwrite").parquet(
+                os.path.join(dirs.sink, tag)
+            )
             raise RuntimeError(
                 f"injected crash after sink write of batch {batch_id}"
             )
 
-        # The remaining per-batch artifacts all derive from the
-        # checkpointed ``admitted`` frame and are mutually independent;
-        # run the three chains concurrently (guide §2.6) instead of as
-        # ~7 sequential tiny jobs.  Ordering contracts preserved: the
-        # sink write above still precedes the sidecar append (ST3), the
-        # crash injection point is unchanged, and each chain keeps its
-        # own internal order (bits before cum snapshot before
-        # retention; append before compact).
+        # Every remaining per-batch artifact derives from the
+        # checkpointed ``admitted`` frame; run the chains concurrently
+        # (guide §2.6) instead of as ~8 sequential tiny jobs.  Ordering
+        # contracts preserved: the sink write precedes the sidecar
+        # append INSIDE one thread (ST3), and each chain keeps its own
+        # internal order (bits before cum snapshot before retention;
+        # append before compact).  A crash mid-pool can tear any subset
+        # of artifacts — the same replay law covers it: the checkpoint
+        # has not committed, so the whole batch recomputes against dirs
+        # strictly below it and overwrites every artifact.
+        counts = {}
+
+        def _sink_then_keys_chain() -> None:
+            admitted.write.mode("overwrite").parquet(
+                os.path.join(dirs.sink, tag)
+            )
+            kidx.append(admitted.select(*key_cols))
+            if compact_every and (raw_batch_id + 1) % compact_every == 0:
+                kidx.compact()  # bounds the sidecar's file count in-drain
+
+        def _counts_chain() -> None:
+            # A2 ProcessSummary parity on the pipeline path (reference
+            # src/kafka_source.py:296-352 / src/main.py:40-53): the
+            # pre-dedup count was observed on the checkpointed scan
+            # above; the admitted count is metadata-cheap off its
+            # checkpoint
+            counts["n_rows"] = int(obs.get["n"])
+            counts["n_adm"] = admitted.count()
+
         def _bits_chain() -> None:
             # one compute feeds both the per-batch bit artifact and the
             # cumulative snapshot below
@@ -1030,15 +1050,18 @@ def run_ingest_pipeline(
             for old in _batch_dirs(bfs, dirs.bits_cum, batch_id - 1):
                 bfs.delete(old)
 
-        def _keys_chain() -> None:
-            kidx.append(admitted.select(*key_cols))
-            if compact_every and (raw_batch_id + 1) % compact_every == 0:
-                kidx.compact()  # bounds the sidecar's file count in-drain
-
         _run_concurrent(
-            [_bits_chain, _keys_chain]
+            [_sink_then_keys_chain, _counts_chain, _bits_chain]
             + _monitor_partial_thunks(admitted, dirs, tag, mg_k)
         )
+        n_rows, n_adm = counts["n_rows"], counts["n_adm"]
+        dirs.summary["event_count"] += n_rows
+        dirs.summary["data_count"] += n_rows
+        dirs.summary["non_empty_count"] += n_rows
+        dirs.summary["written_to_db_count"] += n_adm
+        dirs.summary["skipped_duplicates"] += n_rows - n_adm
+        dirs.probe_log[-1]["n_rows"] = n_rows
+        dirs.probe_log[-1]["n_admitted"] = n_adm
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -120,6 +120,13 @@ class SinkKeyIndex:
             F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)
         ).cast("int")
 
+    def bucket_expr(self) -> F.Column:
+        """The bucket-assignment expression, public so a caller can ride
+        it on an existing pass (e.g. an ``observe`` on the batch's first
+        materialization) and hand the result to :meth:`probe` instead of
+        paying a dedicated collect job."""
+        return self._bucket()
+
     def _recover_interrupted_swap(self) -> None:
         """Close the compaction crash window: ``compact`` swaps with
         rename-aside → rename-in, and a crash BETWEEN the renames leaves
@@ -175,18 +182,26 @@ class SinkKeyIndex:
     def _has_data(self) -> bool:
         return any(e.startswith(f"{BUCKET_COL}=") for e in self._fs.names())
 
-    def probe(self, batch: DataFrame) -> Optional[DataFrame]:
+    def probe(
+        self, batch: DataFrame, buckets: Optional[list] = None
+    ) -> Optional[DataFrame]:
         """Existing-keys frame pruned to the buckets ``batch``'s keys hash
         into, or None when the index is empty. The bucket list is a
         bounded driver collect (≤ n_buckets values) so the filter is a
         static ``IN`` that Spark turns into partition pruning — the scan
-        never touches the other buckets' files."""
+        never touches the other buckets' files.  Pass ``buckets`` (the
+        distinct values of :meth:`bucket_expr` over the batch) to skip
+        the collect job when a prior pass already computed them."""
         if not self._has_data():
             return None
-        buckets = [
-            r.b
-            for r in batch.select(self._bucket().alias("b")).distinct().collect()
-        ]
+        if buckets is None:
+            buckets = [
+                r.b
+                for r in batch.select(
+                    self._bucket().alias("b")
+                ).distinct().collect()
+            ]
+        buckets = sorted(set(buckets))
         if not buckets:
             return None
         if self._schema is None:
