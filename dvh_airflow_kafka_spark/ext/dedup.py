@@ -520,7 +520,12 @@ def jaccard_prefix_filter_pairs(
     )
     inv = sh.select(F.col("__id"), F.explode(F.col("__sh")).alias("__s"))
     dfreq = inv.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).cast("int").alias("__n"))
+    # |A| directly off the (already-distinct) shingle array: identical to
+    # counting inv's exploded rows per __id, minus that branch's explode
+    # + aggregation exchange (guide §2.4 — remove shuffles outright)
+    sizes = sh.select(
+        F.col("__id"), F.size(F.col("__sh")).cast("int").alias("__n")
+    )
     w = Window.partitionBy("__id").orderBy("__df", "__s")
     prefix = (
         inv.join(dfreq, "__s")
