@@ -544,20 +544,32 @@ def erase_users(
             .distinct()
             .collect()
         )
-        for tag in affected:
+
+        def _erase_tag(tag: str) -> "tuple[int, Optional[DataFrame]]":
+            """One affected batch's whole rebuild: read → capture erased
+            keys (purge mode) → anti-join rewrite → partials + rows
+            (overlapped) → swap.  Returns (rows_erased, gone_keys_frame).
+            Self-contained so the TAGS themselves can overlap (guide
+            §2.6): each tag touches only its own sink/partial dirs and
+            its own uniquely-named trash entry, and the
+            partials-before-own-swap crash contract (docstring step 3)
+            holds per tag exactly as it did sequentially — a crash mid-
+            fleet leaves some tags swapped and some not, the same states
+            the sequential loop could crash into, and the idempotent
+            re-run converges either way."""
             bdir = os.path.join(dirs.sink, tag)
             rows = spark.read.parquet(bdir)
             n_before = rows.count()
+            gone = None
             if purge_keys:
                 # eager for the same pre-swap-capture reason as above
-                gone_keys.append(
+                gone = (
                     rows.join(er, "user_id", "semi")
                     .select(*key_cols)
                     .localCheckpoint()
                 )
             kept = rows.join(er, "user_id", "anti").localCheckpoint()
-            stats["rows_erased"] += n_before - kept.count()
-            stats["affected_batches"] += 1
+            n_erased = n_before - kept.count()
             out = os.path.join(tmp, tag)
 
             # rewritten rows + the three partials all derive from the
@@ -572,6 +584,26 @@ def erase_users(
                 [_rows_out] + _monitor_partial_thunks(kept, dirs, tag, mg_k)
             )
             _swap_in(fs, dirs, out, bdir, f"sink__{tag}")
+            return n_erased, gone
+
+        # 2-3 tags in flight is plenty (guide §2.6) — enough to back-fill
+        # each tag's commit/driver tails without flooding the scheduler
+        # (each tag already fans out 4 concurrent artifact jobs)
+        results: list = []
+        if len(affected) <= 1:
+            results = [_erase_tag(t) for t in affected]
+        else:
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                futures = [
+                    pool.submit(inheritable_thread_target(_erase_tag), t)
+                    for t in affected
+                ]
+                results = [f.result() for f in futures]
+        for n_erased, gone in results:
+            stats["rows_erased"] += n_erased
+            stats["affected_batches"] += 1
+            if gone is not None:
+                gone_keys.append(gone)
 
     if purge_keys:
         _purge_key_material(
