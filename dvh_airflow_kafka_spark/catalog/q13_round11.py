@@ -1164,6 +1164,7 @@ def streaming_ingest_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             message_filters=_INGEST_FILTERS,
             mg_k=_INGEST_MG_K,
             shared_initial=shared,
+            shuffle_partitions=8,
         )
         init = spark.read.parquet(dirs.initial)
         admitted = dirs.admitted(spark, init).localCheckpoint()

@@ -243,6 +243,7 @@ def streaming_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             message_filters=_INGEST_FILTERS,
             mg_k=_INGEST_MG_K,
             shared_initial=shared,
+            shuffle_partitions=8,
         )
         stats = erase_users(spark, dirs, erased, mg_k=_INGEST_MG_K)
         init = spark.read.parquet(dirs.initial)
@@ -485,6 +486,7 @@ def streaming_multi_topic_ingest(
             message_filters=_INGEST_FILTERS,
             mg_k=_INGEST_MG_K,
             topic=F.col("src_topic"),
+            shuffle_partitions=8,
         )
         init = spark.read.parquet(dirs.initial)
         admitted = dirs.admitted(spark, init)
@@ -694,6 +696,7 @@ def weekly_ops_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
             message_filters=_INGEST_FILTERS,
             mg_k=_INGEST_MG_K,
             shared_initial=shared,
+            shuffle_partitions=8,
         )
         init = spark.read.parquet(dirs.initial).select("event_type", "value")
         adm = dirs.admitted(
@@ -1009,6 +1012,7 @@ def ingest_lifecycle_capstone(
             message_filters=_INGEST_FILTERS,
             mg_k=_INGEST_MG_K,
             shared_initial=shared,
+            shuffle_partitions=8,
         )
         compact_sink(spark, dirs)
         max_id = max(
@@ -1026,6 +1030,7 @@ def ingest_lifecycle_capstone(
             mg_k=_INGEST_MG_K,
             shared_initial=shared,
             epoch_offset=max_id + 1,
+            shuffle_partitions=8,
         )
         stats = erase_users(spark, dirs, erased, mg_k=_INGEST_MG_K)
         init = spark.read.parquet(dirs.initial)

@@ -187,6 +187,7 @@ def auto_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             initial_sink=events.filter(F.lit(False)),
             lookup=_ingest_lookup(spark, sf_dir).filter(F.lit(False)),
             message_filters=[],
+            shuffle_partitions=8,
         )
         fs = dirs.fs(spark)
         bdirs = _batch_dirs(fs, dirs.sink)
@@ -487,6 +488,7 @@ def erasure_key_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             lookup=lookup,
             message_filters=[],
             key_cols=key_cols,
+            shuffle_partitions=8,
         )
         stats = erase_users(
             spark, dirs, erased, key_cols=key_cols, purge_keys=True
@@ -500,6 +502,7 @@ def erasure_key_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
             lookup=lookup,
             message_filters=[],
             key_cols=key_cols,
+            shuffle_partitions=8,
         )
         init = spark.read.parquet(dirs.initial)
         adm = dirs.admitted(spark, init).localCheckpoint()

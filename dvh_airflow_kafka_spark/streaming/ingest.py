@@ -902,6 +902,7 @@ def run_ingest_pipeline(
     compact_every: int = 8,
     topic: "str | Column" = "events",
     epoch_offset: Optional[int] = None,
+    shuffle_partitions: Optional[int] = None,
 ) -> IngestDirs:
     """Drain ``stream`` (raw events-shaped rows) through the full
     reference duty into ``work_dir`` (see module docstring).  The
@@ -926,7 +927,19 @@ def run_ingest_pipeline(
     auto-derive (stored value on resume, max committed tag + 1 on a
     fresh checkpoint), or pass an explicit value to have it verified —
     a wrong value on a resumed or colliding drain now raises instead
-    of silently mis-probing."""
+    of silently mis-probing.
+
+    ``shuffle_partitions`` right-sizes the per-batch aggregation
+    exchanges (Bloom-bit distinct, monitor partial groupBys, sidecar
+    bucket writes) exactly as ``drain_to_memory``'s same-named knob
+    right-sizes state partitions: the cost of each tiny artifact job
+    has a fixed per-partition term (task launch + commit file), so the
+    partition count should track the MICRO-BATCH's data volume, not
+    the cluster width.  A production drain sizes it to steady-state
+    batch volume (hundreds of partitions for GB batches); the staged
+    catalog drains carry ~10⁴-10⁵ rows per batch where 8 is right.
+    ``None`` keeps the session value.  Restored after termination; the
+    foreachBatch clone captures it at start."""
     from dvh_airflow_kafka_spark.streaming.keyindex import SinkKeyIndex
 
     key_cols = list(key_cols)
@@ -1095,11 +1108,20 @@ def run_ingest_pipeline(
         dirs.probe_log[-1]["n_rows"] = n_rows
         dirs.probe_log[-1]["n_admitted"] = n_adm
 
-    q = (
-        stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # restore only after termination: the stream thread clones the
+        # session state lazily (same rationale as drain_to_memory)
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return dirs
