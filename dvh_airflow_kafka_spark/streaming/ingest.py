@@ -559,7 +559,6 @@ def erase_users(
             re-run converges either way."""
             bdir = os.path.join(dirs.sink, tag)
             rows = spark.read.parquet(bdir)
-            n_before = rows.count()
             gone = None
             if purge_keys:
                 # eager for the same pre-swap-capture reason as above
@@ -568,8 +567,18 @@ def erase_users(
                     .select(*key_cols)
                     .localCheckpoint()
                 )
-            kept = rows.join(er, "user_id", "anti").localCheckpoint()
-            n_erased = n_before - kept.count()
+            # both counts ride the rewrite's one materialization as
+            # observed metrics (pre-join row count above the anti-join,
+            # kept count below it) instead of two dedicated count() jobs
+            # per affected tag
+            o_before, o_kept = Observation(), Observation()
+            kept = (
+                rows.observe(o_before, F.count(F.lit(1)).alias("n"))
+                .join(er, "user_id", "anti")
+                .observe(o_kept, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            n_erased = int(o_before.get["n"]) - int(o_kept.get["n"])
             out = os.path.join(tmp, tag)
 
             # rewritten rows + the three partials all derive from the
@@ -1029,9 +1038,15 @@ def run_ingest_pipeline(
                 "sink_dirs_read": sink_dirs_read,
             }
         )
-        admitted = bloom_dedup_with_bits(
-            rows, prior_keys, prior_bits, key_cols
-        ).localCheckpoint()  # one compute; 5 artifact writes below
+        # one compute feeding the 5 artifact writes below; the admitted
+        # count rides the materialization as an observed metric instead
+        # of a dedicated post-checkpoint count() job
+        adm_obs = Observation()
+        admitted = (
+            bloom_dedup_with_bits(rows, prior_keys, prior_bits, key_cols)
+            .observe(adm_obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
         tag = f"b{batch_id:05d}"
         if fail_at_batch is not None and raw_batch_id == fail_at_batch:
             # injected tear (tests): the worst-case crash window is
@@ -1067,25 +1082,30 @@ def run_ingest_pipeline(
 
         def _counts_chain() -> None:
             # A2 ProcessSummary parity on the pipeline path (reference
-            # src/kafka_source.py:296-352 / src/main.py:40-53): the
-            # pre-dedup count was observed on the checkpointed scan
-            # above; the admitted count is metadata-cheap off its
-            # checkpoint
+            # src/kafka_source.py:296-352 / src/main.py:40-53): both
+            # counts were observed on frames already materialized above
+            # (the pre-dedup count on the transform scan, the admitted
+            # count on the admitted checkpoint) — no dedicated count()
+            # jobs remain
             counts["n_rows"] = int(obs.get["n"])
-            counts["n_adm"] = admitted.count()
+            counts["n_adm"] = int(adm_obs.get["n"])
 
         def _bits_chain() -> None:
-            # one compute feeds both the per-batch bit artifact and the
-            # cumulative snapshot below
-            new_bits = build_bloom(
-                admitted, _ingest_key(key_cols)
-            ).localCheckpoint()
-            new_bits.write.mode("overwrite").parquet(
-                os.path.join(dirs.bits, tag)
-            )
+            # the per-batch bit artifact's write IS its materialization
+            # (admitted is checkpointed, so the bloom aggregation runs
+            # once inside the write job — the previous dedicated
+            # localCheckpoint job was a third driver round trip on this
+            # chain, the measured per-batch critical path); the
+            # cumulative snapshot then unions the just-committed
+            # artifact back in, an ≤ m-row read
+            new_bits = build_bloom(admitted, _ingest_key(key_cols))
+            bits_path = os.path.join(dirs.bits, tag)
+            new_bits.write.mode("overwrite").parquet(bits_path)
             # next batch's ONE-dir dedup read; ≤ m rows so the rewrite
             # is bounded work regardless of how much the sink accreted
-            prior_bits.unionByName(new_bits).distinct().write.mode(
+            prior_bits.unionByName(
+                sess.read.schema("pos BIGINT").parquet(bits_path)
+            ).distinct().write.mode(
                 "overwrite"
             ).parquet(os.path.join(dirs.bits_cum, tag))
             # retention: only the LATEST snapshot below a batch is ever
