@@ -1174,7 +1174,9 @@ def streaming_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = _staged_stream_src("stream_corpus", sf_dir, _write)
     ckpt = tempfile.mkdtemp(prefix="stream_corpus_ckpt_")
-    schema = spark.read.parquet(src).schema
+    from dvh_airflow_kafka_spark.io import stream_source_schema
+
+    schema = stream_source_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")

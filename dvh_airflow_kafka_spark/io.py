@@ -64,6 +64,29 @@ def _nano_ts_columns(path: str) -> tuple[str, ...]:
     )
 
 
+_STREAM_SCHEMA_CACHE: dict = {}
+
+
+def stream_source_schema(spark: SparkSession, source_dir: str):
+    """Spark schema of a parquet file-stream source dir, cached per path.
+
+    File-stream sources require an explicit schema; inferring one is a
+    driver-side footer-listing read (~0.1s) paid on every pipeline
+    START.  Every source dir driven here is schema-stable once created
+    (staged dirs are immutable; live-appended dirs only ever append
+    files of the same schema), so the inferred StructType — a plain
+    session-independent value — is cached for the process lifetime.
+    Callers whose dir may be REWRITTEN with a different schema at the
+    same path must bypass this and infer directly."""
+    schema = _STREAM_SCHEMA_CACHE.get(source_dir)
+    if schema is None:
+        if len(_STREAM_SCHEMA_CACHE) > 1024:  # bound long-lived processes
+            _STREAM_SCHEMA_CACHE.clear()
+        schema = spark.read.parquet(source_dir).schema
+        _STREAM_SCHEMA_CACHE[source_dir] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; ns-timestamps come back as TIMESTAMP_NTZ(µs)."""
     return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))

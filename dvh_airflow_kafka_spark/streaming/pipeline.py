@@ -124,8 +124,11 @@ def run_streaming_pipeline(
     filters, overriding the standalone parameters.
     """
     # Streaming file sources need an explicit schema; take it from a batch
-    # read of the same directory (driver-side, once).
-    schema = spark.read.parquet(source_dir).schema
+    # read of the same directory (driver-side, cached per path — see
+    # io.stream_source_schema).
+    from dvh_airflow_kafka_spark.io import stream_source_schema
+
+    schema = stream_source_schema(spark, source_dir)
     transform = (
         Transform(transform_rules, batch_time=batch_time) if transform_rules else None
     )
@@ -314,7 +317,9 @@ def run_streaming_produce(
                 writer = writer.option(k, v)
             writer.save()
 
-    schema = spark.read.parquet(source_dir).schema
+    from dvh_airflow_kafka_spark.io import stream_source_schema
+
+    schema = stream_source_schema(spark, source_dir)
     transform = (
         Transform(transform_rules, batch_time=batch_time) if transform_rules else None
     )

@@ -329,7 +329,9 @@ def read_event_stream(
 ) -> DataFrame:
     """File-stream simulation of the event log (schema from a batch read,
     one file per micro-batch by default)."""
-    schema = spark.read.parquet(source_dir).schema
+    from dvh_airflow_kafka_spark.io import stream_source_schema
+
+    schema = stream_source_schema(spark, source_dir)
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
