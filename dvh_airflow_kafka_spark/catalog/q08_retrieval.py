@@ -886,8 +886,13 @@ def dsir_domain_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dvh_airflow_kafka_spark.io import ensure_parallelism
 
-    base = _charlm_model(t)
-    target = _charlm_model(t.filter(F.col("lang") == _DSIR_TARGET_LANG))
+    # ONE corpus pass trains both models (the conditional count rides
+    # the same bigram aggregation) — the second full explode + shuffle +
+    # collect of separate charlm_model calls is O(corpus) at scale;
+    # models are bit-identical (shared _charlm_from_counts)
+    base, target = xtext.charlm_two_models(
+        t, F.col("lang") == _DSIR_TARGET_LANG
+    )
     scored = ensure_parallelism(t).select(
         "doc_id",
         "lang",

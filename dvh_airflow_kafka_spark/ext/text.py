@@ -427,7 +427,15 @@ def charlm_model(t: DataFrame) -> tuple[dict, dict, int]:
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
-    counts = {r["b"]: int(r["c"]) for r in rows}
+    return _charlm_from_counts({r["b"]: int(r["c"]) for r in rows})
+
+
+def _charlm_from_counts(counts: dict) -> tuple[dict, dict, int]:
+    """Model construction from a bigram→count map — the driver-side half
+    of :func:`charlm_model`, shared so fused multi-model passes build
+    bit-identical models from their split counts."""
+    import math
+
     prefix: dict[str, int] = {}
     for b, c in counts.items():
         prefix[b[0]] = prefix.get(b[0], 0) + c
@@ -442,6 +450,39 @@ def charlm_model(t: DataFrame) -> tuple[dict, dict, int]:
     pre_fb = {c1: mk(1.0, n1 + vocab) for c1, n1 in prefix.items()}
     global_fb = mk(1.0, float(vocab)) if vocab else 0
     return micronats, pre_fb, global_fb
+
+
+def charlm_two_models(
+    t: DataFrame, target_cond: Column
+) -> tuple[tuple[dict, dict, int], tuple[dict, dict, int]]:
+    """Train the base model over ``t`` AND the model of the
+    ``target_cond`` subset in ONE corpus pass: the bigram explode +
+    aggregation carries a conditional count beside the full count, so
+    the second full scan + shuffle + collect the two separate
+    :func:`charlm_model` calls would pay (O(corpus) at scale — the DSIR
+    shape trains target and base over the same text) disappears.  Both
+    returned models are bit-identical to separately trained ones: the
+    split counts feed the same :func:`_charlm_from_counts`."""
+    from dvh_airflow_kafka_spark.io import ensure_parallelism
+
+    rows = (
+        ensure_parallelism(t)
+        .select(
+            F.explode(charlm_bigrams()).alias("b"),
+            target_cond.cast("long").alias("__t"),
+        )
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("__t").alias("ct"),
+        )
+        .collect()
+    )
+    base = _charlm_from_counts({r["b"]: int(r["c"]) for r in rows})
+    target = _charlm_from_counts(
+        {r["b"]: int(r["ct"]) for r in rows if int(r["ct"])}
+    )
+    return base, target
 
 
 def charlm_score_sum(model: tuple[dict, dict, int]) -> Column:

@@ -124,3 +124,25 @@ def test_dsir_selects_target_domain_documents(spark, sf_dir):
     assert imps == sorted(imps, reverse=True)
     langs = [r["lang"] for r in out]
     assert langs.count("en") > len(langs) / 2, langs
+
+
+def test_charlm_two_models_match_separately_trained(spark, sf_dir):
+    """Round-13 optimization law: the fused one-pass trainer
+    (``charlm_two_models``) must return BIT-IDENTICAL models to two
+    separate ``charlm_model`` calls — base over the whole frame, target
+    over the condition's subset."""
+    from pyspark.sql import functions as F
+
+    from dvh_airflow_kafka_spark.ext import text as xtext
+    from dvh_airflow_kafka_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.filter(F.length("text") >= 2).select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("s")
+    )
+    cond = F.col("lang") == "en"
+    base_sep = xtext.charlm_model(t)
+    target_sep = xtext.charlm_model(t.filter(cond))
+    base_fused, target_fused = xtext.charlm_two_models(t, cond)
+    assert base_fused == base_sep
+    assert target_fused == target_sep
