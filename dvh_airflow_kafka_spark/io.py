@@ -87,18 +87,45 @@ def stream_source_schema(spark: SparkSession, source_dir: str):
     return schema
 
 
+_TABLE_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; ns-timestamps come back as TIMESTAMP_NTZ(µs)."""
-    return load_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one testdata table; ns-timestamps come back as TIMESTAMP_NTZ(µs).
+
+    The testdata tables are immutable fixtures, so their raw Spark read
+    schema is cached per path (``cache_schema=True``): without it every
+    ``load_table`` call pays a driver-side footer-inference job (~80-100
+    ms measured here; on an object store at production scale it is a
+    listing plus remote footer reads per referencing query)."""
+    return load_parquet(
+        spark, os.path.join(sf_dir, f"{name}.parquet"), cache_schema=True
+    )
 
 
-def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+def load_parquet(
+    spark: SparkSession, path: str, *, cache_schema: bool = False
+) -> DataFrame:
     """Read any parquet path with the same ns→µs timestamp normalisation
-    as ``load_table`` (config-driven sources point at raw paths)."""
+    as ``load_table`` (config-driven sources point at raw paths).
+
+    ``cache_schema`` must stay False for MUTABLE paths (pipeline sinks,
+    work dirs — ``runner.py`` re-reads sinks it just wrote); only
+    immutable inputs such as the testdata tables may opt in.  The cached
+    value is the RAW read schema (pre ns→µs rebuild), a plain
+    session-independent StructType."""
     ns_cols = _nano_ts_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    schema = _TABLE_SCHEMA_CACHE.get(path) if cache_schema else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if cache_schema:
+            if len(_TABLE_SCHEMA_CACHE) > 1024:  # bound long-lived processes
+                _TABLE_SCHEMA_CACHE.clear()
+            _TABLE_SCHEMA_CACHE[path] = df.schema
     # Rebuild only columns Spark actually surfaced as raw ns longs —
     # pyarrow reports Spark's own INT96 timestamps as timestamp[ns] too,
     # but Spark reads those back as proper TIMESTAMP already.

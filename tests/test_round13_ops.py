@@ -471,3 +471,44 @@ def test_stream_source_schema_cached_per_path(spark, tmp_path):
         rw.DataFrameReader.parquet = orig
     assert s2 is s1
     dio._STREAM_SCHEMA_CACHE.pop(src, None)
+
+
+def test_load_table_schema_cached_per_path(spark):
+    """Round-13 optimization law: ``load_table`` reads the immutable
+    testdata tables with a cached raw schema — the per-call driver-side
+    footer-inference job is gone — and the cached-read frame is
+    row-identical to a fresh inferred read.  Mutable-path reads
+    (``load_parquet`` without ``cache_schema``) must NOT populate or
+    consult the cache."""
+    import pyspark.sql.readwriter as rw
+
+    from dvh_airflow_kafka_spark import io as dio
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = f"{sf_dir}/region.parquet"
+    dio._TABLE_SCHEMA_CACHE.pop(path, None)
+    fresh = dio.load_table(spark, sf_dir, "region")
+    assert path in dio._TABLE_SCHEMA_CACHE
+    # second call must route through DataFrameReader.schema(...) with
+    # the cached StructType (no inference): spy on it to prove it
+    seen = {}
+    orig_schema = rw.DataFrameReader.schema
+
+    def spy_schema(self, s):
+        seen["schema"] = s
+        return orig_schema(self, s)
+
+    rw.DataFrameReader.schema = spy_schema
+    try:
+        cached = dio.load_table(spark, sf_dir, "region")
+    finally:
+        rw.DataFrameReader.schema = orig_schema
+    assert seen.get("schema") is dio._TABLE_SCHEMA_CACHE[path]
+    assert cached.schema == fresh.schema
+    assert sorted(map(tuple, cached.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
+    # mutable-path reads stay cache-free
+    before = set(dio._TABLE_SCHEMA_CACHE)
+    dio.load_parquet(spark, path)
+    assert set(dio._TABLE_SCHEMA_CACHE) == before
