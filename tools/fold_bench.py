@@ -10,6 +10,14 @@ Rules (settled round 12/13):
   * queries named in ``--reset`` (code reworked since the last fold)
     take their minima from THE GIVEN PASSES ONLY, so every committed
     number measures the shipped code;
+  * strict-subset exception (settled late round 13): a change with a
+    machine-checkable proof that it only REMOVES driver-side jobs from
+    the measured path — identical query plans, per-query job count
+    strictly non-increasing, zero executor-side change — does not
+    invalidate prior minima (the shipped code on the window that
+    produced a minimum would have run at least as fast), so it needs
+    no reset.  The proof (job-count A/B per representative query) must
+    be recorded in the round log; anything short of that proof resets.
   * each input file is a ``bench.py`` BENCH_FULL-style dict
     (``queries`` map; optional load_avg fields) or a
     ``tools/minibench.py`` output (``queries_min`` map).
