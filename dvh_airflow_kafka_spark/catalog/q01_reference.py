@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from dvh_airflow_kafka_spark.config import AllowRule
 from dvh_airflow_kafka_spark.functions import registry as fns
-from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.io import ensure_parallelism, load_table
 from dvh_airflow_kafka_spark.operators import dedup_against_existing, full_summary_frame, scrub_flagged_persons
 from dvh_airflow_kafka_spark.plans import Transform
 from dvh_airflow_kafka_spark.sources import events_as_kafka_frame, with_envelope
@@ -60,8 +60,15 @@ _FLAGSHIP_SQL = f"""
 def flagship_etl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole spine in one plan: Kafka-shaped scan →
     envelope (S3/S6/F9/F10) → allow-filter (P3) → transform DSL (P5 +
-    F5). Single narrow projection — fuses into one codegen stage."""
-    events = load_table(spark, sf_dir, "events")
+    F5). One narrow projection fused into one codegen stage, fed by an
+    input-balance repartition: the spine's per-row work (sha256 +
+    canonical-JSON re-serialisation) is CPU-bound, and a single-row-group
+    parquet input scans as ONE task (guide §2.5 input skew — "one huge
+    unsplittable file: repartition immediately after the read").
+    ``ensure_parallelism`` is a no-op whenever the source layout already
+    parallelises the scan, so at production multi-file scale no shuffle
+    is added.  Row-level output → order-insensitive, oracle-identical."""
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     env = with_envelope(
         events_as_kafka_frame(events), message_filters=_FLAGSHIP_FILTERS
     )
@@ -200,10 +207,12 @@ def payload_drop_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 def message_allow_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 message-filters (reference src/kafka_source.py:207-218): OR-list
     of top-level equality predicates; non-matching rows keep their
-    envelope but the payload is NULLed — a CASE projection, not a filter."""
+    envelope but the payload is NULLed — a CASE projection, not a filter.
+    Input-balanced like the flagship: the JSON re-serialisation is
+    CPU-bound row-level work on a one-task scan at fixture layout."""
     from dvh_airflow_kafka_spark.sources.envelope import allow_filter_condition
 
-    events = load_table(spark, sf_dir, "events")
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     payload = F.to_json(
         F.struct(
             F.col("event_type"),
@@ -465,8 +474,10 @@ def fn_epoch_to_oslo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_str_parse_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3 ``str -> datetime-no`` (reference src/transform.py:49-60):
-    parseable strings → Oslo wall clock; garbage → NULL."""
-    events = load_table(spark, sf_dir, "events")
+    parseable strings → Oslo wall clock; garbage → NULL.  Input-balanced:
+    the try_to_timestamp cascade is exception-driven on misses (CPU), and
+    the fixture layout scans as one task (guide §2.5)."""
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     s = F.when(F.col("event_type") == "error", F.lit("not a date")).otherwise(
         F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss")
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 import datetime as dt
 
 from dvh_airflow_kafka_spark.ext import dedup as xdedup, multimodal as xmm, similarity as xsim, text as xtext
-from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.io import ensure_parallelism, load_table
 from dvh_airflow_kafka_spark.sources import events_as_kafka_frame, with_envelope
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from dvh_airflow_kafka_spark.catalog._core import (
@@ -191,8 +191,11 @@ _QUALITY_SQL = r"""
 @register("text_quality", sql=_QUALITY_SQL)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] quality scoring: length/punctuation/stopword heuristics
-    (C4/Gopher-style cheap filters), deterministic double arithmetic."""
-    docs = load_table(spark, sf_dir, "documents")
+    (C4/Gopher-style cheap filters), deterministic double arithmetic.
+    Input-balanced (guide §2.5): the per-doc regex/stopword work is
+    CPU-bound and the fixture's one-row-group parquet scans as ONE task;
+    ensure_parallelism is a no-op on already-parallel layouts."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         xtext.token_count_ws(F.col("text")).alias("n_words_out"),
@@ -235,8 +238,9 @@ _LANG_SQL = f"""
 @register("text_lang_id", sql=_LANG_SQL)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[EXT] language-ID heuristic: per-language stopword hits, argmax with
-    lexicographic tie-break."""
-    docs = load_table(spark, sf_dir, "documents")
+    lexicographic tie-break.  Input-balanced (guide §2.5), same rationale
+    as text_quality."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     scores = xtext.lang_scores(F.col("text"))
     return docs.select(
         "doc_id",
@@ -285,8 +289,10 @@ def text_repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap filters. The bigram array (interpreted-HOF construction) is
     built exactly once, on the explode side; the join carries only
     scalars — |bigrams| is ``greatest(1, n_tokens − 1)`` by construction,
-    so it's recomputed arithmetically, not from a second array build."""
-    docs = load_table(spark, sf_dir, "documents")
+    so it's recomputed arithmetically, not from a second array build.
+    Input-balanced (guide §2.5): the token/bigram HOF construction is the
+    per-row cost and the fixture scans as one task."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toksdf = docs.select("doc_id", xtext.tokens(F.col("text")).alias("__toks"))
     stats = toksdf.select(
         "doc_id",
@@ -356,8 +362,9 @@ def text_pii_redaction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines salt every 5th document with a synthetic email + phone — real
     positives, deterministic, and the patterns use only constructs with
     identical Java-regex/RE2 semantics. Chained regexp_replace fuses into
-    the scan (the same shape a 100 TB scrub runs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    the scan (the same shape a 100 TB scrub runs), input-balanced per
+    guide §2.5 (no-op on already-parallel layouts)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     salted = docs.select(
         "doc_id", F.concat(F.col("text"), _pii_salt_spark()).alias("__t")
     )
@@ -821,14 +828,16 @@ def avro_binary_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Avro-binary-encoded (zigzag varints, LE doubles, nullable union),
     Confluent-framed, then header-stripped and decoded back through the
     pure-Python codec (sources/avro_codec.py). The oracle asserts
-    decode(frame(encode(x))) == x on real data."""
+    decode(frame(encode(x))) == x on real data.  Input-balanced (guide
+    §2.5): the whole roundtrip is per-row Python/JVM codec work, the
+    costliest single-task scan in the catalog at fixture layout."""
     from dvh_airflow_kafka_spark.sources.avro_codec import avro_encode_from_json_udf
     from dvh_airflow_kafka_spark.sources.kafka import (
         avro_payload_json,
         confluent_frame,
     )
 
-    events = load_table(spark, sf_dir, "events")
+    events = ensure_parallelism(load_table(spark, sf_dir, "events"))
     record_json = F.to_json(F.struct("event_type", "user_id", "value"))
     framed = events.select(
         "event_id",
@@ -1805,9 +1814,10 @@ def code_switch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact: languages sort by (hits desc, lang asc) via an integer
     struct sort, identical in both engines.
 
-    Plan: a zero-shuffle, zero-UDF scan-fused projection (stopword
-    filters + one 4-element array sort per row)."""
-    docs = load_table(spark, sf_dir, "documents")
+    Plan: a zero-UDF scan-fused projection (stopword filters + one
+    4-element array sort per row) behind an input-balance repartition
+    (guide §2.5 — no-op on already-parallel layouts)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     entries = [
         F.struct(
             (-xtext.stopword_hits(F.col("text"), words).cast("long")).alias(

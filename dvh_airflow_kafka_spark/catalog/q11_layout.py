@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from typing import Optional
 from dvh_airflow_kafka_spark.ext import multimodal as xmm, text as xtext
-from dvh_airflow_kafka_spark.io import load_table
+from dvh_airflow_kafka_spark.io import ensure_parallelism, load_table
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from dvh_airflow_kafka_spark.catalog._core import (
     register,
@@ -328,9 +328,11 @@ def audio_frame_energy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes every block energy WITHOUT touching bytes:
     the byte-level decode + DSP is hash-verified end to end, the same
     contract as ``wav_decode_metadata`` but over sample DATA, not
-    headers.  Arrow-batched ``mapInPandas`` with numpy inside — no
-    shuffle, a map-only pass over the blob scan at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    headers.  Arrow-batched ``mapInPandas`` with numpy inside — a
+    map-only pass over the blob scan at any scale, input-balanced per
+    guide §2.5 (the decode kernel is CPU-bound; no-op on parallel
+    layouts)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     blobs = xmm.synth_wav_pcm_frame(docs)
     return xmm.wav_frame_energy(blobs)
 
@@ -488,8 +490,10 @@ def image_tile_checksum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     touching bytes: the container walk + inflate + tiling is
     hash-verified end to end — ``wav_decode_metadata`` verified header
     parsing, ``audio_frame_energy`` verified sample DSP, this verifies
-    a full compressed-image decode.  Map-only at any scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    a full compressed-image decode.  Map-only at any scale,
+    input-balanced per guide §2.5 (zlib inflate is CPU-bound; no-op on
+    parallel layouts)."""
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     blobs = xmm.synth_png_pixels_frame(docs)
     return xmm.png_tile_checksum(blobs, tile=8)
 
@@ -1786,30 +1790,37 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents and the replicate mean is one floor division of
     nonnegative BIGINTs.  Deterministic: same replicates every run, on
     any engine.  At 100 TB a production run would materialize the
-    weight columns once next to the data; here they fold into the scan."""
-    ev = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    weight columns once next to the data; here they fold into the scan.
+    Input-balanced (guide §2.5): 64 sha256 evaluations per row are pure
+    CPU and the fixture layout scans as ONE task; the repartition moves
+    only (event_id, value) and is a no-op on parallel layouts; all sums
+    are exact integers, so partition order cannot change any value."""
+    ev = ensure_parallelism(
+        load_table(spark, sf_dir, "events").select("event_id", "value")
+    )
+    # The 64 replicate aggregates are built as SQL strings parsed by ONE
+    # F.expr each instead of ~20 nested py4j Column constructions per
+    # replicate: the analyzed expressions are identical (same hash CASE,
+    # same integer-cents sums), but the driver-side plan construction
+    # drops from ~2.0s (measured: ~640 reflective py4j calls) to ~0.1s —
+    # a per-invocation driver cost with zero executor-side change.
+    cents_sql = "CAST(FLOOR(value * 100 + 0.5D) AS BIGINT)"
     aggs = []
     for b in range(_BOOT_B):
-        hx = F.substring(
-            F.sha2(
-                F.concat(
-                    F.lit(f"boot{b}:"), F.col("event_id").cast("string")
-                ),
-                256,
-            ),
-            1,
-            8,
+        hx = (
+            "substring(sha2(concat('boot"
+            f"{b}:', CAST(event_id AS STRING)), 256), 1, 8)"
         )
         w = (
-            F.when(hx < _BOOT_T[0], 0)
-            .when(hx < _BOOT_T[1], 1)
-            .when(hx < _BOOT_T[2], 2)
-            .when(hx < _BOOT_T[3], 3)
-            .otherwise(4)
+            f"(CASE WHEN {hx} < '{_BOOT_T[0]}' THEN 0"
+            f" WHEN {hx} < '{_BOOT_T[1]}' THEN 1"
+            f" WHEN {hx} < '{_BOOT_T[2]}' THEN 2"
+            f" WHEN {hx} < '{_BOOT_T[3]}' THEN 3 ELSE 4 END)"
         )
-        aggs.append(F.sum(w).cast("long").alias(f"n{b}"))
-        aggs.append(F.sum(w * cents).cast("long").alias(f"s{b}"))
+        aggs.append(F.expr(f"CAST(SUM({w}) AS BIGINT) AS n{b}"))
+        aggs.append(
+            F.expr(f"CAST(SUM({w} * {cents_sql}) AS BIGINT) AS s{b}")
+        )
     wide = ev.agg(*aggs)
     stack = ", ".join(f"{b}L, n{b}, s{b}" for b in range(_BOOT_B))
     return (

@@ -4,7 +4,9 @@ Monkeypatches the expensive ACTION entry points (localCheckpoint, write,
 count, collect, sidecar ops) with cumulative timers, runs one query, and
 prints the breakdown.  Usage: python /tmp/prof_drain.py <query> [sf_dir]
 """
-import sys, time, functools, collections
+import os, sys, time, functools, collections
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERY = sys.argv[1] if len(sys.argv) > 1 else "streaming_ingest_capstone"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
